@@ -1,0 +1,125 @@
+"""Stage 2 — OIE triples + NER mentions + entity-link scoring (T3/T4).
+
+An actor-pool ``map_batches`` stage: the Annotator is a callable CLASS
+so per-worker setup (compiled verb regex, gazetteer alias index — the
+stand-ins for warm spaCy/OIE model state, SURVEY.md section 2.3) runs
+once per actor in ``__init__`` and each Arrow batch flows through
+``__call__``.
+
+Output is ONE unified Arrow table per batch carrying both record kinds
+(kind='triple' | 'mention') so extraction runs in a single pass over
+the text; downstream stages split by the `kind` partition column. This
+mirrors the reference's single-pass member ingestion into typed named
+graphs (/root/reference/ldes-consumer/app.py:309-317).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+ANNOTATED = pa.schema(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("url", pa.string()),
+        pa.field("graph", pa.string()),
+        # triple fields (null for mentions)
+        pa.field("subj", pa.string()),
+        pa.field("pred", pa.string()),
+        pa.field("obj", pa.string()),
+        pa.field("obj_is_literal", pa.bool_()),
+        pa.field("obj_datatype", pa.string()),
+        pa.field("obj_lang", pa.string()),
+        # mention fields (null for triples)
+        pa.field("surface", pa.string()),
+        pa.field("norm_surface", pa.string()),
+        pa.field("start", pa.int32()),
+        pa.field("end", pa.int32()),
+        pa.field("ner_type", pa.string()),
+        pa.field("cand_entity", pa.string()),
+        pa.field("link_score", pa.float32()),
+    ]
+)
+
+
+class Annotator:
+    """Actor-pool stage: text -> unified (triple|mention) rows.
+
+    Failure policy mirrors the reference's FAILURE_IS_FATAL=false
+    default (/root/reference/ldes-consumer/app.py:342): a row whose
+    annotation raises is skipped and counted, never fatal.
+    """
+
+    def __init__(self) -> None:
+        # Per-actor setup (once): import compiles the verb-alternation
+        # regex and builds the alias index at module import time.
+        from k_gap_ray.oracle import kernel
+
+        self._kernel = kernel
+        self.errors = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self._kernel
+        cols: dict[str, list] = {name: [] for name in ANNOTATED.names}
+
+        def push(kind, url, graph, **kw):
+            cols["kind"].append(kind)
+            cols["url"].append(url)
+            cols["graph"].append(graph)
+            for name in ANNOTATED.names[3:]:
+                cols[name].append(kw.get(name))
+
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        for url, text in zip(urls, texts):
+            try:
+                graph = k.graph_for_url(url)
+                triples, mentions = k.extract_from_text(text)
+            except Exception:
+                self.errors += 1
+                continue
+            for t in triples:
+                push("triple", url, graph, subj=t.subj, pred=t.pred,
+                     obj=t.obj, obj_is_literal=t.obj_is_literal,
+                     obj_datatype=t.obj_datatype, obj_lang=None)
+            for m in mentions:
+                push("mention", url, graph, surface=m.surface,
+                     norm_surface=m.norm, start=m.start, end=m.end,
+                     ner_type=m.ner_type, cand_entity=m.cand_entity,
+                     link_score=m.link_score)
+        return pa.Table.from_pydict(cols, schema=ANNOTATED)
+
+
+def annotate_stage(text_ds, concurrency: int | tuple = (2, 8),
+                   batch_size: int = 512, num_cpus: float = 1):
+    """(url, text, ...) -> unified annotated rows, actor pool."""
+    return text_ds.map_batches(
+        Annotator,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def split_annotated(annotated_ds):
+    """annotated -> (triples_ds, mentions_ds) with their final schemas.
+
+    NOTE: each returned Dataset re-executes its upstream when consumed;
+    callers either materialize the (small, html-free) annotated dataset
+    first or read it back from the stage's Parquet checkpoint
+    (pipeline.py does the latter — kind is a partition column, so each
+    side prunes the other's files at the read).
+    """
+    triples = (
+        annotated_ds
+        .filter(expr="kind == 'triple'")
+        .select_columns(["subj", "pred", "obj", "obj_is_literal",
+                         "obj_datatype", "obj_lang", "graph", "url"])
+    )
+    mentions = (
+        annotated_ds
+        .filter(expr="kind == 'mention'")
+        .select_columns(["url", "surface", "norm_surface", "start", "end",
+                         "ner_type", "cand_entity", "link_score"])
+    )
+    return triples, mentions

@@ -1,0 +1,240 @@
+"""Stage 3 — entity canonicalization (SURVEY.md A8/D5, north rule).
+
+    mentions -> unique norm surfaces        (distributed distinct)
+             -> minhash + LSH band explode  (stateless map_batches)
+             -> per-band member lists       (groupby(band).aggregate(Unique))
+             -> verified candidate edges    (map_batches pair gen + Jaccard)
+             -> connected components        (driver union-find fast path, or
+                                             distributed min-label propagation:
+                                             join + groupby.min per round)
+             -> entities table + surface->entity mapping
+
+Scale notes (100 TB design):
+- Everything up to the edge set is sized by the number of UNIQUE
+  normalized surface forms (a vocabulary, orders of magnitude smaller
+  than the corpus), not by the corpus itself.
+- The per-band aggregate uses Ray's hash aggregate with partial
+  pre-aggregation — no per-group Python calls; pair generation is a
+  plain map_batches over (band, members-list) rows with a MAX_BLOCK
+  cap per block (dropped members are counted, not silently lost).
+- Head-entity skew (Zipf surfaces) does NOT create hot keys here
+  because blocking runs on unique surfaces; the skew-sensitive
+  aggregation (mention counts per entity) is handled by partial
+  pre-aggregation in `mention_counts` below.
+- The surface->entity mapping is broadcast via ``ray.put`` when small
+  (the common case: a vocabulary), with a join-based rewrite as the
+  documented scale path.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from k_gap_ray.oracle import canon
+
+# Above this many unique surfaces, connected components runs as
+# distributed label propagation instead of driver union-find.
+DRIVER_CC_MAX = 200_000
+
+
+def band_explode_batch(batch: pa.Table) -> pa.Table:
+    """(norm_surface) -> BANDS rows (band_key, surface) per input row."""
+    surfaces = batch.column("norm_surface").to_pylist()
+    sigs = canon.minhash_signatures(surfaces)
+    out_band: list[str] = []
+    out_surf: list[str] = []
+    for s, sig in zip(surfaces, sigs):
+        for key in canon.band_keys(sig):
+            out_band.append(key)
+            out_surf.append(s)
+    return pa.table({"band_key": out_band, "surface": out_surf})
+
+
+def edges_from_blocks_batch(batch: pa.Table) -> pa.Table:
+    """(band_key, members:list<string>) -> verified undirected edges (a<b)."""
+    a_out: list[str] = []
+    b_out: list[str] = []
+    for members in batch.column("members").to_pylist():
+        if members is None or len(members) < 2:
+            continue
+        for a, b in canon.candidate_pairs_in_block(list(members)):
+            if canon.verify_pair(a, b):
+                a_out.append(a)
+                b_out.append(b)
+    return pa.table({"a": a_out, "b": b_out})
+
+
+def unique_surfaces_ds(mentions_ds):
+    """Distributed distinct over norm_surface (shuffle sized by vocab)."""
+    return (
+        mentions_ds.select_columns(["norm_surface"])
+        .groupby("norm_surface").count()
+        .select_columns(["norm_surface"])
+    )
+
+
+def candidate_edges_ds(surfaces_ds):
+    """unique surfaces -> verified candidate edge Dataset (a, b), deduped."""
+    from ray.data.aggregate import Unique
+
+    bands = surfaces_ds.map_batches(band_explode_batch, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    blocks = bands.groupby("band_key").aggregate(Unique("surface"))
+    blocks = blocks.rename_columns({"unique(surface)": "members"})
+    edges = blocks.map_batches(edges_from_blocks_batch, batch_format="pyarrow")
+    # cross-band duplicate pairs -> distinct
+    return edges.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def drop_empty_blocks(ds):
+    """Rebuild a materialized Dataset without its zero-row blocks.
+
+    Ray's sort-based groupby emits 0-row blocks with an EMPTY schema;
+    if a later join's hash-shuffle partition receives only those, the
+    per-partition pyarrow join fails with "No match ... FieldRef".
+    Block refs are passed through untouched (zero-copy, driver holds
+    refs only).
+    """
+    import ray.data as rd
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    return rd.from_arrow_refs(refs)
+
+
+def _cc_driver(surfaces: list[str], edge_rows: list[dict]) -> dict[str, str]:
+    uf = canon.UnionFind()
+    for s in surfaces:
+        uf.find(s)
+    for r in edge_rows:
+        uf.union(r["a"], r["b"])
+    return uf.components()
+
+
+def _cc_distributed(surfaces_ds, edges_ds, max_iters: int = 12):
+    """Min-label propagation over Datasets until fixpoint.
+
+    labels(node,label) starts as identity; each round every node takes
+    the min of its own label and its neighbors' labels (join on the
+    edge endpoint + groupby(node).min). Converges in O(component
+    diameter) rounds — surface-form clusters are shallow (a handful of
+    variants), so this terminates in a few rounds; the BTS paper
+    (PAPERS.md) is the load-balanced upgrade path for deep components.
+    """
+    import pyarrow.compute as pc
+
+    # both directions so propagation is symmetric
+    fwd = edges_ds.map_batches(
+        lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")}),
+        batch_format="pyarrow")
+    rev = edges_ds.map_batches(
+        lambda t: pa.table({"src": t.column("b"), "dst": t.column("a")}),
+        batch_format="pyarrow")
+    edges2 = drop_empty_blocks(fwd.union(rev).materialize()).materialize()
+
+    labels = drop_empty_blocks(surfaces_ds.map_batches(
+        lambda t: pa.table({"node": t.column("norm_surface"),
+                            "label": t.column("norm_surface")}),
+        batch_format="pyarrow").materialize()).materialize()
+
+    num_parts = max(2, min(32, edges2.num_blocks()))
+    for _ in range(max_iters):
+        msgs = edges2.join(labels, join_type="inner",
+                           num_partitions=num_parts,
+                           on=("dst",), right_on=("node",))
+        msgs = msgs.select_columns(["src", "label"]).rename_columns(
+            {"src": "node"})
+        new_labels = drop_empty_blocks(
+            labels.union(msgs)
+            .groupby("node").min("label")
+            .rename_columns({"min(label)": "label"})
+            .materialize()
+        ).materialize()
+        # convergence: did any label change? (rename to avoid collisions)
+        old = labels.rename_columns({"label": "label_old"})
+        changed = (
+            new_labels.join(old, join_type="inner",
+                            num_partitions=num_parts, on=("node",))
+            .map_batches(
+                lambda t: pa.table({
+                    "c": pa.array(
+                        [pc.sum(pc.cast(pc.not_equal(t.column("label"),
+                                                     t.column("label_old")),
+                                        pa.int64())).as_py() or 0])}),
+                batch_format="pyarrow")
+            .sum("c")
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels  # Dataset(node, label)
+
+
+def canonicalize(mentions_ds, force_distributed_cc: bool = False):
+    """mentions -> (entities pa.Table, mapping dict[norm_surface -> entity IRI]).
+
+    The entities table is canonical-id keyed with lexicographic-min
+    roots (deterministic under any block order, SURVEY.md 7.5.1).
+    """
+    surfaces_ds = unique_surfaces_ds(mentions_ds).materialize()
+    n_unique = surfaces_ds.count()
+    edges = candidate_edges_ds(surfaces_ds)
+
+    if n_unique <= DRIVER_CC_MAX and not force_distributed_cc:
+        surfaces = [r["norm_surface"] for r in surfaces_ds.take_all()]
+        comp = _cc_driver(surfaces, edges.take_all())
+    else:
+        labels = _cc_distributed(surfaces_ds, edges)
+        comp = {r["node"]: r["label"] for r in labels.take_all()}
+
+    clusters: dict[str, list[str]] = {}
+    for node, root in comp.items():
+        clusters.setdefault(root, []).append(node)
+
+    mapping: dict[str, str] = {}
+    ids, members, sizes = [], [], []
+    for root in sorted(clusters):
+        ms = sorted(clusters[root])
+        iri = canon.entity_iri(root)
+        for m in ms:
+            mapping[m] = iri
+        ids.append(iri)
+        members.append(ms)
+        sizes.append(len(ms))
+    entities = pa.table({
+        "entity_id": pa.array(ids, type=pa.string()),
+        "members": pa.array(members, type=pa.list_(pa.string())),
+        "size": pa.array(sizes, type=pa.int64()),
+    })
+    return entities, mapping
+
+
+def mention_counts(mentions_ds, mapping_ref):
+    """Mentions per canonical entity — the skew-prone aggregate.
+
+    Zipf head entities make a naive groupby(entity) hot; this does
+    partial pre-aggregation inside map_batches (one row per entity per
+    batch) so the groupby shuffles per-batch partials, not raw
+    mentions — the combiner pattern from SURVEY.md section 7.4.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mapping = ray.get(mapping_ref) if not isinstance(mapping_ref, dict) \
+            else mapping_ref
+        s = pd.Series(batch.column("norm_surface").to_pylist())
+        ents = s.map(mapping).fillna("urn:kgap:entity:unknown")
+        vc = ents.value_counts()
+        return pa.table({"entity_id": vc.index.astype(str),
+                         "partial_count": vc.to_numpy()})
+
+    return (
+        mentions_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("entity_id").sum("partial_count")
+        .rename_columns({"sum(partial_count)": "n_mentions"})
+    )

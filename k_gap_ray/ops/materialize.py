@@ -1,0 +1,105 @@
+"""Stage 4 — canonical rewrite, quad dedup, graph materialization.
+
+- ``rewrite_triples`` / ``rewrite_mentions``: broadcast the
+  surface->entity mapping once via ``ray.put`` and rewrite inside
+  vectorized pandas ``map_batches`` (dict-map per batch; no shuffle) —
+  the broadcast-small-side join pattern from SURVEY.md section 2.4 J6.
+- ``dedup_quads``: exact dedup on the quad key via Ray's hash
+  aggregate (partial pre-agg, no per-group Python) keeping the
+  lexicographic-min provenance url — reference semantics "no duplicate
+  data ingestion" (/root/reference/docs/components/ldes-consumer.md:584-592).
+- ``materialize_graph``: subject-sorted triples (range-partition
+  shuffle) + hash-bucketed adjacency, each written as partitioned
+  Parquet so reruns/lookups touch single buckets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+_NORM_PUNCT = ".,;:"
+
+
+def norm_series(s: pd.Series) -> pd.Series:
+    """Vectorized twin of oracle.kernel.norm_surface (kept in lockstep)."""
+    return (
+        s.str.strip()
+        .str.strip(_NORM_PUNCT)
+        .str.casefold()
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+
+
+def _resolve(mapping_ref):
+    import ray
+
+    return mapping_ref if isinstance(mapping_ref, dict) else ray.get(mapping_ref)
+
+
+def rewrite_triples(triples_ds, mapping_ref):
+    """surface subj/obj -> canonical entity IRIs (literals untouched)."""
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        mapping = _resolve(mapping_ref)
+        subj_c = norm_series(df["subj"]).map(mapping)
+        df["subj"] = subj_c.fillna(df["subj"])
+        is_ent = ~df["obj_is_literal"]
+        obj_c = norm_series(df.loc[is_ent, "obj"]).map(mapping)
+        df.loc[is_ent, "obj"] = obj_c.fillna(df.loc[is_ent, "obj"])
+        return df
+
+    return triples_ds.map_batches(rewrite, batch_format="pandas")
+
+
+def rewrite_mentions(mentions_ds, mapping_ref):
+    """cand_entity -> canonical entity IRI via the same broadcast map."""
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        mapping = _resolve(mapping_ref)
+        ent = df["norm_surface"].map(mapping)
+        df["cand_entity"] = ent.fillna(df["cand_entity"])
+        return df
+
+    return mentions_ds.map_batches(rewrite, batch_format="pandas")
+
+
+QUAD_KEY = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
+            "obj_lang", "graph"]
+
+
+def dedup_quads(triples_ds):
+    """Distinct quads, provenance = min url. Hash-aggregate shuffle."""
+    from ray.data.aggregate import Min
+
+    out = triples_ds.groupby(QUAD_KEY).aggregate(Min("url", alias_name="url"))
+    return out.select_columns(QUAD_KEY + ["url"])
+
+
+def add_subj_bucket(df: pd.DataFrame, n_buckets: int = 16) -> pd.DataFrame:
+    # deterministic (fixed hash key), vectorized
+    df["subj_bucket"] = (
+        pd.util.hash_pandas_object(df["subj"], index=False) % n_buckets
+    ).astype("int32")
+    return df
+
+
+def materialize_graph(triples_ds, out_dir: str, n_buckets: int = 16):
+    """Write `triples/` (subject-sorted) and `adjacency/` (hash-bucketed,
+    sorted within bucket) partitioned Parquet. Returns row count."""
+    deduped = dedup_quads(triples_ds).materialize()
+
+    deduped.sort("subj").write_parquet(f"{out_dir}/triples")
+
+    def sort_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["subj", "pred", "obj"], kind="mergesort")
+
+    (
+        deduped
+        .map_batches(add_subj_bucket, batch_format="pandas")
+        .groupby("subj_bucket")
+        .map_groups(sort_bucket, batch_format="pandas")
+        .write_parquet(f"{out_dir}/adjacency", partition_cols=["subj_bucket"])
+    )
+    return deduped.count()

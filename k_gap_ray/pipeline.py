@@ -1,0 +1,194 @@
+"""End-to-end KG-construction pipeline (the engine's flagship).
+
+    pages --extract--> text --annotate(actor pool)--> annotated
+          --canonicalize(LSH+union-find)--> entities + mapping
+          --rewrite+dedup+sort--> triples/ mentions/ adjacency/ Parquet
+
+Two modes:
+- ``run_pipeline(pages, out_dir=...)`` — checkpointed: each stage
+  boundary is partitioned Parquet + a manifest; a rerun skips finished
+  stages (resume semantics per SURVEY.md 4.4). Stage outputs are read
+  back from Parquet so no stage is ever recomputed for a second
+  consumer, and the `kind` partition column lets the triples/mentions
+  splits prune each other's files at the read.
+- ``run_pipeline(pages)`` — in-memory: the (html-free, much smaller)
+  annotated dataset is materialized in the object store and split;
+  used by tests and ``entry()``.
+
+Never calls ray.init — sessions belong to the caller.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import pyarrow as pa
+
+from k_gap_ray.checkpoint import Checkpoint, StageTimer
+from k_gap_ray.ops.annotate import annotate_stage, split_annotated
+from k_gap_ray.ops.canonicalize import canonicalize
+from k_gap_ray.ops.extract import extract_stage
+from k_gap_ray.ops.materialize import (
+    dedup_quads,
+    materialize_graph,
+    rewrite_mentions,
+    rewrite_triples,
+)
+
+
+def _as_dataset(pages):
+    import ray.data as rd
+
+    if isinstance(pages, (str, list)):
+        return rd.read_parquet(pages)
+    return pages
+
+
+def _surface_forms(mentions_ds, mapping: dict[str, str]) -> dict[str, list[str]]:
+    """entity -> sorted raw surface forms. Driver-side over the
+    (vocabulary-sized) distinct (norm_surface, surface) pairs."""
+    pairs = (
+        mentions_ds.select_columns(["norm_surface", "surface"])
+        .groupby(["norm_surface", "surface"]).count()
+        .select_columns(["norm_surface", "surface"])
+    )
+    forms: dict[str, set[str]] = {}
+    for r in pairs.take_all():
+        ent = mapping.get(r["norm_surface"])
+        if ent is not None:
+            forms.setdefault(ent, set()).add(r["surface"])
+    return {e: sorted(s) for e, s in forms.items()}
+
+
+def _entities_with_forms(entities: pa.Table, forms: dict[str, list[str]]) -> pa.Table:
+    sf = [forms.get(e, []) for e in entities.column("entity_id").to_pylist()]
+    return entities.append_column(
+        "surface_forms", pa.array(sf, type=pa.list_(pa.string())))
+
+
+def run_pipeline(
+    pages,
+    out_dir: str | None = None,
+    *,
+    annotate_concurrency=(2, 8),
+    extract_batch_size: int = 256,
+    annotate_batch_size: int = 512,
+    n_buckets: int = 16,
+    force_distributed_cc: bool = False,
+) -> dict[str, Any]:
+    """Run the full pipeline; returns handles to every product table."""
+    import ray
+    import ray.data as rd
+
+    if out_dir is None:
+        return _run_in_memory(pages, annotate_concurrency,
+                              extract_batch_size, annotate_batch_size,
+                              force_distributed_cc)
+
+    ck = Checkpoint(out_dir)
+    annotated_dir = os.path.join(out_dir, "annotated")
+
+    # ---- stage 1+2: extract + annotate -> partitioned parquet ----
+    if not ck.done("annotated"):
+        t = StageTimer()
+        ds = _as_dataset(pages)
+        annotated = annotate_stage(
+            extract_stage(ds, batch_size=extract_batch_size),
+            concurrency=annotate_concurrency,
+            batch_size=annotate_batch_size)
+        annotated.write_parquet(annotated_dir, partition_cols=["kind"])
+        import pyarrow.dataset as pads
+        n_out = pads.dataset(annotated_dir, partitioning="hive").count_rows()
+        ck.lineage("annotated", "all", rows_in=-1, rows_out=n_out,
+                   wall_s=t.elapsed())
+        ck.mark("annotated", rows_out=n_out)
+
+    triple_cols = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
+                   "obj_lang", "graph", "url"]
+    mention_cols = ["url", "surface", "norm_surface", "start", "end",
+                    "ner_type", "cand_entity", "link_score"]
+
+    def read_kind(kind: str, columns: list[str]):
+        return rd.read_parquet(os.path.join(annotated_dir, f"kind={kind}"),
+                               columns=columns)
+
+    # ---- stage 3: canonicalize ----
+    if not ck.done("entities"):
+        t = StageTimer()
+        mentions_raw = read_kind("mention", mention_cols)
+        entities, mapping = canonicalize(
+            mentions_raw, force_distributed_cc=force_distributed_cc)
+        forms = _surface_forms(mentions_raw, mapping)
+        entities = _entities_with_forms(entities, forms)
+        import pyarrow.parquet as pq
+        os.makedirs(os.path.join(out_dir, "entities"), exist_ok=True)
+        pq.write_table(entities,
+                       os.path.join(out_dir, "entities", "part-00000.parquet"))
+        ck.save_json("mapping.json", mapping)
+        ck.lineage("entities", "all", rows_in=len(mapping),
+                   rows_out=entities.num_rows, wall_s=t.elapsed())
+        ck.mark("entities", rows_out=entities.num_rows)
+    else:
+        mapping = ck.load_json("mapping.json")
+
+    mapping_ref = ray.put(mapping)
+
+    # ---- stage 4: canonical graph materialization ----
+    if not ck.done("graph"):
+        t = StageTimer()
+        triples_raw = read_kind("triple", triple_cols)
+        canonical = rewrite_triples(triples_raw, mapping_ref)
+        n = materialize_graph(canonical, out_dir, n_buckets=n_buckets)
+        ck.lineage("graph", "all", rows_in=-1, rows_out=n, wall_s=t.elapsed())
+        ck.mark("graph", rows_out=n)
+
+    # ---- stage 5: canonical mentions ----
+    if not ck.done("mentions"):
+        t = StageTimer()
+        mentions_raw = read_kind("mention", mention_cols)
+        rewritten = rewrite_mentions(mentions_raw, mapping_ref)
+        rewritten.write_parquet(os.path.join(out_dir, "mentions"))
+        ck.lineage("mentions", "all", rows_in=-1, rows_out=-1,
+                   wall_s=t.elapsed())
+        ck.mark("mentions")
+
+    return {
+        "out_dir": out_dir,
+        "triples": rd.read_parquet(os.path.join(out_dir, "triples")),
+        "mentions": rd.read_parquet(os.path.join(out_dir, "mentions")),
+        "adjacency": rd.read_parquet(os.path.join(out_dir, "adjacency")),
+        "entities": rd.read_parquet(os.path.join(out_dir, "entities")),
+        "lineage": rd.read_parquet(os.path.join(out_dir, "lineage")),
+        "mapping": mapping,
+    }
+
+
+def _run_in_memory(pages, annotate_concurrency, extract_batch_size,
+                   annotate_batch_size, force_distributed_cc):
+    import ray
+
+    ds = _as_dataset(pages)
+    annotated = annotate_stage(
+        extract_stage(ds, batch_size=extract_batch_size),
+        concurrency=annotate_concurrency,
+        batch_size=annotate_batch_size,
+    ).materialize()  # html-free; split below consumes it twice
+    triples_raw, mentions_raw = split_annotated(annotated)
+
+    entities, mapping = canonicalize(
+        mentions_raw, force_distributed_cc=force_distributed_cc)
+    forms = _surface_forms(mentions_raw, mapping)
+    entities = _entities_with_forms(entities, forms)
+
+    mapping_ref = ray.put(mapping)
+    canonical_triples = dedup_quads(
+        rewrite_triples(triples_raw, mapping_ref)).materialize()
+    canonical_mentions = rewrite_mentions(mentions_raw, mapping_ref)
+
+    return {
+        "triples": canonical_triples,
+        "mentions": canonical_mentions,
+        "entities": entities,
+        "mapping": mapping,
+    }
