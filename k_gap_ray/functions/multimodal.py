@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are `binary` columns processed by actor-pool
+map_batches stages with SMALL batch sizes (a batch x concurrency of
+multi-MB payloads must fit the worker heap — guide: memory-aware
+sizing). The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
+container, so the codec step is stubbed: ``mode="fake"`` is a
+deterministic byte-level pseudo-decoder (real plumbing, fake pixels),
+``mode="real"`` raises NotImplementedError at the exact call site a
+real library would occupy. Schemas, batch sizing, actor signatures and
+output layout are real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("payload", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("source_url", pa.string()),
+    ]
+)
+
+MEDIA_FEATURES = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("mime", pa.string()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("sha256", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+def synth_media(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic fake media table for plumbing tests."""
+    rows = []
+    for i in range(n):
+        h = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
+        payload = h * (8 + i % 64)  # variable-size opaque bytes
+        rows.append({
+            "media_id": i,
+            "payload": payload,
+            "mime": ["image/jpeg", "image/png", "audio/wav"][i % 3],
+            "source_url": f"https://media{i % 10}.example/item/{i}",
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA)
+
+
+class MediaDecoder:
+    """Actor-pool decode/feature-extract stage.
+
+    __init__ is where a real model/codec would load (once per actor);
+    __call__ handles one Arrow batch of payloads.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, mode: str = "fake") -> None:
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+
+    def _decode_real(self, payload: bytes, mime: str):
+        raise NotImplementedError(
+            "real decode requires PIL/ffmpeg, not available in this "
+            "container — slot the library call here")
+
+    def _decode_fake(self, payload: bytes, mime: str):
+        """Deterministic pseudo-decode: dims + features from the bytes."""
+        d = hashlib.sha256(payload).digest()
+        width = 16 + d[0] % 240
+        height = 16 + d[1] % 240
+        feat = (np.frombuffer(d[:self.FEATURE_DIM], dtype=np.uint8)
+                .astype(np.float32) / 255.0)
+        return width, height, feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        mimes = batch.column("mime").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rows: dict[str, list] = {n: [] for n in MEDIA_FEATURES.names}
+        for mid, mime, payload in zip(ids, mimes, payloads):
+            decode = self._decode_fake if self.mode == "fake" else self._decode_real
+            w, h, feat = decode(payload, mime)
+            rows["media_id"].append(mid)
+            rows["mime"].append(mime)
+            rows["n_bytes"].append(len(payload))
+            rows["sha256"].append(hashlib.sha256(payload).hexdigest())
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["feature"].append([float(x) for x in feat])
+        return pa.Table.from_pydict(rows, schema=MEDIA_FEATURES)
+
+
+def decode_stage(media_ds, mode: str = "fake", concurrency=(1, 4),
+                 batch_size: int = 64, num_cpus: float = 1):
+    """Binary payloads -> features; small batches by design (wide rows)."""
+    return media_ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

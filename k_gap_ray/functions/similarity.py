@@ -1,0 +1,119 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k — numpy matmul per Arrow
+  batch against a broadcast query matrix (``ray.put`` once), partial
+  top-k per batch, tiny global sort at the end. The baseline.
+- ``knn_lsh``: random-hyperplane-bucketed approximate variant — the
+  scale path: only buckets matching the query signature (within a
+  Hamming radius) are scanned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(t: pa.Table) -> tuple[list[int], np.ndarray]:
+    ids = t.column("vec_id").to_pylist()
+    embs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, embs
+
+
+def knn_bruteforce(emb_ds, query_vec: np.ndarray, k: int = 10,
+                   exclude_ids: set[int] | None = None):
+    """Exact top-k by cosine: returns pa.Table (vec_id, cosine) sorted
+    desc with vec_id tie-break. Per-batch partial top-k keeps the
+    shuffle tiny (k rows per batch, not the corpus)."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    q_ref = ray.put(q)
+    excl = frozenset(exclude_ids or ())
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        qv = _r.get(q_ref)
+        ids, embs = _batch_matrix(t)
+        if not ids:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        norms = np.linalg.norm(embs, axis=1)
+        norms[norms == 0] = 1.0
+        # rank on the ROUNDED similarity (+ vec_id tie-break) so the
+        # selection matches an oracle that orders by the rounded value
+        sims = np.round((embs @ qv) / norms, 4)
+        order = np.lexsort((ids, -sims))[:k]
+        keep = [(ids[i], float(sims[i])) for i in order
+                if ids[i] not in excl][:k]
+        return pa.table({"vec_id": pa.array([i for i, _ in keep], pa.int64()),
+                         "cosine": pa.array([round(s, 4) for _, s in keep],
+                                            pa.float64())})
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+    top = partials.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    return pa.Table.from_pylist(top.take_all())
+
+
+def knn_by_id(sf_dir: str, query_vec_id: int = 0, k: int = 10):
+    """Top-k most-similar vectors to the vector with `query_vec_id`."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qrow = [r for r in ds.map_batches(
+        lambda t, qid=query_vec_id: t.filter(
+            pa.compute.equal(t.column("vec_id"), pa.scalar(qid))),
+        batch_format="pyarrow").take_all()]
+    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    return knn_bruteforce(ds, q, k=k, exclude_ids={query_vec_id})
+
+
+N_PLANES = 8
+
+
+def _signature(embs: np.ndarray) -> np.ndarray:
+    planes = np.random.RandomState(4242).randn(embs.shape[1], N_PLANES)
+    return ((embs @ planes) >= 0).astype(np.uint8)
+
+
+def build_lsh_buckets(emb_ds):
+    """embedding -> (bucket:string, vec_id, embedding): the ANN index
+    as a Dataset, groupable/partitionable by bucket."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, embs = _batch_matrix(t)
+        if not ids:
+            return pa.table({"bucket": pa.array([], pa.string()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": t.column("embedding")})
+        sig = _signature(embs)
+        buckets = ["".join(map(str, row)) for row in sig]
+        return pa.table({"bucket": pa.array(buckets, pa.string()),
+                         "vec_id": pa.array(ids, pa.int64()),
+                         "embedding": t.column("embedding")})
+
+    return emb_ds.map_batches(f, batch_format="pyarrow")
+
+
+def knn_lsh(emb_ds, query_vec: np.ndarray, k: int = 10, radius: int = 1,
+            exclude_ids: set[int] | None = None):
+    """Approximate top-k: scan only buckets whose signature is within
+    `radius` bit flips of the query's signature."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsig = _signature(q[None, :])[0]
+    want = {"".join(map(str, qsig))}
+    if radius >= 1:
+        for i in range(N_PLANES):
+            flipped = qsig.copy()
+            flipped[i] ^= 1
+            want.add("".join(map(str, flipped)))
+
+    buckets = build_lsh_buckets(emb_ds)
+    cand = buckets.map_batches(
+        lambda t, w=frozenset(want): t.filter(
+            pa.array([b in w for b in t.column("bucket").to_pylist()])),
+        batch_format="pyarrow").select_columns(["vec_id", "embedding"])
+    return knn_bruteforce(cand, q, k=k, exclude_ids=exclude_ids)

@@ -1,0 +1,336 @@
+"""Relational / aggregation operator surface (SURVEY.md sections 2.4-2.7).
+
+The reference exercises these operators as SPARQL over GraphDB
+(BGP joins, OPTIONAL, NOT EXISTS, grouped counts, HAVING, ORDER BY /
+LIMIT, DISTINCT — citations per function). Here each one is a Ray Data
+pipeline over the driver's Parquet tables, with column pruning at the
+read and partial pre-aggregation before shuffles. Every function takes
+``sf_dir`` and returns a Dataset / pyarrow Table; the matching DuckDB
+oracle SQL lives in ``__ray_entry__.oracle_sql``.
+
+Numeric outputs are rounded (sum->2dp, avg->4dp) identically on both
+sides so order-of-summation float noise cannot break the driver's
+value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(ds, col: str, digits: int):
+    # numpy round (== python/duckdb round at the ULP level); pyarrow's
+    # pc.round computes scaled multiply/divide and lands on different
+    # doubles, which breaks value-hash comparison against a SQL oracle.
+    import numpy as np
+
+    def f(t: pa.Table, c=col, d=digits) -> pa.Table:
+        arr = np.round(pc.cast(t.column(c), pa.float64()).to_numpy(
+            zero_copy_only=False), d)
+        return t.set_column(t.column_names.index(c), c,
+                            pa.array(arr, type=pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A7)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate (A3/A5 + M3 filter).
+
+    Reference analogue: grouped count/type distribution queries,
+    /root/reference/docs/components/sembench.md:244-250."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.less_equal(t.column("l_shipdate"),
+                          pa.scalar(pa.compute.strptime("1998-09-01",
+                                                        format="%Y-%m-%d",
+                                                        unit="us")))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "revenue", pc.multiply(t.column("l_extendedprice"),
+                                   pc.subtract(pa.scalar(1.0),
+                                               t.column("l_discount")))),
+        batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="n"),
+    )
+    out = _round_col(out, "sum_qty", 2)
+    out = _round_col(out, "sum_revenue", 2)
+    out = _round_col(out, "avg_qty", 4)
+    return out
+
+
+def q_filter_bind(sf_dir: str):
+    """M3 FILTER + M4 BIND: computed revenue over a predicate filter,
+    aggregated per return flag (docs/components/sembench.md:178-179)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"])
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t.column("l_quantity"), pa.scalar(10.0)),
+                    pc.less(t.column("l_discount"), pa.scalar(0.05)))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "revenue", pc.multiply(t.column("l_extendedprice"),
+                                   pc.subtract(pa.scalar(1.0),
+                                               t.column("l_discount")))),
+        batch_format="pyarrow")
+    out = ds.groupby("l_returnflag").aggregate(
+        Sum("revenue", alias_name="sum_revenue"),
+        Count(alias_name="n"))
+    return _round_col(out, "sum_revenue", 2)
+
+
+def q_count_distinct(sf_dir: str):
+    """A2 COUNT(DISTINCT) — docs/components/sembench.md:242."""
+    ds = _read(sf_dir, "lineitem", ["l_suppkey"])
+    n = (ds.groupby("l_suppkey").count()).count()
+    return pa.table({"n_distinct_supp": pa.array([n], type=pa.int64())})
+
+
+def q_having(sf_dir: str):
+    """A6 HAVING count > threshold — docs/advanced-topics.md:377-394."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    out = ds.groupby("o_custkey").count().rename_columns({"count()": "n_orders"})
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_orders"), pa.scalar(12))),
+        batch_format="pyarrow")
+
+
+def q_events_by_type(sf_dir: str):
+    """A3+A4: grouped count / MAX(ts) / AVG — per-graph accounting
+    analogue, docs/components/ldes-consumer.md:330-343."""
+    from ray.data.aggregate import Count, Max, Mean
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Max("ts", alias_name="max_ts"),
+        Mean("value", alias_name="avg_value"))
+    return _round_col(out, "avg_value", 4)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h event-time window via key normalization + groupby
+    (streaming-shaped aggregate; SURVEY.md section 2.8)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def add_window(df):
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df[["window_start", "value"]]
+
+    out = (ds.map_batches(add_window, batch_format="pandas")
+           .groupby("window_start").aggregate(
+               Count(alias_name="n"),
+               Sum("value", alias_name="sum_value")))
+    out = out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("window_start"), "window_start",
+            pc.cast(t.column("window_start"), pa.timestamp("us"))),
+        batch_format="pyarrow")  # ns->us so the oracle compare sees one unit
+    return _round_col(out, "sum_value", 2)
+
+
+def q_events_watermark(sf_dir: str):
+    """W2 high-watermark: global MAX over event time
+    (docs/components/ldes-consumer.md:338-343)."""
+    ds = _read(sf_dir, "events", ["ts"])
+    return pa.table({"max_ts": pa.array([ds.max("ts")],
+                                        type=pa.timestamp("us"))})
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4)
+# ---------------------------------------------------------------------------
+
+def q_join_customer_nation_region(sf_dir: str):
+    """J1 inner-join chain (BGP join, docs/advanced-topics.md:147-169).
+
+    Both dimension tables are tiny -> broadcast-joined inside one
+    map_batches (ray.put once, read per actor), no shuffle; the only
+    shuffle is the final small groupby."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+
+    def attach(df):
+        import ray as _r
+
+        lookup = _r.get(lookup_ref)
+        df["r_name"] = df["c_nationkey"].map(lookup)
+        return df[["r_name", "c_acctbal"]]
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    out = (ds.map_batches(attach, batch_format="pandas")
+           .groupby("r_name").aggregate(
+               Count(alias_name="n_customers"),
+               Sum("c_acctbal", alias_name="sum_acctbal")))
+    return _round_col(out, "sum_acctbal", 2)
+
+
+def q_left_join_orders(sf_dir: str):
+    """J2 OPTIONAL left join: every customer with its order count,
+    zero-order customers included (docs/components/sembench.md:176-177)."""
+    from ray.data.aggregate import Count
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    # pre-aggregate the fact side, then left-join the (small) result
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"))
+    joined = cust.join(per_cust, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+    return joined.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "n_orders": pc.fill_null(t.column("n_orders"), 0)}),
+        batch_format="pyarrow")
+
+
+def q_anti_join(sf_dir: str):
+    """J3 anti join (FILTER NOT EXISTS): customers with no high-value
+    order (docs/components/jupyter.md:556-566). Broadcast key-set
+    filter — the Bloom-filter/semi-join pattern at scale."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    hi = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"),
+                                      pa.scalar(150000.0))),
+        batch_format="pyarrow")
+    keys_ref = ray.put(set(hi.unique("o_custkey")))
+
+    def anti(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        keys = _r.get(keys_ref)
+        mask = [k not in keys for k in t.column("c_custkey").to_pylist()]
+        return t.filter(pa.array(mask))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def q_semi_join(sf_dir: str):
+    """J4 semi join / ASK: how many customers have >=1 order
+    (docs/components/jupyter.md:596)."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    n = orders.groupby("o_custkey").count().count()
+    return pa.table({"n_customers_with_orders": pa.array([n], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / pagination (O1-O3), set ops (D2-D3)
+# ---------------------------------------------------------------------------
+
+def q_topk_orders(sf_dir: str):
+    """O1/O2 ORDER BY DESC + LIMIT with deterministic tie-break."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return (ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(10))
+
+
+def q_sort_limit_offset(sf_dir: str):
+    """O3 LIMIT+OFFSET pagination (docs/components/jupyter.md:613-629).
+
+    Offset is applied at the driver edge on the tiny sorted head —
+    offset deep into a distributed sort is an anti-pattern at scale."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    head = (ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(20).take_all())
+    return pa.Table.from_pylist(head[10:20])
+
+
+def q_distinct_flags(sf_dir: str):
+    """D2 DISTINCT projection (docs/components/jupyter.md:531)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return (ds.groupby(["l_returnflag", "l_linestatus"]).count()
+            .select_columns(["l_returnflag", "l_linestatus"]))
+
+
+def q_union_priorities(sf_dir: str):
+    """D3 union of two filtered sets, then grouped count (default graph
+    = union of named graphs, docs/components/ldes-consumer.md:330-336)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    hi = ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"),
+                                      pa.scalar(200000.0))),
+        batch_format="pyarrow")
+    lo = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_totalprice"),
+                                   pa.scalar(50000.0))),
+        batch_format="pyarrow")
+    return (hi.union(lo).groupby("o_orderpriority").count()
+            .rename_columns({"count()": "n"}))
+
+
+# ---------------------------------------------------------------------------
+# Dereference loop (J5) — frontier expansion over the adjacency table
+# ---------------------------------------------------------------------------
+
+def dereference(triples_ds, seeds: list[str], depth: int = 2):
+    """Iterative frontier expansion with cycle-safety (visited set) —
+    recursive URI dereferencing, docs/advanced-topics.md:226-285.
+
+    Broadcast the (small) frontier per round and filter the big triple
+    table inside map_batches — no shuffle join."""
+    import ray
+
+    visited: set[str] = set()
+    frontier = set(seeds)
+    collected = []
+    for _ in range(depth):
+        frontier_new = frontier - visited
+        if not frontier_new:
+            break
+        visited |= frontier_new
+        ref = ray.put(frontier_new)
+
+        def expand(t: pa.Table) -> pa.Table:
+            import ray as _r
+
+            fr = _r.get(ref)
+            mask = [s in fr for s in t.column("subj").to_pylist()]
+            return t.filter(pa.array(mask))
+
+        hop = triples_ds.map_batches(expand, batch_format="pyarrow").materialize()
+        collected.append(hop)
+        frontier = {r["obj"] for r in hop.select_columns(["obj"]).take_all()}
+    if not collected:
+        return None
+    out = collected[0]
+    for h in collected[1:]:
+        out = out.union(h)
+    return out
