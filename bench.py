@@ -1,0 +1,157 @@
+"""Benchmark driver.
+
+Default: run the headline KG-construction pipeline (pages -> extract ->
+annotate -> canonicalize -> materialize, checkpointed Parquet output)
+over a pages corpus scaled to $GRAFT_SF_DIR (default
+/root/testdata/sf0.1 -> 100k pages), plus a bundle of representative
+relational/training-data queries over the sf tables. Prints ONE JSON
+line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+`--scaling`: run the identical headline job in two fresh processes at
+num_cpus=8 and num_cpus=32 and report both throughputs + scaling
+efficiency (the sandbox stand-in for the N vs 4N cluster criterion —
+see BASELINE.md).
+
+This script OWNS its Ray session (the only places allowed to:
+bench.py, CLI entry points, the pytest fixture).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else 0.1
+
+
+def n_pages_for(sf: float) -> int:
+    return max(500, int(1_000_000 * sf))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import logging
+
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from k_gap_ray.pipeline import run_pipeline
+    from k_gap_ray.synth import write_pages
+
+    sf = _sf()
+    n_pages = n_pages_for(sf)
+    pages_dir = f"/tmp/kgap_bench_pages/sf{sf}"
+    write_pages(pages_dir, n_pages)  # idempotent; shared across runs
+
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(pages_dir).count()
+
+    out_dir = f"/tmp/kgap_bench_out/cpus{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    res = run_pipeline(
+        pages_dir, out_dir=out_dir,
+        annotate_concurrency=(max(2, NUM_CPUS // 4), NUM_CPUS),
+        extract_batch_size=512,
+        annotate_batch_size=1024,
+    )
+    n_triples = res["triples"].count()
+    headline = time.perf_counter() - t0
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t = time.perf_counter()
+        out = fn(SF_DIR)
+        # consume
+        if hasattr(out, "count"):
+            out.count()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    from k_gap_ray import relational as rel
+    from k_gap_ray.functions.dedup import exact_dedup, minhash_dedup_pairs
+    from k_gap_ray.functions.similarity import knn_by_id
+    from k_gap_ray.functions.textstats import quality_scores, token_counts
+
+    timed("q_agg_pricing", rel.q_agg_pricing)
+    timed("q_join_customer_nation_region", rel.q_join_customer_nation_region)
+    timed("q_left_join_orders", rel.q_left_join_orders)
+    timed("q_topk_orders", rel.q_topk_orders)
+    timed("q_events_hourly", rel.q_events_hourly)
+    timed("q_doc_token_counts", lambda d: token_counts(
+        rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"])))
+    timed("q_doc_quality", lambda d: quality_scores(
+        rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"])))
+    timed("q_doc_exact_dedup", lambda d: exact_dedup(
+        rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"])))
+    timed("q_doc_minhash_pairs", lambda d: minhash_dedup_pairs(
+        rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.5))
+    timed("q_knn_top10", lambda d: knn_by_id(d, 0, 10))
+
+    result = {
+        "metric": "kg_pipeline_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / headline, 1),
+        "n_triples": n_triples,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes, two parallelism levels."""
+    me = os.path.abspath(__file__)
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run([sys.executable, me], env=env,
+                              capture_output=True, text=True, check=True)
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["value"], out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "kg_pipeline_scaling",
+        "sec_8": t8,
+        "sec_32": t32,
+        "pages_per_sec_8": out[8]["pages_per_sec"],
+        "pages_per_sec_32": out[32]["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": out[32]["sf"],
+        "n_pages": out[32]["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -78,9 +78,11 @@ class Annotator:
                 self.errors += 1
                 continue
             for t in triples:
+                # "" (not null) for absent datatype/lang: quad-key
+                # concat and groupby keys stay null-free
                 push("triple", url, graph, subj=t.subj, pred=t.pred,
                      obj=t.obj, obj_is_literal=t.obj_is_literal,
-                     obj_datatype=t.obj_datatype, obj_lang=None)
+                     obj_datatype=t.obj_datatype or "", obj_lang="")
             for m in mentions:
                 push("mention", url, graph, surface=m.surface,
                      norm_surface=m.norm, start=m.start, end=m.end,

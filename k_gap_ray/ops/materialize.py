@@ -67,14 +67,45 @@ def rewrite_mentions(mentions_ds, mapping_ref):
 
 QUAD_KEY = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
             "obj_lang", "graph"]
+_SEP = "\x1f"  # never occurs in IRIs/surfaces/literals we emit
 
 
 def dedup_quads(triples_ds):
-    """Distinct quads, provenance = min url. Hash-aggregate shuffle."""
+    """Distinct quads, provenance = min url.
+
+    One vectorized composite key (binary_join_element_wise) + a
+    single-key hash aggregate, then a vectorized split back into
+    columns — an order of magnitude faster than Ray's multi-key
+    groupby+aggregate path, and the single string key is also what a
+    10^12-row dedup would hash-partition on (SURVEY.md 7.4)."""
+    import pyarrow.compute as _pc
+
     from ray.data.aggregate import Min
 
-    out = triples_ds.groupby(QUAD_KEY).aggregate(Min("url", alias_name="url"))
-    return out.select_columns(QUAD_KEY + ["url"])
+    def addkey(t: pa.Table) -> pa.Table:
+        key = _pc.binary_join_element_wise(
+            t.column("subj"), t.column("pred"), t.column("obj"),
+            _pc.cast(t.column("obj_is_literal"), pa.string()),
+            _pc.fill_null(t.column("obj_datatype"), ""),
+            _pc.fill_null(t.column("obj_lang"), ""),
+            t.column("graph"), _SEP)
+        return pa.table({"quad_key": key, "url": t.column("url")})
+
+    def splitkey(t: pa.Table) -> pa.Table:
+        parts = _pc.split_pattern(t.column("quad_key"), pattern=_SEP)
+        field = [_pc.list_element(parts, i) for i in range(7)]
+        return pa.table({
+            "subj": field[0], "pred": field[1], "obj": field[2],
+            "obj_is_literal": _pc.equal(field[3], "true"),
+            "obj_datatype": field[4], "obj_lang": field[5],
+            "graph": field[6], "url": t.column("url"),
+        })
+
+    out = (triples_ds
+           .map_batches(addkey, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("quad_key").aggregate(Min("url", alias_name="url"))
+           .map_batches(splitkey, batch_format="pyarrow"))
+    return out
 
 
 def add_subj_bucket(df: pd.DataFrame, n_buckets: int = 16) -> pd.DataFrame:
