@@ -1,0 +1,169 @@
+"""Triple-level transforms: CONSTRUCT vocab remap (M6), shape
+validation with reject side-channel (M9), version materialization /
+LDES stream semantics (M11, W1-W4, F3).
+
+Reference semantics:
+- CONSTRUCT rewrites old-vocabulary predicates to new ones
+  (/root/reference/docs/components/sembench.md:437-455) — a broadcast
+  dict lookup on the `pred` column.
+- SHACL shapes drop members failing validation (SHAPE env,
+  /root/reference/ldes-consumer/app.py:344) with
+  FAILURE_IS_FATAL=false, i.e. rejects are counted, not fatal
+  (app.py:342) — here rejects go to a side-channel column/dataset.
+- MATERIALIZE=true strips version wrappers and keeps only the latest
+  entity state (/root/reference/ldes-consumer/app.py:335;
+  data/ldes-feeds-example.yml:18-19).
+- Re-harvest produces no duplicate ingestion
+  (/root/reference/docs/components/ldes-consumer.md:584-592).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def construct_remap(triples_ds, pred_map: dict[str, str],
+                    drop_unmapped: bool = False):
+    """CONSTRUCT-style vocabulary rewrite: pred -> pred_map[pred].
+
+    The map is tiny (a vocabulary) -> shipped in the closure, applied
+    with a vectorized pandas dict-map per batch; no shuffle."""
+
+    def remap(df: pd.DataFrame) -> pd.DataFrame:
+        new = df["pred"].map(pred_map)
+        if drop_unmapped:
+            df = df[new.notna()].copy()
+            df["pred"] = new[new.notna()]
+        else:
+            df["pred"] = new.fillna(df["pred"])
+        return df
+
+    return triples_ds.map_batches(remap, batch_format="pandas")
+
+
+# --- shape validation -------------------------------------------------------
+
+class ShapeRule:
+    """One SHACL-ish constraint on triples of a given predicate."""
+
+    def __init__(self, pred: str, *, obj_is_iri: bool | None = None,
+                 obj_pattern: str | None = None,
+                 obj_datatype: str | None = None) -> None:
+        self.pred = pred
+        self.obj_is_iri = obj_is_iri
+        self.obj_pattern = obj_pattern
+        self.obj_datatype = obj_datatype
+
+
+def validate_shapes(triples_ds, rules: list[ShapeRule]):
+    """Returns the input with a `shape_ok:bool` + `shape_error:string`
+    side-channel (FAILURE_IS_FATAL=false semantics: nothing is
+    dropped; callers filter / route rejects)."""
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        ok = pd.Series(True, index=df.index)
+        err = pd.Series("", index=df.index)
+        for r in rules:
+            hit = df["pred"] == r.pred
+            if r.obj_is_iri is not None:
+                bad = hit & (df["obj_is_literal"] == r.obj_is_iri)
+                ok &= ~bad
+                err = err.mask(bad & (err == ""), f"{r.pred}: wrong term kind")
+            if r.obj_pattern is not None:
+                bad = hit & ~df["obj"].str.match(r.obj_pattern, na=False)
+                ok &= ~bad
+                err = err.mask(bad & (err == ""), f"{r.pred}: pattern")
+            if r.obj_datatype is not None:
+                bad = hit & (df["obj_datatype"] != r.obj_datatype)
+                ok &= ~bad
+                err = err.mask(bad & (err == ""), f"{r.pred}: datatype")
+        df["shape_ok"] = ok
+        df["shape_error"] = err
+        return df
+
+    return triples_ds.map_batches(check, batch_format="pandas")
+
+
+def split_valid(validated_ds):
+    """(passing, rejects) pair — reject side-channel as its own Dataset."""
+    passing = validated_ds.filter(expr="shape_ok == True").drop_columns(
+        ["shape_ok", "shape_error"])
+    rejects = validated_ds.filter(expr="shape_ok == False").drop_columns(
+        ["shape_ok"])
+    return passing, rejects
+
+
+# --- LDES stream semantics (F3 fixture shape) -------------------------------
+
+def materialize_latest(members_ds):
+    """MATERIALIZE=true: latest version per entity (latest-wins).
+
+    groupby(entity_uri) -> per-group max version_ts filter. Per-group
+    pandas is fine here: groups are per-entity version chains (small
+    and bounded), the classic map_groups case."""
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g[g["version_ts"] == g["version_ts"].max()]
+
+    return members_ds.groupby("entity_uri").map_groups(
+        latest, batch_format="pandas")
+
+
+def dedup_replayed_batches(members_ds, seen_batches: set[int]):
+    """W4 no-duplicate-ingestion: drop rows whose batch_no was already
+    ingested (the reference's continuation-state contract)."""
+    seen = sorted(seen_batches)
+
+    def drop_seen(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t.column("batch_no"),
+                                  value_set=pa.array(seen, pa.int32())))
+        return t.filter(mask)
+
+    return members_ds.map_batches(drop_seen, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+def feed_watermarks(members_ds):
+    """W2 per-feed high-watermark: max version_ts + member count."""
+    from ray.data.aggregate import Count, Max
+
+    return members_ds.groupby("feed").aggregate(
+        Max("version_ts", alias_name="watermark"),
+        Count(alias_name="n_members"))
+
+
+def synth_feed_members(n_entities: int = 20, versions: int = 3,
+                       feeds: tuple[str, ...] = ("bodc-P02", "mtt-P02-NL"),
+                       seed: int = 11) -> pa.Table:
+    """Deterministic F3 fixture (FIXTURES.md): versioned stream members."""
+    import datetime as dt
+    import random
+
+    from k_gap_ray.schema import FEED_MEMBERS
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    batch_no = 0
+    for e in range(n_entities):
+        feed = feeds[e % len(feeds)]
+        uri = f"urn:kgap:concept:{feed}:{e:04d}"
+        n_v = 1 + rng.randrange(versions)
+        for v in range(n_v):
+            ts = base + dt.timedelta(hours=e, minutes=30 * v)
+            member = f"{uri}#v{v}"
+            for p_i in range(1 + rng.randrange(3)):
+                rows.append({
+                    "feed": feed,
+                    "member_id": member,
+                    "entity_uri": uri,
+                    "version_ts": ts,
+                    "subj": uri,
+                    "pred": f"urn:kgap:pred:p{p_i}",
+                    "obj": f"val-{e}-{v}-{p_i}",
+                    "batch_no": batch_no,
+                })
+            batch_no = (batch_no + 1) if rng.random() < 0.3 else batch_no
+    return pa.Table.from_pylist(rows, schema=FEED_MEMBERS)

@@ -1,0 +1,113 @@
+"""Declarative workflow specs -> Ray Data op chains (X1-X3).
+
+The reference's sembench runs YAML workflows of typed steps
+(query/extract/transform/load/validate/report,
+/root/reference/docs/components/sembench.md:128-223) on a schedule,
+with ${var} template substitution in query templates
+(/root/reference/jupyter/kgap/notebooks/kgap_tools.py:17-19) and
+arbitrary user scripts as transform steps (sembench.md:216).
+
+Here a workflow is a list of step dicts compiled onto a Dataset:
+
+    run_workflow([
+        {"op": "read_parquet", "path": ...},
+        {"op": "filter", "expr": "lang == 'en'"},
+        {"op": "map_batches", "fn": my_fn},          # X2 user transform
+        {"op": "select", "columns": [...]},
+        {"op": "groupby_count", "keys": ["lang"]},
+        {"op": "sort", "key": "count()", "descending": True},
+        {"op": "limit", "n": 10},
+        {"op": "write_parquet", "path": ...},
+    ], params={"lang": "en"})                        # X3 ${var} substitution
+
+Unknown step kwargs are passed through to the underlying Ray call
+(X4 env-passthrough analogue).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+_VAR_RE = re.compile(r"\$\{(\w+)\}")
+
+
+def _subst(value: Any, params: dict[str, Any]) -> Any:
+    """${var} substitution in strings, recursively through containers."""
+    if isinstance(value, str):
+        return _VAR_RE.sub(lambda m: str(params[m.group(1)]), value)
+    if isinstance(value, list):
+        return [_subst(v, params) for v in value]
+    if isinstance(value, dict):
+        return {k: _subst(v, params) for k, v in value.items()}
+    return value
+
+
+def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
+                 dataset=None):
+    """Compile+run a step list; returns the final Dataset (or the
+    write result for sink steps)."""
+    import ray.data as rd
+
+    params = params or {}
+    ds = dataset
+    for raw in steps:
+        step = _subst(dict(raw), params)
+        op = step.pop("op")
+        if op == "read_parquet":
+            ds = rd.read_parquet(step.pop("path"), **step)
+        elif op == "read_ntriples":
+            from k_gap_ray.sources.rdfio import read_ntriples
+
+            ds = read_ntriples(step.pop("path"))
+        elif op == "filter":
+            ds = ds.filter(expr=step.pop("expr"))
+        elif op == "map_batches":
+            fn = step.pop("fn")
+            step.setdefault("batch_format", "pyarrow")
+            ds = ds.map_batches(fn, **step)
+        elif op == "select":
+            ds = ds.select_columns(step.pop("columns"))
+        elif op == "rename":
+            ds = ds.rename_columns(step.pop("columns"))
+        elif op == "groupby_count":
+            ds = ds.groupby(step.pop("keys")).count()
+        elif op == "groupby_agg":
+            from ray.data import aggregate as agg
+
+            keys = step.pop("keys")
+            aggs = [getattr(agg, a["fn"])(a.get("on"),
+                                          alias_name=a.get("alias"))
+                    for a in step.pop("aggs")]
+            ds = ds.groupby(keys).aggregate(*aggs)
+        elif op == "sort":
+            ds = ds.sort(step.pop("key"), descending=step.pop("descending",
+                                                             False))
+        elif op == "limit":
+            ds = ds.limit(step.pop("n"))
+        elif op == "union":
+            ds = ds.union(step.pop("other"))
+        elif op == "construct_remap":
+            from k_gap_ray.ops.transform import construct_remap
+
+            ds = construct_remap(ds, step.pop("pred_map"), **step)
+        elif op == "validate_shapes":
+            from k_gap_ray.ops.transform import ShapeRule, validate_shapes
+
+            rules = [r if isinstance(r, ShapeRule) else ShapeRule(**r)
+                     for r in step.pop("rules")]
+            ds = validate_shapes(ds, rules)
+        elif op == "write_parquet":
+            ds.write_parquet(step.pop("path"), **step)
+        elif op == "write_csv":
+            ds.write_csv(step.pop("path"), **step)
+        elif op == "write_json":
+            ds.write_json(step.pop("path"), **step)
+        elif op == "write_ntriples":
+            from k_gap_ray.sources.rdfio import write_ntriples
+
+            ds = write_ntriples(ds, step.pop("path"))
+            ds = ds.materialize()
+        else:
+            raise ValueError(f"unknown workflow op: {op}")
+    return ds

@@ -1,0 +1,187 @@
+"""Tests: RDF I/O, CONSTRUCT remap, shape validation, LDES member
+semantics, workflow spec, upsert store (SURVEY.md 2.1/2.2/2.8/2.9)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+
+TRIPLES = pa.table({
+    "subj": ["urn:a", "urn:b", "urn:c", "urn:a"],
+    "pred": ["urn:old:name", "urn:old:name", "urn:kgap:pred:funds", "urn:old:loc"],
+    "obj": ["Alice", "Bob", "urn:b", "urn:x"],
+    "obj_is_literal": [True, True, False, False],
+    "obj_datatype": ["", "", "", ""],
+    "obj_lang": ["", "", "", ""],
+    "graph": ["g1", "g1", "g2", "g2"],
+    "url": ["u1", "u2", "u3", "u4"],
+})
+
+
+def test_ntriples_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from k_gap_ray.sources.rdfio import read_ntriples, write_ntriples
+
+    ds = rd.from_arrow(TRIPLES)
+    out = write_ntriples(ds, str(tmp_path / "nt"))
+    assert out.count() >= 1
+    files = [str(p) for p in (tmp_path / "nt").glob("*.nt")]
+    back = read_ntriples(files)
+    rows = {(r["subj"], r["pred"], r["obj"], r["obj_is_literal"], r["graph"])
+            for r in back.take_all()}
+    want = {(s, p, o, lit, g) for s, p, o, lit, g in zip(
+        TRIPLES["subj"].to_pylist(), TRIPLES["pred"].to_pylist(),
+        TRIPLES["obj"].to_pylist(), TRIPLES["obj_is_literal"].to_pylist(),
+        TRIPLES["graph"].to_pylist())}
+    assert rows == want
+
+
+def test_ntriples_literal_escapes(ray_session, tmp_path):
+    import ray.data as rd
+
+    from k_gap_ray.sources.rdfio import read_ntriples, write_ntriples
+
+    tricky = pa.table({
+        "subj": ["urn:s"], "pred": ["urn:p"],
+        "obj": ['line1\nline2 "quoted" \\backslash\t.'],
+        "obj_is_literal": [True], "obj_datatype": [""], "obj_lang": ["en"],
+        "graph": [""], "url": [""],
+    })
+    write_ntriples(rd.from_arrow(tricky), str(tmp_path / "nt")).count()
+    files = [str(p) for p in (tmp_path / "nt").glob("*.nt")]
+    r = read_ntriples(files).take_all()[0]
+    assert r["obj"] == 'line1\nline2 "quoted" \\backslash\t.'
+    assert r["obj_lang"] == "en"
+
+
+def test_construct_remap(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.ops.transform import construct_remap
+
+    out = construct_remap(rd.from_arrow(TRIPLES),
+                          {"urn:old:name": "urn:new:label"})
+    preds = [r["pred"] for r in out.take_all()]
+    assert preds.count("urn:new:label") == 2
+    assert "urn:old:name" not in preds
+    assert preds.count("urn:old:loc") == 1  # unmapped kept
+
+
+def test_shape_validation_side_channel(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.ops.transform import ShapeRule, split_valid, validate_shapes
+
+    rules = [ShapeRule("urn:old:name", obj_is_iri=False,
+                       obj_pattern=r"^[A-Z]")]
+    validated = validate_shapes(rd.from_arrow(TRIPLES), rules)
+    passing, rejects = split_valid(validated)
+    assert passing.count() == 4  # Alice, Bob pass the rule; others unaffected
+    assert rejects.count() == 0
+    # now a failing rule
+    rules = [ShapeRule("urn:old:name", obj_pattern=r"^X")]
+    validated = validate_shapes(rd.from_arrow(TRIPLES), rules)
+    passing, rejects = split_valid(validated)
+    assert passing.count() == 2
+    assert rejects.count() == 2
+    assert all(r["shape_error"] for r in rejects.take_all())
+
+
+def test_materialize_latest_and_replay_dedup(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.ops.transform import (
+        dedup_replayed_batches,
+        feed_watermarks,
+        materialize_latest,
+        synth_feed_members,
+    )
+
+    members = synth_feed_members(n_entities=10, versions=3)
+    ds = rd.from_arrow(members)
+
+    latest = materialize_latest(ds)
+    rows = latest.take_all()
+    # exactly one version (the max ts) per entity
+    per_entity: dict[str, set] = {}
+    for r in rows:
+        per_entity.setdefault(r["entity_uri"], set()).add(r["version_ts"])
+    assert all(len(v) == 1 for v in per_entity.values())
+    import pandas as pd
+
+    full = members.to_pandas()
+    for uri, tss in per_entity.items():
+        assert tss == {full[full.entity_uri == uri].version_ts.max()}
+
+    # replay of already-ingested batches yields zero new rows
+    seen = set(full.batch_no.unique().tolist())
+    assert dedup_replayed_batches(ds, seen).count() == 0
+    part = set(list(seen)[:1])
+    n_after = dedup_replayed_batches(ds, part).count()
+    assert n_after == len(full[~full.batch_no.isin(part)])
+
+    wm = {r["feed"]: r["watermark"] for r in feed_watermarks(ds).take_all()}
+    for feed, ts in wm.items():
+        assert ts == full[full.feed == feed].version_ts.max()
+
+
+def test_workflow_spec(ray_session, tmp_path, sf_dir):
+    from k_gap_ray.workflow import run_workflow
+
+    out = run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/documents.parquet",
+         "columns": ["doc_id", "lang", "n_chars"]},
+        {"op": "filter", "expr": "lang == '${lang}'"},
+        {"op": "groupby_agg", "keys": ["lang"],
+         "aggs": [{"fn": "Count", "alias": "n"},
+                  {"fn": "Max", "on": "n_chars", "alias": "max_chars"}]},
+    ], params={"lang": "en"})
+    rows = out.take_all()
+    assert len(rows) == 1 and rows[0]["lang"] == "en" and rows[0]["n"] > 0
+
+    # sink step + user-fn step (X2)
+    import pyarrow.compute as pc
+
+    def double(t: pa.Table) -> pa.Table:
+        return t.append_column("n2", pc.multiply(t.column("n_chars"), 2))
+
+    run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/documents.parquet",
+         "columns": ["doc_id", "n_chars"]},
+        {"op": "map_batches", "fn": double},
+        {"op": "write_parquet", "path": str(tmp_path / "wf_out")},
+    ])
+    assert os.listdir(tmp_path / "wf_out")
+
+
+def test_upsert_store(ray_session, tmp_path):
+    import ray.data as rd
+
+    from k_gap_ray.state.upsert import init_store, read_store, upsert
+
+    store = str(tmp_path / "store")
+    init_store(rd.from_arrow(TRIPLES), store)
+    assert read_store(store).count() == 4
+
+    changes = pa.table({
+        "subj": ["urn:a", "urn:new"],
+        "pred": ["urn:old:name", "urn:kgap:pred:funds"],
+        "obj": ["Alicia", "urn:c"],
+        "obj_is_literal": [True, False],
+        "obj_datatype": ["", ""], "obj_lang": ["", ""],
+        "graph": ["g1", "g2"], "url": ["u9", "u10"],
+    })
+    deletes = pa.table({"subj": ["urn:b"], "pred": ["urn:old:name"],
+                        "graph": ["g1"]})
+    upsert(store, rd.from_arrow(changes), rd.from_arrow(deletes))
+
+    rows = {(r["subj"], r["pred"], r["graph"]): r["obj"]
+            for r in read_store(store).take_all()}
+    assert rows[("urn:a", "urn:old:name", "g1")] == "Alicia"   # updated
+    assert ("urn:new", "urn:kgap:pred:funds", "g2") in rows     # inserted
+    assert ("urn:b", "urn:old:name", "g1") not in rows          # deleted
+    assert rows[("urn:c", "urn:kgap:pred:funds", "g2")] == "urn:b"  # untouched
