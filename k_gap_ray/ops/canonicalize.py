@@ -73,6 +73,25 @@ def unique_surfaces_ds(mentions_ds):
     )
 
 
+def distinct_surface_pairs(mentions_ds):
+    """Distinct (norm_surface, surface) pairs in ONE streaming pass.
+
+    Combiner pattern: per-batch pandas drop_duplicates shrinks the
+    shuffle input from |mentions| rows to |per-batch vocabulary| rows,
+    then a small groupby finishes the distinct. This is the only scan
+    of the mentions table canonicalization needs."""
+
+    def local_distinct(df):
+        return df.drop_duplicates(subset=["norm_surface", "surface"])
+
+    return (
+        mentions_ds.select_columns(["norm_surface", "surface"])
+        .map_batches(local_distinct, batch_format="pandas")
+        .groupby(["norm_surface", "surface"]).count()
+        .select_columns(["norm_surface", "surface"])
+    )
+
+
 def candidate_edges_ds(surfaces_ds):
     """unique surfaces -> verified candidate edge Dataset (a, b), deduped."""
     from ray.data.aggregate import Unique
@@ -103,15 +122,6 @@ def drop_empty_blocks(ds):
             if meta.num_rows:
                 refs.append(ref)
     return rd.from_arrow_refs(refs)
-
-
-def _cc_driver(surfaces: list[str], edge_rows: list[dict]) -> dict[str, str]:
-    uf = canon.UnionFind()
-    for s in surfaces:
-        uf.find(s)
-    for r in edge_rows:
-        uf.union(r["a"], r["b"])
-    return uf.components()
 
 
 def _cc_distributed(surfaces_ds, edges_ds, max_iters: int = 12):
@@ -176,26 +186,39 @@ def _cc_distributed(surfaces_ds, edges_ds, max_iters: int = 12):
 def canonicalize(mentions_ds, force_distributed_cc: bool = False):
     """mentions -> (entities pa.Table, mapping dict[norm_surface -> entity IRI]).
 
-    The entities table is canonical-id keyed with lexicographic-min
-    roots (deterministic under any block order, SURVEY.md 7.5.1).
+    One streaming pass over mentions extracts the distinct
+    (norm_surface, surface) vocabulary; everything after is sized by
+    the vocabulary, not the corpus. Below DRIVER_CC_MAX unique
+    surfaces, LSH blocking + union-find run in-driver with the exact
+    oracle kernels (zero extra shuffles); above it — or when forced —
+    the Dataset LSH + label-propagation path runs. Entity ids are
+    lexicographic-min roots, deterministic under any block order
+    (SURVEY.md 7.5.1).
     """
-    surfaces_ds = unique_surfaces_ds(mentions_ds).materialize()
-    n_unique = surfaces_ds.count()
-    edges = candidate_edges_ds(surfaces_ds)
+    pairs_ds = distinct_surface_pairs(mentions_ds).materialize()
+    n_pairs = pairs_ds.count()
 
-    if n_unique <= DRIVER_CC_MAX and not force_distributed_cc:
-        surfaces = [r["norm_surface"] for r in surfaces_ds.take_all()]
-        comp = _cc_driver(surfaces, edges.take_all())
+    if n_pairs <= DRIVER_CC_MAX and not force_distributed_cc:
+        pair_rows = pairs_ds.take_all()
+        surfaces = sorted({r["norm_surface"] for r in pair_rows})
+        comp = canon.cluster_surfaces(surfaces)
     else:
+        surfaces_ds = (pairs_ds.groupby("norm_surface").count()
+                       .select_columns(["norm_surface"])).materialize()
+        edges = candidate_edges_ds(surfaces_ds)
         labels = _cc_distributed(surfaces_ds, edges)
         comp = {r["node"]: r["label"] for r in labels.take_all()}
+        pair_rows = pairs_ds.take_all()
 
     clusters: dict[str, list[str]] = {}
     for node, root in comp.items():
         clusters.setdefault(root, []).append(node)
+    forms_by_norm: dict[str, set[str]] = {}
+    for r in pair_rows:
+        forms_by_norm.setdefault(r["norm_surface"], set()).add(r["surface"])
 
     mapping: dict[str, str] = {}
-    ids, members, sizes = [], [], []
+    ids, members, forms, sizes = [], [], [], []
     for root in sorted(clusters):
         ms = sorted(clusters[root])
         iri = canon.entity_iri(root)
@@ -203,10 +226,13 @@ def canonicalize(mentions_ds, force_distributed_cc: bool = False):
             mapping[m] = iri
         ids.append(iri)
         members.append(ms)
+        forms.append(sorted(set().union(*(forms_by_norm.get(m, set())
+                                          for m in ms))))
         sizes.append(len(ms))
     entities = pa.table({
         "entity_id": pa.array(ids, type=pa.string()),
         "members": pa.array(members, type=pa.list_(pa.string())),
+        "surface_forms": pa.array(forms, type=pa.list_(pa.string())),
         "size": pa.array(sizes, type=pa.int64()),
     })
     return entities, mapping

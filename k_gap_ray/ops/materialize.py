@@ -101,8 +101,15 @@ def dedup_quads(triples_ds):
             "graph": field[6], "url": t.column("url"),
         })
 
+    def local_min(t: pa.Table) -> pa.Table:
+        # combiner: per-batch (quad_key -> min url) before the shuffle
+        g = pa.TableGroupBy(t, "quad_key").aggregate([("url", "min")])
+        return pa.table({"quad_key": g.column("quad_key"),
+                         "url": g.column("url_min")})
+
     out = (triples_ds
            .map_batches(addkey, batch_format="pyarrow", zero_copy_batch=True)
+           .map_batches(local_min, batch_format="pyarrow")
            .groupby("quad_key").aggregate(Min("url", alias_name="url"))
            .map_batches(splitkey, batch_format="pyarrow"))
     return out

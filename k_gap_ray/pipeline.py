@@ -45,28 +45,6 @@ def _as_dataset(pages):
     return pages
 
 
-def _surface_forms(mentions_ds, mapping: dict[str, str]) -> dict[str, list[str]]:
-    """entity -> sorted raw surface forms. Driver-side over the
-    (vocabulary-sized) distinct (norm_surface, surface) pairs."""
-    pairs = (
-        mentions_ds.select_columns(["norm_surface", "surface"])
-        .groupby(["norm_surface", "surface"]).count()
-        .select_columns(["norm_surface", "surface"])
-    )
-    forms: dict[str, set[str]] = {}
-    for r in pairs.take_all():
-        ent = mapping.get(r["norm_surface"])
-        if ent is not None:
-            forms.setdefault(ent, set()).add(r["surface"])
-    return {e: sorted(s) for e, s in forms.items()}
-
-
-def _entities_with_forms(entities: pa.Table, forms: dict[str, list[str]]) -> pa.Table:
-    sf = [forms.get(e, []) for e in entities.column("entity_id").to_pylist()]
-    return entities.append_column(
-        "surface_forms", pa.array(sf, type=pa.list_(pa.string())))
-
-
 def run_pipeline(
     pages,
     out_dir: str | None = None,
@@ -119,8 +97,6 @@ def run_pipeline(
         mentions_raw = read_kind("mention", mention_cols)
         entities, mapping = canonicalize(
             mentions_raw, force_distributed_cc=force_distributed_cc)
-        forms = _surface_forms(mentions_raw, mapping)
-        entities = _entities_with_forms(entities, forms)
         import pyarrow.parquet as pq
         os.makedirs(os.path.join(out_dir, "entities"), exist_ok=True)
         pq.write_table(entities,
@@ -178,8 +154,6 @@ def _run_in_memory(pages, annotate_concurrency, extract_batch_size,
 
     entities, mapping = canonicalize(
         mentions_raw, force_distributed_cc=force_distributed_cc)
-    forms = _surface_forms(mentions_raw, mapping)
-    entities = _entities_with_forms(entities, forms)
 
     mapping_ref = ray.put(mapping)
     canonical_triples = dedup_quads(
