@@ -45,6 +45,21 @@ def _as_dataset(pages):
     return pages
 
 
+def _partition_groups(pages, n_groups: int) -> list:
+    """Split the input into checkpoint units. Paths split by file list
+    (round-robin for balance); an already-built Dataset is one unit."""
+    import glob as _glob
+
+    if isinstance(pages, str):
+        files = sorted(_glob.glob(os.path.join(pages, "*.parquet"))) or [pages]
+    elif isinstance(pages, list):
+        files = sorted(pages)
+    else:
+        return [pages]
+    n = max(1, min(n_groups, len(files)))
+    return [files[i::n] for i in range(n)]
+
+
 def run_pipeline(
     pages,
     out_dir: str | None = None,
@@ -52,6 +67,7 @@ def run_pipeline(
     annotate_concurrency=(2, 8),
     extract_batch_size: int = 256,
     annotate_batch_size: int = 512,
+    annotate_partitions: int = 4,
     n_buckets: int = 16,
     force_distributed_cc: bool = False,
 ) -> dict[str, Any]:
@@ -68,19 +84,37 @@ def run_pipeline(
     annotated_dir = os.path.join(out_dir, "annotated")
 
     # ---- stage 1+2: extract + annotate -> partitioned parquet ----
-    if not ck.done("annotated"):
+    # Input shards are grouped into `annotate_partitions` checkpoint
+    # units: each finished group has its own manifest + lineage row, so
+    # a killed run resumes at the first unfinished group (per-partition
+    # resume, SURVEY.md 4.4). Groups run sequentially; each is fully
+    # parallel inside, so the barrier cost is one pipeline drain per
+    # group.
+    groups = _partition_groups(pages, annotate_partitions)
+    for pid, part in enumerate(groups):
+        stage_id = f"annotated.{pid:04d}"
+        if ck.done(stage_id):
+            continue
         t = StageTimer()
-        ds = _as_dataset(pages)
+        ds = part if not isinstance(part, list) else rd.read_parquet(part)
         annotated = annotate_stage(
             extract_stage(ds, batch_size=extract_batch_size),
             concurrency=annotate_concurrency,
             batch_size=annotate_batch_size)
-        annotated.write_parquet(annotated_dir, partition_cols=["kind"])
+        part_dir = os.path.join(annotated_dir, f"part={pid:04d}")
+        # a failed earlier attempt may have left partial files: the
+        # manifest is the source of truth, the dir is rebuilt
+        import shutil
+
+        shutil.rmtree(part_dir, ignore_errors=True)
+        annotated.write_parquet(part_dir, partition_cols=["kind"])
         import pyarrow.dataset as pads
-        n_out = pads.dataset(annotated_dir, partitioning="hive").count_rows()
-        ck.lineage("annotated", "all", rows_in=-1, rows_out=n_out,
+        n_out = pads.dataset(part_dir, partitioning="hive").count_rows()
+        ck.lineage("annotated", f"{pid:04d}", rows_in=-1, rows_out=n_out,
                    wall_s=t.elapsed())
-        ck.mark("annotated", rows_out=n_out)
+        ck.mark(stage_id, rows_out=n_out)
+    if not ck.done("annotated"):
+        ck.mark("annotated", n_partitions=len(groups))
 
     triple_cols = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
                    "obj_lang", "graph", "url"]
@@ -88,8 +122,11 @@ def run_pipeline(
                     "ner_type", "cand_entity", "link_score"]
 
     def read_kind(kind: str, columns: list[str]):
-        return rd.read_parquet(os.path.join(annotated_dir, f"kind={kind}"),
-                               columns=columns)
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(
+            annotated_dir, "part=*", f"kind={kind}", "*.parquet")))
+        return rd.read_parquet(files, columns=columns)
 
     # ---- stage 3: canonicalize ----
     if not ck.done("entities"):

@@ -135,6 +135,40 @@ def test_partial_resume_after_simulated_failure(ray_session, tmp_path_factory,
     assert pipeline_quads(res2) == golden
 
 
+def test_partition_level_resume(ray_session, tmp_path_factory, pages_table):
+    """Kill-mid-annotate semantics: one unfinished partition group ->
+    only that group reruns (incl. cleanup of its partial files)."""
+    import glob
+
+    out_dir = str(tmp_path_factory.mktemp("kg_partres"))
+    in_dir = str(tmp_path_factory.mktemp("pages_in_pr"))
+    # several input shards so partitioning is real
+    for s in range(4):
+        pq.write_table(pages_table.slice(s * 75, 75),
+                       os.path.join(in_dir, f"p{s}.parquet"))
+
+    res = run_pipeline(in_dir, out_dir=out_dir, annotate_partitions=4)
+    golden = pipeline_quads(res)
+    assert len(glob.glob(os.path.join(out_dir, "annotated", "part=*"))) == 4
+
+    # simulate a crash in group 2: manifest gone, partial files present
+    os.remove(os.path.join(out_dir, "_ckpt", "annotated.0002.done.json"))
+    os.remove(os.path.join(out_dir, "_ckpt", "annotated.done.json"))
+    for stage, sub in [("entities", "entities"), ("graph", "triples"),
+                       ("graph", "adjacency"), ("mentions", "mentions")]:
+        p = os.path.join(out_dir, "_ckpt", f"{stage}.done.json")
+        if os.path.exists(p):
+            os.remove(p)
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+
+    res2 = run_pipeline(in_dir, out_dir=out_dir, annotate_partitions=4)
+    assert pipeline_quads(res2) == golden
+    # per-partition lineage rows exist
+    parts = {r["partition_id"] for r in res2["lineage"].take_all()
+             if r["stage"] == "annotated"}
+    assert {"0000", "0001", "0002", "0003"} <= parts
+
+
 def test_adjacency_sorted_within_buckets(ray_session, tmp_path_factory,
                                          pages_table):
     out_dir = str(tmp_path_factory.mktemp("kg_adj"))
