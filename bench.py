@@ -74,9 +74,8 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     res = run_pipeline(
         pages_dir, out_dir=out_dir,
-        annotate_concurrency=(max(2, NUM_CPUS // 4), NUM_CPUS),
         extract_batch_size=512,
-        annotate_batch_size=1024,
+        annotate_batch_size=256,
     )
     n_triples = res["triples"].count()
     headline = time.perf_counter() - t0

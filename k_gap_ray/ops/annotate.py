@@ -91,14 +91,42 @@ class Annotator:
         return pa.Table.from_pydict(cols, schema=ANNOTATED)
 
 
-def annotate_stage(text_ds, concurrency: int | tuple = (2, 8),
-                   batch_size: int = 512, num_cpus: float = 1):
-    """(url, text, ...) -> unified annotated rows, actor pool."""
+# per-worker-process singleton for the tasks path: state builds once
+# per Ray worker (first batch) and is reused by every later task the
+# worker runs — actor-style amortization without actor-pool spin-up.
+_WORKER_ANNOTATOR: Annotator | None = None
+
+
+def _annotate_batch(batch: pa.Table) -> pa.Table:
+    global _WORKER_ANNOTATOR
+    if _WORKER_ANNOTATOR is None:
+        _WORKER_ANNOTATOR = Annotator()
+    return _WORKER_ANNOTATOR(batch)
+
+
+def annotate_stage(text_ds, concurrency: int | tuple | None = None,
+                   batch_size: int = 512, num_cpus: float = 1,
+                   compute: str = "tasks"):
+    """(url, text, ...) -> unified annotated rows.
+
+    compute="tasks" (default): stateless tasks with per-worker cached
+    annotator state — elastic, no pool ramp-up; right for cheap
+    per-worker init. compute="actors": a bounded actor pool — right
+    when init is heavy (real model weights) or state must be pinned;
+    pass `concurrency` to size it (leave CPU headroom for the
+    upstream read/extract or the pipeline serializes).
+    """
+    if compute == "tasks":
+        return text_ds.map_batches(
+            _annotate_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return text_ds.map_batches(
         Annotator,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or (2, 8),
         num_cpus=num_cpus,
     )
 

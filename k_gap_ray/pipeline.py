@@ -64,7 +64,8 @@ def run_pipeline(
     pages,
     out_dir: str | None = None,
     *,
-    annotate_concurrency=(2, 8),
+    annotate_compute: str = "tasks",
+    annotate_concurrency=None,
     extract_batch_size: int = 256,
     annotate_batch_size: int = 512,
     annotate_partitions: int = 4,
@@ -76,7 +77,7 @@ def run_pipeline(
     import ray.data as rd
 
     if out_dir is None:
-        return _run_in_memory(pages, annotate_concurrency,
+        return _run_in_memory(pages, annotate_compute, annotate_concurrency,
                               extract_batch_size, annotate_batch_size,
                               force_distributed_cc)
 
@@ -99,6 +100,7 @@ def run_pipeline(
         ds = part if not isinstance(part, list) else rd.read_parquet(part)
         annotated = annotate_stage(
             extract_stage(ds, batch_size=extract_batch_size),
+            compute=annotate_compute,
             concurrency=annotate_concurrency,
             batch_size=annotate_batch_size)
         part_dir = os.path.join(annotated_dir, f"part={pid:04d}")
@@ -177,13 +179,15 @@ def run_pipeline(
     }
 
 
-def _run_in_memory(pages, annotate_concurrency, extract_batch_size,
-                   annotate_batch_size, force_distributed_cc):
+def _run_in_memory(pages, annotate_compute, annotate_concurrency,
+                   extract_batch_size, annotate_batch_size,
+                   force_distributed_cc):
     import ray
 
     ds = _as_dataset(pages)
     annotated = annotate_stage(
         extract_stage(ds, batch_size=extract_batch_size),
+        compute=annotate_compute,
         concurrency=annotate_concurrency,
         batch_size=annotate_batch_size,
     ).materialize()  # html-free; split below consumes it twice
