@@ -222,10 +222,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # float SUMs use fixed-point (x10000 int64) on both sides: exact
+        # and order-independent, so no rounding-boundary coin flips
         "q_agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                         AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)) / 10000.0
+                                                                     AS sum_revenue,
                    round(avg(l_quantity), 4)                         AS avg_qty,
                    count(*)                                          AS n
             FROM lineitem
@@ -234,7 +238,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_filter_bind": """
             SELECT l_returnflag,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)) / 10000.0
+                       AS sum_revenue,
                    count(*) AS n
             FROM lineitem
             WHERE l_quantity >= 10 AND l_discount < 0.05
@@ -248,18 +254,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_events_by_type": """
             SELECT event_type, count(*) AS n, max(ts) AS max_ts,
-                   round(avg(value), 4) AS avg_value
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                       / count(*) AS avg_value
             FROM events GROUP BY event_type
         """,
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start,
-                   count(*) AS n, round(sum(value), 2) AS sum_value
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                       AS sum_value
             FROM events GROUP BY 1
         """,
         "q_events_watermark": "SELECT max(ts) AS max_ts FROM events",
         "q_join_customer_nation_region": """
             SELECT r_name, count(*) AS n_customers,
-                   round(sum(c_acctbal), 2) AS sum_acctbal
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+                       AS sum_acctbal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey

@@ -8,9 +8,11 @@ read and partial pre-aggregation before shuffles. Every function takes
 ``sf_dir`` and returns a Dataset / pyarrow Table; the matching DuckDB
 oracle SQL lives in ``__ray_entry__.oracle_sql``.
 
-Numeric outputs are rounded (sum->2dp, avg->4dp) identically on both
-sides so order-of-summation float noise cannot break the driver's
-value-hash comparison.
+Float SUM/AVG outputs use fixed-point int64 scaling on both sides
+(`scaled_int_col` here, `sum(CAST(round(x*scale) AS BIGINT))/scale.0`
+in the oracle SQL) so order-of-summation float noise cannot break the
+driver's value-hash comparison; integral-double aggregates are exact
+by construction and only rounded for display.
 """
 
 from __future__ import annotations
@@ -27,6 +29,35 @@ def _rd():
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def scaled_int_col(t: pa.Table, name: str, values, scale: int) -> pa.Table:
+    """Append round(values*scale) as int64 — makes a float SUM exact.
+
+    Sums of non-integral doubles are order-dependent in the last ULP;
+    when the true sum sits on a rounding boundary, Ray and a SQL oracle
+    can round to different cents. Fixed-point per-row scaling makes the
+    sum an exact int64 on both sides (decimal inputs scale to integers
+    up to float noise ~1e-9, far from any .5)."""
+    import numpy as np
+
+    arr = np.rint(pc.cast(values, pa.float64()).to_numpy(
+        zero_copy_only=False) * scale).astype("int64")
+    return t.append_column(name, pa.array(arr, type=pa.int64()))
+
+
+def _unscale(ds, col: str, scale: int):
+    """int64 scaled sum -> float via one double division — bit-identical
+    to the SQL `sum(CAST(...AS BIGINT)) / scale.0`. No final rounding:
+    a half-even vs half-away difference at a true .5 boundary would
+    reintroduce the coin flip the fixed-point sum just removed."""
+
+    def f(t: pa.Table, c=col) -> pa.Table:
+        arr = t.column(c).to_numpy(zero_copy_only=False) / float(scale)
+        return t.set_column(t.column_names.index(c), c,
+                            pa.array(arr, type=pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def _round_col(ds, col: str, digits: int):
@@ -66,19 +97,20 @@ def q_agg_pricing(sf_dir: str):
                                                         unit="us")))),
         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(
-        lambda t: t.append_column(
-            "revenue", pc.multiply(t.column("l_extendedprice"),
-                                   pc.subtract(pa.scalar(1.0),
-                                               t.column("l_discount")))),
+        lambda t: scaled_int_col(
+            t, "revenue_s",
+            pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            10_000),
         batch_format="pyarrow")
     out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
-        Sum("revenue", alias_name="sum_revenue"),
+        Sum("revenue_s", alias_name="sum_revenue"),
         Mean("l_quantity", alias_name="avg_qty"),
         Count(alias_name="n"),
     )
-    out = _round_col(out, "sum_qty", 2)
-    out = _round_col(out, "sum_revenue", 2)
+    out = _round_col(out, "sum_qty", 2)       # integral doubles: exact sum
+    out = _unscale(out, "sum_revenue", 10_000)
     out = _round_col(out, "avg_qty", 4)
     return out
 
@@ -96,15 +128,16 @@ def q_filter_bind(sf_dir: str):
                     pc.less(t.column("l_discount"), pa.scalar(0.05)))),
         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(
-        lambda t: t.append_column(
-            "revenue", pc.multiply(t.column("l_extendedprice"),
-                                   pc.subtract(pa.scalar(1.0),
-                                               t.column("l_discount")))),
+        lambda t: scaled_int_col(
+            t, "revenue_s",
+            pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            10_000),
         batch_format="pyarrow")
     out = ds.groupby("l_returnflag").aggregate(
-        Sum("revenue", alias_name="sum_revenue"),
+        Sum("revenue_s", alias_name="sum_revenue"),
         Count(alias_name="n"))
-    return _round_col(out, "sum_revenue", 2)
+    return _unscale(out, "sum_revenue", 10_000)
 
 
 def q_count_distinct(sf_dir: str):
@@ -126,14 +159,27 @@ def q_having(sf_dir: str):
 def q_events_by_type(sf_dir: str):
     """A3+A4: grouped count / MAX(ts) / AVG — per-graph accounting
     analogue, docs/components/ldes-consumer.md:330-343."""
-    from ray.data.aggregate import Count, Max, Mean
+    from ray.data.aggregate import Count, Max, Sum
 
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: scaled_int_col(t, "value_s", t.column("value"), 100),
+        batch_format="pyarrow")
     out = ds.groupby("event_type").aggregate(
         Count(alias_name="n"),
         Max("ts", alias_name="max_ts"),
-        Mean("value", alias_name="avg_value"))
-    return _round_col(out, "avg_value", 4)
+        Sum("value_s", alias_name="avg_value"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        avg = (t.column("avg_value").to_numpy(zero_copy_only=False)
+               / 100.0
+               / t.column("n").to_numpy(zero_copy_only=False))
+        return t.set_column(t.column_names.index("avg_value"), "avg_value",
+                            pa.array(avg, pa.float64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def q_events_hourly(sf_dir: str):
@@ -144,19 +190,22 @@ def q_events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "value"])
 
     def add_window(df):
+        import numpy as np
+
         df["window_start"] = df["ts"].dt.floor("h")
-        return df[["window_start", "value"]]
+        df["value_s"] = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        return df[["window_start", "value_s"]]
 
     out = (ds.map_batches(add_window, batch_format="pandas")
            .groupby("window_start").aggregate(
                Count(alias_name="n"),
-               Sum("value", alias_name="sum_value")))
+               Sum("value_s", alias_name="sum_value")))
     out = out.map_batches(
         lambda t: t.set_column(
             t.column_names.index("window_start"), "window_start",
             pc.cast(t.column("window_start"), pa.timestamp("us"))),
         batch_format="pyarrow")  # ns->us so the oracle compare sees one unit
-    return _round_col(out, "sum_value", 2)
+    return _unscale(out, "sum_value", 100)
 
 
 def q_events_watermark(sf_dir: str):
@@ -186,18 +235,21 @@ def q_join_customer_nation_region(sf_dir: str):
     lookup_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
 
     def attach(df):
+        import numpy as np
         import ray as _r
 
         lookup = _r.get(lookup_ref)
         df["r_name"] = df["c_nationkey"].map(lookup)
-        return df[["r_name", "c_acctbal"]]
+        df["acctbal_s"] = np.rint(df["c_acctbal"].to_numpy() * 100
+                                  ).astype("int64")
+        return df[["r_name", "acctbal_s"]]
 
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     out = (ds.map_batches(attach, batch_format="pandas")
            .groupby("r_name").aggregate(
                Count(alias_name="n_customers"),
-               Sum("c_acctbal", alias_name="sum_acctbal")))
-    return _round_col(out, "sum_acctbal", 2)
+               Sum("acctbal_s", alias_name="sum_acctbal")))
+    return _unscale(out, "sum_acctbal", 100)
 
 
 def q_left_join_orders(sf_dir: str):

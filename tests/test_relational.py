@@ -1,0 +1,91 @@
+"""Relational-operator conformance vs DuckDB at sf0.001 (in-suite
+mirror of the driver's oracle gate; tools/check_oracle.py runs the full
+catalog at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+SAMPLE = ["q_agg_pricing", "q_left_join_orders", "q_events_hourly",
+          "q_topk_orders", "q_distinct_flags", "q_doc_token_counts",
+          "q_knn_top10", "q_union_priorities"]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(ray_session, oracle, sf_dir, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    mine = _to_pandas(entrymod.queries()[name](sf_dir))
+    ref = oracle.execute(entrymod.oracle_sql()[name]).fetchdf()
+    assert sorted(mine.columns) == sorted(ref.columns)
+    assert len(mine) == len(ref)
+    pd.testing.assert_frame_equal(_norm(mine), _norm(ref))
+
+
+def test_dereference_loop(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.relational import dereference
+
+    triples = rd.from_arrow(pa.table({
+        "subj": ["a", "b", "c", "z", "b"],
+        "pred": ["p"] * 5,
+        "obj": ["b", "c", "a", "q", "d"],   # cycle a->b->c->a, plus b->d
+    }))
+    out = dereference(triples, ["a"], depth=3)
+    rows = {(r["subj"], r["obj"]) for r in out.take_all()}
+    # depth 3 from a: hop1 a->b, hop2 b->{c,d}, hop3 c->a (cycle-safe)
+    assert rows == {("a", "b"), ("b", "c"), ("b", "d"), ("c", "a")}
+
+
+def test_annotate_actor_pool_parity(ray_session, pages_table):
+    """compute='actors' must produce exactly the tasks-path output."""
+    import ray.data as rd
+
+    from k_gap_ray.ops.annotate import annotate_stage
+    from k_gap_ray.ops.extract import extract_stage
+
+    pages = rd.from_arrow(pages_table.slice(0, 100)).repartition(2)
+    base = extract_stage(pages)
+    a = annotate_stage(base, compute="tasks")
+    b = annotate_stage(base, compute="actors", concurrency=2)
+
+    def key_set(ds):
+        return {tuple(sorted((k, str(v)) for k, v in r.items()))
+                for r in ds.take_all()}
+
+    assert key_set(a) == key_set(b)
