@@ -63,7 +63,10 @@ def run_bench() -> dict:
     sf = _sf()
     n_pages = n_pages_for(sf)
     pages_dir = f"/tmp/kgap_bench_pages/sf{sf}"
-    write_pages(pages_dir, n_pages)  # idempotent; shared across runs
+    # bench pages are content-heavy (24-40 sentences) so per-page NLP
+    # work dominates over per-execution scheduling latency, matching
+    # the 100 TB design point where pages are ~100 KB
+    write_pages(pages_dir, n_pages, min_sent=24, sent_spread=17)
 
     # warm OS page cache so we measure compute+shuffle, not first disk read
     rd.read_parquet(pages_dir).count()

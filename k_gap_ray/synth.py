@@ -31,9 +31,10 @@ _BOILER_NAV = "<nav>Home | About | Data | Contact</nav>"
 _HTML_HEAD = "<html><head><title>{title}</title></head><body>"
 
 
-def _page_row(seed: int, i: int, n_sites: int) -> dict:
+def _page_row(seed: int, i: int, n_sites: int, min_sent: int = 3,
+              sent_spread: int = 8) -> dict:
     rng = random.Random(seed * 1_000_003 + i)
-    n_sent = 3 + rng.randrange(8)
+    n_sent = min_sent + rng.randrange(sent_spread)
     sentences: list[str] = []
     for _ in range(n_sent):
         si = rng.choices(range(len(GAZETTEER)), weights=_WEIGHTS)[0]
@@ -70,15 +71,18 @@ def _page_row(seed: int, i: int, n_sites: int) -> dict:
 
 
 def gen_pages(n: int, seed: int = 42, n_sites: int = 50,
-              start: int = 0) -> pa.Table:
+              start: int = 0, min_sent: int = 3,
+              sent_spread: int = 8) -> pa.Table:
     """Generate rows [start, start+n) of the corpus as one Arrow table."""
-    rows = [_page_row(seed, i, n_sites) for i in range(start, start + n)]
+    rows = [_page_row(seed, i, n_sites, min_sent, sent_spread)
+            for i in range(start, start + n)]
     from k_gap_ray.schema import PAGES
     return pa.Table.from_pylist(rows, schema=PAGES)
 
 
 def write_pages(out_dir: str, n: int, seed: int = 42, n_sites: int = 50,
-                shard_rows: int = 10_000) -> list[str]:
+                shard_rows: int = 10_000, min_sent: int = 3,
+                sent_spread: int = 8) -> list[str]:
     """Write the n-page corpus as Parquet shards; returns shard paths.
 
     Idempotent: an existing complete corpus (matching _MANIFEST) is
@@ -86,7 +90,8 @@ def write_pages(out_dir: str, n: int, seed: int = 42, n_sites: int = 50,
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "_MANIFEST")
-    tag = f"n={n} seed={seed} sites={n_sites} shard={shard_rows} v1"
+    tag = (f"n={n} seed={seed} sites={n_sites} shard={shard_rows} "
+           f"sent={min_sent}+{sent_spread} v2")
     paths = [
         os.path.join(out_dir, f"pages-{s:05d}.parquet")
         for s in range((n + shard_rows - 1) // shard_rows)
@@ -99,7 +104,8 @@ def write_pages(out_dir: str, n: int, seed: int = 42, n_sites: int = 50,
         start = s * shard_rows
         count = min(shard_rows, n - start)
         pq.write_table(gen_pages(count, seed=seed, n_sites=n_sites,
-                                 start=start), path)
+                                 start=start, min_sent=min_sent,
+                                 sent_spread=sent_spread), path)
     with open(manifest, "w") as f:
         f.write(tag)
     return paths
