@@ -128,8 +128,7 @@ def materialize_graph(triples_ds, out_dir: str, n_buckets: int = 16):
     sorted within bucket) partitioned Parquet. Returns row count."""
     deduped = dedup_quads(triples_ds).materialize()
 
-    deduped.sort("subj").write_parquet(f"{out_dir}/triples",
-                                       min_rows_per_file=500_000)
+    deduped.sort("subj").write_parquet(f"{out_dir}/triples")
 
     def sort_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["subj", "pred", "obj"], kind="mergesort")

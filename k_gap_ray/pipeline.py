@@ -109,10 +109,7 @@ def run_pipeline(
         import shutil
 
         shutil.rmtree(part_dir, ignore_errors=True)
-        # few large files: downstream groupbys pay per-block scheduling
-        # latency, so don't fragment the stage boundary
-        annotated.write_parquet(part_dir, partition_cols=["kind"],
-                                min_rows_per_file=200_000)
+        annotated.write_parquet(part_dir, partition_cols=["kind"])
         import pyarrow.dataset as pads
         n_out = pads.dataset(part_dir, partitioning="hive").count_rows()
         ck.lineage("annotated", f"{pid:04d}", rows_in=-1, rows_out=n_out,
@@ -166,8 +163,7 @@ def run_pipeline(
         t = StageTimer()
         mentions_raw = read_kind("mention", mention_cols)
         rewritten = rewrite_mentions(mentions_raw, mapping_ref)
-        rewritten.write_parquet(os.path.join(out_dir, "mentions"),
-                                min_rows_per_file=500_000)
+        rewritten.write_parquet(os.path.join(out_dir, "mentions"))
         ck.lineage("mentions", "all", rows_in=-1, rows_out=-1,
                    wall_s=t.elapsed())
         ck.mark("mentions")
