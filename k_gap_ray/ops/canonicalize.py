@@ -81,11 +81,13 @@ def distinct_surface_pairs(mentions_ds):
     then a small groupby finishes the distinct. This is the only scan
     of the mentions table canonicalization needs."""
 
+    from k_gap_ray.ops.materialize import coalesce_blocks
+
     def local_distinct(df):
         return df.drop_duplicates(subset=["norm_surface", "surface"])
 
     return (
-        mentions_ds.select_columns(["norm_surface", "surface"])
+        coalesce_blocks(mentions_ds.select_columns(["norm_surface", "surface"]))
         .map_batches(local_distinct, batch_format="pandas")
         .groupby(["norm_surface", "surface"]).count()
         .select_columns(["norm_surface", "surface"])
