@@ -39,15 +39,25 @@ def _resolve(mapping_ref):
 
 
 def rewrite_triples(triples_ds, mapping_ref):
-    """surface subj/obj -> canonical entity IRIs (literals untouched)."""
+    """surface subj/obj -> canonical entity IRIs (literals untouched).
+
+    Normalization runs on the batch's UNIQUE values only (surface
+    vocabulary, tiny under Zipf repetition), then a dict map replaces
+    the column — regex work per batch drops from O(rows) to O(vocab).
+    """
+
+    def _uniq_replacements(values: pd.Series, mapping: dict) -> dict:
+        uniq = pd.Series(values.unique())
+        norms = norm_series(uniq.astype(str))
+        return {u: mapping.get(n, u) for u, n in zip(uniq, norms)}
 
     def rewrite(df: pd.DataFrame) -> pd.DataFrame:
         mapping = _resolve(mapping_ref)
-        subj_c = norm_series(df["subj"]).map(mapping)
-        df["subj"] = subj_c.fillna(df["subj"])
+        df["subj"] = df["subj"].map(_uniq_replacements(df["subj"], mapping))
         is_ent = ~df["obj_is_literal"]
-        obj_c = norm_series(df.loc[is_ent, "obj"]).map(mapping)
-        df.loc[is_ent, "obj"] = obj_c.fillna(df.loc[is_ent, "obj"])
+        objs = df.loc[is_ent, "obj"]
+        if len(objs):
+            df.loc[is_ent, "obj"] = objs.map(_uniq_replacements(objs, mapping))
         return df
 
     return triples_ds.map_batches(rewrite, batch_format="pandas")
@@ -84,7 +94,7 @@ def coalesce_blocks(ds, per_cpu: int = 2, cap: int = 128):
     return ds.repartition(max(8, min(cap, n)))
 
 
-def dedup_quads(triples_ds):
+def dedup_quads(triples_ds, coalesce: bool = True):
     """Distinct quads, provenance = min url.
 
     One vectorized composite key (binary_join_element_wise) + a
@@ -121,7 +131,8 @@ def dedup_quads(triples_ds):
         return pa.table({"quad_key": g.column("quad_key"),
                          "url": g.column("url_min")})
 
-    out = (coalesce_blocks(triples_ds)
+    src = coalesce_blocks(triples_ds) if coalesce else triples_ds
+    out = (src
            .map_batches(addkey, batch_format="pyarrow", zero_copy_batch=True)
            .map_batches(local_min, batch_format="pyarrow")
            .groupby("quad_key").aggregate(Min("url", alias_name="url"))
@@ -137,10 +148,11 @@ def add_subj_bucket(df: pd.DataFrame, n_buckets: int = 16) -> pd.DataFrame:
     return df
 
 
-def materialize_graph(triples_ds, out_dir: str, n_buckets: int = 16):
+def materialize_graph(triples_ds, out_dir: str, n_buckets: int = 16,
+                      coalesce: bool = True):
     """Write `triples/` (subject-sorted) and `adjacency/` (hash-bucketed,
     sorted within bucket) partitioned Parquet. Returns row count."""
-    deduped = dedup_quads(triples_ds).materialize()
+    deduped = dedup_quads(triples_ds, coalesce=coalesce).materialize()
 
     deduped.sort("subj").write_parquet(f"{out_dir}/triples")
 

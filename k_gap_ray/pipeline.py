@@ -151,10 +151,13 @@ def run_pipeline(
 
     # ---- stage 4: canonical graph materialization ----
     if not ck.done("graph"):
+        from k_gap_ray.ops.materialize import coalesce_blocks
+
         t = StageTimer()
-        triples_raw = read_kind("triple", triple_cols)
+        triples_raw = coalesce_blocks(read_kind("triple", triple_cols))
         canonical = rewrite_triples(triples_raw, mapping_ref)
-        n = materialize_graph(canonical, out_dir, n_buckets=n_buckets)
+        n = materialize_graph(canonical, out_dir, n_buckets=n_buckets,
+                              coalesce=False)  # already coalesced above
         ck.lineage("graph", "all", rows_in=-1, rows_out=n, wall_s=t.elapsed())
         ck.mark("graph", rows_out=n)
 
