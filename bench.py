@@ -41,7 +41,12 @@ def _sf() -> float:
 
 
 def n_pages_for(sf: float) -> int:
-    return max(500, int(1_000_000 * sf))
+    # 4M pages/sf-unit: large enough that per-page compute and shuffle
+    # volume dominate the per-execution scheduling floor (the regex
+    # annotator is ~100x cheaper than a real NLP model, so the corpus
+    # must be correspondingly larger for a realistic compute:overhead
+    # ratio)
+    return max(500, int(4_000_000 * sf))
 
 
 def run_bench() -> dict:

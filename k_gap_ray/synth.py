@@ -100,12 +100,25 @@ def write_pages(out_dir: str, n: int, seed: int = 42, n_sites: int = 50,
         with open(manifest) as f:
             if f.read() == tag and all(os.path.exists(p) for p in paths):
                 return paths
-    for s, path in enumerate(paths):
+
+    def _write_shard(s: int, path: str) -> str:
         start = s * shard_rows
         count = min(shard_rows, n - start)
         pq.write_table(gen_pages(count, seed=seed, n_sites=n_sites,
                                  start=start, min_sent=min_sent,
                                  sent_spread=sent_spread), path)
+        return path
+
+    # rows are pure functions of (seed, i): shards generate in parallel
+    # when a Ray session exists, sequentially otherwise
+    import ray
+
+    if ray.is_initialized() and len(paths) > 1:
+        shard_task = ray.remote(num_cpus=1)(_write_shard)
+        ray.get([shard_task.remote(s, p) for s, p in enumerate(paths)])
+    else:
+        for s, path in enumerate(paths):
+            _write_shard(s, path)
     with open(manifest, "w") as f:
         f.write(tag)
     return paths
