@@ -97,47 +97,40 @@ def coalesce_blocks(ds, per_cpu: int = 2, cap: int = 128):
 def dedup_quads(triples_ds, coalesce: bool = True):
     """Distinct quads, provenance = min url.
 
-    One vectorized composite key (binary_join_element_wise) + a
-    single-key hash aggregate, then a vectorized split back into
-    columns — an order of magnitude faster than Ray's multi-key
-    groupby+aggregate path, and the single string key is also what a
-    10^12-row dedup would hash-partition on (SURVEY.md 7.4)."""
-    import pyarrow.compute as _pc
+    Hash-partitioned dedup (SURVEY.md 7.4): a vectorized composite
+    key + deterministic int hash bucket per row, local dedup as the
+    combiner, then ONE int-key shuffle (groupby bucket) with a
+    vectorized pandas dedup per partition. ~4x faster than Ray's
+    string-key sort-aggregate (sorting 12.8M ~150-byte keys is what
+    made the aggregate path slow), and the bucket count scales with
+    cluster CPUs. "First" is sorted (quad_key, url), so the kept
+    provenance url is the lexicographic min — block-order independent.
+    """
+    import ray
 
-    from ray.data.aggregate import Min
+    n_buckets = max(32, min(512, int(ray.cluster_resources()
+                                     .get("CPU", 8)) * 4))
 
-    def addkey(t: pa.Table) -> pa.Table:
-        key = _pc.binary_join_element_wise(
-            t.column("subj"), t.column("pred"), t.column("obj"),
-            _pc.cast(t.column("obj_is_literal"), pa.string()),
-            _pc.fill_null(t.column("obj_datatype"), ""),
-            _pc.fill_null(t.column("obj_lang"), ""),
-            t.column("graph"), _SEP)
-        return pa.table({"quad_key": key, "url": t.column("url")})
+    def addkey_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = (df["subj"] + _SEP + df["pred"] + _SEP + df["obj"] + _SEP
+               + df["obj_is_literal"].astype(str) + _SEP
+               + df["obj_datatype"].fillna("") + _SEP
+               + df["obj_lang"].fillna("") + _SEP + df["graph"])
+        df["quad_key"] = key
+        df["bucket"] = (pd.util.hash_pandas_object(key, index=False)
+                        % n_buckets).astype("int32")
+        return df
 
-    def splitkey(t: pa.Table) -> pa.Table:
-        parts = _pc.split_pattern(t.column("quad_key"), pattern=_SEP)
-        field = [_pc.list_element(parts, i) for i in range(7)]
-        return pa.table({
-            "subj": field[0], "pred": field[1], "obj": field[2],
-            "obj_is_literal": _pc.equal(field[3], "true"),
-            "obj_datatype": field[4], "obj_lang": field[5],
-            "graph": field[6], "url": t.column("url"),
-        })
-
-    def local_min(t: pa.Table) -> pa.Table:
-        # combiner: per-batch (quad_key -> min url) before the shuffle
-        g = pa.TableGroupBy(t, "quad_key").aggregate([("url", "min")])
-        return pa.table({"quad_key": g.column("quad_key"),
-                         "url": g.column("url_min")})
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["quad_key", "url"],
+                              kind="mergesort").drop_duplicates("quad_key")
 
     src = coalesce_blocks(triples_ds) if coalesce else triples_ds
-    out = (src
-           .map_batches(addkey, batch_format="pyarrow", zero_copy_batch=True)
-           .map_batches(local_min, batch_format="pyarrow")
-           .groupby("quad_key").aggregate(Min("url", alias_name="url"))
-           .map_batches(splitkey, batch_format="pyarrow"))
-    return out
+    return (src
+            .map_batches(addkey_bucket, batch_format="pandas")
+            .map_batches(local_dedup, batch_format="pandas")  # combiner
+            .groupby("bucket").map_groups(local_dedup, batch_format="pandas")
+            .drop_columns(["quad_key", "bucket"]))
 
 
 def add_subj_bucket(df: pd.DataFrame, n_buckets: int = 16) -> pd.DataFrame:
