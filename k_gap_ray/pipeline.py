@@ -164,11 +164,8 @@ def run_pipeline(
     # ---- stage 5: canonical mentions ----
     if not ck.done("mentions"):
         t = StageTimer()
-        from k_gap_ray.ops.materialize import coalesce_blocks
-
         mentions_raw = read_kind("mention", mention_cols)
-        rewritten = rewrite_mentions(coalesce_blocks(mentions_raw),
-                                     mapping_ref)
+        rewritten = rewrite_mentions(mentions_raw, mapping_ref)
         rewritten.write_parquet(os.path.join(out_dir, "mentions"))
         ck.lineage("mentions", "all", rows_in=-1, rows_out=-1,
                    wall_s=t.elapsed())
