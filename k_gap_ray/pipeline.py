@@ -37,6 +37,33 @@ from k_gap_ray.ops.materialize import (
 )
 
 
+def _stabilize_fsspec_http() -> None:
+    """Make Ray's lazy `from fsspec.implementations.http import
+    HTTPFileSystem` deterministic under threads.
+
+    In this environment that import fails (no aiohttp). A failed import
+    is NOT cached, so when two pipeline threads hit Ray's path
+    resolution together, one sees a partially-initialized module and
+    gets ImportError (which escapes Ray's ModuleNotFoundError handler)
+    instead of the clean failure. Registering a minimal stand-in module
+    makes the import succeed once and forever; the class is only ever
+    used in isinstance checks, which correctly stay False for our
+    local filesystems."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # isinstance-only stand-in
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
 def _as_dataset(pages):
     import ray.data as rd
 
@@ -81,6 +108,8 @@ def run_pipeline(
                               extract_batch_size, annotate_batch_size,
                               force_distributed_cc)
 
+    _stabilize_fsspec_http()
+
     ck = Checkpoint(out_dir)
     annotated_dir = os.path.join(out_dir, "annotated")
 
@@ -92,10 +121,11 @@ def run_pipeline(
     # parallel inside, so the barrier cost is one pipeline drain per
     # group.
     groups = _partition_groups(pages, annotate_partitions)
-    for pid, part in enumerate(groups):
+
+    def _run_group(pid: int, part) -> None:
         stage_id = f"annotated.{pid:04d}"
         if ck.done(stage_id):
-            continue
+            return
         t = StageTimer()
         ds = part if not isinstance(part, list) else rd.read_parquet(part)
         annotated = annotate_stage(
@@ -115,6 +145,14 @@ def run_pipeline(
         ck.lineage("annotated", f"{pid:04d}", rows_in=-1, rows_out=n_out,
                    wall_s=t.elapsed())
         ck.mark(stage_id, rows_out=n_out)
+
+    # two groups in flight: one group's write/commit tail overlaps the
+    # next group's read/annotate head (checkpoint units stay independent
+    # — each group has its own dir + manifest)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda a: _run_group(*a), enumerate(groups)))
     if not ck.done("annotated"):
         ck.mark("annotated", n_partitions=len(groups))
 
@@ -149,8 +187,10 @@ def run_pipeline(
 
     mapping_ref = ray.put(mapping)
 
-    # ---- stage 4: canonical graph materialization ----
-    if not ck.done("graph"):
+    # ---- stages 4+5 (independent given annotated+mapping): overlap ----
+    def _stage_graph() -> None:
+        if ck.done("graph"):
+            return
         from k_gap_ray.ops.materialize import coalesce_blocks
 
         t = StageTimer()
@@ -161,8 +201,9 @@ def run_pipeline(
         ck.lineage("graph", "all", rows_in=-1, rows_out=n, wall_s=t.elapsed())
         ck.mark("graph", rows_out=n)
 
-    # ---- stage 5: canonical mentions ----
-    if not ck.done("mentions"):
+    def _stage_mentions() -> None:
+        if ck.done("mentions"):
+            return
         t = StageTimer()
         mentions_raw = read_kind("mention", mention_cols)
         rewritten = rewrite_mentions(mentions_raw, mapping_ref)
@@ -170,6 +211,11 @@ def run_pipeline(
         ck.lineage("mentions", "all", rows_in=-1, rows_out=-1,
                    wall_s=t.elapsed())
         ck.mark("mentions")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_stage_graph), pool.submit(_stage_mentions)]
+        for f in futs:
+            f.result()
 
     return {
         "out_dir": out_dir,
