@@ -168,6 +168,59 @@ def _knn_lsh(sf_dir: str):
     return knn_lsh(ds, np.asarray(q, dtype=np.float64), k=10, exclude_ids={0})
 
 
+def _doc_lang_stats(sf_dir: str):
+    """Grouped doc stats (A5/A3). avg_chars is an exact int64 sum over
+    integral values divided once — bit-identical to the SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    out = (_docs(sf_dir, ["lang", "n_chars"])
+           .groupby("lang").aggregate(
+               Count(alias_name="n_docs"),
+               Sum("n_chars", alias_name="avg_chars"),
+               Max("n_chars", alias_name="max_chars")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = (t.column("avg_chars").to_numpy(zero_copy_only=False)
+               .astype(np.float64)
+               / t.column("n_docs").to_numpy(zero_copy_only=False))
+        return t.set_column(t.column_names.index("avg_chars"), "avg_chars",
+                            pa.array(avg, pa.float64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _doc_source_counts(sf_dir: str):
+    import ray.data as rd
+
+    return (_docs(sf_dir, ["source"]).groupby("source").count()
+            .rename_columns({"count()": "n"}))
+
+
+def _kg_report(sf_dir: str):
+    """A7 dataset-statistics bundle over the constructed graph
+    (sembench report-step analogue, docs/components/sembench.md:229-253)."""
+    import pyarrow as pa
+
+    res = _pipeline(sf_dir)
+    triples = res["triples"]
+    n_triples = triples.count()
+    n_subjects = len(triples.unique("subj"))
+    n_graphs = len(triples.unique("graph"))
+    n_predicates = len(triples.unique("pred"))
+    n_entities = res["entities"].num_rows \
+        if hasattr(res["entities"], "num_rows") else res["entities"].count()
+    return pa.table({
+        "n_triples": pa.array([n_triples], pa.int64()),
+        "n_distinct_subjects": pa.array([n_subjects], pa.int64()),
+        "n_named_graphs": pa.array([n_graphs], pa.int64()),
+        "n_predicates": pa.array([n_predicates], pa.int64()),
+        "n_entities": pa.array([n_entities], pa.int64()),
+    })
+
+
 def _media_features(sf_dir: str):
     import ray.data as rd
 
@@ -197,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_flags": rel.q_distinct_flags,
         "q_union_priorities": rel.q_union_priorities,
         # --- documents / text-analysis ops ---
+        "q_doc_lang_stats": _doc_lang_stats,
+        "q_doc_source_counts": _doc_source_counts,
         "q_doc_token_counts": _doc_token_counts,
         "q_doc_exact_dedup": _doc_exact_dedup,
         "q_doc_langid": _doc_langid,
@@ -217,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _kg("mentions"),
         "kg_entities": _kg("entities"),
         "kg_mention_counts": _kg_mention_counts,
+        "kg_report": _kg_report,
     }
 
 
@@ -306,6 +362,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderpriority FROM orders WHERE o_totalprice < 50000
             ) GROUP BY o_orderpriority
         """,
+        "q_doc_lang_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::DOUBLE / count(*) AS avg_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "q_doc_source_counts":
+            "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "q_doc_token_counts": """
             SELECT doc_id,
                    length(text) - length(replace(text, ' ', ''))
