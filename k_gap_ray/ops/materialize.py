@@ -106,31 +106,48 @@ def dedup_quads(triples_ds, coalesce: bool = True):
     cluster CPUs. "First" is sorted (quad_key, url), so the kept
     provenance url is the lexicographic min — block-order independent.
     """
+    import pyarrow.compute as _pc
     import ray
 
     n_buckets = max(32, min(512, int(ray.cluster_resources()
                                      .get("CPU", 8)) * 4))
 
     def addkey_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # shuffle only (quad_key, url, bucket): the key losslessly
+        # encodes all 7 quad columns, halving shuffle volume; columns
+        # are reconstructed after the dedup
         key = (df["subj"] + _SEP + df["pred"] + _SEP + df["obj"] + _SEP
                + df["obj_is_literal"].astype(str) + _SEP
                + df["obj_datatype"].fillna("") + _SEP
                + df["obj_lang"].fillna("") + _SEP + df["graph"])
-        df["quad_key"] = key
-        df["bucket"] = (pd.util.hash_pandas_object(key, index=False)
-                        % n_buckets).astype("int32")
-        return df
+        out = pd.DataFrame({
+            "quad_key": key,
+            "url": df["url"],
+            "bucket": (pd.util.hash_pandas_object(key, index=False)
+                       % n_buckets).astype("int32"),
+        })
+        return out
 
     def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["quad_key", "url"],
                               kind="mergesort").drop_duplicates("quad_key")
+
+    def splitkey(t: pa.Table) -> pa.Table:
+        parts = _pc.split_pattern(t.column("quad_key"), pattern=_SEP)
+        field = [_pc.list_element(parts, i) for i in range(7)]
+        return pa.table({
+            "subj": field[0], "pred": field[1], "obj": field[2],
+            "obj_is_literal": _pc.equal(field[3], "True"),
+            "obj_datatype": field[4], "obj_lang": field[5],
+            "graph": field[6], "url": t.column("url"),
+        })
 
     src = coalesce_blocks(triples_ds) if coalesce else triples_ds
     return (src
             .map_batches(addkey_bucket, batch_format="pandas")
             .map_batches(local_dedup, batch_format="pandas")  # combiner
             .groupby("bucket").map_groups(local_dedup, batch_format="pandas")
-            .drop_columns(["quad_key", "bucket"]))
+            .map_batches(splitkey, batch_format="pyarrow"))
 
 
 def add_subj_bucket(df: pd.DataFrame, n_buckets: int = 16) -> pd.DataFrame:

@@ -146,12 +146,13 @@ def run_pipeline(
                    wall_s=t.elapsed())
         ck.mark(stage_id, rows_out=n_out)
 
-    # two groups in flight: one group's write/commit tail overlaps the
-    # next group's read/annotate head (checkpoint units stay independent
-    # — each group has its own dir + manifest)
+    # groups in flight concurrently: each group's read/write/commit
+    # latency overlaps the others' compute; Ray time-slices the CPUs
+    # across the concurrent executions. Checkpoint units stay
+    # independent — each group has its own dir + manifest.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=min(4, len(groups))) as pool:
         list(pool.map(lambda a: _run_group(*a), enumerate(groups)))
     if not ck.done("annotated"):
         ck.mark("annotated", n_partitions=len(groups))
