@@ -86,9 +86,13 @@ def distinct_surface_pairs(mentions_ds):
     def local_distinct(df):
         return df.drop_duplicates(subset=["norm_surface", "surface"])
 
+    # coalesce AFTER the combiner: the repartition then moves only the
+    # per-batch vocabularies (tiny), while the groupby still sees few
+    # blocks (its per-block fixed cost is what hurts)
     return (
-        coalesce_blocks(mentions_ds.select_columns(["norm_surface", "surface"]))
-        .map_batches(local_distinct, batch_format="pandas")
+        coalesce_blocks(
+            mentions_ds.select_columns(["norm_surface", "surface"])
+            .map_batches(local_distinct, batch_format="pandas"))
         .groupby(["norm_surface", "surface"]).count()
         .select_columns(["norm_surface", "surface"])
     )

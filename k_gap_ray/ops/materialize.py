@@ -142,10 +142,15 @@ def dedup_quads(triples_ds, coalesce: bool = True):
             "graph": field[6], "url": t.column("url"),
         })
 
-    src = coalesce_blocks(triples_ds) if coalesce else triples_ds
-    return (src
+    # coalesce AFTER the slim-projection + combiner: the repartition
+    # then moves (key, url) rows, not full triple rows — map stages are
+    # indifferent to block count, only the groupby pays per-block cost
+    slim = (triples_ds
             .map_batches(addkey_bucket, batch_format="pandas")
-            .map_batches(local_dedup, batch_format="pandas")  # combiner
+            .map_batches(local_dedup, batch_format="pandas"))  # combiner
+    if coalesce:
+        slim = coalesce_blocks(slim)
+    return (slim
             .groupby("bucket").map_groups(local_dedup, batch_format="pandas")
             .map_batches(splitkey, batch_format="pyarrow"))
 

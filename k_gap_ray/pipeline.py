@@ -192,13 +192,10 @@ def run_pipeline(
     def _stage_graph() -> None:
         if ck.done("graph"):
             return
-        from k_gap_ray.ops.materialize import coalesce_blocks
-
         t = StageTimer()
-        triples_raw = coalesce_blocks(read_kind("triple", triple_cols))
+        triples_raw = read_kind("triple", triple_cols)
         canonical = rewrite_triples(triples_raw, mapping_ref)
-        n = materialize_graph(canonical, out_dir, n_buckets=n_buckets,
-                              coalesce=False)  # already coalesced above
+        n = materialize_graph(canonical, out_dir, n_buckets=n_buckets)
         ck.lineage("graph", "all", rows_in=-1, rows_out=n, wall_s=t.elapsed())
         ck.mark("graph", rows_out=n)
 
