@@ -86,13 +86,14 @@ def distinct_surface_pairs(mentions_ds):
     def local_distinct(df):
         return df.drop_duplicates(subset=["norm_surface", "surface"])
 
-    # coalesce AFTER the combiner: the repartition then moves only the
-    # per-batch vocabularies (tiny), while the groupby still sees few
-    # blocks (its per-block fixed cost is what hurts)
+    # order matters: arrow-cheap projection first (fine over many tiny
+    # blocks), THEN coalesce the slim 2-column stream, THEN the pandas
+    # combiner over few big blocks (pandas conversion costs ~constant
+    # per block), THEN the small groupby
     return (
-        coalesce_blocks(
-            mentions_ds.select_columns(["norm_surface", "surface"])
-            .map_batches(local_distinct, batch_format="pandas"))
+        coalesce_blocks(mentions_ds.select_columns(["norm_surface",
+                                                    "surface"]))
+        .map_batches(local_distinct, batch_format="pandas")
         .groupby(["norm_surface", "surface"]).count()
         .select_columns(["norm_surface", "surface"])
     )

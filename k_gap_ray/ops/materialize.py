@@ -18,61 +18,65 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-_NORM_PUNCT = ".,;:"
-
-
-def norm_series(s: pd.Series) -> pd.Series:
-    """Vectorized twin of oracle.kernel.norm_surface (kept in lockstep)."""
-    return (
-        s.str.strip()
-        .str.strip(_NORM_PUNCT)
-        .str.casefold()
-        .str.replace(r"\s+", " ", regex=True)
-        .str.strip()
-    )
-
-
 def _resolve(mapping_ref):
     import ray
 
     return mapping_ref if isinstance(mapping_ref, dict) else ray.get(mapping_ref)
 
 
+def _replace_via_uniques(col, mapping: dict):
+    """Arrow-native replace: normalize+look up the column's UNIQUE
+    values only (surface vocabulary, tiny under Zipf repetition), then
+    project back with index_in/take. No pandas conversion, O(vocab)
+    regex work per batch. Values without a mapping entry are null in
+    the result (caller decides the fallback)."""
+    import pyarrow.compute as _pc
+
+    from k_gap_ray.oracle.kernel import norm_surface
+
+    flat = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    uniq = _pc.unique(flat)
+    repl = pa.array(
+        [mapping.get(norm_surface(u)) if u is not None else None
+         for u in uniq.to_pylist()],
+        type=pa.string())
+    idx = _pc.index_in(flat, value_set=uniq)
+    return _pc.take(repl, idx)
+
+
 def rewrite_triples(triples_ds, mapping_ref):
-    """surface subj/obj -> canonical entity IRIs (literals untouched).
+    """surface subj/obj -> canonical entity IRIs (literals untouched)."""
+    import pyarrow.compute as _pc
 
-    Normalization runs on the batch's UNIQUE values only (surface
-    vocabulary, tiny under Zipf repetition), then a dict map replaces
-    the column — regex work per batch drops from O(rows) to O(vocab).
-    """
-
-    def _uniq_replacements(values: pd.Series, mapping: dict) -> dict:
-        uniq = pd.Series(values.unique())
-        norms = norm_series(uniq.astype(str))
-        return {u: mapping.get(n, u) for u, n in zip(uniq, norms)}
-
-    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+    def rewrite(t: pa.Table) -> pa.Table:
         mapping = _resolve(mapping_ref)
-        df["subj"] = df["subj"].map(_uniq_replacements(df["subj"], mapping))
-        is_ent = ~df["obj_is_literal"]
-        objs = df.loc[is_ent, "obj"]
-        if len(objs):
-            df.loc[is_ent, "obj"] = objs.map(_uniq_replacements(objs, mapping))
-        return df
+        subj_new = _replace_via_uniques(t.column("subj"), mapping)
+        subj = _pc.if_else(_pc.is_valid(subj_new), subj_new,
+                           t.column("subj"))
+        obj_new = _replace_via_uniques(t.column("obj"), mapping)
+        keep = _pc.or_(t.column("obj_is_literal"),
+                       _pc.is_null(obj_new))
+        obj = _pc.if_else(keep, t.column("obj"), obj_new)
+        t = t.set_column(t.column_names.index("subj"), "subj", subj)
+        return t.set_column(t.column_names.index("obj"), "obj", obj)
 
-    return triples_ds.map_batches(rewrite, batch_format="pandas")
+    return triples_ds.map_batches(rewrite, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
 
 def rewrite_mentions(mentions_ds, mapping_ref):
     """cand_entity -> canonical entity IRI via the same broadcast map."""
+    import pyarrow.compute as _pc
 
-    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+    def rewrite(t: pa.Table) -> pa.Table:
         mapping = _resolve(mapping_ref)
-        ent = df["norm_surface"].map(mapping)
-        df["cand_entity"] = ent.fillna(df["cand_entity"])
-        return df
+        ent = _replace_via_uniques(t.column("norm_surface"), mapping)
+        cand = _pc.if_else(_pc.is_valid(ent), ent, t.column("cand_entity"))
+        return t.set_column(t.column_names.index("cand_entity"),
+                            "cand_entity", cand)
 
-    return mentions_ds.map_batches(rewrite, batch_format="pandas")
+    return mentions_ds.map_batches(rewrite, batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
 
 QUAD_KEY = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
@@ -112,21 +116,25 @@ def dedup_quads(triples_ds, coalesce: bool = True):
     n_buckets = max(32, min(512, int(ray.cluster_resources()
                                      .get("CPU", 8)) * 4))
 
-    def addkey_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # shuffle only (quad_key, url, bucket): the key losslessly
-        # encodes all 7 quad columns, halving shuffle volume; columns
-        # are reconstructed after the dedup
-        key = (df["subj"] + _SEP + df["pred"] + _SEP + df["obj"] + _SEP
-               + df["obj_is_literal"].astype(str) + _SEP
-               + df["obj_datatype"].fillna("") + _SEP
-               + df["obj_lang"].fillna("") + _SEP + df["graph"])
-        out = pd.DataFrame({
-            "quad_key": key,
-            "url": df["url"],
-            "bucket": (pd.util.hash_pandas_object(key, index=False)
-                       % n_buckets).astype("int32"),
-        })
-        return out
+    def addkey(t: pa.Table) -> pa.Table:
+        # arrow-native slim projection: cheap even over many tiny
+        # blocks (no pandas conversion); the key losslessly encodes
+        # all 7 quad columns, halving shuffle volume
+        key = _pc.binary_join_element_wise(
+            t.column("subj"), t.column("pred"), t.column("obj"),
+            _pc.cast(t.column("obj_is_literal"), pa.string()),
+            _pc.fill_null(t.column("obj_datatype"), ""),
+            _pc.fill_null(t.column("obj_lang"), ""),
+            t.column("graph"), _SEP)
+        return pa.table({"quad_key": key, "url": t.column("url")})
+
+    def bucket_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas only AFTER coalesce -> few big blocks pay conversion
+        df["bucket"] = (pd.util.hash_pandas_object(df["quad_key"],
+                                                   index=False)
+                        % n_buckets).astype("int32")
+        return df.sort_values(["quad_key", "url"],
+                              kind="mergesort").drop_duplicates("quad_key")
 
     def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["quad_key", "url"],
@@ -137,20 +145,17 @@ def dedup_quads(triples_ds, coalesce: bool = True):
         field = [_pc.list_element(parts, i) for i in range(7)]
         return pa.table({
             "subj": field[0], "pred": field[1], "obj": field[2],
-            "obj_is_literal": _pc.equal(field[3], "True"),
+            "obj_is_literal": _pc.equal(field[3], "true"),
             "obj_datatype": field[4], "obj_lang": field[5],
             "graph": field[6], "url": t.column("url"),
         })
 
-    # coalesce AFTER the slim-projection + combiner: the repartition
-    # then moves (key, url) rows, not full triple rows — map stages are
-    # indifferent to block count, only the groupby pays per-block cost
-    slim = (triples_ds
-            .map_batches(addkey_bucket, batch_format="pandas")
-            .map_batches(local_dedup, batch_format="pandas"))  # combiner
+    slim = triples_ds.map_batches(addkey, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     if coalesce:
         slim = coalesce_blocks(slim)
     return (slim
+            .map_batches(bucket_dedup, batch_format="pandas")  # combiner
             .groupby("bucket").map_groups(local_dedup, batch_format="pandas")
             .map_batches(splitkey, batch_format="pyarrow"))
 
