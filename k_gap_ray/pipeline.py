@@ -73,9 +73,15 @@ def _as_dataset(pages):
 
 
 def _partition_groups(pages, n_groups: int) -> list:
-    """Split the input into checkpoint units. Paths split by file list
-    (round-robin for balance); an already-built Dataset is one unit."""
+    """Split the input into checkpoint units.
+
+    Files are assigned to groups by a STABLE hash of the file name, so
+    an appended input shard (incremental crawl, late data — W3) lands
+    in exactly one group and only that group's checkpoint is
+    invalidated; round-robin would reshuffle every assignment. An
+    already-built Dataset is a single unit."""
     import glob as _glob
+    import zlib
 
     if isinstance(pages, str):
         files = sorted(_glob.glob(os.path.join(pages, "*.parquet"))) or [pages]
@@ -84,7 +90,10 @@ def _partition_groups(pages, n_groups: int) -> list:
     else:
         return [pages]
     n = max(1, min(n_groups, len(files)))
-    return [files[i::n] for i in range(n)]
+    groups: list[list[str]] = [[] for _ in range(n)]
+    for f in files:
+        groups[zlib.crc32(os.path.basename(f).encode()) % n].append(f)
+    return groups
 
 
 def run_pipeline(
@@ -124,7 +133,12 @@ def run_pipeline(
 
     def _run_group(pid: int, part) -> None:
         stage_id = f"annotated.{pid:04d}"
+        files = part if isinstance(part, list) else None
         if ck.done(stage_id):
+            if files is None or ck.info(stage_id).get("files") == files:
+                return  # finished AND same input shards -> skip
+        if files is not None and not files:
+            ck.mark(stage_id, files=[], rows_out=0)
             return
         t = StageTimer()
         ds = part if not isinstance(part, list) else rd.read_parquet(part)
@@ -144,7 +158,8 @@ def run_pipeline(
         n_out = pads.dataset(part_dir, partitioning="hive").count_rows()
         ck.lineage("annotated", f"{pid:04d}", rows_in=-1, rows_out=n_out,
                    wall_s=t.elapsed())
-        ck.mark(stage_id, rows_out=n_out)
+        ck.mark(stage_id, rows_out=n_out,
+                files=files if files is not None else [])
 
     # groups in flight concurrently: each group's read/write/commit
     # latency overlaps the others' compute; Ray time-slices the CPUs
@@ -154,8 +169,21 @@ def run_pipeline(
 
     with ThreadPoolExecutor(max_workers=min(4, len(groups))) as pool:
         list(pool.map(lambda a: _run_group(*a), enumerate(groups)))
-    if not ck.done("annotated"):
-        ck.mark("annotated", n_partitions=len(groups))
+
+    # signature of the annotated stage's input: downstream manifests
+    # recorded against a different signature are stale (incremental
+    # append invalidates them; an identical rerun is a no-op)
+    import hashlib as _hashlib
+    import json as _json
+
+    input_sig = _hashlib.blake2b(
+        _json.dumps([[pid, part if isinstance(part, list) else "dataset"]
+                     for pid, part in enumerate(groups)]).encode(),
+        digest_size=12).hexdigest()
+    ck.mark("annotated", n_partitions=len(groups), input_sig=input_sig)
+
+    def _stage_done(stage: str) -> bool:
+        return ck.done(stage) and ck.info(stage).get("input_sig") == input_sig
 
     triple_cols = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
                    "obj_lang", "graph", "url"]
@@ -170,7 +198,7 @@ def run_pipeline(
         return rd.read_parquet(files, columns=columns)
 
     # ---- stage 3: canonicalize ----
-    if not ck.done("entities"):
+    if not _stage_done("entities"):
         t = StageTimer()
         mentions_raw = read_kind("mention", mention_cols)
         entities, mapping = canonicalize(
@@ -182,7 +210,8 @@ def run_pipeline(
         ck.save_json("mapping.json", mapping)
         ck.lineage("entities", "all", rows_in=len(mapping),
                    rows_out=entities.num_rows, wall_s=t.elapsed())
-        ck.mark("entities", rows_out=entities.num_rows)
+        ck.mark("entities", rows_out=entities.num_rows,
+                input_sig=input_sig)
     else:
         mapping = ck.load_json("mapping.json")
 
@@ -190,25 +219,32 @@ def run_pipeline(
 
     # ---- stages 4+5 (independent given annotated+mapping): overlap ----
     def _stage_graph() -> None:
-        if ck.done("graph"):
+        if _stage_done("graph"):
             return
+        import shutil as _sh
+
+        _sh.rmtree(os.path.join(out_dir, "triples"), ignore_errors=True)
+        _sh.rmtree(os.path.join(out_dir, "adjacency"), ignore_errors=True)
         t = StageTimer()
         triples_raw = read_kind("triple", triple_cols)
         canonical = rewrite_triples(triples_raw, mapping_ref)
         n = materialize_graph(canonical, out_dir, n_buckets=n_buckets)
         ck.lineage("graph", "all", rows_in=-1, rows_out=n, wall_s=t.elapsed())
-        ck.mark("graph", rows_out=n)
+        ck.mark("graph", rows_out=n, input_sig=input_sig)
 
     def _stage_mentions() -> None:
-        if ck.done("mentions"):
+        if _stage_done("mentions"):
             return
+        import shutil as _sh
+
+        _sh.rmtree(os.path.join(out_dir, "mentions"), ignore_errors=True)
         t = StageTimer()
         mentions_raw = read_kind("mention", mention_cols)
         rewritten = rewrite_mentions(mentions_raw, mapping_ref)
         rewritten.write_parquet(os.path.join(out_dir, "mentions"))
         ck.lineage("mentions", "all", rows_in=-1, rows_out=-1,
                    wall_s=t.elapsed())
-        ck.mark("mentions")
+        ck.mark("mentions", input_sig=input_sig)
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [pool.submit(_stage_graph), pool.submit(_stage_mentions)]
