@@ -37,6 +37,8 @@ ANNOTATED = pa.schema(
         pa.field("ner_type", pa.string()),
         pa.field("cand_entity", pa.string()),
         pa.field("link_score", pa.float32()),
+        # error side-channel (kind='error'; W5 FAILURE_IS_FATAL=false)
+        pa.field("error", pa.string()),
     ]
 )
 
@@ -68,14 +70,21 @@ class Annotator:
         m_norm: list = []; m_start: list = []; m_end: list = []
         m_ner: list = []; m_cand: list = []; m_score: list = []
 
+        e_url: list = []; e_msg: list = []
+
         urls = batch.column("url").to_pylist()
         texts = batch.column("text").to_pylist()
         for url, text in zip(urls, texts):
             try:
                 graph = k.graph_for_url(url)
                 triples, mentions = k.extract_from_text(text)
-            except Exception:
+            except Exception as exc:
+                # reference semantics FAILURE_IS_FATAL=false
+                # (/root/reference/ldes-consumer/app.py:342): the row is
+                # routed to the error side-channel, never fatal
                 self.errors += 1
+                e_url.append(url)
+                e_msg.append(f"{type(exc).__name__}: {exc}"[:500])
                 continue
             for t in triples:
                 t_url.append(url); t_graph.append(graph)
@@ -91,26 +100,28 @@ class Annotator:
                 m_ner.append(m.ner_type); m_cand.append(m.cand_entity)
                 m_score.append(m.link_score)
 
-        n_t, n_m = len(t_subj), len(m_surface)
+        n_t, n_m, n_e = len(t_subj), len(m_surface), len(e_url)
         none_t = [None] * n_t
         none_m = [None] * n_m
+        none_e = [None] * n_e
         return pa.Table.from_pydict({
-            "kind": ["triple"] * n_t + ["mention"] * n_m,
-            "url": t_url + m_url,
-            "graph": t_graph + m_graph,
-            "subj": t_subj + none_m,
-            "pred": t_pred + none_m,
-            "obj": t_obj + none_m,
-            "obj_is_literal": t_lit + none_m,
-            "obj_datatype": t_dt + none_m,
-            "obj_lang": [""] * n_t + none_m,
-            "surface": none_t + m_surface,
-            "norm_surface": none_t + m_norm,
-            "start": none_t + m_start,
-            "end": none_t + m_end,
-            "ner_type": none_t + m_ner,
-            "cand_entity": none_t + m_cand,
-            "link_score": none_t + m_score,
+            "kind": ["triple"] * n_t + ["mention"] * n_m + ["error"] * n_e,
+            "url": t_url + m_url + e_url,
+            "graph": t_graph + m_graph + none_e,
+            "subj": t_subj + none_m + none_e,
+            "pred": t_pred + none_m + none_e,
+            "obj": t_obj + none_m + none_e,
+            "obj_is_literal": t_lit + none_m + none_e,
+            "obj_datatype": t_dt + none_m + none_e,
+            "obj_lang": [""] * n_t + none_m + none_e,
+            "surface": none_t + m_surface + none_e,
+            "norm_surface": none_t + m_norm + none_e,
+            "start": none_t + m_start + none_e,
+            "end": none_t + m_end + none_e,
+            "ner_type": none_t + m_ner + none_e,
+            "cand_entity": none_t + m_cand + none_e,
+            "link_score": none_t + m_score + none_e,
+            "error": none_t + none_m + e_msg,
         }, schema=ANNOTATED)
 
 

@@ -156,8 +156,11 @@ def run_pipeline(
         annotated.write_parquet(part_dir, partition_cols=["kind"])
         import pyarrow.dataset as pads
         n_out = pads.dataset(part_dir, partitioning="hive").count_rows()
+        err_dir = os.path.join(part_dir, "kind=error")
+        n_err = (pads.dataset(err_dir).count_rows()
+                 if os.path.isdir(err_dir) else 0)
         ck.lineage("annotated", f"{pid:04d}", rows_in=-1, rows_out=n_out,
-                   wall_s=t.elapsed())
+                   errors=n_err, wall_s=t.elapsed())
         ck.mark(stage_id, rows_out=n_out,
                 files=files if files is not None else [])
 

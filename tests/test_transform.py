@@ -185,3 +185,26 @@ def test_upsert_store(ray_session, tmp_path):
     assert ("urn:new", "urn:kgap:pred:funds", "g2") in rows     # inserted
     assert ("urn:b", "urn:old:name", "g1") not in rows          # deleted
     assert rows[("urn:c", "urn:kgap:pred:funds", "g2")] == "urn:b"  # untouched
+
+
+def test_error_side_channel_rows(ray_session):
+    """W5: a row whose annotation raises becomes a kind='error' row
+    (never fatal) and surfaces in the lineage error count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.ops.annotate import annotate_stage
+
+    pages = rd.from_arrow(pa.table({
+        "url": ["https://ok.example/1", "https://bad.example/2"],
+        "text": ["Marine Institute operates RV Belgica.", None],
+    }))
+    out = annotate_stage(pages).take_all()
+    kinds = {}
+    for r in out:
+        kinds.setdefault(r["kind"], []).append(r)
+    assert "triple" in kinds and "mention" in kinds
+    assert len(kinds["error"]) == 1
+    err = kinds["error"][0]
+    assert err["url"] == "https://bad.example/2"
+    assert "Error" in err["error"] or "error" in err["error"].lower() or err["error"]
