@@ -140,9 +140,18 @@ def run_scaling() -> dict:
     out = {}
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # HARD-pin the whole process tree (raylet, plasma, workers,
+        # driver) to ncpu cores: ray.init(num_cpus=N) only caps
+        # scheduler slots, so an unpinned "8-CPU" run borrows the other
+        # 24 cores for Ray's system processes — flattering the small
+        # level and understating scaling. A real 8-CPU cluster node has
+        # only 8 cores for everything.
+        prefix = []
+        if shutil.which("taskset"):
+            prefix = ["taskset", "-c", f"0-{ncpu - 1}"]
         best = None
         for _rep in range(2):   # two runs per level; keep the warm/faster one
-            proc = subprocess.run([sys.executable, me], env=env,
+            proc = subprocess.run(prefix + [sys.executable, me], env=env,
                                   capture_output=True, text=True, check=True)
             r = json.loads(proc.stdout.strip().splitlines()[-1])
             if best is None or r["value"] < best["value"]:
