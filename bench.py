@@ -150,12 +150,18 @@ def run_scaling() -> dict:
         if shutil.which("taskset"):
             prefix = ["taskset", "-c", f"0-{ncpu - 1}"]
         best = None
-        for _rep in range(2):   # two runs per level; keep the warm/faster one
+        runs = []
+        # repeated runs, min per level: this host is a VM on shared
+        # hardware with +-20-30% run-to-run noise; min is the standard
+        # noise-robust estimator of achievable time
+        for _rep in range(int(os.environ.get("KGAP_SCALING_REPS", "3"))):
             proc = subprocess.run(prefix + [sys.executable, me], env=env,
                                   capture_output=True, text=True, check=True)
             r = json.loads(proc.stdout.strip().splitlines()[-1])
+            runs.append(r["value"])
             if best is None or r["value"] < best["value"]:
                 best = r
+        best["runs"] = runs
         out[ncpu] = best
     t8, t32 = out[8]["value"], out[32]["value"]
     eff = (t8 / t32) / (32 / 8)
@@ -163,6 +169,8 @@ def run_scaling() -> dict:
         "metric": "kg_pipeline_scaling",
         "sec_8": t8,
         "sec_32": t32,
+        "runs_8": out[8]["runs"],
+        "runs_32": out[32]["runs"],
         "pages_per_sec_8": out[8]["pages_per_sec"],
         "pages_per_sec_32": out[32]["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
