@@ -64,6 +64,29 @@ def _stabilize_fsspec_http() -> None:
         sys.modules["fsspec.implementations.http"] = mod
 
 
+def _write_group_vocab(out_dir: str, pid: int, part_dir: str) -> None:
+    """Side-product of the annotate pass: the group's distinct
+    (norm_surface, surface) pairs — a combiner-at-source. The entities
+    stage then unions these tiny per-group vocabularies instead of
+    rescanning the full mentions table (vocabulary <<< corpus)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    mention_dir = os.path.join(part_dir, "kind=mention")
+    vocab_dir = os.path.join(out_dir, "vocab")
+    os.makedirs(vocab_dir, exist_ok=True)
+    out_path = os.path.join(vocab_dir, f"part-{pid:04d}.parquet")
+    if not os.path.isdir(mention_dir):
+        pq.write_table(pa.schema([("norm_surface", pa.string()),
+                                  ("surface", pa.string())]).empty_table(),
+                       out_path)
+        return
+    t = pads.dataset(mention_dir).to_table(columns=["norm_surface",
+                                                    "surface"])
+    df = t.to_pandas().drop_duplicates()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), out_path)
+
+
 def _as_dataset(pages):
     import ray.data as rd
 
@@ -159,6 +182,7 @@ def run_pipeline(
         err_dir = os.path.join(part_dir, "kind=error")
         n_err = (pads.dataset(err_dir).count_rows()
                  if os.path.isdir(err_dir) else 0)
+        _write_group_vocab(out_dir, pid, part_dir)
         ck.lineage("annotated", f"{pid:04d}", rows_in=-1, rows_out=n_out,
                    errors=n_err, wall_s=t.elapsed())
         ck.mark(stage_id, rows_out=n_out,
@@ -202,10 +226,17 @@ def run_pipeline(
 
     # ---- stage 3: canonicalize ----
     if not _stage_done("entities"):
+        import glob as _glob
+
         t = StageTimer()
-        mentions_raw = read_kind("mention", mention_cols)
+        # per-group vocab side-products (written by the annotate pass)
+        # stand in for the full mentions table: same distinct pairs,
+        # orders of magnitude fewer rows
+        vocab_files = sorted(_glob.glob(
+            os.path.join(out_dir, "vocab", "part-*.parquet")))
+        vocab_ds = rd.read_parquet(vocab_files)
         entities, mapping = canonicalize(
-            mentions_raw, force_distributed_cc=force_distributed_cc)
+            vocab_ds, force_distributed_cc=force_distributed_cc)
         import pyarrow.parquet as pq
         os.makedirs(os.path.join(out_dir, "entities"), exist_ok=True)
         pq.write_table(entities,
