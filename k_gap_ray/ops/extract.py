@@ -13,9 +13,6 @@ import pyarrow as pa
 
 from k_gap_ray.oracle.kernel import extract_text
 
-if False:  # typing only
-    import ray.data
-
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:
     """html:binary -> text:string; drops html. Pure per-batch kernel."""
@@ -29,7 +26,7 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("text", pa.array(texts, type=pa.string()))
 
 
-def extract_stage(pages_ds: "ray.data.Dataset", batch_size: int = 256):
+def extract_stage(pages_ds, batch_size: int = 256):
     """pages(url, warc_ts, html, lang, [text]) -> (url, warc_ts, lang, text).
 
     batch_size is deliberately small: html rows are wide, and a batch x

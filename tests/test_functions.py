@@ -164,3 +164,29 @@ def test_decode_deterministic(ray_session):
     b = {r["media_id"]: r["sha256"] for r in
          decode_stage(rd.from_arrow(synth_media(20))).take_all()}
     assert a == b
+
+
+def test_mention_counts_skew_partial_agg(ray_session, pages_table):
+    """Zipf head-entity skew: the mention-count aggregate pre-combines
+    per batch, so the groupby shuffles per-batch partials, and the
+    result equals a naive exact count."""
+    import collections
+
+    import ray
+    import ray.data as rd
+
+    from k_gap_ray.ops.canonicalize import canonicalize, mention_counts
+    from k_gap_ray.pipeline import run_pipeline
+
+    res = run_pipeline(rd.from_arrow(pages_table).repartition(4))
+    counts = {r["entity_id"]: r["n_mentions"]
+              for r in mention_counts(res["mentions"],
+                                      ray.put(res["mapping"])).take_all()}
+    # naive exact count from the raw mention rows
+    naive = collections.Counter(
+        res["mapping"].get(r["norm_surface"], "urn:kgap:entity:unknown")
+        for r in res["mentions"].take_all())
+    assert counts == dict(naive)
+    # the head entity dominates (Zipf fixture is actually skewed)
+    top = max(counts.values())
+    assert top > 3 * sorted(counts.values())[len(counts) // 2]
