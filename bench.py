@@ -137,8 +137,10 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job, two fresh processes, two parallelism levels."""
     me = os.path.abspath(__file__)
+    lo, hi = (int(x) for x in os.environ.get(
+        "KGAP_SCALING_LEVELS", "8,32").split(","))
     out = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # HARD-pin the whole process tree (raylet, plasma, workers,
         # driver) to ncpu cores: ray.init(num_cpus=N) only caps
@@ -163,19 +165,20 @@ def run_scaling() -> dict:
                 best = r
         best["runs"] = runs
         out[ncpu] = best
-    t8, t32 = out[8]["value"], out[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "kg_pipeline_scaling",
-        "sec_8": t8,
-        "sec_32": t32,
-        "runs_8": out[8]["runs"],
-        "runs_32": out[32]["runs"],
-        "pages_per_sec_8": out[8]["pages_per_sec"],
-        "pages_per_sec_32": out[32]["pages_per_sec"],
+        "levels": [lo, hi],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"runs_{lo}": out[lo]["runs"],
+        f"runs_{hi}": out[hi]["runs"],
+        f"pages_per_sec_{lo}": out[lo]["pages_per_sec"],
+        f"pages_per_sec_{hi}": out[hi]["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "sf": out[32]["sf"],
-        "n_pages": out[32]["n_pages"],
+        "sf": out[hi]["sf"],
+        "n_pages": out[hi]["n_pages"],
     }
 
 
