@@ -221,6 +221,21 @@ def _kg_report(sf_dir: str):
     })
 
 
+def _workflow_lang_en(sf_dir: str):
+    """X1-X3: declarative workflow spec (sembench analogue) compiled to
+    a Ray op chain, with ${var} template substitution."""
+    from k_gap_ray.workflow import run_workflow
+
+    return run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/documents.parquet",
+         "columns": ["doc_id", "lang", "n_chars"]},
+        {"op": "filter", "expr": "lang == '${lang}'"},
+        {"op": "groupby_agg", "keys": ["lang"],
+         "aggs": [{"fn": "Count", "alias": "n"},
+                  {"fn": "Max", "on": "n_chars", "alias": "max_chars"}]},
+    ], params={"lang": "en"})
+
+
 def _media_features(sf_dir: str):
     import ray.data as rd
 
@@ -265,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_top10": _knn,
         "q_knn_lsh": _knn_lsh,
         "q_emb_near_dup": _emb_near_dup,
+        # --- declarative workflow engine (X1-X3) ---
+        "q_workflow_lang_en": _workflow_lang_en,
         # --- multimodal plumbing ---
         "q_media_features": _media_features,
         # --- KG-construction pipeline products (non-SQL; rows-only) ---
@@ -361,6 +378,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT o_orderpriority FROM orders WHERE o_totalprice < 50000
             ) GROUP BY o_orderpriority
+        """,
+        "q_workflow_lang_en": """
+            SELECT lang, count(*) AS n, max(n_chars) AS max_chars
+            FROM documents WHERE lang = 'en' GROUP BY lang
         """,
         "q_doc_lang_stats": """
             SELECT lang, count(*) AS n_docs,
