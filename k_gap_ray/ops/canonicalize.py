@@ -141,8 +141,6 @@ def _cc_distributed(surfaces_ds, edges_ds, max_iters: int = 12):
     variants), so this terminates in a few rounds; the BTS paper
     (PAPERS.md) is the load-balanced upgrade path for deep components.
     """
-    import pyarrow.compute as pc
-
     # both directions so propagation is symmetric
     fwd = edges_ds.map_batches(
         lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")}),
@@ -157,36 +155,43 @@ def _cc_distributed(surfaces_ds, edges_ds, max_iters: int = 12):
                             "label": t.column("norm_surface")}),
         batch_format="pyarrow").materialize()).materialize()
 
+    def checksum(lbl_ds) -> int:
+        """Order-insensitive fingerprint of the assignment: sum of
+        64-bit hashes of (node, label) rows. One map+sum pass over the
+        vocabulary-sized labels — far cheaper than the join-based
+        change count it replaces (equal checksums <=> no change,
+        w.h.p.)."""
+        import hashlib
+
+        def f(t: pa.Table) -> pa.Table:
+            acc = 0
+            for n, l in zip(t.column("node").to_pylist(),
+                            t.column("label").to_pylist()):
+                h = hashlib.blake2b(f"{n}\x1f{l}".encode(),
+                                    digest_size=8).digest()
+                acc = (acc + int.from_bytes(h, "big")) % (1 << 63)
+            return pa.table({"c": pa.array([acc], pa.int64())})
+
+        return lbl_ds.map_batches(f, batch_format="pyarrow").sum("c") or 0
+
     num_parts = max(2, min(32, edges2.num_blocks()))
+    prev_sum = checksum(labels)
     for _ in range(max_iters):
         msgs = edges2.join(labels, join_type="inner",
                            num_partitions=num_parts,
                            on=("dst",), right_on=("node",))
         msgs = msgs.select_columns(["src", "label"]).rename_columns(
             {"src": "node"})
-        new_labels = drop_empty_blocks(
+        labels = drop_empty_blocks(
             labels.union(msgs)
             .groupby("node").min("label")
             .rename_columns({"min(label)": "label"})
             .materialize()
         ).materialize()
-        # convergence: did any label change? (rename to avoid collisions)
-        old = labels.rename_columns({"label": "label_old"})
-        changed = (
-            new_labels.join(old, join_type="inner",
-                            num_partitions=num_parts, on=("node",))
-            .map_batches(
-                lambda t: pa.table({
-                    "c": pa.array(
-                        [pc.sum(pc.cast(pc.not_equal(t.column("label"),
-                                                     t.column("label_old")),
-                                        pa.int64())).as_py() or 0])}),
-                batch_format="pyarrow")
-            .sum("c")
-        )
-        labels = new_labels
-        if not changed:
+        cur_sum = checksum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels  # Dataset(node, label)
 
 
