@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_having": rel.q_having,
         "q_events_by_type": rel.q_events_by_type,
         "q_events_hourly": rel.q_events_hourly,
+        "q_events_user_running": rel.q_events_user_running,
         "q_events_watermark": rel.q_events_watermark,
         "q_join_customer_nation_region": rel.q_join_customer_nation_region,
         "q_left_join_orders": rel.q_left_join_orders,
@@ -337,6 +338,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0
                        AS sum_value
             FROM events GROUP BY 1
+        """,
+        "q_events_user_running": """
+            SELECT event_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)
+                        AS BIGINT) AS running_value_s
+            FROM events
         """,
         "q_events_watermark": "SELECT max(ts) AS max_ts FROM events",
         "q_join_customer_nation_region": """

@@ -208,6 +208,26 @@ def q_events_hourly(sf_dir: str):
     return _unscale(out, "sum_value", 100)
 
 
+def q_events_user_running(sf_dir: str):
+    """Per-key ordered running aggregate (streaming-shaped windowing:
+    partition by key, sort by event time within the partition, carry
+    state across the ordered group — SURVEY.md section 2.8 / guide's
+    groupby(key).map_groups window pattern). Values are fixed-point
+    int64 so the cumulative sum is exact and order-stable vs the SQL
+    window-function oracle."""
+
+    def running(df):
+        import numpy as np
+
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        vs = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        df["running_value_s"] = np.cumsum(vs)
+        return df[["event_id", "running_value_s"]]
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
 def q_events_watermark(sf_dir: str):
     """W2 high-watermark: global MAX over event time
     (docs/components/ldes-consumer.md:338-343)."""
