@@ -1,10 +1,12 @@
 """Stage 2 — OIE triples + NER mentions + entity-link scoring (T3/T4).
 
-An actor-pool ``map_batches`` stage: the Annotator is a callable CLASS
-so per-worker setup (compiled verb regex, gazetteer alias index — the
-stand-ins for warm spaCy/OIE model state, SURVEY.md section 2.3) runs
-once per actor in ``__init__`` and each Arrow batch flows through
-``__call__``.
+The Annotator is a callable CLASS so per-worker setup (compiled verb
+regex, gazetteer alias index — the stand-ins for warm spaCy/OIE model
+state, SURVEY.md section 2.3) runs once per worker and each Arrow
+batch flows through ``__call__``. Two executions: stateless tasks
+with a per-worker-process singleton (default; zero pool spin-up), or
+a bounded actor pool (``compute="actors"``) when model state is heavy
+or must be pinned.
 
 Output is ONE unified Arrow table per batch carrying both record kinds
 (kind='triple' | 'mention') so extraction runs in a single pass over

@@ -1,7 +1,9 @@
 """End-to-end KG-construction pipeline (the engine's flagship).
 
-    pages --extract--> text --annotate(actor pool)--> annotated
-          --canonicalize(LSH+union-find)--> entities + mapping
+    pages --extract--> text --annotate(tasks w/ per-worker state, or
+          actor pool for heavyweight models)--> annotated (+ per-group
+          vocab side-product)
+          --canonicalize(LSH+union-find over the vocabulary)--> entities
           --rewrite+dedup+sort--> triples/ mentions/ adjacency/ Parquet
 
 Two modes:
