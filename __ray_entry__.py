@@ -206,10 +206,18 @@ def _kg_report(sf_dir: str):
 
     res = _pipeline(sf_dir)
     triples = res["triples"]
+
+    def n_distinct(col: str) -> int:
+        # NOT Dataset.unique(): Ray 2.49's Unique aggregate crashes in
+        # merge (TypeError: unhashable numpy.ndarray) on multi-block
+        # data; groupby(col).count().count() is the safe equivalent
+        # (same pattern as q_count_distinct, relational.py).
+        return triples.select_columns([col]).groupby(col).count().count()
+
     n_triples = triples.count()
-    n_subjects = len(triples.unique("subj"))
-    n_graphs = len(triples.unique("graph"))
-    n_predicates = len(triples.unique("pred"))
+    n_subjects = n_distinct("subj")
+    n_graphs = n_distinct("graph")
+    n_predicates = n_distinct("pred")
     n_entities = res["entities"].num_rows \
         if hasattr(res["entities"], "num_rows") else res["entities"].count()
     return pa.table({

@@ -45,9 +45,18 @@ def knn_bruteforce(emb_ds, query_vec: np.ndarray, k: int = 10,
         # rank on the ROUNDED similarity (+ vec_id tie-break) so the
         # selection matches an oracle that orders by the rounded value
         sims = np.round((embs @ qv) / norms, 4)
-        order = np.lexsort((ids, -sims))[:k]
-        keep = [(ids[i], float(sims[i])) for i in order
-                if ids[i] not in excl][:k]
+        # filter exclusions BEFORE truncating to k: the excluded query
+        # vector ranks first in its own batch (cosine 1.0), and slicing
+        # the order first would silently drop that batch's rank-(k+1)
+        # candidate even when it belongs in the global top-k
+        order = np.lexsort((ids, -sims))
+        keep: list[tuple[int, float]] = []
+        for i in order:
+            if ids[i] in excl:
+                continue
+            keep.append((ids[i], float(sims[i])))
+            if len(keep) == k:
+                break
         return pa.table({"vec_id": pa.array([i for i, _ in keep], pa.int64()),
                          "cosine": pa.array([round(s, 4) for _, s in keep],
                                             pa.float64())})
@@ -112,8 +121,9 @@ def knn_lsh(emb_ds, query_vec: np.ndarray, k: int = 10, radius: int = 1,
             want.add("".join(map(str, flipped)))
 
     buckets = build_lsh_buckets(emb_ds)
+    want_arr = pa.array(sorted(want), pa.string())
     cand = buckets.map_batches(
-        lambda t, w=frozenset(want): t.filter(
-            pa.array([b in w for b in t.column("bucket").to_pylist()])),
+        lambda t, w=want_arr: t.filter(
+            pa.compute.is_in(t.column("bucket"), value_set=w)),
         batch_format="pyarrow").select_columns(["vec_id", "embedding"])
     return knn_bruteforce(cand, q, k=k, exclude_ids=exclude_ids)

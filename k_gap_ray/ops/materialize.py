@@ -142,6 +142,17 @@ def dedup_quads(triples_ds, coalesce: bool = True):
 
     def splitkey(t: pa.Table) -> pa.Table:
         parts = _pc.split_pattern(t.column("quad_key"), pattern=_SEP)
+        # lossless-round-trip guard: a \x1f inside any column value
+        # (possible for externally-parsed RDF literals, sources/rdfio)
+        # adds separators, so any corrupted row splits into != 7 parts
+        # — fail fast instead of silently mis-splitting. NOTE: null
+        # obj_datatype/obj_lang round-trip as "" by design.
+        n_parts = _pc.list_value_length(parts)
+        if t.num_rows and not _pc.all(_pc.equal(n_parts, 7)).as_py():
+            bad = t.filter(_pc.not_equal(n_parts, 7))
+            raise ValueError(
+                "dedup_quads: quad column contains the \\x1f separator; "
+                f"first corrupted key: {bad.column('quad_key')[0].as_py()!r}")
         field = [_pc.list_element(parts, i) for i in range(7)]
         return pa.table({
             "subj": field[0], "pred": field[1], "obj": field[2],

@@ -114,7 +114,11 @@ def _partition_groups(pages, n_groups: int) -> list:
         files = sorted(pages)
     else:
         return [pages]
-    n = max(1, min(n_groups, len(files)))
+    # FIXED modulus (never len(files)): with fewer shards than groups,
+    # appending one shard must not change the modulus and reshuffle
+    # every file->group assignment (full checkpoint invalidation);
+    # empty groups are cheap (files==[] early-mark path in _run_group)
+    n = max(1, n_groups)
     groups: list[list[str]] = [[] for _ in range(n)]
     for f in files:
         groups[zlib.crc32(os.path.basename(f).encode()) % n].append(f)

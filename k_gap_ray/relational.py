@@ -302,14 +302,19 @@ def q_anti_join(sf_dir: str):
         lambda t: t.filter(pc.greater(t.column("o_totalprice"),
                                       pa.scalar(150000.0))),
         batch_format="pyarrow")
-    keys_ref = ray.put(set(hi.unique("o_custkey")))
+    # distinct via groupby (Dataset.unique crashes on multi-block data
+    # in Ray 2.49); broadcast the key set once as an Arrow array
+    key_rows = (hi.select_columns(["o_custkey"])
+                .groupby("o_custkey").count().take_all())
+    keys_ref = ray.put(pa.array(sorted(r["o_custkey"] for r in key_rows),
+                                pa.int64()))
 
     def anti(t: pa.Table) -> pa.Table:
         import ray as _r
 
         keys = _r.get(keys_ref)
-        mask = [k not in keys for k in t.column("c_custkey").to_pylist()]
-        return t.filter(pa.array(mask))
+        return t.filter(pc.invert(pc.is_in(t.column("c_custkey"),
+                                           value_set=keys)))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return cust.map_batches(anti, batch_format="pyarrow")
@@ -388,14 +393,13 @@ def dereference(triples_ds, seeds: list[str], depth: int = 2):
         if not frontier_new:
             break
         visited |= frontier_new
-        ref = ray.put(frontier_new)
+        ref = ray.put(pa.array(sorted(frontier_new), pa.string()))
 
         def expand(t: pa.Table) -> pa.Table:
             import ray as _r
 
             fr = _r.get(ref)
-            mask = [s in fr for s in t.column("subj").to_pylist()]
-            return t.filter(pa.array(mask))
+            return t.filter(pc.is_in(t.column("subj"), value_set=fr))
 
         hop = triples_ds.map_batches(expand, batch_format="pyarrow").materialize()
         collected.append(hop)
