@@ -145,9 +145,30 @@ def _emb_near_dup(sf_dir: str):
 
     from k_gap_ray.functions.dedup import embedding_near_dup_pairs
 
+    import pyarrow as pa
+
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    return embedding_near_dup_pairs(ds, threshold=0.9)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.9)
+    # near-dup pair sets are tiny by construction; collect into a TYPED
+    # table because Ray's Dataset.to_pandas drops the schema of a
+    # fully-empty result (and 0 rows is the correct answer here)
+    return pa.Table.from_pylist(
+        pairs.take_all(),
+        schema=pa.schema([("vec_id_a", pa.int64()),
+                          ("vec_id_b", pa.int64())]))
+
+
+def _emb_sim_join(sf_dir: str):
+    """Exact all-pairs cosine-similarity join at a threshold too low
+    for LSH pruning — the bucketed quadratic path, oracle-verified."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.dedup import cosine_pairs_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return cosine_pairs_exact(ds, threshold=0.4, n_buckets=8)
 
 
 def _knn(sf_dir: str):
@@ -245,13 +266,15 @@ def _workflow_lang_en(sf_dir: str):
 
 
 def _media_features(sf_dir: str):
-    import ray.data as rd
+    """Binary-payload decode plumbing over a media table derived from
+    documents (payload = utf-8 text bytes). mode='stat' emits pure byte
+    statistics, so the actor-pool stage is value-verified by the SQL
+    oracle; mode='fake'/'real' (sha256 dims / codec slot) are covered
+    by pytest."""
+    from k_gap_ray.functions.multimodal import decode_stage, docs_as_media
 
-    from k_gap_ray.functions.multimodal import decode_stage, synth_media
-
-    n = max(60, int(_sf_of(sf_dir) * 60_000))
-    media = rd.from_arrow(synth_media(n))
-    return decode_stage(media, mode="fake").drop_columns(["feature"])
+    media = docs_as_media(_docs(sf_dir, ["doc_id", "text"]))
+    return decode_stage(media, mode="stat")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -289,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_top10": _knn,
         "q_knn_lsh": _knn_lsh,
         "q_emb_near_dup": _emb_near_dup,
+        "q_emb_sim_join": _emb_sim_join,
         # --- declarative workflow engine (X1-X3) ---
         "q_workflow_lang_en": _workflow_lang_en,
         # --- multimodal plumbing ---
@@ -427,8 +451,157 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
-        # q_doc_langid / q_doc_quality / q_doc_bpe_tokens /
-        # q_doc_fingerprints / q_doc_simhash / *_pairs / q_knn_lsh /
-        # q_emb_near_dup / q_media_features / kg_* : heuristic, hashed,
-        # or model-shaped ops — not SQL-expressible; rows-only checks.
+        # generated mirrors of the hashed/heuristic text kernels: the
+        # numpy kernels in functions.textstats/dedup are defined so the
+        # exact same value is DuckDB-expressible (see textstats module
+        # docstring), which upgrades these from rows-only to full
+        # value-hash verification
+        **_text_analysis_oracles(),
+        # q_knn_lsh (approximate by design; recall pinned in pytest
+        # against the exact result) and kg_* (computed over the
+        # synthesized pages corpus, not the driver's tables) remain
+        # rows-only.
+    }
+
+
+def _text_analysis_oracles() -> dict[str, str]:
+    from k_gap_ray.functions.textstats import (
+        BPE_PATTERN,
+        H1_BASE,
+        H1_MOD,
+        H2_BASE,
+        H2_MOD,
+        PUNCT_STRIP_PATTERN,
+        sql_fingerprint_expr,
+        sql_majority_expr,
+        sql_stopword_count,
+        sql_token_hash_list,
+    )
+
+    langid = f"""
+        WITH s AS (
+            SELECT doc_id,
+                   {sql_stopword_count('text', 'de')} AS s_de,
+                   {sql_stopword_count('text', 'en')} AS s_en,
+                   {sql_stopword_count('text', 'es')} AS s_es,
+                   {sql_stopword_count('text', 'fr')} AS s_fr
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                         AND s_de > 0 THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                    WHEN s_fr > 0 THEN 'fr'
+                    ELSE 'und' END AS pred_lang
+        FROM s
+    """
+    quality = f"""
+        WITH b AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(text) - length(replace(text, ' ', ''))
+                   + CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS n_tokens,
+                   length(text) - length(regexp_replace(
+                       text, '{PUNCT_STRIP_PATTERN}', '', 'g')) AS n_punct,
+                   {sql_stopword_count('text', 'en')} AS n_stop,
+                   length(replace(text, ' ', '')) AS n_nonspace
+            FROM documents)
+        SELECT doc_id, n_chars, n_tokens,
+               n_punct / greatest(n_chars, 1) AS punct_ratio,
+               n_stop / greatest(n_tokens, 1) AS stopword_ratio,
+               (least(n_tokens, 200) / 200.0) * 0.4
+               + (1.0 - least(n_punct / greatest(n_chars, 1), 1.0)) * 0.2
+               + least(n_stop / greatest(n_tokens, 1), 0.5) * 2.0 * 0.2
+               + (1.0 - least(abs(n_nonspace / greatest(n_tokens, 1) - 5.0),
+                              5.0) / 5.0) * 0.2 AS quality
+        FROM b
+    """
+    bpe = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+        FROM documents
+    """
+    h1s = sql_token_hash_list("text", H1_BASE, H1_MOD)
+    h2s = sql_token_hash_list("text", H2_BASE, H2_MOD)
+    fingerprint = f"""
+        WITH th AS (SELECT doc_id, {h1s} AS h1s FROM documents)
+        SELECT doc_id, {sql_fingerprint_expr('h1s')} AS fingerprint FROM th
+    """
+    simhash_cte = f"""
+        WITH th AS (SELECT doc_id, {h1s} AS h1s, {h2s} AS h2s
+                    FROM documents),
+        sim AS (SELECT doc_id,
+                       {sql_majority_expr('h1s')} AS simhash_lo,
+                       {sql_majority_expr('h2s')} AS simhash_hi
+                FROM th)
+    """
+    simhash = simhash_cte + "SELECT doc_id, simhash_lo, simhash_hi FROM sim"
+    simhash_pairs = simhash_cte + """
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               bit_count(xor(a.simhash_lo, b.simhash_lo))
+               + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
+              + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 8
+    """
+    # word-3-gram shingle sets; <3 tokens -> the single whole-text
+    # shingle (mirrors dedup._word_shingles); threshold 0.5 compared in
+    # exact integers (2*common >= union)
+    minhash_pairs = """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(tk) >= 3 THEN
+                          list_distinct(list_transform(
+                              range(1, len(tk) - 1),
+                              i -> array_to_string(tk[i:i+2], ' ')))
+                      ELSE [array_to_string(tk, ' ')] END AS s
+               FROM toks)
+        SELECT doc_id_a, doc_id_b, n_common, n_union FROM (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   len(list_intersect(a.s, b.s)) AS n_common,
+                   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                       AS n_union
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE 2 * n_common >= n_union
+    """
+    emb_near_dup = """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """
+    emb_sim_join = """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """
+    # ASCII payloads: byte == codepoint, so the byte statistics the
+    # decode actor computes from the binary payload equal these
+    # codepoint aggregates over the source text
+    media = """
+        WITH b AS (
+            SELECT doc_id AS media_id,
+                   'media/' || (doc_id % 3) AS mime,
+                   length(text) AS n_bytes,
+                   coalesce(list_aggregate(list_transform(
+                       list_filter(string_split(text, ''), c -> c <> ''),
+                       c -> unicode(c)::BIGINT), 'sum'), 0)::BIGINT
+                       AS byte_sum
+            FROM documents)
+        SELECT media_id, mime, n_bytes, byte_sum,
+               16 + byte_sum % 240 AS width,
+               16 + (byte_sum // 240) % 240 AS height
+        FROM b
+    """
+    return {
+        "q_media_features": media,
+        "q_doc_langid": langid,
+        "q_doc_quality": quality,
+        "q_doc_bpe_tokens": bpe,
+        "q_doc_fingerprints": fingerprint,
+        "q_doc_simhash": simhash,
+        "q_doc_simhash_pairs": simhash_pairs,
+        "q_doc_minhash_pairs": minhash_pairs,
+        "q_emb_near_dup": emb_near_dup,
+        "q_emb_sim_join": emb_sim_join,
     }

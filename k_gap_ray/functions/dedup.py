@@ -2,10 +2,17 @@
 Jaccard, embedding-cosine near-dup.
 
 Shared shape: signature per item (vectorized map_batches) -> explode to
-bucket keys -> groupby(bucket) member lists via hash aggregate (no
-per-group Python) -> capped in-bucket candidate pairs -> verify ->
-pairs/survivors. Same partitioning story as entity canonicalization
-(SURVEY.md 7.4); the LSH machinery is shared with oracle.canon.
+bucket keys -> per-bucket member lists (groupby + SafeUnique hash
+aggregate, no per-group Python) -> capped in-bucket candidate pairs ->
+verification by JOINING the candidate pairs back to the item table
+(two hash joins on id_a then id_b) -> pairs/survivors. Nothing
+materializes the corpus on the driver: pair verification ships only
+the (rare) candidate rows through the join, never an id->payload dict.
+
+Verification emits integer evidence (n_common/n_union shingle counts,
+Hamming distance) and compares thresholds in exact integer arithmetic,
+so the DuckDB brute-force oracles in ``__ray_entry__.oracle_sql``
+match value-for-value.
 """
 
 from __future__ import annotations
@@ -15,9 +22,30 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from k_gap_ray.oracle import canon
+from k_gap_ray.dsutil import (
+    SafeUnique,
+    join_datasets,
+    pack_floats,
+    unpack_floats,
+)
+from k_gap_ray.functions.textstats import H1_BASE, H1_MOD, _tokens_of, hash_tokens
 
 MAX_BUCKET = 256  # candidate cap per bucket; drops are counted in-row
+
+# --- doc-level MinHash config -------------------------------------------
+# 64 bands x 2 rows: P(candidate | jaccard s) = 1-(1-s^2)^64 -> miss
+# probability ~1e-8 at s=0.5, so the verified pair set equals the
+# brute-force all-pairs oracle with overwhelming probability (the
+# driver-gate gate relies on this; recall is also pinned by tests).
+DOC_NUM_PERM = 128
+DOC_ROWS_PER_BAND = 2
+DOC_BANDS = DOC_NUM_PERM // DOC_ROWS_PER_BAND
+_MERSENNE = np.uint64((1 << 61) - 1)
+_SHINGLE_MOD = np.uint64(4398046511093)  # prime < 2^42 (overflow headroom)
+_COMBINE = np.uint64(1000003)
+_rngd = np.random.RandomState(20240817)
+_DOC_PERM_A = _rngd.randint(1, (1 << 61) - 1, size=DOC_NUM_PERM).astype(np.uint64)
+_DOC_PERM_B = _rngd.randint(0, (1 << 61) - 1, size=DOC_NUM_PERM).astype(np.uint64)
 
 
 def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id"):
@@ -34,33 +62,113 @@ def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id"):
 
 
 def _word_shingles(text: str, k: int = 3) -> set[str]:
-    toks = text.split(" ") if text else []
+    """Distinct k-token shingle strings; mirrors the SQL oracle's CASE:
+    fewer than k tokens -> the single whole-text shingle (note that
+    ''.split(' ') == [''] so even empty text yields one shingle)."""
+    toks = (text or "").split(" ")
     if len(toks) < k:
-        return {" ".join(toks)} if toks else set()
+        return {" ".join(toks)}
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
+def _segment_horner(h: np.ndarray, counts: np.ndarray, starts: np.ndarray,
+                    base: np.uint64, mod: np.uint64) -> np.ndarray:
+    """Per-segment Horner combine of a flat uint64 array (vectorized
+    across segments via a positional power table)."""
+    if len(counts) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    maxn = int(counts.max())
+    pows = np.ones(max(maxn, 1), dtype=np.uint64)
+    for i in range(1, maxn):
+        pows[i] = (pows[i - 1] * base) % mod
+    ends = starts + counts
+    expo = np.repeat(ends, counts) - 1 - np.arange(len(h), dtype=np.int64)
+    contrib = ((h % mod) * pows[expo]) % mod
+    return np.add.reduceat(contrib, starts) % mod
+
+
+def _doc_shingle_hashes(texts_col, k: int):
+    """Hashed k-token shingles per doc, vectorized.
+
+    Returns (shingle uint64 array for docs with >=k tokens ordered by
+    doc, window counts per such doc, boolean mask of which docs they
+    are, single-shingle hash per small doc). Shingle hash = rolling
+    combine of token hashes — used only for LSH banding; verification
+    uses exact shingle STRINGS."""
+    flat, counts, starts = _tokens_of(texts_col)
+    h = hash_tokens(flat, H1_BASE, H1_MOD)
+    T, D = len(h), len(counts)
+    big = counts >= k
+    n_win = np.where(big, counts - k + 1, 0).astype(np.int64)
+    if T >= k:
+        W = T - k + 1
+        acc = h[:W].copy()
+        for j in range(1, k):
+            acc = (acc % _SHINGLE_MOD) * _COMBINE + h[j:W + j]
+        acc %= _SHINGLE_MOD
+        doc_of = np.repeat(np.arange(D), counts)[:W]
+        pos = np.arange(W) - starts[doc_of]
+        valid = (pos + k) <= counts[doc_of]
+        windows = acc[valid]
+    else:
+        windows = np.zeros(0, dtype=np.uint64)
+    if (~big).any():
+        # compact the small docs' tokens so segment offsets align with
+        # the sliced hash array (_segment_horner assumes contiguity)
+        doc_of_all = np.repeat(np.arange(D), counts)
+        h_small = h[~big[doc_of_all]]
+        c_small = counts[~big]
+        s_small = np.zeros(len(c_small), dtype=np.int64)
+        np.cumsum(c_small[:-1], out=s_small[1:])
+        small_sh = _segment_horner(h_small, c_small, s_small,
+                                   _COMBINE, _SHINGLE_MOD)
+    else:
+        small_sh = np.zeros(0, dtype=np.uint64)
+    return windows, n_win[big], big, small_sh
+
+
 def minhash_doc_bands(ds, shingle_k: int = 3, id_col: str = "doc_id"):
-    """(doc_id, text) -> (band_key, doc_id) rows via word-shingle MinHash."""
+    """(doc_id, text) -> (band_key:int64, doc_id) rows via word-shingle
+    MinHash. Fully vectorized: token hashes -> rolling-window shingle
+    hashes -> per-permutation min via segmented reduce -> numeric band
+    keys (no per-doc Python, no string keys)."""
 
     def f(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        texts = t.column("text").to_pylist()
-        band_out, id_out = [], []
-        for i, text in zip(ids, texts):
-            sh = _word_shingles(text or "", shingle_k)
-            if not sh:
-                continue
-            h = canon._base_hashes(sh)
-            vals = (np.multiply.outer(canon._PERM_A, h, dtype=np.int64)
-                    + canon._PERM_B[:, None]) % canon._MERSENNE
-            sig = vals.min(axis=1)
-            for key in canon.band_keys(sig):
-                band_out.append(key)
-                id_out.append(i)
-        return pa.table({"band_key": band_out, id_col: id_out})
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        D = len(ids)
+        if D == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        windows, win_counts, big, small_sh = _doc_shingle_hashes(
+            t.column("text"), shingle_k)
+        sig = np.empty((D, DOC_NUM_PERM), dtype=np.uint64)
+        big_idx = np.nonzero(big)[0]
+        small_idx = np.nonzero(~big)[0]
+        if big_idx.size:
+            w_starts = np.zeros(len(win_counts), dtype=np.int64)
+            np.cumsum(win_counts[:-1], out=w_starts[1:])
+            for p in range(DOC_NUM_PERM):
+                vals = (_DOC_PERM_A[p] * windows + _DOC_PERM_B[p]) % _MERSENNE
+                sig[big_idx, p] = np.minimum.reduceat(vals, w_starts)
+        if small_idx.size:
+            vals = (np.multiply.outer(small_sh, _DOC_PERM_A)
+                    + _DOC_PERM_B[None, :]) % _MERSENNE
+            sig[small_idx, :] = vals
+        # numeric band keys: combine the r rows of each band, tag with
+        # the band index (int64-safe: 55-bit value * 64 + band)
+        keys = np.empty((D, DOC_BANDS), dtype=np.int64)
+        for b in range(DOC_BANDS):
+            comb = sig[:, DOC_ROWS_PER_BAND * b].copy()
+            for r in range(1, DOC_ROWS_PER_BAND):
+                comb = comb * _COMBINE + sig[:, DOC_ROWS_PER_BAND * b + r]
+            keys[:, b] = ((comb % np.uint64(1 << 55)) * np.uint64(DOC_BANDS)
+                          + np.uint64(b)).astype(np.int64)
+        return pa.table({
+            "band_key": pa.array(keys.reshape(-1), pa.int64()),
+            id_col: pa.array(np.repeat(ids, DOC_BANDS), pa.int64()),
+        })
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _pairs_table(blocks: pa.Table, id_col: str) -> pa.Table:
@@ -73,179 +181,326 @@ def _pairs_table(blocks: pa.Table, id_col: str) -> pa.Table:
             for j in range(i + 1, len(ms)):
                 a_out.append(ms[i])
                 b_out.append(ms[j])
-    return pa.table({f"{id_col}_a": a_out, f"{id_col}_b": b_out})
+    return pa.table({f"{id_col}_a": pa.array(a_out, pa.int64()),
+                     f"{id_col}_b": pa.array(b_out, pa.int64())})
 
 
 def lsh_candidate_pairs(band_ds, id_col: str = "doc_id"):
     """(band_key, id) -> distinct candidate id pairs (a < b)."""
-    from ray.data.aggregate import Unique
-
-    blocks = (band_ds.groupby("band_key").aggregate(Unique(id_col))
-              .rename_columns({f"unique({id_col})": "members"}))
+    blocks = (band_ds.groupby("band_key")
+              .aggregate(SafeUnique(id_col, alias_name="members")))
     pairs = blocks.map_batches(lambda t: _pairs_table(t, id_col),
                                batch_format="pyarrow")
     return (pairs.groupby([f"{id_col}_a", f"{id_col}_b"]).count()
             .select_columns([f"{id_col}_a", f"{id_col}_b"]))
 
 
+def attach_pair_payload(pairs_ds, items_ds, id_col: str, payload_cols: list,
+                        num_partitions: int | None = None):
+    """Join both endpoints' payload columns onto a candidate-pair set.
+
+    Two hash joins on id_a then id_b — the scale-safe replacement for
+    broadcasting an id->payload dict of the whole corpus (round-1
+    review finding). Only candidate rows flow through the shuffle."""
+
+    def rename(side: str):
+        mapping = {id_col: f"{id_col}_{side}"}
+        mapping.update({c: f"{c}_{side}" for c in payload_cols})
+        return items_ds.select_columns([id_col] + payload_cols) \
+            .rename_columns(mapping)
+
+    out = join_datasets(pairs_ds, rename("a"), on=f"{id_col}_a",
+                        num_partitions=num_partitions)
+    return join_datasets(out, rename("b"), on=f"{id_col}_b",
+                         num_partitions=num_partitions)
+
+
 def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
                          shingle_k: int = 3, id_col: str = "doc_id"):
-    """Exact n-gram-Jaccard verification of candidate pairs.
+    """Exact n-gram-Jaccard verification of candidate pairs via joins.
 
-    The docs side is broadcast once via ray.put (id -> text); at true
-    scale this becomes a two-round join on id — documented trade-off."""
-    import ray
-
-    texts = {}
-    for batch in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        texts.update(zip(batch.column(id_col).to_pylist(),
-                         batch.column("text").to_pylist()))
-    ref = ray.put(texts)
+    Emits integer (n_common, n_union) evidence and keeps a pair iff
+    den*n_common >= num*n_union where num/den is the exact binary
+    fraction of ``threshold`` — integer arithmetic on both engine and
+    oracle sides, so no float-boundary coin flips."""
+    num, den = float(threshold).as_integer_ratio()
+    joined = attach_pair_payload(pairs_ds, docs_ds, id_col, ["text"])
 
     def verify(t: pa.Table) -> pa.Table:
-        import ray as _r
-
-        lookup = _r.get(ref)
-        a_col = t.column(f"{id_col}_a").to_pylist()
-        b_col = t.column(f"{id_col}_b").to_pylist()
-        keep_a, keep_b, sims = [], [], []
-        for a, b in zip(a_col, b_col):
-            sa = _word_shingles(lookup.get(a, "") or "", shingle_k)
-            sb = _word_shingles(lookup.get(b, "") or "", shingle_k)
-            j = canon.jaccard(sa, sb)
-            if j >= threshold:
+        a_ids = t.column(f"{id_col}_a").to_pylist()
+        b_ids = t.column(f"{id_col}_b").to_pylist()
+        keep_a, keep_b, commons, unions = [], [], [], []
+        for a, b, ta, tb in zip(a_ids, b_ids,
+                                t.column("text_a").to_pylist(),
+                                t.column("text_b").to_pylist()):
+            sa = _word_shingles(ta or "", shingle_k)
+            sb = _word_shingles(tb or "", shingle_k)
+            c = len(sa & sb)
+            u = len(sa) + len(sb) - c
+            if den * c >= num * u:
                 keep_a.append(a)
                 keep_b.append(b)
-                sims.append(round(j, 4))
+                commons.append(c)
+                unions.append(u)
         return pa.table({f"{id_col}_a": pa.array(keep_a, pa.int64()),
                          f"{id_col}_b": pa.array(keep_b, pa.int64()),
-                         "jaccard": pa.array(sims, pa.float64())})
+                         "n_common": pa.array(commons, pa.int64()),
+                         "n_union": pa.array(unions, pa.int64())})
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, shingle_k: int = 3):
-    """Full MinHash+LSH near-dup pipeline -> verified (a, b, jaccard)."""
+    """Full MinHash+LSH near-dup pipeline -> verified
+    (doc_id_a, doc_id_b, n_common, n_union)."""
+    docs_ds = docs_ds.materialize()  # consumed by banding AND verify join
     bands = minhash_doc_bands(docs_ds, shingle_k)
     pairs = lsh_candidate_pairs(bands)
     return verify_jaccard_pairs(pairs, docs_ds, threshold, shingle_k)
 
 
-def simhash_dup_pairs(docs_ds, max_hamming: int = 3):
-    """SimHash near-dup: band the 64-bit simhash into 4 x 16-bit chunks
-    (any pair within Hamming distance 3 shares >=1 exact chunk),
-    groupby chunk, verify true Hamming distance."""
-    from ray.data.aggregate import Unique
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) \
+        + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
 
+
+def simhash_dup_pairs(docs_ds, max_hamming: int = 3):
+    """SimHash near-dup pairs with pigeonhole-complete banding.
+
+    The 64-bit simhash is cut into ``max_hamming + 1`` chunks — any
+    pair within the Hamming budget must agree exactly on >=1 chunk, so
+    banding recall is 1.0 BY CONSTRUCTION for the requested radius
+    (round-1 advice: the old fixed 4x16-bit scheme silently lost
+    distance 4..8 pairs). True distance is verified by joining the
+    signature table back onto the candidate pairs."""
     from k_gap_ray.functions.textstats import simhash64
 
-    sh = simhash64(docs_ds)
+    n_chunks = max_hamming + 1
+    bounds = np.linspace(0, 64, n_chunks + 1).astype(np.int64)
+    widths = bounds[1:] - bounds[:-1]
+    max_w = int(widths.max())
+
+    sh = simhash64(docs_ds).materialize()  # banding + verify join share it
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        hashes = t.column("simhash").to_pylist()
-        keys, id_out, h_out = [], [], []
-        for i, h in zip(ids, hashes):
-            u = np.uint64(np.int64(h).astype(np.uint64))
-            for c in range(4):
-                chunk = int((u >> np.uint64(16 * c)) & np.uint64(0xFFFF))
-                keys.append(f"c{c}:{chunk}")
-                id_out.append(i)
-                h_out.append(h)
-        return pa.table({"band_key": keys, "doc_id": id_out, "simhash": h_out})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lo = t.column("simhash_lo").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        hi = t.column("simhash_hi").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        u = lo | (hi << np.uint64(32))
+        D = len(ids)
+        keys = np.empty((D, n_chunks), dtype=np.int64)
+        for c in range(n_chunks):
+            w = int(widths[c])
+            chunk = (u >> np.uint64(bounds[c])) & np.uint64((1 << w) - 1)
+            keys[:, c] = ((np.uint64(c) << np.uint64(max_w)) | chunk) \
+                .astype(np.int64)
+        return pa.table({
+            "band_key": pa.array(keys.reshape(-1), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, n_chunks), pa.int64())})
 
-    bands = sh.map_batches(explode, batch_format="pyarrow")
-    blocks = (bands.groupby("band_key").aggregate(Unique("doc_id"))
-              .rename_columns({"unique(doc_id)": "members"}))
-    pairs = (blocks.map_batches(lambda t: _pairs_table(t, "doc_id"),
-                                batch_format="pyarrow")
-             .groupby(["doc_id_a", "doc_id_b"]).count()
-             .select_columns(["doc_id_a", "doc_id_b"]))
-
-    # verify hamming distance via a broadcast id->simhash map
-    import ray
-
-    id2hash = {r["doc_id"]: r["simhash"] for r in sh.take_all()}
-    ref = ray.put(id2hash)
+    bands = sh.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    pairs = lsh_candidate_pairs(bands)
+    joined = attach_pair_payload(pairs, sh, "doc_id",
+                                 ["simhash_lo", "simhash_hi"])
 
     def verify(t: pa.Table) -> pa.Table:
-        import ray as _r
+        def u64(col_lo, col_hi):
+            lo = t.column(col_lo).to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            hi = t.column(col_hi).to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            return lo | (hi << np.uint64(32))
 
-        lookup = _r.get(ref)
-        keep_a, keep_b, dists = [], [], []
-        for a, b in zip(t.column("doc_id_a").to_pylist(),
-                        t.column("doc_id_b").to_pylist()):
-            d = bin(np.uint64(np.int64(lookup[a]).astype(np.uint64))
-                    ^ np.uint64(np.int64(lookup[b]).astype(np.uint64))).count("1")
-            if d <= max_hamming:
-                keep_a.append(a)
-                keep_b.append(b)
-                dists.append(d)
-        return pa.table({"doc_id_a": pa.array(keep_a, pa.int64()),
-                         "doc_id_b": pa.array(keep_b, pa.int64()),
-                         "hamming": pa.array(dists, pa.int64())})
+        d = _popcount64(u64("simhash_lo_a", "simhash_hi_a")
+                        ^ u64("simhash_lo_b", "simhash_hi_b"))
+        keep = d <= max_hamming
+        return pa.table({
+            "doc_id_a": t.column("doc_id_a").filter(pa.array(keep)),
+            "doc_id_b": t.column("doc_id_b").filter(pa.array(keep)),
+            "hamming": pa.array(d[keep], pa.int64())})
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# --- embedding near-dup -------------------------------------------------
+
+_PLANE_CACHE: dict = {}
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int,
+                 seed: int) -> np.ndarray:
+    """(dim, n_tables*n_planes) fixed-seed planes, cached per worker."""
+    key = (dim, n_planes, n_tables, seed)
+    if key not in _PLANE_CACHE:
+        _PLANE_CACHE[key] = np.hstack([
+            np.random.RandomState(seed + l).randn(dim, n_planes)
+            for l in range(n_tables)])
+    return _PLANE_CACHE[key]
+
+
+def embedding_bands(emb_ds, n_planes: int = 8, n_tables: int = 24,
+                    seed: int = 777, id_col: str = "vec_id"):
+    """(vec_id, embedding) -> (band_key:int64, vec_id) rows.
+
+    OR-amplified random-hyperplane LSH: n_tables independent plane
+    sets; a pair is a candidate if it agrees on ALL n_planes signs of
+    ANY table. Miss probability at cos 0.9 with 8x24:
+    (1 - 0.857^8)^24 ~ 2e-4 (round-1 advice: one 12-plane table had
+    ~16% recall). One matmul per batch covers every table."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        embs = np.asarray(t.column("embedding").to_pylist(),
+                          dtype=np.float64)
+        planes = _hyperplanes(embs.shape[1], n_planes, n_tables, seed)
+        signs = (embs @ planes) >= 0  # (D, n_tables*n_planes)
+        po2 = (1 << np.arange(n_planes, dtype=np.int64))
+        keys = np.empty((len(ids), n_tables), dtype=np.int64)
+        for l in range(n_tables):
+            packed = signs[:, l * n_planes:(l + 1) * n_planes] @ po2
+            keys[:, l] = (l << n_planes) | packed
+        return pa.table({
+            "band_key": pa.array(keys.reshape(-1), pa.int64()),
+            id_col: pa.array(np.repeat(ids, n_tables), pa.int64())})
+
+    return emb_ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _pack_embeddings(emb_ds, id_col: str = "vec_id"):
+    """(vec_id, embedding:list<float>) -> (vec_id, emb:fixed_binary):
+    joins reject list payloads, fixed-size binary passes zero-copy."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(id_col),
+                         "emb": pack_floats(t.column("embedding"))})
+
+    return emb_ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _verify_cosine_pairs(pairs_ds, packed_ds, threshold: float,
+                         id_col: str = "vec_id",
+                         emit_cosine: bool = False):
+    """Join both endpoint vectors onto candidate pairs, keep exact
+    cosine >= threshold. Vectorized: one fused multiply-add per batch."""
+    joined = attach_pair_payload(pairs_ds, packed_ds, id_col, ["emb"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        va = unpack_floats(t.column("emb_a")).astype(np.float64)
+        vb = unpack_floats(t.column("emb_b")).astype(np.float64)
+        if len(va) == 0:
+            cos = np.zeros(0)
+        else:
+            na = np.linalg.norm(va, axis=1)
+            nb = np.linalg.norm(vb, axis=1)
+            denom = np.where(na * nb == 0, 1.0, na * nb)
+            cos = (va * vb).sum(axis=1) / denom
+        keep = cos >= threshold
+        cols = {
+            f"{id_col}_a": t.column(f"{id_col}_a").filter(pa.array(keep)),
+            f"{id_col}_b": t.column(f"{id_col}_b").filter(pa.array(keep)),
+        }
+        if emit_cosine:
+            cols["cosine"] = pa.array(np.round(cos[keep], 4), pa.float64())
+        return pa.table(cols)
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95,
-                             n_planes: int = 12):
-    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+                             n_planes: int = 8, n_tables: int = 24):
+    """Embedding-cosine near-dup via OR-amplified hyperplane LSH,
+    verified by exact cosine through a pair join (no driver-side
+    id->vector dict). Returns (vec_id_a, vec_id_b)."""
+    emb_ds = emb_ds.materialize()
+    bands = embedding_bands(emb_ds, n_planes=n_planes, n_tables=n_tables)
+    pairs = lsh_candidate_pairs(bands, id_col="vec_id")
+    return _verify_cosine_pairs(pairs, _pack_embeddings(emb_ds), threshold)
 
-    Vectors agreeing on all n_planes signs land in one bucket; within a
-    bucket, exact cosine (numpy matmul) filters by threshold. Scale
-    path: buckets shrink quadratic pair cost to per-bucket cost."""
-    from ray.data.aggregate import Unique
+
+def cosine_pairs_exact(emb_ds, threshold: float, n_buckets: int = 8,
+                       id_col: str = "vec_id", emit_cosine: bool = False):
+    """EXACT all-pairs cosine similarity join (the brute-force path).
+
+    Each vector is replicated to its n_buckets unordered bucket-pair
+    groups (bucket = vec_id % n_buckets); each group computes the full
+    cross product for its two buckets with one numpy matmul, keeping
+    only pairs whose bucket multiset matches the group (so every pair
+    is emitted exactly once). O(n^2/B) work per group, B*(B+1)/2-way
+    parallel — the documented quadratic fallback for thresholds too
+    low for LSH pruning."""
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t.column("vec_id").to_pylist()
-        embs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        if embs.size == 0:
-            return pa.table({"band_key": pa.array([], pa.string()),
-                             "vec_id": pa.array([], pa.int64())})
-        # fresh fixed-seed generator per batch -> same planes everywhere
-        planes = np.random.RandomState(777).randn(embs.shape[1], n_planes)
-        signs = (embs @ planes) >= 0
-        keys = ["".join("1" if b else "0" for b in row) for row in signs]
-        return pa.table({"band_key": pa.array(keys, pa.string()),
-                         "vec_id": pa.array(ids, pa.int64())})
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"pair_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "emb": pack_floats(t.column("embedding"))})
+        packed = pack_floats(t.column("embedding"))
+        own = ids % n_buckets
+        key_list, id_idx = [], []
+        for j in range(n_buckets):
+            lo = np.minimum(own, j)
+            hi = np.maximum(own, j)
+            key_list.append(lo * n_buckets + hi)
+            id_idx.append(np.arange(len(ids)))
+        keys = np.concatenate(key_list)
+        idx = np.concatenate(id_idx)
+        return pa.table({
+            "pair_key": pa.array(keys, pa.int64()),
+            id_col: pa.array(ids[idx], pa.int64()),
+            "emb": packed.take(pa.array(idx))})
 
-    bands = emb_ds.map_batches(explode, batch_format="pyarrow")
-    blocks = (bands.groupby("band_key").aggregate(Unique("vec_id"))
-              .rename_columns({"unique(vec_id)": "members"}))
-    pairs = (blocks.map_batches(lambda t: _pairs_table(t, "vec_id"),
-                                batch_format="pyarrow")
-             .groupby(["vec_id_a", "vec_id_b"]).count()
-             .select_columns(["vec_id_a", "vec_id_b"]))
+    def group_pairs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            cols = {f"{id_col}_a": pa.array([], pa.int64()),
+                    f"{id_col}_b": pa.array([], pa.int64())}
+            if emit_cosine:
+                cols["cosine"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        key = int(t.column("pair_key")[0].as_py())
+        blo, bhi = key // n_buckets, key % n_buckets
+        # drop replicated duplicates of the same vector in this group
+        _, first = np.unique(ids, return_index=True)
+        ids = ids[first]
+        V = unpack_floats(t.column("emb").take(pa.array(first))) \
+            .astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        C = Vn @ Vn.T
+        ai, bi = np.nonzero(np.triu(C >= threshold, k=1))
+        a, b = ids[ai], ids[bi]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        mset_ok = (np.minimum(a2 % n_buckets, b2 % n_buckets) == blo) \
+            & (np.maximum(a2 % n_buckets, b2 % n_buckets) == bhi)
+        cols = {f"{id_col}_a": pa.array(a2[mset_ok], pa.int64()),
+                f"{id_col}_b": pa.array(b2[mset_ok], pa.int64())}
+        if emit_cosine:
+            cols["cosine"] = pa.array(
+                np.round(C[ai, bi][mset_ok], 4), pa.float64())
+        return pa.table(cols)
 
-    import ray
-
-    vecs = {}
-    for batch in emb_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for i, e in zip(batch.column("vec_id").to_pylist(),
-                        batch.column("embedding").to_pylist()):
-            vecs[i] = np.asarray(e, dtype=np.float64)
-    ref = ray.put(vecs)
-
-    def verify(t: pa.Table) -> pa.Table:
-        import ray as _r
-
-        lookup = _r.get(ref)
-        keep_a, keep_b, sims = [], [], []
-        for a, b in zip(t.column("vec_id_a").to_pylist(),
-                        t.column("vec_id_b").to_pylist()):
-            va, vb = lookup[a], lookup[b]
-            denom = np.linalg.norm(va) * np.linalg.norm(vb)
-            c = float(va @ vb / denom) if denom else 0.0
-            if c >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                sims.append(round(c, 4))
-        return pa.table({"vec_id_a": pa.array(keep_a, pa.int64()),
-                         "vec_id_b": pa.array(keep_b, pa.int64()),
-                         "cosine": pa.array(sims, pa.float64())})
-
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    exploded = emb_ds.map_batches(explode, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return exploded.groupby("pair_key").map_groups(
+        group_pairs, batch_format="pyarrow")
 
 
 def content_hash(text: str) -> str:

@@ -39,6 +39,46 @@ MEDIA_FEATURES = pa.schema(
     ]
 )
 
+# mode="stat" output: pure integer byte statistics, SQL-expressible —
+# the oracle-verified slice of the decode stage (same actor plumbing)
+MEDIA_STATS = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("mime", pa.string()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("byte_sum", pa.int64()),
+        pa.field("width", pa.int64()),
+        pa.field("height", pa.int64()),
+    ]
+)
+
+
+def docs_as_media(docs_ds):
+    """documents -> MEDIA-shaped table: payload = utf-8 text bytes.
+
+    Gives the binary-column plumbing a corpus whose 'decoded' byte
+    statistics a SQL oracle can recompute from the text column."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t.column("doc_id")
+        mimes = pc.binary_join_element_wise(
+            pa.array(["media"] * t.num_rows),
+            pc.cast(pc.subtract(ids, pc.multiply(
+                pc.divide(ids, 3), 3)), pa.string()), "/")
+        return pa.table({
+            "media_id": ids,
+            "payload": pc.cast(t.column("text"), pa.binary()),
+            "mime": mimes,
+            "source_url": pc.binary_join_element_wise(
+                pa.array(["urn:doc:"] * t.num_rows),
+                pc.cast(ids, pa.string()), ""),
+        })
+
+    return docs_ds.map_batches(f, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
 
 def synth_media(n: int, seed: int = 7) -> pa.Table:
     """Deterministic fake media table for plumbing tests."""
@@ -65,7 +105,7 @@ class MediaDecoder:
     FEATURE_DIM = 16
 
     def __init__(self, mode: str = "fake") -> None:
-        if mode not in ("fake", "real"):
+        if mode not in ("fake", "real", "stat"):
             raise ValueError(mode)
         self.mode = mode
 
@@ -83,7 +123,42 @@ class MediaDecoder:
                 .astype(np.float32) / 255.0)
         return width, height, feat
 
+    def _stats_batch(self, batch: pa.Table) -> pa.Table:
+        """mode='stat': vectorized byte statistics (no per-row Python).
+
+        width/height are integer functions of the byte sum — same
+        values a SQL oracle derives from codepoints for ASCII payloads.
+        """
+        import pyarrow.compute as pc
+
+        payload = batch.column("payload")
+        flat = payload.combine_chunks() if isinstance(payload, pa.ChunkedArray) \
+            else payload
+        n = len(flat)
+        if n == 0:
+            return MEDIA_STATS.empty_table()
+        off_dtype = np.int64 if pa.types.is_large_binary(flat.type) else np.int32
+        offs = np.frombuffer(flat.buffers()[1], dtype=off_dtype)[
+            flat.offset:flat.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+        n_bytes = offs[1:] - offs[:-1]
+        csum = np.concatenate(([0], np.cumsum(
+            data[offs[0]:offs[-1]].astype(np.int64))))
+        byte_sum = csum[offs[1:] - offs[0]] - csum[offs[:-1] - offs[0]]
+        width = 16 + byte_sum % 240
+        height = 16 + (byte_sum // 240) % 240
+        return pa.table({
+            "media_id": pc.cast(batch.column("media_id"), pa.int64()),
+            "mime": batch.column("mime"),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "byte_sum": pa.array(byte_sum, pa.int64()),
+            "width": pa.array(width, pa.int64()),
+            "height": pa.array(height, pa.int64()),
+        })
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "stat":
+            return self._stats_batch(batch)
         ids = batch.column("media_id").to_pylist()
         mimes = batch.column("mime").to_pylist()
         payloads = batch.column("payload").to_pylist()

@@ -1,24 +1,104 @@
 """Text-analysis operators over a document table (doc_id, text, ...).
 
-All per-batch kernels are vectorized (pyarrow.compute / numpy) or use
-per-actor compiled state; nothing iterates Python rows on the driver.
+Every kernel here is (a) vectorized — Arrow/numpy over flat token
+arrays, no per-row Python in hot paths — and (b) *SQL-mirrored*: the
+exact same value is expressible in ANSI-ish DuckDB SQL (list_reduce /
+list_filter / regexp functions), so each operator has a value-level
+oracle in ``__ray_entry__.oracle_sql`` instead of a rows-only check.
+
+Hashing scheme (shared with functions.dedup):
+- per-token rolling hash over codepoints: ``h = (h*BASE + cp) % MOD``
+  with (257, 4294967291) for h1 and (131, 4294967279) for h2 — both
+  fit 32 bits, so DuckDB's HUGEINT intermediate never overflows and
+  numpy uint64 arithmetic is exact.
+- document fingerprint: Horner over the h1 token-hash sequence with
+  (1000003, 999999937) — equals DuckDB
+  ``list_reduce(list_prepend(0, hs), (a,b) -> (a*B+b) % M)``.
+- simhash: 32 bit-majority votes over h1 (``simhash_lo``) and 32 over
+  h2 (``simhash_hi``); two int64 columns < 2^32 sidestep BIGINT sign
+  issues in the SQL mirror.
+
+The byte-level vectorized path assumes ASCII text (codepoint == byte);
+non-ASCII tokens take a per-token codepoint fallback so the kernel
+contract (codepoints) holds for any input.
 """
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+H1_BASE, H1_MOD = 257, 4294967291
+H2_BASE, H2_MOD = 131, 4294967279
+FP_BASE, FP_MOD = 1000003, 999999937
+
 _STOPWORDS = {
-    "en": {"the", "a", "and", "of", "to", "in", "is", "it", "that", "for"},
-    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"},
-    "es": {"el", "la", "de", "que", "y", "en", "un", "es", "se", "no"},
-    "fr": {"le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"},
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"],
 }
+# GPT-2-ish pretokenizer shape: letter runs, digit runs, punct runs.
+# Explicit ASCII classes (no \d, \s, \w) so Python re and DuckDB's RE2
+# agree character-for-character.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+PUNCT_STRIP_PATTERN = "[^A-Za-z0-9 ]"
+
+
+def _tokens_of(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Split a string column on single spaces (== SQL string_split).
+
+    Returns (flat token StringArray, per-doc token counts int64,
+    per-doc start offsets into the flat array). Empty/null text yields
+    one empty token, mirroring ``string_split('', ' ') = ['']``.
+    """
+    col = text_col.combine_chunks() if isinstance(text_col, pa.ChunkedArray) \
+        else text_col
+    toks = pc.split_pattern(pc.fill_null(col, ""), pattern=" ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return toks.flatten(), counts, starts
+
+
+def hash_tokens(flat, base: int, mod: int) -> np.ndarray:
+    """Vectorized per-token rolling codepoint hash (uint64).
+
+    Iterates over character POSITIONS (max token length, ~10), not
+    tokens — each step is one numpy gather + fused multiply-add over
+    every still-active token.
+    """
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    n = len(flat)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    bufs = flat.buffers()
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[
+        flat.offset:flat.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    acc = np.zeros(n, dtype=np.uint64)
+    starts, lens = off[:-1], off[1:] - off[:-1]
+    if lens.size and (data[off[0]:off[-1]] >= 128).any():
+        # non-ASCII fallback: hash true codepoints per token (slow
+        # path; contract is codepoints, byte path is the ASCII fast path)
+        b, m = np.uint64(base), np.uint64(mod)
+        for i, tok in enumerate(flat.to_pylist()):
+            h = np.uint64(0)
+            for cp in tok or "":
+                h = (h * b + np.uint64(ord(cp))) % m
+            acc[i] = h
+        return acc
+    maxlen = int(lens.max()) if n else 0
+    ubase, umod = np.uint64(base), np.uint64(mod)
+    for j in range(maxlen):
+        mask = lens > j
+        c = data[starts[mask] + j].astype(np.uint64)
+        acc[mask] = (acc[mask] * ubase + c) % umod
+    return acc
 
 
 def token_counts(ds):
@@ -39,14 +119,16 @@ def token_counts(ds):
 class BpeishTokenCounter:
     """Token counting with a BPE-ish compiled regex (actor-pool stage:
     the pattern — a stand-in for a real tokenizer load — is compiled
-    once per actor)."""
+    once per actor). Pattern == oracle's regexp_extract_all pattern."""
 
     def __init__(self) -> None:
-        # GPT-2-style pretokenizer shape: words, numbers, punctuation runs
-        self.pat = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+        import re
+
+        self.pat = re.compile(BPE_PATTERN)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        df["n_bpe_tokens"] = df["text"].str.findall(self.pat).str.len().astype("int64")
+        df["n_bpe_tokens"] = (df["text"].fillna("").str.count(self.pat)
+                              .astype("int64"))
         return df[["doc_id", "n_bpe_tokens"]]
 
 
@@ -55,115 +137,192 @@ def bpe_token_counts(ds, concurrency=(1, 4)):
                           batch_size=1024, concurrency=concurrency)
 
 
-class LangId:
-    """n-gram/stopword-heuristic language ID (actor pool; stopword sets
-    + tokenizer compiled once per actor)."""
+def lang_id(ds):
+    """Stopword-count language ID over space-split lowercase tokens.
 
-    def __init__(self) -> None:
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+    Vectorized: one is_in per language over the flat token array, then
+    a segmented sum per doc. Prediction = alphabetically-first language
+    with the max score when positive, else 'und' — mirrored by the
+    CASE chain in the SQL oracle."""
+    langs = sorted(_STOPWORDS)
+    stop_arrs = {lg: pa.array(sorted(_STOPWORDS[lg]), pa.string())
+                 for lg in langs}
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.lower().str.findall(self.word)
+    def f(t: pa.Table) -> pa.Table:
+        flat, counts, starts = _tokens_of(pc.utf8_lower(t.column("text")))
+        n_docs = len(counts)
+        scores = np.zeros((n_docs, len(langs)), dtype=np.int64)
+        for li, lg in enumerate(langs):
+            hits = pc.is_in(flat, value_set=stop_arrs[lg]) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            if n_docs:
+                scores[:, li] = np.add.reduceat(hits, starts)
+        best = np.argmax(scores, axis=1)  # first max wins (alphabetical)
+        top = scores[np.arange(n_docs), best] if n_docs else best
+        pred = np.where(top > 0, np.array(langs, dtype=object)[best], "und")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "pred_lang": pa.array(pred, pa.string())})
 
-        def best(ws: list[str]) -> str:
-            if not ws:
-                return "und"
-            scores = {lang: sum(w in s for w in ws) for lang, s in self.stop.items()}
-            top = max(sorted(scores), key=lambda k: scores[k])
-            return top if scores[top] > 0 else "und"
-
-        df["pred_lang"] = toks.map(best)
-        return df[["doc_id", "pred_lang"]]
-
-
-def lang_id(ds, concurrency=(1, 4)):
-    return ds.map_batches(LangId, batch_format="pandas", batch_size=2048,
-                          concurrency=concurrency)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def quality_scores(ds):
-    """Length / punctuation / stopword-ratio quality signals, vectorized."""
+    """Length / punctuation / stopword-ratio quality signals.
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        text = df["text"]
-        n_chars = text.str.len().astype("int64")
-        n_spaces = text.str.count(" ")
-        n_tokens = (n_spaces + (n_chars > 0)).astype("int64")
-        n_punct = text.str.count(r"[^\w\s]")
-        words = text.str.lower().str.findall(r"[a-z]+")
-        en = _STOPWORDS["en"]
-        stop_frac = words.map(
-            lambda ws: sum(w in en for w in ws) / len(ws) if ws else 0.0)
-        mean_tok_len = (n_chars - n_spaces) / n_tokens.where(n_tokens > 0, 1)
-        score = (
-            (n_tokens.clip(0, 200) / 200.0) * 0.4
-            + (1.0 - (n_punct / n_chars.where(n_chars > 0, 1)).clip(0, 1)) * 0.2
-            + stop_frac.clip(0, 0.5) * 2 * 0.2
-            + (1.0 - (mean_tok_len - 5.0).abs().clip(0, 5) / 5.0) * 0.2
+    All Arrow/numpy; every expression is reproduced operation-for-
+    operation in the SQL oracle (same IEEE double evaluation order),
+    so values compare exactly without rounding."""
+    en_stop = pa.array(sorted(_STOPWORDS["en"]), pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_spaces = pc.count_substring(text, pattern=" ") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tokens = n_spaces + (n_chars > 0)
+        stripped = pc.utf8_length(pc.replace_substring_regex(
+            text, pattern=PUNCT_STRIP_PATTERN, replacement="")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_punct = n_chars - stripped
+
+        flat, counts, starts = _tokens_of(pc.utf8_lower(text))
+        hits = pc.is_in(flat, value_set=en_stop) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_stop = (np.add.reduceat(hits, starts) if len(counts)
+                  else np.zeros(0, np.int64))
+
+        denom_c = np.maximum(n_chars, 1)
+        denom_t = np.maximum(n_tokens, 1)
+        punct_ratio = n_punct / denom_c
+        stopword_ratio = n_stop / denom_t
+        mean_tok_len = (n_chars - n_spaces) / denom_t
+        quality = (
+            (np.minimum(n_tokens, 200) / 200.0) * 0.4
+            + (1.0 - np.minimum(punct_ratio, 1.0)) * 0.2
+            + np.minimum(stopword_ratio, 0.5) * 2.0 * 0.2
+            + (1.0 - np.minimum(np.abs(mean_tok_len - 5.0), 5.0) / 5.0) * 0.2
         )
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_chars": n_chars,
-            "n_tokens": n_tokens,
-            "punct_ratio": (n_punct / n_chars.where(n_chars > 0, 1)).round(4),
-            "stopword_ratio": stop_frac.round(4),
-            "quality": score.round(4),
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "punct_ratio": pa.array(punct_ratio, pa.float64()),
+            "stopword_ratio": pa.array(stopword_ratio, pa.float64()),
+            "quality": pa.array(quality, pa.float64()),
         })
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_OFF = np.uint64(14695981039346656037)
+def _doc_fingerprints(h1: np.ndarray, counts: np.ndarray,
+                      starts: np.ndarray) -> np.ndarray:
+    """Horner fingerprint per doc, vectorized across docs.
 
-
-def _token_hashes(text: str) -> np.ndarray:
-    """FNV-1a per whitespace token, numpy uint64."""
-    out = np.empty(text.count(" ") + 1 if text else 0, dtype=np.uint64)
-    for i, tok in enumerate(text.split(" ") if text else []):
-        h = _FP_OFF
-        for b in tok.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * _FP_BASE
-        out[i] = h
-    return out
+    fp = sum_i h_i * FP_BASE^(n-1-i) mod FP_MOD == sequential Horner.
+    Per-term mod keeps every intermediate < 2^63."""
+    if len(counts) == 0:
+        return np.zeros(0, dtype=np.int64)
+    maxn = int(counts.max())
+    pows = np.ones(max(maxn, 1), dtype=np.uint64)
+    for i in range(1, maxn):
+        pows[i] = (pows[i - 1] * np.uint64(FP_BASE)) % np.uint64(FP_MOD)
+    ends = starts + counts
+    expo = np.repeat(ends, counts) - 1 - np.arange(len(h1), dtype=np.int64)
+    contrib = ((h1 % np.uint64(FP_MOD)) * pows[expo]) % np.uint64(FP_MOD)
+    sums = np.add.reduceat(contrib, starts) % np.uint64(FP_MOD)
+    sums[counts == 0] = 0  # defensive; split always yields >=1 token
+    return sums.astype(np.int64)
 
 
 def fingerprints(ds):
     """Deterministic rolling-hash document fingerprint (content id)."""
 
     def f(t: pa.Table) -> pa.Table:
-        fps = []
-        for text in t.column("text").to_pylist():
-            hs = _token_hashes(text or "")
-            acc = np.uint64(0)
-            with np.errstate(over="ignore"):
-                for h in hs:
-                    acc = acc * np.uint64(31) + h
-            fps.append(int(acc.astype(np.int64)))
+        flat, counts, starts = _tokens_of(t.column("text"))
+        h1 = hash_tokens(flat, H1_BASE, H1_MOD)
+        fp = _doc_fingerprints(h1, counts, starts)
         return pa.table({"doc_id": t.column("doc_id"),
-                         "fingerprint": pa.array(fps, type=pa.int64())})
+                         "fingerprint": pa.array(fp, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _majority_bits(h: np.ndarray, counts: np.ndarray,
+                   starts: np.ndarray) -> np.ndarray:
+    """32-bit majority vote per doc over a token-hash array (int64).
+
+    Bit b is set iff strictly more than half the doc's tokens have bit
+    b set (ties -> 0), matching the SQL list_filter count mirror."""
+    out = np.zeros(len(counts), dtype=np.int64)
+    if len(counts) == 0 or len(h) == 0:
+        return out
+    for b in range(32):
+        bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bit, starts)
+        out |= ((ones * 2 > counts).astype(np.int64)) << b
+    return out
 
 
 def simhash64(ds):
-    """64-bit SimHash over token hashes (near-dup signature)."""
+    """64-bit SimHash as two 32-bit halves (simhash_lo from h1 votes,
+    simhash_hi from h2 votes) — near-dup signature."""
 
     def f(t: pa.Table) -> pa.Table:
-        out = []
-        for text in t.column("text").to_pylist():
-            hs = _token_hashes(text or "")
-            if hs.size == 0:
-                out.append(0)
-                continue
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sh |= np.uint64(1) << np.uint64(b)
-            out.append(int(sh.astype(np.int64)))
+        flat, counts, starts = _tokens_of(t.column("text"))
+        lo = _majority_bits(hash_tokens(flat, H1_BASE, H1_MOD), counts, starts)
+        hi = _majority_bits(hash_tokens(flat, H2_BASE, H2_MOD), counts, starts)
         return pa.table({"doc_id": t.column("doc_id"),
-                         "simhash": pa.array(out, type=pa.int64())})
+                         "simhash_lo": pa.array(lo, pa.int64()),
+                         "simhash_hi": pa.array(hi, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# SQL mirrors (used by __ray_entry__.oracle_sql; generated, not typed)
+# ---------------------------------------------------------------------------
+
+def sql_token_hash_expr(token_var: str, base: int, mod: int) -> str:
+    """DuckDB expression: rolling codepoint hash of one token string.
+
+    The inner list_filter drops the [''] artifact of splitting an
+    empty token (DuckDB's unicode('') is -1, not 0), so empty tokens
+    hash to 0 exactly like the numpy kernel."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(list_filter(string_split({token_var}, ''), "
+        f"c -> c <> ''), "
+        f"c -> unicode(c)::BIGINT)), "
+        f"(a, b) -> ((a::HUGEINT * {base} + b) % {mod})::BIGINT)"
+    )
+
+
+def sql_token_hash_list(text_col: str, base: int, mod: int) -> str:
+    """DuckDB expression: list of token hashes for a text column."""
+    inner = sql_token_hash_expr("w", base, mod)
+    return (f"list_transform(string_split({text_col}, ' '), w -> {inner})")
+
+
+def sql_fingerprint_expr(hs_var: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, {hs_var}), "
+        f"(a, b) -> ((a::HUGEINT * {FP_BASE} + b) % {FP_MOD})::BIGINT)"
+    )
+
+
+def sql_majority_expr(hs_var: str) -> str:
+    """DuckDB expression: 32-bit majority-vote value over a hash list."""
+    terms = [
+        f"(CASE WHEN len(list_filter({hs_var}, "
+        f"h -> ((h >> {b}) & 1) = 1)) * 2 > len({hs_var}) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    ]
+    return "(" + "\n + ".join(terms) + ")::BIGINT"
+
+
+def sql_stopword_count(text_col: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+    return (f"len(list_filter(string_split(lower({text_col}), ' '), "
+            f"w -> w IN ({words})))")

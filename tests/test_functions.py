@@ -190,3 +190,139 @@ def test_mention_counts_skew_partial_agg(ray_session, pages_table):
     # the head entity dominates (Zipf fixture is actually skewed)
     top = max(counts.values())
     assert top > 3 * sorted(counts.values())[len(counts) // 2]
+
+
+def test_minhash_pairs_equal_bruteforce(docs_ds):
+    """LSH banding (64 bands x 2 rows) + exact verify must reproduce
+    the brute-force all-pairs Jaccard result — the invariant the
+    driver-gate SQL oracle relies on."""
+    from k_gap_ray.functions.dedup import _word_shingles, minhash_dedup_pairs
+
+    rows = docs_ds.take_all()
+    sh = {r["doc_id"]: _word_shingles(r["text"]) for r in rows}
+    ids = sorted(sh)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = len(sh[a] & sh[b])
+            u = len(sh[a]) + len(sh[b]) - c
+            if 2 * c >= u:
+                truth.add((a, b))
+    mine = {(r["doc_id_a"], r["doc_id_b"])
+            for r in minhash_dedup_pairs(docs_ds, threshold=0.5).take_all()}
+    assert mine == truth
+
+
+def test_simhash_pairs_pigeonhole_recall(docs_ds):
+    """max_hamming=8 must use 9 chunks: every pair within the budget is
+    found (round-1 advice: 4x16 chunks silently lost distance 4..8)."""
+    import numpy as np
+
+    from k_gap_ray.functions.dedup import simhash_dup_pairs
+    from k_gap_ray.functions.textstats import simhash64
+
+    sig = {r["doc_id"]: (r["simhash_lo"] | r["simhash_hi"] << 32)
+           for r in simhash64(docs_ds).take_all()}
+    ids = sorted(sig)
+    truth = {(a, b)
+             for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(sig[a] ^ sig[b]).count("1") <= 8}
+    mine = {(r["doc_id_a"], r["doc_id_b"])
+            for r in simhash_dup_pairs(docs_ds, max_hamming=8).take_all()}
+    assert mine == truth
+
+
+def test_cosine_pairs_exact(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.functions.dedup import cosine_pairs_exact
+
+    rng = np.random.RandomState(11)
+    V = rng.randn(60, 16)
+    V[9] = V[2] + rng.randn(16) * 1e-2
+    V[31] = -V[5]  # negatively-correlated pair must NOT appear
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32()))}))
+    Vf = V.astype(np.float32).astype(np.float64)
+    n = Vf / np.linalg.norm(Vf, axis=1, keepdims=True)
+    C = n @ n.T
+    truth = {(a, b) for a in range(60) for b in range(a + 1, 60)
+             if C[a, b] >= 0.5}
+    mine = {(r["vec_id_a"], r["vec_id_b"])
+            for r in cosine_pairs_exact(emb, threshold=0.5,
+                                        n_buckets=4).take_all()}
+    assert mine == truth and (2, 9) in mine and (5, 31) not in mine
+
+
+def test_knn_lsh_recall_on_planted_neighbors(ray_session):
+    """LSH kNN is approximate; its contract is high recall for NEAR
+    neighbors. Plant a tight cluster around each query and require
+    recall >= 0.9 over the planted set (scored against exact top-k)."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import knn_bruteforce, knn_lsh
+
+    rng = np.random.RandomState(21)
+    base = rng.randn(200, 32)
+    q = base[0]
+    for j in range(1, 6):  # 5 planted near neighbors of vec 0
+        base[j] = q + rng.randn(32) * 0.05
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              pa.list_(pa.float32()))}))
+    exact = set(knn_bruteforce(emb, q, k=5,
+                               exclude_ids={0})["vec_id"].to_pylist())
+    approx = set(knn_lsh(emb, q, k=5, radius=1,
+                         exclude_ids={0})["vec_id"].to_pylist())
+    planted = {1, 2, 3, 4, 5}
+    assert len(approx & planted) / len(planted & exact) >= 0.9
+
+
+def test_media_stat_mode_matches_byte_math(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.functions.multimodal import decode_stage, docs_as_media
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["abc def", "", "zz"],
+    })
+    out = {r["media_id"]: r for r in decode_stage(
+        docs_as_media(rd.from_arrow(docs)), mode="stat").take_all()}
+    for i, text in enumerate(["abc def", "", "zz"]):
+        bs = sum(text.encode())
+        assert out[i]["n_bytes"] == len(text)
+        assert out[i]["byte_sum"] == bs
+        assert out[i]["width"] == 16 + bs % 240
+        assert out[i]["height"] == 16 + (bs // 240) % 240
+        assert out[i]["mime"] == f"media/{i % 3}"
+
+
+def test_safe_unique_multiblock(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.dsutil import SafeUnique
+
+    t = pa.table({"k": pa.array([f"k{i % 7}" for i in range(2000)]),
+                  "v": pa.array([f"v{i % 13}" for i in range(2000)])})
+    out = (rd.from_arrow(t).repartition(40).groupby("k")
+           .aggregate(SafeUnique("v", alias_name="members")).take_all())
+    assert len(out) == 7
+    assert all(sorted(r["members"]) == sorted({f"v{i}" for i in range(13)})
+               for r in out)
+
+
+def test_pack_unpack_floats_roundtrip():
+    from k_gap_ray.dsutil import pack_floats, unpack_floats
+
+    V = np.random.RandomState(3).randn(17, 8).astype(np.float32)
+    col = pa.array([list(map(float, v)) for v in V], pa.list_(pa.float32()))
+    packed = pack_floats(col)
+    assert packed.type == pa.binary()
+    back = unpack_floats(packed)
+    assert np.array_equal(back, V)
+    # slices (non-zero offset) must unpack correctly too
+    assert np.array_equal(unpack_floats(packed.slice(5, 7)), V[5:12])
