@@ -277,6 +277,45 @@ def _media_features(sf_dir: str):
     return decode_stage(media, mode="stat")
 
 
+def _rdf_turtle(sf_dir: str):
+    """S2 Turtle bulk-load parity: the nation table rendered as a
+    Turtle document (prefixes, 'a', ';'-continuation), parsed back by
+    sources.rdfio.read_turtle, then aggregated — value-verified against
+    SQL over the original table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ttl_dir = f"/tmp/kgap_ttl/sf{_sf_of(sf_dir)}"
+    path = os.path.join(ttl_dir, "nation.ttl")
+    if not os.path.exists(path):
+        os.makedirs(ttl_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name", "n_regionkey"])
+        lines = ["@prefix ex: <urn:kgap:ex:> ."]
+        for nk, name, rk in zip(t.column("n_nationkey").to_pylist(),
+                                t.column("n_name").to_pylist(),
+                                t.column("n_regionkey").to_pylist()):
+            lines.append(
+                f"ex:nation-{nk} a ex:Nation ;\n"
+                f'    ex:name "{name}" ;\n'
+                f"    ex:inRegion ex:region-{rk} .")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+
+    from k_gap_ray.sources.rdfio import read_turtle
+
+    ds = read_turtle(path)
+    inreg = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("pred"),
+                                    pa.scalar("urn:kgap:ex:inRegion"))),
+        batch_format="pyarrow")
+    return (inreg.select_columns(["obj"]).groupby("obj").count()
+            .rename_columns({"obj": "region_iri", "count()": "n_nations"}))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- relational operator surface (SURVEY.md 2.4-2.7) ---
@@ -315,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_sim_join": _emb_sim_join,
         # --- declarative workflow engine (X1-X3) ---
         "q_workflow_lang_en": _workflow_lang_en,
+        # --- RDF text formats (S2) ---
+        "q_rdf_turtle": _rdf_turtle,
         # --- multimodal plumbing ---
         "q_media_features": _media_features,
         # --- KG-construction pipeline products (non-SQL; rows-only) ---
@@ -593,7 +634,13 @@ def _text_analysis_oracles() -> dict[str, str]:
                16 + (byte_sum // 240) % 240 AS height
         FROM b
     """
+    turtle = """
+        SELECT 'urn:kgap:ex:region-' || n_regionkey AS region_iri,
+               count(*) AS n_nations
+        FROM nation GROUP BY 1
+    """
     return {
+        "q_rdf_turtle": turtle,
         "q_media_features": media,
         "q_doc_langid": langid,
         "q_doc_quality": quality,

@@ -107,21 +107,67 @@ def build_lsh_buckets(emb_ds):
     return emb_ds.map_batches(f, batch_format="pyarrow")
 
 
-def knn_lsh(emb_ds, query_vec: np.ndarray, k: int = 10, radius: int = 1,
-            exclude_ids: set[int] | None = None):
-    """Approximate top-k: scan only buckets whose signature is within
-    `radius` bit flips of the query's signature."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qsig = _signature(q[None, :])[0]
+def _probe_buckets(query_vec: np.ndarray, radius: int) -> list[str]:
+    """Bucket ids to scan: the query's signature + all signatures
+    within `radius` bit flips (multi-probe)."""
+    qsig = _signature(np.asarray(query_vec, np.float64)[None, :])[0]
     want = {"".join(map(str, qsig))}
     if radius >= 1:
         for i in range(N_PLANES):
             flipped = qsig.copy()
             flipped[i] ^= 1
             want.add("".join(map(str, flipped)))
+    if radius >= 2:
+        for i in range(N_PLANES):
+            for j in range(i + 1, N_PLANES):
+                flipped = qsig.copy()
+                flipped[i] ^= 1
+                flipped[j] ^= 1
+                want.add("".join(map(str, flipped)))
+    return sorted(want)
 
+
+def write_lsh_index(emb_ds, index_dir: str):
+    """Persist the ANN index as bucket-partitioned Parquet.
+
+    One directory per bucket (hive partitioning), so a query touching
+    B buckets opens exactly B partitions — the corpus is scanned once
+    at BUILD time, never per query."""
+    build_lsh_buckets(emb_ds).write_parquet(index_dir,
+                                            partition_cols=["bucket"])
+    return index_dir
+
+
+def knn_lsh_indexed(index_dir: str, query_vec: np.ndarray, k: int = 10,
+                    radius: int = 1, exclude_ids: set[int] | None = None):
+    """Approximate top-k against a PERSISTED index: reads only the
+    bucket partitions matching the (multi-probed) query signature —
+    no corpus rescan per query."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data as rd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    files = [f for b in _probe_buckets(q, radius)
+             for f in _glob.glob(_os.path.join(index_dir, f"bucket={b}",
+                                               "*.parquet"))]
+    if not files:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    cand = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    return knn_bruteforce(cand, q, k=k, exclude_ids=exclude_ids)
+
+
+def knn_lsh(emb_ds, query_vec: np.ndarray, k: int = 10, radius: int = 1,
+            exclude_ids: set[int] | None = None):
+    """Approximate top-k: scan only buckets whose signature is within
+    `radius` bit flips of the query's signature. Builds the bucket
+    assignment in-flight; for repeated queries, persist once with
+    write_lsh_index and use knn_lsh_indexed."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    want_arr = pa.array(_probe_buckets(q, radius), pa.string())
     buckets = build_lsh_buckets(emb_ds)
-    want_arr = pa.array(sorted(want), pa.string())
     cand = buckets.map_batches(
         lambda t, w=want_arr: t.filter(
             pa.compute.is_in(t.column("bucket"), value_set=w)),

@@ -142,7 +142,8 @@ def _annotate_batch(batch: pa.Table) -> pa.Table:
 
 def annotate_stage(text_ds, concurrency: int | tuple | None = None,
                    batch_size: int = 512, num_cpus: float = 1,
-                   compute: str = "tasks"):
+                   compute: str = "tasks",
+                   ray_remote_args: dict | None = None):
     """(url, text, ...) -> unified annotated rows.
 
     compute="tasks" (default): stateless tasks with per-worker cached
@@ -151,12 +152,20 @@ def annotate_stage(text_ds, concurrency: int | tuple | None = None,
     when init is heavy (real model weights) or state must be pinned;
     pass `concurrency` to size it (leave CPU headroom for the
     upstream read/extract or the pipeline serializes).
+
+    ``ray_remote_args`` (X5): per-stage scheduling/runtime overrides —
+    ``runtime_env`` (container image / pip deps for the model stage),
+    ``num_gpus``, ``resources``, ``memory`` — forwarded verbatim to
+    the underlying ``map_batches`` call, mirroring the reference's
+    per-component image selection (ldes-consumer/app.py:610-611).
     """
+    extra = dict(ray_remote_args or {})
     if compute == "tasks":
         return text_ds.map_batches(
             _annotate_batch,
             batch_format="pyarrow",
             batch_size=batch_size,
+            **extra,
         )
     return text_ds.map_batches(
         Annotator,
@@ -164,6 +173,7 @@ def annotate_stage(text_ds, concurrency: int | tuple | None = None,
         batch_size=batch_size,
         concurrency=concurrency or (2, 8),
         num_cpus=num_cpus,
+        **extra,
     )
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from k_gap_ray.dsutil import drop_empty_blocks
 from k_gap_ray.oracle import canon
 
 # Above this many unique surfaces, connected components runs as
@@ -101,34 +102,15 @@ def distinct_surface_pairs(mentions_ds):
 
 def candidate_edges_ds(surfaces_ds):
     """unique surfaces -> verified candidate edge Dataset (a, b), deduped."""
-    from ray.data.aggregate import Unique
+    from k_gap_ray.dsutil import SafeUnique
 
     bands = surfaces_ds.map_batches(band_explode_batch, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    blocks = bands.groupby("band_key").aggregate(Unique("surface"))
-    blocks = blocks.rename_columns({"unique(surface)": "members"})
+    blocks = bands.groupby("band_key").aggregate(
+        SafeUnique("surface", alias_name="members"))
     edges = blocks.map_batches(edges_from_blocks_batch, batch_format="pyarrow")
     # cross-band duplicate pairs -> distinct
     return edges.groupby(["a", "b"]).count().select_columns(["a", "b"])
-
-
-def drop_empty_blocks(ds):
-    """Rebuild a materialized Dataset without its zero-row blocks.
-
-    Ray's sort-based groupby emits 0-row blocks with an EMPTY schema;
-    if a later join's hash-shuffle partition receives only those, the
-    per-partition pyarrow join fails with "No match ... FieldRef".
-    Block refs are passed through untouched (zero-copy, driver holds
-    refs only).
-    """
-    import ray.data as rd
-
-    refs = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if meta.num_rows:
-                refs.append(ref)
-    return rd.from_arrow_refs(refs)
 
 
 def _cc_distributed(surfaces_ds, edges_ds, max_iters: int = 12):
@@ -155,24 +137,37 @@ def _cc_distributed(surfaces_ds, edges_ds, max_iters: int = 12):
                             "label": t.column("norm_surface")}),
         batch_format="pyarrow").materialize()).materialize()
 
-    def checksum(lbl_ds) -> int:
+    def checksum(lbl_ds) -> tuple:
         """Order-insensitive fingerprint of the assignment: sum of
-        64-bit hashes of (node, label) rows. One map+sum pass over the
+        row hashes of (node, label). One map+sum pass over the
         vocabulary-sized labels — far cheaper than the join-based
         change count it replaces (equal checksums <=> no change,
-        w.h.p.)."""
-        import hashlib
+        w.h.p.). Vectorized (pandas row hash), and split into two
+        32-bit lanes: a sum of 32-bit values over < 2^31 rows cannot
+        overflow int64 REGARDLESS of block partitioning (a bare uint64
+        sum spills into Python bigints, which Ray can't store as an
+        Arrow column; per-block mods would make the total depend on
+        the block layout)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
 
         def f(t: pa.Table) -> pa.Table:
-            acc = 0
-            for n, l in zip(t.column("node").to_pylist(),
-                            t.column("label").to_pylist()):
-                h = hashlib.blake2b(f"{n}\x1f{l}".encode(),
-                                    digest_size=8).digest()
-                acc = (acc + int.from_bytes(h, "big")) % (1 << 63)
-            return pa.table({"c": pa.array([acc], pa.int64())})
+            joined = pc.binary_join_element_wise(
+                t.column("node"), t.column("label"), "\x1f")
+            h = pd.util.hash_pandas_object(
+                pd.Series(joined.to_pylist()), index=False).to_numpy()
+            lo = int((h & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))
+            hi = int((h >> np.uint64(32)).sum(dtype=np.uint64))
+            return pa.table({"lo": pa.array([lo], pa.int64()),
+                             "hi": pa.array([hi], pa.int64())})
 
-        return lbl_ds.map_batches(f, batch_format="pyarrow").sum("c") or 0
+        parts = lbl_ds.map_batches(f, batch_format="pyarrow")
+        from ray.data.aggregate import Sum
+
+        row = parts.aggregate(Sum("lo", alias_name="lo"),
+                              Sum("hi", alias_name="hi"))
+        return (row.get("lo", 0), row.get("hi", 0))
 
     num_parts = max(2, min(32, edges2.num_blocks()))
     prev_sum = checksum(labels)
@@ -195,32 +190,105 @@ def _cc_distributed(surfaces_ds, edges_ds, max_iters: int = 12):
     return labels  # Dataset(node, label)
 
 
+_TAG_SEP = "\x00"  # tag prefix separator inside the single-list aggregate
+
+
+def _canonicalize_distributed(pairs_ds):
+    """Vocabulary-scale path: entities + mapping built ENTIRELY as
+    Datasets — no take_all(), no driver-side dict/loop, no broadcast.
+
+    labels (node, label=min-root) come from LSH banding + distributed
+    label propagation. The entities table needs two per-root lists
+    (members = nodes, surface_forms = raw surfaces); joins can't carry
+    list payloads, so both streams are tagged into ONE (label, item)
+    stream and a single SafeUnique groupby collects them, split back in
+    the finishing map. Returns (entities Dataset sorted by entity_id,
+    mapping Dataset(norm_surface, entity_id))."""
+    surfaces_ds = (pairs_ds.groupby("norm_surface").count()
+                   .select_columns(["norm_surface"])).materialize()
+    edges = candidate_edges_ds(surfaces_ds)
+    labels = drop_empty_blocks(
+        _cc_distributed(surfaces_ds, edges).materialize())
+
+    def to_mapping(t: pa.Table) -> pa.Table:
+        iris = pa.array([canon.entity_iri(l)
+                         for l in t.column("label").to_pylist()],
+                        pa.string())
+        return pa.table({"norm_surface": t.column("node"),
+                         "entity_id": iris})
+
+    mapping_ds = labels.map_batches(to_mapping, batch_format="pyarrow")
+
+    from k_gap_ray.dsutil import SafeUnique, join_datasets
+
+    member_stream = labels.map_batches(
+        lambda t: pa.table({
+            "label": t.column("label"),
+            "item": pa.compute.binary_join_element_wise(
+                pa.array(["m"] * t.num_rows), t.column("node"), _TAG_SEP)}),
+        batch_format="pyarrow")
+    # (label, surface) via a hash join of the vocab pairs on the labels
+    pairs_labeled = join_datasets(
+        pairs_ds, labels.rename_columns({"node": "norm_surface"}),
+        on="norm_surface")
+    form_stream = pairs_labeled.map_batches(
+        lambda t: pa.table({
+            "label": t.column("label"),
+            "item": pa.compute.binary_join_element_wise(
+                pa.array(["f"] * t.num_rows), t.column("surface"), _TAG_SEP)}),
+        batch_format="pyarrow")
+
+    grouped = (member_stream.union(form_stream)
+               .groupby("label")
+               .aggregate(SafeUnique("item", alias_name="items")))
+
+    def build(t: pa.Table) -> pa.Table:
+        ids, members, forms, sizes = [], [], [], []
+        for label, items in zip(t.column("label").to_pylist(),
+                                t.column("items").to_pylist()):
+            ms = sorted(x[2:] for x in items if x.startswith("m" + _TAG_SEP))
+            fs = sorted({x[2:] for x in items
+                         if x.startswith("f" + _TAG_SEP)})
+            ids.append(canon.entity_iri(label))
+            members.append(ms)
+            forms.append(fs)
+            sizes.append(len(ms))
+        return pa.table({
+            "entity_id": pa.array(ids, pa.string()),
+            "members": pa.array(members, pa.list_(pa.string())),
+            "surface_forms": pa.array(forms, pa.list_(pa.string())),
+            "size": pa.array(sizes, pa.int64()),
+        })
+
+    entities_ds = grouped.map_batches(build, batch_format="pyarrow") \
+        .sort("entity_id")
+    return entities_ds, mapping_ds
+
+
 def canonicalize(mentions_ds, force_distributed_cc: bool = False):
-    """mentions -> (entities pa.Table, mapping dict[norm_surface -> entity IRI]).
+    """mentions -> (entities, mapping).
 
     One streaming pass over mentions extracts the distinct
     (norm_surface, surface) vocabulary; everything after is sized by
     the vocabulary, not the corpus. Below DRIVER_CC_MAX unique
     surfaces, LSH blocking + union-find run in-driver with the exact
-    oracle kernels (zero extra shuffles); above it — or when forced —
-    the Dataset LSH + label-propagation path runs. Entity ids are
+    oracle kernels (zero extra shuffles) and return
+    (entities pa.Table, mapping dict) for ray.put broadcast. Above it
+    — or when forced — everything stays distributed: returns
+    (entities Dataset, mapping Dataset) and downstream rewrites become
+    hash joins (ops.materialize handles both forms). Entity ids are
     lexicographic-min roots, deterministic under any block order
     (SURVEY.md 7.5.1).
     """
     pairs_ds = distinct_surface_pairs(mentions_ds).materialize()
     n_pairs = pairs_ds.count()
 
-    if n_pairs <= DRIVER_CC_MAX and not force_distributed_cc:
-        pair_rows = pairs_ds.take_all()
-        surfaces = sorted({r["norm_surface"] for r in pair_rows})
-        comp = canon.cluster_surfaces(surfaces)
-    else:
-        surfaces_ds = (pairs_ds.groupby("norm_surface").count()
-                       .select_columns(["norm_surface"])).materialize()
-        edges = candidate_edges_ds(surfaces_ds)
-        labels = _cc_distributed(surfaces_ds, edges)
-        comp = {r["node"]: r["label"] for r in labels.take_all()}
-        pair_rows = pairs_ds.take_all()
+    if n_pairs > DRIVER_CC_MAX or force_distributed_cc:
+        return _canonicalize_distributed(pairs_ds)
+
+    pair_rows = pairs_ds.take_all()
+    surfaces = sorted({r["norm_surface"] for r in pair_rows})
+    comp = canon.cluster_surfaces(surfaces)
 
     clusters: dict[str, list[str]] = {}
     for node, root in comp.items():
@@ -254,11 +322,40 @@ def mention_counts(mentions_ds, mapping_ref):
     """Mentions per canonical entity — the skew-prone aggregate.
 
     Zipf head entities make a naive groupby(entity) hot; this does
-    partial pre-aggregation inside map_batches (one row per entity per
-    batch) so the groupby shuffles per-batch partials, not raw
-    mentions — the combiner pattern from SURVEY.md section 7.4.
-    """
+    partial pre-aggregation inside map_batches (one row per
+    surface/entity per batch) so the shuffle carries per-batch
+    partials, not raw mentions — the combiner pattern from SURVEY.md
+    section 7.4. ``mapping_ref`` may be a dict / ObjectRef (broadcast
+    path) or a mapping Dataset(norm_surface, entity_id): then the
+    partials are joined to the mapping instead (distributed-vocabulary
+    path; the join input is the pre-aggregated partials, never the raw
+    mention stream)."""
     import ray
+    import ray.data as rd
+
+    if isinstance(mapping_ref, rd.Dataset):
+        from k_gap_ray.dsutil import join_datasets
+
+        def partial_by_surface(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            vc = pd.Series(
+                batch.column("norm_surface").to_pylist()).value_counts()
+            return pa.table({"norm_surface": vc.index.astype(str),
+                             "partial_count": vc.to_numpy()})
+
+        partials = mentions_ds.map_batches(partial_by_surface,
+                                           batch_format="pyarrow")
+        joined = join_datasets(partials, mapping_ref, on="norm_surface",
+                               join_type="left_outer")
+        return (joined.map_batches(
+            lambda t: pa.table({
+                "entity_id": pa.compute.fill_null(
+                    t.column("entity_id"), "urn:kgap:entity:unknown"),
+                "partial_count": t.column("partial_count")}),
+            batch_format="pyarrow")
+            .groupby("entity_id").sum("partial_count")
+            .rename_columns({"sum(partial_count)": "n_mentions"}))
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd

@@ -233,6 +233,7 @@ def run_pipeline(
     # ---- stage 3: canonicalize ----
     if not _stage_done("entities"):
         import glob as _glob
+        import shutil as _sh
 
         t = StageTimer()
         # per-group vocab side-products (written by the annotate pass)
@@ -243,19 +244,33 @@ def run_pipeline(
         vocab_ds = rd.read_parquet(vocab_files)
         entities, mapping = canonicalize(
             vocab_ds, force_distributed_cc=force_distributed_cc)
-        import pyarrow.parquet as pq
-        os.makedirs(os.path.join(out_dir, "entities"), exist_ok=True)
-        pq.write_table(entities,
-                       os.path.join(out_dir, "entities", "part-00000.parquet"))
-        ck.save_json("mapping.json", mapping)
-        ck.lineage("entities", "all", rows_in=len(mapping),
-                   rows_out=entities.num_rows, wall_s=t.elapsed())
-        ck.mark("entities", rows_out=entities.num_rows,
-                input_sig=input_sig)
-    else:
+        _sh.rmtree(os.path.join(out_dir, "entities"), ignore_errors=True)
+        _sh.rmtree(os.path.join(out_dir, "mapping"), ignore_errors=True)
+        if isinstance(mapping, dict):
+            # driver-vocabulary path: single parquet + JSON map
+            import pyarrow.parquet as pq
+            os.makedirs(os.path.join(out_dir, "entities"), exist_ok=True)
+            pq.write_table(entities, os.path.join(
+                out_dir, "entities", "part-00000.parquet"))
+            ck.save_json("mapping.json", mapping)
+            n_entities = entities.num_rows
+        else:
+            # distributed path: both products are Datasets; the mapping
+            # persists as parquet and is re-read for the join rewrites
+            entities.write_parquet(os.path.join(out_dir, "entities"))
+            mapping.write_parquet(os.path.join(out_dir, "mapping"))
+            mapping = rd.read_parquet(os.path.join(out_dir, "mapping"))
+            n_entities = rd.read_parquet(
+                os.path.join(out_dir, "entities")).count()
+        ck.lineage("entities", "all", rows_in=-1,
+                   rows_out=n_entities, wall_s=t.elapsed())
+        ck.mark("entities", rows_out=n_entities, input_sig=input_sig)
+    elif os.path.exists(os.path.join(out_dir, "_ckpt", "mapping.json")):
         mapping = ck.load_json("mapping.json")
+    else:
+        mapping = rd.read_parquet(os.path.join(out_dir, "mapping"))
 
-    mapping_ref = ray.put(mapping)
+    mapping_ref = ray.put(mapping) if isinstance(mapping, dict) else mapping
 
     # ---- stages 4+5 (independent given annotated+mapping): overlap ----
     def _stage_graph() -> None:
@@ -319,7 +334,9 @@ def _run_in_memory(pages, annotate_compute, annotate_concurrency,
     entities, mapping = canonicalize(
         mentions_raw, force_distributed_cc=force_distributed_cc)
 
-    mapping_ref = ray.put(mapping)
+    # dict vocabulary -> ray.put broadcast; Dataset vocabulary (the
+    # distributed path) flows into join-based rewrites as-is
+    mapping_ref = ray.put(mapping) if isinstance(mapping, dict) else mapping
     canonical_triples = dedup_quads(
         rewrite_triples(triples_raw, mapping_ref)).materialize()
     canonical_mentions = rewrite_mentions(mentions_raw, mapping_ref)

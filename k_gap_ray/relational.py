@@ -317,7 +317,14 @@ def q_anti_join(sf_dir: str):
                                            value_set=keys)))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return cust.map_batches(anti, batch_format="pyarrow")
+    out = cust.map_batches(anti, batch_format="pyarrow")
+    # collect into a TYPED table: Ray's Dataset.to_pandas drops the
+    # schema of a fully-empty result, and at tiny scale factors every
+    # customer has a high-value order (legitimately 0 rows)
+    return pa.Table.from_pylist(
+        out.take_all(),
+        schema=pa.schema([("c_custkey", pa.int64()),
+                          ("c_name", pa.string())]))
 
 
 def q_semi_join(sf_dir: str):

@@ -78,6 +78,190 @@ def read_ntriples(paths):
                                            batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Turtle (subset) — S2 parity with the reference's bulk-load formats
+# (/root/reference/docs/components/graphdb.md:249-263). Supported:
+# @prefix/PREFIX, prefixed names, <IRI>s, 'a' for rdf:type, string
+# literals with @lang / ^^datatype, numeric and boolean literals, and
+# ';' / ',' predicate/object continuation. Blank nodes and collections
+# are skipped (counted per batch). Turtle is stateful (prefixes +
+# multi-line statements), so the parallel unit is one FILE per task —
+# files shard across the cluster, bytes inside a file do not.
+# ---------------------------------------------------------------------------
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_TTL_TOKEN = re.compile(
+    r"""(?x)
+      (?P<comment>\#[^\n]*)
+    | (?P<iri><[^>]*>)
+    | (?P<string>\"(?:[^"\\]|\\.)*\")
+    | (?P<keyword>@prefix\b|@base\b|(?i:\bPREFIX|\bBASE)\b
+                  |\ba\b|\btrue\b|\bfalse\b)
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<dtmark>\^\^)
+    | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.-]*)
+    | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<punct>[.;,\[\]()])
+    """)
+
+
+def parse_turtle_text(text: str) -> tuple[list[dict], int]:
+    """Parse one Turtle document -> (triple rows, n_skipped_tokens)."""
+    prefixes: dict[str, str] = {}
+    rows: list[dict] = []
+    skipped = 0
+
+    tokens: list[tuple[str, tuple]] = []
+    for m in _TTL_TOKEN.finditer(text):
+        kind = m.lastgroup
+        if m.group("comment"):
+            continue
+        if m.group("iri"):
+            tokens.append(("iri", (m.group("iri")[1:-1],)))
+        elif m.group("string"):
+            tokens.append(("string", (_unescape(m.group("string")[1:-1]),)))
+        elif m.group("langtag"):
+            tokens.append(("lang", (m.group("langtag")[1:],)))
+        elif m.group("dtmark"):
+            tokens.append(("dtmark", ()))
+        elif m.group("local") is not None and kind in ("pname", "local"):
+            tokens.append(("pname", (m.group("pname") or "",
+                                     m.group("local"))))
+        elif m.group("keyword"):
+            tokens.append(("kw", (m.group("keyword"),)))
+        elif m.group("number"):
+            tokens.append(("number", (m.group("number"),)))
+        elif m.group("punct"):
+            tokens.append(("punct", (m.group("punct"),)))
+
+    i, n = 0, len(tokens)
+
+    def resolve(tok) -> str | None:
+        kind, args = tok
+        if kind == "iri":
+            return args[0]
+        if kind == "pname":
+            base = prefixes.get(args[0])
+            return None if base is None else base + args[1]
+        return None
+
+    subj = pred = None
+    while i < n:
+        kind, args = tokens[i]
+        # prefix declaration: @prefix p: <iri> .   /   PREFIX p: <iri>
+        if kind == "kw" and args[0].lower() in ("@prefix", "prefix"):
+            if (i + 2 < n and tokens[i + 1][0] == "pname"
+                    and tokens[i + 2][0] == "iri"):
+                prefixes[tokens[i + 1][1][0]] = tokens[i + 2][1][0]
+                i += 3
+                if i < n and tokens[i] == ("punct", (".",)):
+                    i += 1
+                continue
+            skipped += 1
+            i += 1
+            continue
+        if kind == "kw" and args[0].lower() in ("@base", "base"):
+            skipped += 1
+            i += 2 if i + 1 < n else 1
+            continue
+        if subj is None:
+            subj = resolve(tokens[i])
+            if subj is None:
+                skipped += 1
+            i += 1
+            continue
+        if pred is None:
+            if kind == "kw" and args[0] == "a":
+                pred = _RDF_TYPE
+            else:
+                pred = resolve(tokens[i])
+                if pred is None:
+                    skipped += 1
+                    pred = None
+            i += 1
+            continue
+        # object position
+        obj = lit = dt = lang = None
+        if kind == "string":
+            lit = args[0]
+            if i + 1 < n and tokens[i + 1][0] == "lang":
+                lang = tokens[i + 1][1][0]
+                i += 1
+            elif (i + 2 < n and tokens[i + 1][0] == "dtmark"):
+                dt = resolve(tokens[i + 2]) or ""
+                i += 2
+        elif kind == "number":
+            lit = args[0]
+            dt = ("http://www.w3.org/2001/XMLSchema#decimal"
+                  if "." in args[0] or "e" in args[0].lower()
+                  else "http://www.w3.org/2001/XMLSchema#integer")
+        elif kind == "kw" and args[0] in ("true", "false"):
+            lit = args[0]
+            dt = "http://www.w3.org/2001/XMLSchema#boolean"
+        else:
+            obj = resolve(tokens[i])
+        i += 1
+        if obj is None and lit is None:
+            skipped += 1
+        else:
+            rows.append({
+                "subj": subj, "pred": pred,
+                "obj": lit if obj is None else obj,
+                "obj_is_literal": obj is None,
+                "obj_datatype": dt or "", "obj_lang": lang or "",
+                "graph": "", "url": "",
+            })
+        # statement continuation
+        if i < n and tokens[i][0] == "punct":
+            p = tokens[i][1][0]
+            if p == ".":
+                subj = pred = None
+                i += 1
+            elif p == ";":
+                pred = None
+                i += 1
+            elif p == ",":
+                i += 1
+        else:
+            # bare end: reset to be safe
+            subj = pred = None
+    return rows, skipped
+
+
+_TRIPLE_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("obj_is_literal", pa.bool_()), ("obj_datatype", pa.string()),
+    ("obj_lang", pa.string()), ("graph", pa.string()), ("url", pa.string()),
+])
+
+
+def read_turtle(paths):
+    """Turtle file(s) -> triples Dataset (one file per task; Turtle's
+    statefulness makes the file the parallel unit, unlike N-Triples
+    where any byte-range of lines parses independently)."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        files = sorted(_glob.glob(_os.path.join(paths, "*.ttl"))) \
+            if _os.path.isdir(paths) else [paths]
+    else:
+        files = sorted(paths)
+
+    def parse_files(t: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for path in t.column("path").to_pylist():
+            with open(path, encoding="utf-8") as f:
+                file_rows, _ = parse_turtle_text(f.read())
+            rows.extend(file_rows)
+        return pa.Table.from_pylist(rows, schema=_TRIPLE_SCHEMA)
+
+    return rd.from_items([{"path": p} for p in files]) \
+        .map_batches(parse_files, batch_format="pyarrow", batch_size=1)
+
+
 def format_ntriples_batch(batch: pa.Table) -> pa.Table:
     """triples rows -> one N-Quads line per row (text column)."""
     lines = []

@@ -73,3 +73,153 @@ def test_distributed_cc_chain_convergence(ray_session):
     labels = {r["node"]: r["label"]
               for r in _cc_distributed(surf, edges).take_all()}
     assert set(labels.values()) == {"n00"}
+
+
+def test_turtle_parse_and_roundtrip(ray_session, tmp_path):
+    """TTL -> triples table -> N-Quads -> triples table: semantics
+    survive the round trip (S2 parity with the reference's bulk-load
+    formats)."""
+    import ray.data as rd
+
+    from k_gap_ray.sources.rdfio import (
+        parse_turtle_text,
+        read_ntriples,
+        read_turtle,
+        write_ntriples,
+    )
+
+    ttl = (
+        '@prefix ex: <http://example.org/> .\n'
+        '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n'
+        '# comment line\n'
+        'ex:alice a ex:Person ;\n'
+        '    ex:name "Alice"@en ;\n'
+        '    ex:age 42 ;\n'
+        '    ex:knows ex:bob , <http://example.org/carol> .\n'
+        '<http://example.org/bob> ex:note "said \\"hi\\""^^xsd:string .\n'
+    )
+    p = tmp_path / "doc.ttl"
+    p.write_text(ttl)
+
+    rows, skipped = parse_turtle_text(ttl)
+    assert skipped == 0 and len(rows) == 6
+    assert rows[0]["pred"].endswith("#type")
+    assert any(r["obj_lang"] == "en" for r in rows)
+    assert any(r["obj_datatype"].endswith("integer") for r in rows)
+
+    ds = read_turtle(str(p))
+    assert ds.count() == 6
+
+    nt_dir = tmp_path / "nt"
+    write_ntriples(ds, str(nt_dir)).materialize()
+    back = read_ntriples([str(f) for f in nt_dir.glob("*.nt")])
+
+    def key(r):
+        return (r["subj"], r["pred"], r["obj"], r["obj_is_literal"],
+                r["obj_datatype"], r["obj_lang"])
+
+    assert {key(r) for r in back.take_all()} == {key(r) for r in ds.take_all()}
+
+
+def test_query_catalog_and_export(ray_session, tmp_path):
+    """S3/S7: named template -> ${var} substitution -> DataFrame ->
+    export by extension; Excel edge raises a clear ImportError when
+    openpyxl is absent."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from k_gap_ray.catalog import QueryCatalog, export_df
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    pq.write_table(pa.table({"lang": ["en", "en", "de"],
+                             "n": [1, 2, 3]}),
+                   str(data_dir / "docs.parquet"))
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    (qdir / "by_lang.json").write_text(json.dumps([
+        {"op": "read_parquet", "path": str(data_dir / "docs.parquet")},
+        {"op": "filter", "expr": "lang == '${lang}'"},
+        {"op": "groupby_count", "keys": ["lang"]},
+    ]))
+
+    cat = QueryCatalog(str(qdir))
+    assert cat.names() == ["by_lang"]
+    spec = cat.generate_query("by_lang", lang="en")
+    assert spec[1]["expr"] == "lang == 'en'"
+
+    df = cat.execute_to_df("by_lang", lang="en")
+    assert df.to_dict("records") == [{"lang": "en", "count()": 2}]
+
+    out = export_df(df, str(tmp_path / "out.csv"))
+    assert "lang" in open(out).read()
+    export_df(df, str(tmp_path / "out.json"))
+    try:
+        import openpyxl  # noqa: F401
+        has_xlsx = True
+    except ImportError:
+        has_xlsx = False
+    if not has_xlsx:
+        import pytest as _pytest
+        with _pytest.raises(ImportError, match="openpyxl"):
+            export_df(df, str(tmp_path / "out.xlsx"))
+
+
+def test_persisted_lsh_index(ray_session, tmp_path):
+    """ANN index persists as bucket-partitioned parquet; a query reads
+    only its probed bucket partitions and still finds the planted
+    neighbor."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import (
+        _probe_buckets,
+        knn_lsh_indexed,
+        write_lsh_index,
+    )
+
+    rng = np.random.RandomState(8)
+    base = rng.randn(120, 16)
+    base[5] = base[0] + rng.randn(16) * 0.01
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(120), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              pa.list_(pa.float32()))}))
+    idx = str(tmp_path / "ann")
+    write_lsh_index(emb, idx)
+    parts = glob.glob(idx + "/bucket=*")
+    assert len(parts) > 4  # genuinely partitioned
+
+    res = knn_lsh_indexed(idx, base[0], k=5, radius=1, exclude_ids={0})
+    assert 5 in res["vec_id"].to_pylist()
+    # query touches only the probed partitions
+    assert len(_probe_buckets(base[0], 1)) < len(parts) * 3
+
+
+def test_annotate_ray_remote_args_passthrough(ray_session):
+    """X5: runtime/scheduling kwargs reach the underlying map_batches
+    call verbatim."""
+    import ray.data as rd
+
+    from k_gap_ray.ops.annotate import annotate_stage
+
+    ds = rd.from_items([{"url": "https://site0.example/page/0",
+                         "text": "Marine Institute operates R/V Belgica."}])
+    captured = {}
+    orig = ds.map_batches
+
+    def spy(*args, **kwargs):
+        captured.update(kwargs)
+        return orig(*args, **kwargs)
+
+    ds.map_batches = spy
+    out = annotate_stage(ds, ray_remote_args={"num_gpus": 0,
+                                              "memory": 100 * 1024 * 1024})
+    assert captured["num_gpus"] == 0
+    assert captured["memory"] == 100 * 1024 * 1024
+    assert out.count() > 0
