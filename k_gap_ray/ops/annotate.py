@@ -102,28 +102,39 @@ class Annotator:
                 m_ner.append(m.ner_type); m_cand.append(m.cand_entity)
                 m_score.append(m.link_score)
 
-        n_t, n_m, n_e = len(t_subj), len(m_surface), len(e_url)
+        # per-batch distinct (norm_surface, surface) pairs as kind=vocab
+        # rows: a combiner-at-source, so the canonicalization stage
+        # reads these tiny rows instead of rescanning the mentions
+        # (formerly a DRIVER-side re-read+dedup of every mention row —
+        # a per-group fixed cost that didn't scale with CPUs)
+        vocab = sorted(set(zip(m_norm, m_surface)))
+        v_norm = [p[0] for p in vocab]
+        v_surf = [p[1] for p in vocab]
+
+        n_t, n_m, n_e, n_v = len(t_subj), len(m_surface), len(e_url), len(vocab)
         none_t = [None] * n_t
         none_m = [None] * n_m
         none_e = [None] * n_e
+        none_v = [None] * n_v
         return pa.Table.from_pydict({
-            "kind": ["triple"] * n_t + ["mention"] * n_m + ["error"] * n_e,
-            "url": t_url + m_url + e_url,
-            "graph": t_graph + m_graph + none_e,
-            "subj": t_subj + none_m + none_e,
-            "pred": t_pred + none_m + none_e,
-            "obj": t_obj + none_m + none_e,
-            "obj_is_literal": t_lit + none_m + none_e,
-            "obj_datatype": t_dt + none_m + none_e,
-            "obj_lang": [""] * n_t + none_m + none_e,
-            "surface": none_t + m_surface + none_e,
-            "norm_surface": none_t + m_norm + none_e,
-            "start": none_t + m_start + none_e,
-            "end": none_t + m_end + none_e,
-            "ner_type": none_t + m_ner + none_e,
-            "cand_entity": none_t + m_cand + none_e,
-            "link_score": none_t + m_score + none_e,
-            "error": none_t + none_m + e_msg,
+            "kind": ["triple"] * n_t + ["mention"] * n_m + ["error"] * n_e
+                    + ["vocab"] * n_v,
+            "url": t_url + m_url + e_url + none_v,
+            "graph": t_graph + m_graph + none_e + none_v,
+            "subj": t_subj + none_m + none_e + none_v,
+            "pred": t_pred + none_m + none_e + none_v,
+            "obj": t_obj + none_m + none_e + none_v,
+            "obj_is_literal": t_lit + none_m + none_e + none_v,
+            "obj_datatype": t_dt + none_m + none_e + none_v,
+            "obj_lang": [""] * n_t + none_m + none_e + none_v,
+            "surface": none_t + m_surface + none_e + v_surf,
+            "norm_surface": none_t + m_norm + none_e + v_norm,
+            "start": none_t + m_start + none_e + none_v,
+            "end": none_t + m_end + none_e + none_v,
+            "ner_type": none_t + m_ner + none_e + none_v,
+            "cand_entity": none_t + m_cand + none_e + none_v,
+            "link_score": none_t + m_score + none_e + none_v,
+            "error": none_t + none_m + e_msg + none_v,
         }, schema=ANNOTATED)
 
 

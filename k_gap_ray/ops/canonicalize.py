@@ -286,7 +286,21 @@ def canonicalize(mentions_ds, force_distributed_cc: bool = False):
     if n_pairs > DRIVER_CC_MAX or force_distributed_cc:
         return _canonicalize_distributed(pairs_ds)
 
-    pair_rows = pairs_ds.take_all()
+    return _canonicalize_driver(pairs_ds.take_all())
+
+
+def canonicalize_vocab_table(pairs: pa.Table):
+    """Driver fast path over an ALREADY-SMALL (norm_surface, surface)
+    pair table — e.g. the kind=vocab combiner rows whose parquet
+    metadata showed a row count under DRIVER_CC_MAX. Zero Ray
+    executions: reading + deduping a vocabulary-sized table on the
+    driver is cheaper than one Dataset pipeline drain."""
+    df = pairs.to_pandas().drop_duplicates(
+        subset=["norm_surface", "surface"])
+    return _canonicalize_driver(df.to_dict("records"))
+
+
+def _canonicalize_driver(pair_rows: list[dict]):
     surfaces = sorted({r["norm_surface"] for r in pair_rows})
     comp = canon.cluster_surfaces(surfaces)
 

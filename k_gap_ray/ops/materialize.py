@@ -262,7 +262,12 @@ def add_subj_bucket(df: pd.DataFrame, n_buckets: int = 16) -> pd.DataFrame:
 def materialize_graph(triples_ds, out_dir: str, n_buckets: int = 16,
                       coalesce: bool = True):
     """Write `triples/` (subject-sorted) and `adjacency/` (hash-bucketed,
-    sorted within bucket) partitioned Parquet. Returns row count."""
+    sorted within bucket) partitioned Parquet. Returns row count.
+
+    The two writes consume the same materialized dedup output and run
+    SEQUENTIALLY on purpose: each is internally parallel, and running
+    both shuffles concurrently measured slower at every CPU level
+    (they contend for the same cores)."""
     deduped = dedup_quads(triples_ds, coalesce=coalesce).materialize()
 
     deduped.sort("subj").write_parquet(f"{out_dir}/triples")

@@ -66,29 +66,6 @@ def _stabilize_fsspec_http() -> None:
         sys.modules["fsspec.implementations.http"] = mod
 
 
-def _write_group_vocab(out_dir: str, pid: int, part_dir: str) -> None:
-    """Side-product of the annotate pass: the group's distinct
-    (norm_surface, surface) pairs — a combiner-at-source. The entities
-    stage then unions these tiny per-group vocabularies instead of
-    rescanning the full mentions table (vocabulary <<< corpus)."""
-    import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
-
-    mention_dir = os.path.join(part_dir, "kind=mention")
-    vocab_dir = os.path.join(out_dir, "vocab")
-    os.makedirs(vocab_dir, exist_ok=True)
-    out_path = os.path.join(vocab_dir, f"part-{pid:04d}.parquet")
-    if not os.path.isdir(mention_dir):
-        pq.write_table(pa.schema([("norm_surface", pa.string()),
-                                  ("surface", pa.string())]).empty_table(),
-                       out_path)
-        return
-    t = pads.dataset(mention_dir).to_table(columns=["norm_surface",
-                                                    "surface"])
-    df = t.to_pandas().drop_duplicates()
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), out_path)
-
-
 def _as_dataset(pages):
     import ray.data as rd
 
@@ -136,8 +113,11 @@ def run_pipeline(
     annotate_partitions: int = 4,
     n_buckets: int = 16,
     force_distributed_cc: bool = False,
+    annotate_single_pass: bool = False,
 ) -> dict[str, Any]:
     """Run the full pipeline; returns handles to every product table."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import ray
     import ray.data as rd
 
@@ -160,48 +140,88 @@ def run_pipeline(
     # group.
     groups = _partition_groups(pages, annotate_partitions)
 
-    def _run_group(pid: int, part) -> None:
+    def _group_pending(pid: int, part) -> bool:
         stage_id = f"annotated.{pid:04d}"
         files = part if isinstance(part, list) else None
         if ck.done(stage_id):
             if files is None or ck.info(stage_id).get("files") == files:
-                return  # finished AND same input shards -> skip
+                return False  # finished AND same input shards -> skip
         if files is not None and not files:
             ck.mark(stage_id, files=[], rows_out=0)
-            return
-        t = StageTimer()
+            return False
+        return True
+
+    def _build_group_ds(part):
         ds = part if not isinstance(part, list) else rd.read_parquet(part)
-        annotated = annotate_stage(
+        return annotate_stage(
             extract_stage(ds, batch_size=extract_batch_size),
             compute=annotate_compute,
             concurrency=annotate_concurrency,
             batch_size=annotate_batch_size)
-        part_dir = os.path.join(annotated_dir, f"part={pid:04d}")
-        # a failed earlier attempt may have left partial files: the
-        # manifest is the source of truth, the dir is rebuilt
-        import shutil
 
-        shutil.rmtree(part_dir, ignore_errors=True)
-        annotated.write_parquet(part_dir, partition_cols=["kind"])
+    def _commit_group(pid: int, part, wall_s: float) -> None:
+        files = part if isinstance(part, list) else None
+        part_dir = os.path.join(annotated_dir, f"part={pid:04d}")
         import pyarrow.dataset as pads
         n_out = pads.dataset(part_dir, partitioning="hive").count_rows()
         err_dir = os.path.join(part_dir, "kind=error")
         n_err = (pads.dataset(err_dir).count_rows()
                  if os.path.isdir(err_dir) else 0)
-        _write_group_vocab(out_dir, pid, part_dir)
         ck.lineage("annotated", f"{pid:04d}", rows_in=-1, rows_out=n_out,
-                   errors=n_err, wall_s=t.elapsed())
-        ck.mark(stage_id, rows_out=n_out,
+                   errors=n_err, wall_s=wall_s)
+        ck.mark(f"annotated.{pid:04d}", rows_out=n_out,
                 files=files if files is not None else [])
 
-    # groups in flight concurrently: each group's read/write/commit
-    # latency overlaps the others' compute; Ray time-slices the CPUs
-    # across the concurrent executions. Checkpoint units stay
-    # independent — each group has its own dir + manifest.
-    from concurrent.futures import ThreadPoolExecutor
+    def _run_group(pid: int, part) -> None:
+        """Per-group execution: the fine-grained resume unit."""
+        import shutil
 
-    with ThreadPoolExecutor(max_workers=min(4, len(groups))) as pool:
-        list(pool.map(lambda a: _run_group(*a), enumerate(groups)))
+        t = StageTimer()
+        annotated = _build_group_ds(part)
+        part_dir = os.path.join(annotated_dir, f"part={pid:04d}")
+        # a failed earlier attempt may have left partial files: the
+        # manifest is the source of truth, the dir is rebuilt
+        shutil.rmtree(part_dir, ignore_errors=True)
+        annotated.write_parquet(part_dir, partition_cols=["kind"])
+        _commit_group(pid, part, t.elapsed())
+
+    pending = [(pid, part) for pid, part in enumerate(groups)
+               if _group_pending(pid, part)]
+
+    if annotate_single_pass and len(pending) == len(groups) \
+            and len(pending) > 1 \
+            and all(isinstance(p, list) for _, p in pending):
+        # OPT-IN: all groups in ONE streaming execution — per-group
+        # branches union into a single write with a `part` partition
+        # column. MEASURED SLOWER than the threaded per-group path on
+        # this corpus (union+2-col partitioned write pipelines worse
+        # than 4 overlapped executions: 25.8s vs 21.6s at 32 CPUs,
+        # 78s vs 56-61s at 8) — kept for topologies where per-execution
+        # scheduling dominates, off by default.
+        import shutil
+
+        t = StageTimer()
+        branches = []
+        for pid, part in pending:
+            tag = f"{pid:04d}"
+            shutil.rmtree(os.path.join(annotated_dir, f"part={tag}"),
+                          ignore_errors=True)
+            branches.append(_build_group_ds(part).map_batches(
+                lambda b, p=tag: b.append_column(
+                    "part", pa.array([p] * b.num_rows, pa.string())),
+                batch_format="pyarrow", zero_copy_batch=True))
+        unioned = branches[0].union(*branches[1:])
+        unioned.write_parquet(annotated_dir, partition_cols=["part", "kind"])
+        wall = t.elapsed()
+        for pid, part in pending:
+            _commit_group(pid, part, wall)
+    else:
+        # partial resume: only unfinished groups run, each its own
+        # execution+manifest (groups in flight concurrently: read/
+        # write/commit latency overlaps the others' compute)
+        if pending:
+            with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
+                list(pool.map(lambda a: _run_group(*a), pending))
 
     # signature of the annotated stage's input: downstream manifests
     # recorded against a different signature are stale (incremental
@@ -236,14 +256,34 @@ def run_pipeline(
         import shutil as _sh
 
         t = StageTimer()
-        # per-group vocab side-products (written by the annotate pass)
-        # stand in for the full mentions table: same distinct pairs,
-        # orders of magnitude fewer rows
-        vocab_files = sorted(_glob.glob(
-            os.path.join(out_dir, "vocab", "part-*.parquet")))
-        vocab_ds = rd.read_parquet(vocab_files)
-        entities, mapping = canonicalize(
-            vocab_ds, force_distributed_cc=force_distributed_cc)
+        # kind=vocab rows (per-batch-distinct pairs emitted in-flight
+        # by the annotate pass) stand in for the full mentions table:
+        # same distinct pairs, orders of magnitude fewer rows, and no
+        # extra scan of the mention partitions
+        vocab_files = sorted(_glob.glob(os.path.join(
+            annotated_dir, "part=*", "kind=vocab", "*.parquet")))
+        import pyarrow.dataset as pads
+
+        from k_gap_ray.ops.canonicalize import (
+            DRIVER_CC_MAX,
+            canonicalize_vocab_table,
+        )
+
+        n_vocab = (pads.dataset(vocab_files).count_rows()
+                   if vocab_files else 0)  # parquet metadata, no scan
+        if n_vocab <= DRIVER_CC_MAX and not force_distributed_cc:
+            # vocabulary-sized: clustering runs on the driver with the
+            # exact oracle kernels — zero Dataset executions
+            pairs = (pads.dataset(vocab_files).to_table(
+                columns=["norm_surface", "surface"]) if vocab_files
+                else pa.table({"norm_surface": pa.array([], pa.string()),
+                               "surface": pa.array([], pa.string())}))
+            entities, mapping = canonicalize_vocab_table(pairs)
+        else:
+            vocab_ds = rd.read_parquet(vocab_files,
+                                       columns=["norm_surface", "surface"])
+            entities, mapping = canonicalize(
+                vocab_ds, force_distributed_cc=force_distributed_cc)
         _sh.rmtree(os.path.join(out_dir, "entities"), ignore_errors=True)
         _sh.rmtree(os.path.join(out_dir, "mapping"), ignore_errors=True)
         if isinstance(mapping, dict):
@@ -331,8 +371,12 @@ def _run_in_memory(pages, annotate_compute, annotate_concurrency,
     ).materialize()  # html-free; split below consumes it twice
     triples_raw, mentions_raw = split_annotated(annotated)
 
+    # canonicalize from the in-flight kind=vocab combiner rows (same
+    # distinct pairs as the mention stream, far fewer rows)
+    vocab_raw = (annotated.filter(expr="kind == 'vocab'")
+                 .select_columns(["norm_surface", "surface"]))
     entities, mapping = canonicalize(
-        mentions_raw, force_distributed_cc=force_distributed_cc)
+        vocab_raw, force_distributed_cc=force_distributed_cc)
 
     # dict vocabulary -> ray.put broadcast; Dataset vocabulary (the
     # distributed path) flows into join-based rewrites as-is
