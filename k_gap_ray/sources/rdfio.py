@@ -95,13 +95,13 @@ _TTL_TOKEN = re.compile(
       (?P<comment>\#[^\n]*)
     | (?P<iri><[^>]*>)
     | (?P<string>\"(?:[^"\\]|\\.)*\")
-    | (?P<keyword>@prefix\b|@base\b|(?i:\bPREFIX|\bBASE)\b
+    | (?P<keyword>@prefix\b|@base\b|(?i:\bPREFIX|\bBASE|\bGRAPH)\b
                   |\ba\b|\btrue\b|\bfalse\b)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<dtmark>\^\^)
     | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.-]*)
     | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
-    | (?P<punct>[.;,\[\]()])
+    | (?P<punct>[.;,{}\[\]()])
     """)
 
 
@@ -146,8 +146,24 @@ def parse_turtle_text(text: str) -> tuple[list[dict], int]:
         return None
 
     subj = pred = None
+    graph = ""  # TriG: non-empty inside a GRAPH <g> { ... } block
     while i < n:
         kind, args = tokens[i]
+        # TriG graph blocks: [GRAPH] <g> { ... }  /  { ... } (default)
+        if kind == "kw" and args[0].lower() == "graph":
+            i += 1
+            continue  # label + '{' handled below
+        if kind == "punct" and args[0] == "{":
+            # an IRI/pname we just stored as subj was the graph LABEL
+            if subj is not None and pred is None:
+                graph, subj = subj, None
+            i += 1
+            continue
+        if kind == "punct" and args[0] == "}":
+            graph = ""
+            subj = pred = None
+            i += 1
+            continue
         # prefix declaration: @prefix p: <iri> .   /   PREFIX p: <iri>
         if kind == "kw" and args[0].lower() in ("@prefix", "prefix"):
             if (i + 2 < n and tokens[i + 1][0] == "pname"
@@ -209,7 +225,7 @@ def parse_turtle_text(text: str) -> tuple[list[dict], int]:
                 "obj": lit if obj is None else obj,
                 "obj_is_literal": obj is None,
                 "obj_datatype": dt or "", "obj_lang": lang or "",
-                "graph": "", "url": "",
+                "graph": graph, "url": "",
             })
         # statement continuation
         if i < n and tokens[i][0] == "punct":
@@ -245,7 +261,8 @@ def read_turtle(paths):
     import ray.data as rd
 
     if isinstance(paths, str):
-        files = sorted(_glob.glob(_os.path.join(paths, "*.ttl"))) \
+        files = sorted(_glob.glob(_os.path.join(paths, "*.ttl"))
+                       + _glob.glob(_os.path.join(paths, "*.trig"))) \
             if _os.path.isdir(paths) else [paths]
     else:
         files = sorted(paths)
@@ -256,6 +273,112 @@ def read_turtle(paths):
             with open(path, encoding="utf-8") as f:
                 file_rows, _ = parse_turtle_text(f.read())
             rows.extend(file_rows)
+        return pa.Table.from_pylist(rows, schema=_TRIPLE_SCHEMA)
+
+    return rd.from_items([{"path": p} for p in files]) \
+        .map_batches(parse_files, batch_format="pyarrow", batch_size=1)
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD (flat subset) — the other bulk-load format the reference
+# accepts (docs/faq.md export section). Supported: top-level node
+# objects or @graph arrays, @context prefix/term maps (string values),
+# @id/@type, predicate values as strings, {"@id"}, {"@value"
+# [,@language|@type]}, or lists thereof. Nested node objects and
+# full @context semantics are out of scope (documented subset).
+# ---------------------------------------------------------------------------
+
+def _jsonld_expand(term: str, ctx: dict[str, str]) -> str:
+    if term in ctx:
+        return ctx[term]
+    if ":" in term:
+        pfx, local = term.split(":", 1)
+        if pfx in ctx:
+            return ctx[pfx] + local
+    return term
+
+
+def parse_jsonld_obj(doc: dict, graph: str = "") -> list[dict]:
+    """One parsed JSON-LD document -> triple rows."""
+    ctx_raw = doc.get("@context") or {}
+    ctx = {k: v for k, v in ctx_raw.items()
+           if isinstance(v, str)} if isinstance(ctx_raw, dict) else {}
+    nodes = doc.get("@graph")
+    if nodes is None:
+        nodes = [doc] if "@id" in doc else []
+    rows: list[dict] = []
+
+    def emit(subj, pred, value):
+        base = {"subj": subj, "pred": pred, "graph": graph, "url": "",
+                "obj_datatype": "", "obj_lang": ""}
+        if isinstance(value, dict):
+            if "@id" in value:
+                rows.append({**base, "obj": _jsonld_expand(value["@id"], ctx),
+                             "obj_is_literal": False})
+            elif "@value" in value:
+                rows.append({**base, "obj": str(value["@value"]),
+                             "obj_is_literal": True,
+                             "obj_datatype": _jsonld_expand(
+                                 value.get("@type", ""), ctx)
+                             if value.get("@type") else "",
+                             "obj_lang": value.get("@language", "")})
+        elif isinstance(value, list):
+            for v in value:
+                emit(subj, pred, v)
+        elif isinstance(value, bool):
+            rows.append({**base, "obj": "true" if value else "false",
+                         "obj_is_literal": True,
+                         "obj_datatype":
+                         "http://www.w3.org/2001/XMLSchema#boolean"})
+        elif isinstance(value, (int, float)):
+            rows.append({**base, "obj": str(value), "obj_is_literal": True,
+                         "obj_datatype":
+                         "http://www.w3.org/2001/XMLSchema#integer"
+                         if isinstance(value, int) else
+                         "http://www.w3.org/2001/XMLSchema#decimal"})
+        else:
+            rows.append({**base, "obj": str(value), "obj_is_literal": True})
+
+    for node in nodes:
+        if not isinstance(node, dict) or "@id" not in node:
+            continue
+        subj = _jsonld_expand(node["@id"], ctx)
+        for key, value in node.items():
+            if key == "@type":
+                for tv in value if isinstance(value, list) else [value]:
+                    rows.append({
+                        "subj": subj, "pred": _RDF_TYPE,
+                        "obj": _jsonld_expand(tv, ctx),
+                        "obj_is_literal": False, "obj_datatype": "",
+                        "obj_lang": "", "graph": graph, "url": ""})
+            elif not key.startswith("@"):
+                emit(subj, _jsonld_expand(key, ctx), value)
+    return rows
+
+
+def read_jsonld(paths):
+    """JSON-LD file(s) -> triples Dataset (file-per-task, like Turtle)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        files = sorted(_glob.glob(_os.path.join(paths, "*.jsonld"))
+                       + _glob.glob(_os.path.join(paths, "*.json"))) \
+            if _os.path.isdir(paths) else [paths]
+    else:
+        files = sorted(paths)
+
+    def parse_files(t: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for path in t.column("path").to_pylist():
+            with open(path, encoding="utf-8") as f:
+                doc = _json.load(f)
+            docs = doc if isinstance(doc, list) else [doc]
+            for d in docs:
+                rows.extend(parse_jsonld_obj(d))
         return pa.Table.from_pylist(rows, schema=_TRIPLE_SCHEMA)
 
     return rd.from_items([{"path": p} for p in files]) \

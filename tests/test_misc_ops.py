@@ -223,3 +223,56 @@ def test_annotate_ray_remote_args_passthrough(ray_session):
     assert captured["num_gpus"] == 0
     assert captured["memory"] == 100 * 1024 * 1024
     assert out.count() > 0
+
+
+def test_trig_named_graph_blocks():
+    """TriG graph blocks ([GRAPH] <g> { ... }) land triples in the
+    right named graph; statements outside blocks go to the default."""
+    from k_gap_ray.sources.rdfio import parse_turtle_text
+
+    trig = (
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:g1 {\n  ex:a ex:p ex:b ;\n       ex:q "lit" .\n}\n'
+        'GRAPH <http://example.org/g2> {\n  ex:c a ex:Thing .\n}\n'
+        'ex:d ex:p ex:e .\n'
+    )
+    rows, skipped = parse_turtle_text(trig)
+    assert skipped == 0 and len(rows) == 4
+    by_graph = {}
+    for r in rows:
+        by_graph.setdefault(r["graph"], []).append(r)
+    assert len(by_graph["http://example.org/g1"]) == 2
+    assert by_graph["http://example.org/g2"][0]["pred"].endswith("#type")
+    assert by_graph[""][0]["subj"] == "http://example.org/d"
+
+
+def test_jsonld_flat_subset(ray_session, tmp_path):
+    import json
+
+    from k_gap_ray.sources.rdfio import parse_jsonld_obj, read_jsonld
+
+    doc = {
+        "@context": {"ex": "http://example.org/",
+                     "name": "http://example.org/name"},
+        "@graph": [
+            {"@id": "ex:alice", "@type": "ex:Person",
+             "name": {"@value": "Alice", "@language": "en"},
+             "ex:age": 42,
+             "ex:knows": [{"@id": "ex:bob"},
+                          {"@id": "http://example.org/carol"}]},
+            {"@id": "ex:bob", "ex:active": True},
+        ],
+    }
+    rows = parse_jsonld_obj(doc)
+    objs = {(r["pred"], r["obj"], r["obj_is_literal"]) for r in rows}
+    assert ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://example.org/Person", False) in objs
+    assert ("http://example.org/name", "Alice", True) in objs
+    assert ("http://example.org/knows", "http://example.org/bob",
+            False) in objs
+    assert any(r["obj_datatype"].endswith("boolean") for r in rows)
+    assert any(r["obj_lang"] == "en" for r in rows)
+
+    p = tmp_path / "doc.jsonld"
+    p.write_text(json.dumps(doc))
+    assert read_jsonld(str(p)).count() == len(rows) == 6
