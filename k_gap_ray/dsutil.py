@@ -67,23 +67,34 @@ def drop_empty_blocks(ds):
 
 def join_datasets(left, right, on: str, right_on: str | None = None,
                   num_partitions: int | None = None,
-                  join_type: str = "inner"):
+                  join_type: str = "inner",
+                  scrub_left: bool = True, scrub_right: bool = True):
     """Dataset join with the Ray 2.49 call conventions handled.
 
     - ``num_partitions`` defaults to cluster CPUs (capped);
-    - both sides are scrubbed of empty-schema blocks first (see
-      drop_empty_blocks) — required whenever either side came out of a
-      sort-based groupby.
+    - sides flagged ``scrub_*`` are scrubbed of empty-schema blocks
+      first (see drop_empty_blocks) — REQUIRED for any side that came
+      out of a sort-based groupby; pass False for sides produced by
+      map_batches/read/join (cannot carry empty-schema blocks), which
+      skips a materialize-and-rebuild pass per side.
     Rename columns BEFORE calling when names collide; Ray's suffix
     handling is unreliable.
     """
     import ray
 
+    if scrub_left:
+        left = drop_empty_blocks(left.materialize())
+    if scrub_right:
+        right = drop_empty_blocks(right.materialize())
     if num_partitions is None:
         num_partitions = max(2, min(32, int(
             ray.cluster_resources().get("CPU", 8))))
-    left = drop_empty_blocks(left.materialize())
-    right = drop_empty_blocks(right.materialize())
+        if scrub_left:
+            # left was just materialized: sizing the join to its row
+            # count is free, and a tiny candidate set doesn't need 32
+            # shuffle partitions' worth of task overhead
+            num_partitions = max(2, min(num_partitions,
+                                        left.count() // 20_000 + 2))
     return left.join(right, join_type=join_type,
                      num_partitions=num_partitions,
                      on=(on,),

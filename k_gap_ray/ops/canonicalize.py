@@ -230,7 +230,7 @@ def _canonicalize_distributed(pairs_ds):
     # (label, surface) via a hash join of the vocab pairs on the labels
     pairs_labeled = join_datasets(
         pairs_ds, labels.rename_columns({"node": "norm_surface"}),
-        on="norm_surface")
+        on="norm_surface", scrub_right=False)  # labels already scrubbed
     form_stream = pairs_labeled.map_batches(
         lambda t: pa.table({
             "label": t.column("label"),
@@ -361,7 +361,8 @@ def mention_counts(mentions_ds, mapping_ref):
         partials = mentions_ds.map_batches(partial_by_surface,
                                            batch_format="pyarrow")
         joined = join_datasets(partials, mapping_ref, on="norm_surface",
-                               join_type="left_outer")
+                               join_type="left_outer",
+                               scrub_left=False)  # map-produced
         return (joined.map_batches(
             lambda t: pa.table({
                 "entity_id": pa.compute.fill_null(

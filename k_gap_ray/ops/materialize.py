@@ -80,7 +80,10 @@ def _rewrite_col_via_join(ds, col: str, mapping_ds, guard_col=None,
         batch_format="pyarrow", zero_copy_batch=True)
     m = mapping_ds.rename_columns({"norm_surface": "__norm",
                                    "entity_id": "__ent"})
-    joined = join_datasets(keyed, m, on="__norm", join_type="left_outer")
+    # keyed is map-produced (no empty-schema blocks); skipping the
+    # scrub avoids materializing the full triple stream mid-rewrite
+    joined = join_datasets(keyed, m, on="__norm", join_type="left_outer",
+                           scrub_left=False)
 
     def finish(t: pa.Table) -> pa.Table:
         new = t.column("__ent")
@@ -137,7 +140,8 @@ def rewrite_mentions(mentions_ds, mapping_ref):
         cols = mentions_ds.schema().names
         m = mapping_ref.rename_columns({"entity_id": "__ent"})
         joined = join_datasets(mentions_ds, m, on="norm_surface",
-                               join_type="left_outer")
+                               join_type="left_outer",
+                               scrub_left=False)  # read/map-produced
 
         def finish(t: pa.Table) -> pa.Table:
             cand = _pc.if_else(_pc.is_null(t.column("__ent")),

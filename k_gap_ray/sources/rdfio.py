@@ -280,6 +280,85 @@ def read_turtle(paths):
 
 
 # ---------------------------------------------------------------------------
+# RDF/XML (subset) — rdf:RDF/rdf:Description trees with rdf:about,
+# typed node elements, property elements carrying rdf:resource or a
+# text literal (xml:lang / rdf:datatype). Blank nodes (rdf:nodeID,
+# anonymous nesting) and rdf:parseType are skipped with a count.
+# ---------------------------------------------------------------------------
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+
+def _xml_expand(tag: str) -> str:
+    return tag[1:].replace("}", "") if tag.startswith("{") else tag
+
+
+def parse_rdfxml_text(text: str) -> tuple[list[dict], int]:
+    """Parse one RDF/XML document -> (triple rows, n_skipped_nodes)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    rows: list[dict] = []
+    skipped = 0
+    nodes = list(root) if _xml_expand(root.tag) == _RDF_NS + "RDF" else [root]
+    for node in nodes:
+        subj = node.attrib.get(f"{{{_RDF_NS}}}about")
+        if subj is None:
+            skipped += 1
+            continue
+        node_type = _xml_expand(node.tag)
+        if node_type != _RDF_NS + "Description":
+            rows.append({"subj": subj, "pred": _RDF_TYPE, "obj": node_type,
+                         "obj_is_literal": False, "obj_datatype": "",
+                         "obj_lang": "", "graph": "", "url": ""})
+        for prop in node:
+            pred = _xml_expand(prop.tag)
+            res = prop.attrib.get(f"{{{_RDF_NS}}}resource")
+            if res is not None:
+                rows.append({"subj": subj, "pred": pred, "obj": res,
+                             "obj_is_literal": False, "obj_datatype": "",
+                             "obj_lang": "", "graph": "", "url": ""})
+            elif len(prop) == 0:
+                rows.append({
+                    "subj": subj, "pred": pred, "obj": prop.text or "",
+                    "obj_is_literal": True,
+                    "obj_datatype": prop.attrib.get(
+                        f"{{{_RDF_NS}}}datatype", ""),
+                    "obj_lang": prop.attrib.get(f"{{{_XML_NS}}}lang", ""),
+                    "graph": "", "url": ""})
+            else:
+                skipped += 1  # nested/anonymous node: out of subset
+    return rows, skipped
+
+
+def read_rdfxml(paths):
+    """RDF/XML file(s) -> triples Dataset (file-per-task)."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        files = sorted(_glob.glob(_os.path.join(paths, "*.rdf"))
+                       + _glob.glob(_os.path.join(paths, "*.xml"))) \
+            if _os.path.isdir(paths) else [paths]
+    else:
+        files = sorted(paths)
+
+    def parse_files(t: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for path in t.column("path").to_pylist():
+            with open(path, encoding="utf-8") as f:
+                file_rows, _ = parse_rdfxml_text(f.read())
+            rows.extend(file_rows)
+        return pa.Table.from_pylist(rows, schema=_TRIPLE_SCHEMA)
+
+    return rd.from_items([{"path": p} for p in files]) \
+        .map_batches(parse_files, batch_format="pyarrow", batch_size=1)
+
+
+# ---------------------------------------------------------------------------
 # JSON-LD (flat subset) — the other bulk-load format the reference
 # accepts (docs/faq.md export section). Supported: top-level node
 # objects or @graph arrays, @context prefix/term maps (string values),

@@ -276,3 +276,36 @@ def test_jsonld_flat_subset(ray_session, tmp_path):
     p = tmp_path / "doc.jsonld"
     p.write_text(json.dumps(doc))
     assert read_jsonld(str(p)).count() == len(rows) == 6
+
+
+def test_rdfxml_subset(ray_session, tmp_path):
+    from k_gap_ray.sources.rdfio import parse_rdfxml_text, read_rdfxml
+
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:ex="http://example.org/"\n'
+        '         xmlns:xml="http://www.w3.org/XML/1998/namespace">\n'
+        '  <ex:Person rdf:about="http://example.org/alice">\n'
+        '    <ex:name xml:lang="en">Alice</ex:name>\n'
+        '    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#int">'
+        '42</ex:age>\n'
+        '    <ex:knows rdf:resource="http://example.org/bob"/>\n'
+        '  </ex:Person>\n'
+        '  <rdf:Description rdf:about="http://example.org/bob">\n'
+        '    <ex:note>plain</ex:note>\n'
+        '  </rdf:Description>\n'
+        '</rdf:RDF>\n'
+    )
+    rows, skipped = parse_rdfxml_text(xml)
+    assert skipped == 0 and len(rows) == 5
+    k = {(r["pred"], r["obj"], r["obj_is_literal"]) for r in rows}
+    assert ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://example.org/Person", False) in k
+    assert ("http://example.org/knows", "http://example.org/bob", False) in k
+    assert any(r["obj_lang"] == "en" for r in rows)
+    assert any(r["obj_datatype"].endswith("#int") for r in rows)
+
+    p = tmp_path / "doc.rdf"
+    p.write_text(xml)
+    assert read_rdfxml(str(p)).count() == 5
