@@ -126,6 +126,15 @@ def run_bench() -> dict:
         threshold=0.5))
     timed("q_knn_top10", lambda d: knn_by_id(d, 0, 10))
 
+    from k_gap_ray.functions.dedup import cosine_pairs_exact
+    from k_gap_ray.functions.textstats import fingerprints
+
+    timed("q_doc_fingerprints", lambda d: fingerprints(
+        rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"])))
+    timed("q_emb_sim_join", lambda d: cosine_pairs_exact(
+        rd.read_parquet(f"{d}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]), threshold=0.4))
+
     result = {
         "metric": "kg_pipeline_e2e_sec",
         "value": round(headline, 3),

@@ -243,11 +243,17 @@ def run_pipeline(
     mention_cols = ["url", "surface", "norm_surface", "start", "end",
                     "ner_type", "cand_entity", "link_score"]
 
-    def read_kind(kind: str, columns: list[str]):
+    def read_kind(kind: str, columns: list[str], coarse: bool = False):
         import glob as _glob
 
         files = sorted(_glob.glob(os.path.join(
             annotated_dir, "part=*", f"kind={kind}", "*.parquet")))
+        if coarse:
+            # plan ~2 blocks per CPU at the READ instead of paying a
+            # repartition barrier downstream (dedup's coalesce step)
+            n = int(ray.cluster_resources().get("CPU", 8)) * 2
+            return rd.read_parquet(files, columns=columns,
+                                   override_num_blocks=max(8, n))
         return rd.read_parquet(files, columns=columns)
 
     # ---- stage 3: canonicalize ----
@@ -321,9 +327,10 @@ def run_pipeline(
         _sh.rmtree(os.path.join(out_dir, "triples"), ignore_errors=True)
         _sh.rmtree(os.path.join(out_dir, "adjacency"), ignore_errors=True)
         t = StageTimer()
-        triples_raw = read_kind("triple", triple_cols)
+        triples_raw = read_kind("triple", triple_cols, coarse=True)
         canonical = rewrite_triples(triples_raw, mapping_ref)
-        n = materialize_graph(canonical, out_dir, n_buckets=n_buckets)
+        n = materialize_graph(canonical, out_dir, n_buckets=n_buckets,
+                              coalesce=False)  # read already coarse
         ck.lineage("graph", "all", rows_in=-1, rows_out=n, wall_s=t.elapsed())
         ck.mark("graph", rows_out=n, input_sig=input_sig)
 
