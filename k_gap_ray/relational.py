@@ -189,14 +189,17 @@ def q_events_hourly(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["ts", "value"])
 
-    def add_window(df):
-        import numpy as np
+    def add_window(t: pa.Table) -> pa.Table:
+        # arrow-native window-key normalization: this map runs
+        # pre-shuffle over raw read blocks, where a pandas conversion
+        # would pay its per-block constant cost on every tiny block
+        win = pc.floor_temporal(t.column("ts"), unit="hour")
+        return scaled_int_col(
+            pa.table({"window_start": win}), "value_s", t.column("value"),
+            100)
 
-        df["window_start"] = df["ts"].dt.floor("h")
-        df["value_s"] = np.rint(df["value"].to_numpy() * 100).astype("int64")
-        return df[["window_start", "value_s"]]
-
-    out = (ds.map_batches(add_window, batch_format="pandas")
+    out = (ds.map_batches(add_window, batch_format="pyarrow",
+                          zero_copy_batch=True)
            .groupby("window_start").aggregate(
                Count(alias_name="n"),
                Sum("value_s", alias_name="sum_value")))
@@ -252,20 +255,23 @@ def q_join_customer_nation_region(sf_dir: str):
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    lookup_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+    # broadcast the dim lookup as parallel Arrow arrays: the per-batch
+    # attach is then index_in + take (dictionary join), no pandas
+    keys = pa.array(dim["n_nationkey"].tolist(), pa.int64())
+    names = pa.array(dim["r_name"].tolist(), pa.string())
+    lookup_ref = ray.put((keys, names))
 
-    def attach(df):
-        import numpy as np
+    def attach(t: pa.Table) -> pa.Table:
         import ray as _r
 
-        lookup = _r.get(lookup_ref)
-        df["r_name"] = df["c_nationkey"].map(lookup)
-        df["acctbal_s"] = np.rint(df["c_acctbal"].to_numpy() * 100
-                                  ).astype("int64")
-        return df[["r_name", "acctbal_s"]]
+        k, v = _r.get(lookup_ref)
+        idx = pc.index_in(t.column("c_nationkey"), value_set=k)
+        out = pa.table({"r_name": pc.take(v, idx)})
+        return scaled_int_col(out, "acctbal_s", t.column("c_acctbal"), 100)
 
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-    out = (ds.map_batches(attach, batch_format="pandas")
+    out = (ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)
            .groupby("r_name").aggregate(
                Count(alias_name="n_customers"),
                Sum("acctbal_s", alias_name="sum_acctbal")))

@@ -326,3 +326,29 @@ def test_pack_unpack_floats_roundtrip():
     assert np.array_equal(back, V)
     # slices (non-zero offset) must unpack correctly too
     assert np.array_equal(unpack_floats(packed.slice(5, 7)), V[5:12])
+
+
+def test_mention_counts_join_path_matches_broadcast(ray_session, pages_table):
+    """mention_counts with a mapping DATASET (distributed-vocabulary
+    path: pre-aggregated partials joined to the mapping) must equal the
+    ray.put-broadcast dict path."""
+    import ray
+    import ray.data as rd
+
+    from k_gap_ray.ops.canonicalize import mention_counts
+    from k_gap_ray.pipeline import run_pipeline
+
+    res = run_pipeline(rd.from_arrow(pages_table).repartition(4))
+    mapping = res["mapping"]
+    assert isinstance(mapping, dict)
+    via_dict = {r["entity_id"]: r["n_mentions"]
+                for r in mention_counts(res["mentions"],
+                                        ray.put(mapping)).take_all()}
+    mapping_ds = rd.from_arrow(pa.table({
+        "norm_surface": pa.array(sorted(mapping), pa.string()),
+        "entity_id": pa.array([mapping[k] for k in sorted(mapping)],
+                              pa.string())}))
+    via_join = {r["entity_id"]: r["n_mentions"]
+                for r in mention_counts(res["mentions"],
+                                        mapping_ds).take_all()}
+    assert via_join == via_dict
