@@ -101,6 +101,21 @@ def join_datasets(left, right, on: str, right_on: str | None = None,
                      right_on=(right_on,) if right_on else None)
 
 
+def list_col_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Uniform list<float> column -> (n, dim) matrix, zero-copy from
+    the Arrow values buffer (no per-row to_pylist)."""
+    flat = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(flat)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    lens = pa.compute.list_value_length(flat).to_numpy(zero_copy_only=False)
+    dim = int(lens[0])
+    if not (lens == dim).all():
+        raise ValueError("ragged embedding lengths")
+    vals = flat.flatten().to_numpy(zero_copy_only=False)
+    return vals.reshape(n, dim).astype(dtype, copy=False)
+
+
 def pack_floats(col) -> pa.Array:
     """list<float32> column -> variable-width binary (join-safe payload).
 

@@ -366,8 +366,9 @@ def embedding_bands(emb_ds, n_planes: int = 8, n_tables: int = 24,
         if len(ids) == 0:
             return pa.table({"band_key": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64())})
-        embs = np.asarray(t.column("embedding").to_pylist(),
-                          dtype=np.float64)
+        from k_gap_ray.dsutil import list_col_matrix
+
+        embs = list_col_matrix(t.column("embedding"))
         planes = _hyperplanes(embs.shape[1], n_planes, n_tables, seed)
         signs = (embs @ planes) >= 0  # (D, n_tables*n_planes)
         po2 = (1 << np.arange(n_planes, dtype=np.int64))

@@ -15,9 +15,10 @@ import pyarrow as pa
 
 
 def _batch_matrix(t: pa.Table) -> tuple[list[int], np.ndarray]:
+    from k_gap_ray.dsutil import list_col_matrix
+
     ids = t.column("vec_id").to_pylist()
-    embs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, embs
+    return ids, list_col_matrix(t.column("embedding"))
 
 
 def knn_bruteforce(emb_ds, query_vec: np.ndarray, k: int = 10,
