@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_having": rel.q_having,
         "q_events_by_type": rel.q_events_by_type,
         "q_events_hourly": rel.q_events_hourly,
+        "q_events_sliding": rel.q_events_sliding,
         "q_events_user_running": rel.q_events_user_running,
         "q_events_watermark": rel.q_events_watermark,
         "q_join_customer_nation_region": rel.q_join_customer_nation_region,
@@ -411,6 +412,17 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0
                        AS sum_value
             FROM events GROUP BY 1
+        """,
+        "q_events_sliding": """
+            SELECT ws AS window_start, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                       AS sum_value
+            FROM (
+                SELECT date_trunc('hour', ts) AS ws, value FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value
+                FROM events
+            ) GROUP BY 1
         """,
         "q_events_user_running": """
             SELECT event_id,

@@ -211,6 +211,35 @@ def q_events_hourly(sf_dir: str):
     return _unscale(out, "sum_value", 100)
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding event-time window (size 2h, slide 1h): each event is
+    replicated to the two windows containing it inside the per-batch
+    map (flat-map by window key), then one grouped aggregate — the
+    standard Ray Data expression of overlapping windows. Fixed-point
+    sums as elsewhere."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    hour = pa.scalar(3_600_000_000, pa.duration("us"))
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        win0 = pc.cast(pc.floor_temporal(t.column("ts"), unit="hour"),
+                       pa.timestamp("us"))
+        base = scaled_int_col(pa.table({"window_start": win0}),
+                              "value_s", t.column("value"), 100)
+        shifted = base.set_column(
+            0, "window_start", pc.subtract(base.column("window_start"),
+                                           hour))
+        return pa.concat_tables([base, shifted])
+
+    out = (ds.map_batches(explode_windows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("window_start").aggregate(
+               Count(alias_name="n"),
+               Sum("value_s", alias_name="sum_value")))
+    return _unscale(out, "sum_value", 100)
+
+
 def q_events_user_running(sf_dir: str):
     """Per-key ordered running aggregate (streaming-shaped windowing:
     partition by key, sort by event time within the partition, carry
