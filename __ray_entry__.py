@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_by_type": rel.q_events_by_type,
         "q_events_hourly": rel.q_events_hourly,
         "q_events_sliding": rel.q_events_sliding,
+        "q_events_sessions": rel.q_events_sessions,
+        "q_events_asof_click": rel.q_events_asof_click,
         "q_events_user_running": rel.q_events_user_running,
         "q_events_watermark": rel.q_events_watermark,
         "q_join_customer_nation_region": rel.q_join_customer_nation_region,
@@ -423,6 +425,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value
                 FROM events
             ) GROUP BY 1
+        """,
+        "q_events_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 24 HOUR
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessioned AS (
+                SELECT user_id, ts, value,
+                       sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS sess
+                FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_s
+            FROM sessioned GROUP BY user_id, sess
+        """,
+        "q_events_asof_click": """
+            SELECT e.event_id,
+                   coalesce((SELECT c.event_id FROM events c
+                    WHERE c.user_id = e.user_id
+                      AND c.event_type = 'click'
+                      AND (c.ts < e.ts
+                           OR (c.ts = e.ts AND c.event_id < e.event_id))
+                    ORDER BY c.ts DESC, c.event_id DESC
+                    LIMIT 1), -1) AS click_event_id
+            FROM events e WHERE e.event_type = 'error'
         """,
         "q_events_user_running": """
             SELECT event_id,

@@ -240,6 +240,75 @@ def q_events_sliding(sf_dir: str):
     return _unscale(out, "sum_value", 100)
 
 
+def q_events_sessions(sf_dir: str, gap_hours: int = 24):
+    """Session windows (gap-based): per user, events closer than
+    `gap_hours` chain into one session. Ray Data has no session-window
+    primitive; the composition is groupby(key).map_groups with an
+    ordered gap-detection cumsum inside each group — exact semantics,
+    partitioned by the session key. Values are fixed-point int64."""
+
+    def sessions(df):
+        import numpy as np
+
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = df["ts"].diff() > np.timedelta64(gap_hours, "h")
+        sess = gap.cumsum()
+        vs = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        df = df.assign(_sess=sess, _vs=vs)
+        out = df.groupby("_sess").agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+            value_s=("_vs", "sum"),
+        ).reset_index(drop=True)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_start", "session_end",
+                    "n_events", "value_s"]]
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.map_batches(
+        lambda t: (t.set_column(t.column_names.index("session_start"),
+                                "session_start",
+                                pc.cast(t.column("session_start"),
+                                        pa.timestamp("us")))
+                   .set_column(t.column_names.index("session_end"),
+                               "session_end",
+                               pc.cast(t.column("session_end"),
+                                       pa.timestamp("us")))),
+        batch_format="pyarrow")  # ns->us for the oracle compare
+
+
+def q_events_asof_click(sf_dir: str):
+    """As-of join WITHIN the event stream: for every 'error' event,
+    the most recent prior 'click' event of the same user (event-time
+    as-of, ties broken by event_id). Ray Data lacks an as-of join;
+    the composition is groupby(key).map_groups with an ordered
+    forward-carry — the partitioning assumption is that one key's
+    history fits a group, which holds for per-user event streams."""
+
+    def asof(df):
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        last_click = -1  # sentinel: no prior click (null-free output)
+        out_ids, out_clicks = [], []
+        for eid, etype in zip(df["event_id"], df["event_type"]):
+            if etype == "error":
+                out_ids.append(eid)
+                out_clicks.append(last_click)
+            if etype == "click":
+                last_click = eid
+        import pandas as pd
+
+        return pd.DataFrame({"event_id": out_ids,
+                             "click_event_id": pd.array(out_clicks,
+                                                        dtype="int64")})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
 def q_events_user_running(sf_dir: str):
     """Per-key ordered running aggregate (streaming-shaped windowing:
     partition by key, sort by event time within the partition, carry
