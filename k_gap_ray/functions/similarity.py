@@ -160,6 +160,91 @@ def knn_lsh_indexed(index_dir: str, query_vec: np.ndarray, k: int = 10,
     return knn_bruteforce(cand, q, k=k, exclude_ids=exclude_ids)
 
 
+def train_ivf_centroids(emb_ds, n_centroids: int = 16, sample_rows: int = 8192,
+                        n_iters: int = 10, seed: int = 99) -> np.ndarray:
+    """k-means coarse quantizer trained on a BOUNDED sample.
+
+    The sample (not the corpus) comes to the driver; Lloyd iterations
+    run in numpy. Returns L2-normalized (n_centroids, dim) centroids."""
+    from k_gap_ray.dsutil import list_col_matrix
+
+    sample = emb_ds.limit(sample_rows).select_columns(["embedding"])
+    X = np.vstack([list_col_matrix(b.column("embedding"))
+                   for b in sample.iter_batches(batch_format="pyarrow",
+                                                batch_size=4096)])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized rows
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def build_ivf_index(emb_ds, index_dir: str, n_centroids: int = 16,
+                    **train_kwargs) -> np.ndarray:
+    """Assign every vector to its nearest centroid (one matmul per
+    batch against the broadcast centroids) and persist as
+    centroid-partitioned Parquet. Returns the centroids (persist them
+    alongside for reuse)."""
+    import ray
+
+    from k_gap_ray.dsutil import list_col_matrix
+
+    C = train_ivf_centroids(emb_ds, n_centroids=n_centroids, **train_kwargs)
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        cents = _r.get(c_ref)
+        V = list_col_matrix(t.column("embedding"))
+        if len(V) == 0:
+            return pa.table({"centroid": pa.array([], pa.int32()),
+                             "vec_id": t.column("vec_id"),
+                             "embedding": t.column("embedding")})
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        a = np.argmax(Vn @ cents.T, axis=1).astype(np.int32)
+        return pa.table({"centroid": pa.array(a, pa.int32()),
+                         "vec_id": t.column("vec_id"),
+                         "embedding": t.column("embedding")})
+
+    emb_ds.map_batches(assign, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+        .write_parquet(index_dir, partition_cols=["centroid"])
+    np.save(f"{index_dir}/centroids.npy", C)
+    return C
+
+
+def knn_ivf(index_dir: str, query_vec: np.ndarray, k: int = 10,
+            n_probe: int = 4, exclude_ids: set[int] | None = None,
+            centroids: np.ndarray | None = None):
+    """IVF query: score the query against the centroids, read ONLY the
+    n_probe nearest centroid partitions, exact top-k within them."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data as rd
+
+    C = centroids if centroids is not None \
+        else np.load(f"{index_dir}/centroids.npy")
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(C @ qn))[:n_probe]
+    files = [f for c in probe
+             for f in _glob.glob(_os.path.join(index_dir, f"centroid={c}",
+                                               "*.parquet"))]
+    if not files:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    cand = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    return knn_bruteforce(cand, q, k=k, exclude_ids=exclude_ids)
+
+
 def knn_lsh(emb_ds, query_vec: np.ndarray, k: int = 10, radius: int = 1,
             exclude_ids: set[int] | None = None):
     """Approximate top-k: scan only buckets whose signature is within

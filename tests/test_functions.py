@@ -352,3 +352,40 @@ def test_mention_counts_join_path_matches_broadcast(ray_session, pages_table):
                 for r in mention_counts(res["mentions"],
                                         mapping_ds).take_all()}
     assert via_join == via_dict
+
+
+def test_ivf_index_build_and_query(ray_session, tmp_path):
+    """IVF coarse quantizer: centroid-partitioned index on disk; a
+    query reads only its probed partitions and finds planted
+    neighbors; recall vs exact over the planted set is high."""
+    import glob
+
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import (
+        build_ivf_index,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(300, 24)
+    q = base[0]
+    for j in range(1, 6):
+        base[j] = q + rng.randn(24) * 0.05
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              pa.list_(pa.float32()))}))
+    idx = str(tmp_path / "ivf")
+    C = build_ivf_index(emb, idx, n_centroids=8)
+    assert C.shape == (8, 24)
+    parts = glob.glob(idx + "/centroid=*")
+    assert len(parts) >= 4  # vectors spread over multiple lists
+
+    exact = set(knn_bruteforce(emb, q, k=5,
+                               exclude_ids={0})["vec_id"].to_pylist())
+    approx = set(knn_ivf(idx, q, k=5, n_probe=2,
+                         exclude_ids={0})["vec_id"].to_pylist())
+    planted = {1, 2, 3, 4, 5}
+    assert len(approx & planted) / max(1, len(planted & exact)) >= 0.9
