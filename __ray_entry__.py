@@ -140,6 +140,97 @@ def _doc_simhash_pairs(sf_dir: str):
     return simhash_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=8)
 
 
+def _doc_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard similarity join (prefix-filtered, not
+    probabilistic) — word-BIGRAM shingles at threshold 0.5, vs the
+    minhash query's trigrams: a distinct result set whose recall is
+    1.0 by construction, so the brute-force oracle matches exactly."""
+    from k_gap_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                               threshold=0.5, shingle_k=2)
+
+
+def _doc_dup_clusters(sf_dir: str):
+    """A8 connected components over the exact bigram-Jaccard dup
+    pairs: every doc labeled with the min doc_id of its duplicate
+    cluster (singletons label themselves). Numeric-min semantics via
+    zero-padded string nodes (CC labels are lexicographic-min)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.dedup import ngram_jaccard_pairs
+    from k_gap_ray.ops.canonicalize import connected_components
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, shingle_k=2)
+
+    def pad(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 12, padding="0")
+
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": pad(t.column("doc_id"))}),
+        batch_format="pyarrow")
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": pad(t.column("doc_id_a")),
+                            "b": pad(t.column("doc_id_b"))}),
+        batch_format="pyarrow")
+    labels = connected_components(nodes, edges)
+    return labels.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("node"), pa.int64()),
+            "cluster_id": pc.cast(t.column("label"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _doc_hash_sample(sf_dir: str):
+    """O5 deterministic hash sampling: 30% of documents selected by a
+    multiplicative id hash — block-layout- and cluster-size-invariant,
+    hence value-verifiable against the SQL oracle."""
+    from k_gap_ray.ops.transform import hash_sample
+
+    return hash_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                       "doc_id", keep_pct=30)
+
+
+def _deref_reachable(sf_dir: str):
+    """J5 dereference loop driven through the oracle gate: iterative
+    cycle-safe frontier expansion over a customer->nation->region edge
+    graph, vs a recursive-CTE transitive closure in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.relational import _read, dereference
+
+    def tag(prefix: str, col):
+        return pc.binary_join_element_wise(
+            pa.scalar(prefix), pc.cast(col, pa.string()), "")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: pa.table({
+            "subj": tag("customer:", t.column("c_custkey")),
+            "obj": tag("nation:", t.column("c_nationkey"))}),
+            batch_format="pyarrow")
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]) \
+        .map_batches(lambda t: pa.table({
+            "subj": tag("nation:", t.column("n_nationkey")),
+            "obj": tag("region:", t.column("n_regionkey"))}),
+            batch_format="pyarrow")
+    edges = cust.union(nat)
+    seeds = [f"customer:{i}" for i in range(6)]  # c_custkey 0..5
+    # depth 3 > graph depth 2: the visited-set cycle guard, not the
+    # depth cap, is what terminates the walk
+    hops = dereference(edges, seeds, depth=3)
+    reached = hops.map_batches(
+        lambda t: pa.table({"node": t.column("obj")}),
+        batch_format="pyarrow")
+    import ray.data as rd
+
+    seed_ds = rd.from_arrow(pa.table({"node": pa.array(seeds, pa.string())}))
+    return (reached.union(seed_ds).groupby("node").count()
+            .select_columns(["node"]))
+
+
 def _emb_near_dup(sf_dir: str):
     import ray.data as rd
 
@@ -350,6 +441,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_simhash": _doc_simhash,
         "q_doc_minhash_pairs": _doc_minhash_pairs,
         "q_doc_simhash_pairs": _doc_simhash_pairs,
+        "q_doc_ngram_jaccard": _doc_ngram_jaccard,
+        "q_doc_dup_clusters": _doc_dup_clusters,
+        "q_doc_hash_sample": _doc_hash_sample,
+        # --- graph traversal (J5) ---
+        "q_deref_reachable": _deref_reachable,
         # --- embeddings: similarity search + near-dup ---
         "q_knn_top10": _knn,
         "q_knn_lsh": _knn_lsh,
@@ -653,6 +749,65 @@ def _text_analysis_oracles() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         WHERE 2 * n_common >= n_union
     """
+    # word-BIGRAM shingles (the exact prefix-filter join's config);
+    # same integer-threshold comparison, brute-force all pairs
+    bigram_sh = """
+        WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(tk) >= 2 THEN
+                          list_distinct(list_transform(
+                              range(1, len(tk)),
+                              i -> array_to_string(tk[i:i+1], ' ')))
+                      ELSE [array_to_string(tk, ' ')] END AS s
+               FROM toks),
+        p AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   len(list_intersect(a.s, b.s)) AS n_common,
+                   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                       AS n_union
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    """
+    ngram_jaccard = bigram_sh + """
+        SELECT doc_id_a, doc_id_b, n_common, n_union FROM p
+        WHERE 2 * n_common >= n_union
+    """
+    # transitive closure over the verified pair edges -> per-doc min
+    # reachable id = duplicate-cluster label (singletons label
+    # themselves)
+    dup_clusters = bigram_sh + """,
+        kept AS (SELECT doc_id_a AS a, doc_id_b AS b FROM p
+                 WHERE 2 * n_common >= n_union),
+        e AS (SELECT a, b FROM kept UNION ALL SELECT b, a FROM kept),
+        reach(node, r) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+        FROM documents d
+        LEFT JOIN (SELECT node, min(r) AS mn FROM reach GROUP BY node) m
+            ON m.node = d.doc_id
+    """
+    hash_sample = """
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 % 100 < 30
+    """
+    deref = """
+        WITH RECURSIVE edges AS (
+            SELECT 'customer:' || c_custkey AS src,
+                   'nation:' || c_nationkey AS dst FROM customer
+            UNION ALL
+            SELECT 'nation:' || n_nationkey,
+                   'region:' || n_regionkey FROM nation
+        ), reach(node) AS (
+            SELECT 'customer:' || c_custkey FROM customer
+            WHERE c_custkey <= 5
+            UNION
+            SELECT e.dst FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node FROM reach
+    """
     emb_near_dup = """
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -696,6 +851,10 @@ def _text_analysis_oracles() -> dict[str, str]:
         "q_doc_simhash": simhash,
         "q_doc_simhash_pairs": simhash_pairs,
         "q_doc_minhash_pairs": minhash_pairs,
+        "q_doc_ngram_jaccard": ngram_jaccard,
+        "q_doc_dup_clusters": dup_clusters,
+        "q_doc_hash_sample": hash_sample,
+        "q_deref_reachable": deref,
         "q_emb_near_dup": emb_near_dup,
         "q_emb_sim_join": emb_sim_join,
     }

@@ -124,6 +124,11 @@ def run_bench() -> dict:
     timed("q_doc_minhash_pairs", lambda d: minhash_dedup_pairs(
         rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"]),
         threshold=0.5))
+    from k_gap_ray.functions.dedup import ngram_jaccard_pairs
+
+    timed("q_doc_ngram_jaccard", lambda d: ngram_jaccard_pairs(
+        rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.5, shingle_k=2))
     timed("q_knn_top10", lambda d: knn_by_id(d, 0, 10))
 
     from k_gap_ray.functions.dedup import cosine_pairs_exact

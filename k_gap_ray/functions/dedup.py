@@ -263,6 +263,157 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, shingle_k: int = 3):
     return verify_jaccard_pairs(pairs, docs_ds, threshold, shingle_k)
 
 
+def _distinct_doc_shingles(t: pa.Table, shingle_k: int, id_col: str):
+    """One batch -> (ids, d_u, h_u, n): per-doc DISTINCT shingle
+    hashes, doc-contiguous, fully vectorized. ``d_u`` indexes into
+    ``ids``; ``n[d]`` is doc d's distinct-shingle count."""
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    D = len(ids)
+    if D == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return ids, z, z, z
+    windows, win_counts, big, small_sh = _doc_shingle_hashes(
+        t.column("text"), shingle_k)
+    doc_of_w = np.repeat(np.nonzero(big)[0], win_counts)
+    all_doc = np.concatenate([doc_of_w, np.nonzero(~big)[0]])
+    all_hash = np.concatenate([windows, small_sh]).astype(np.int64)
+    order = np.lexsort((all_hash, all_doc))
+    d_s, h_s = all_doc[order], all_hash[order]
+    first = np.ones(len(d_s), dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    d_u, h_u = d_s[first], h_s[first]
+    n = np.bincount(d_u, minlength=D).astype(np.int64)
+    return ids, d_u, h_u, n
+
+
+def _explode_doc_shingles(ds, shingle_k: int, id_col: str):
+    """(doc_id, text) -> (shingle:int64 hash, doc_id, n_shingles) rows,
+    one per DISTINCT shingle per doc, fully vectorized."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, d_u, h_u, n = _distinct_doc_shingles(t, shingle_k, id_col)
+        if len(ids) == 0:
+            return pa.table({"shingle": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "n_shingles": pa.array([], pa.int64())})
+        return pa.table({"shingle": pa.array(h_u, pa.int64()),
+                         id_col: pa.array(ids[d_u], pa.int64()),
+                         "n_shingles": pa.array(n[d_u], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _prefix_keep_mask(d_u: np.ndarray, h_u: np.ndarray, dfv: np.ndarray,
+                      n: np.ndarray, num: int, den: int) -> np.ndarray:
+    """Vectorized per-doc prefix cut: order each doc's shingles by
+    (df asc, hash asc) and keep the first n - ceil(t*n) + 1."""
+    p = n - (num * n + den - 1) // den + 1
+    order = np.lexsort((h_u, dfv, d_u))
+    d_o = d_u[order]
+    # position within doc after the (df, hash) ordering
+    starts = np.ones(len(d_o), dtype=bool)
+    starts[1:] = d_o[1:] != d_o[:-1]
+    idx = np.arange(len(d_o), dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(starts, idx, 0))
+    pos = idx - run_start
+    keep = np.zeros(len(d_u), dtype=bool)
+    keep[order] = pos < np.maximum(p, 1)[d_o]
+    return keep
+
+
+def ngram_prefix_bands(docs_ds, threshold: float = 0.5, shingle_k: int = 2,
+                       id_col: str = "doc_id",
+                       broadcast_cap: int = 2_000_000):
+    """Prefix-filtered shingle index for the EXACT n-gram-Jaccard join.
+
+    PPJoin-style prefix filtering (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08 — public algorithms): order each doc's distinct shingles by
+    GLOBAL rarity (document frequency asc, hash asc as the tiebreak)
+    and index only the first ``n - ceil(t*n) + 1``. Any pair with
+    Jaccard >= t must share a prefix shingle (pigeonhole on the
+    overlap lower bound ceil(t*max(|a|,|b|))), so candidate recall is
+    1.0 BY CONSTRUCTION — unlike MinHash banding there is no
+    probabilistic miss. The rarity ordering is what makes it scale: a
+    shingle's bucket can only contain docs that rank it inside their
+    prefix, which frequent shingles almost never are, so bucket sizes
+    track document frequency of RARE shingles instead of corpus size.
+
+    Plan: explode distinct (shingle, doc) -> df = groupby(shingle)
+    count -> attach df -> per-doc prefix cut. The df table is
+    dictionary-scale (distinct shingles), far smaller than the corpus;
+    below ``broadcast_cap`` rows it is broadcast once via ray.put as a
+    sorted (hash, df) array pair and the prefix cut happens inside the
+    SAME map_batches that explodes the doc (docs are batch-contiguous,
+    so the cut is one lexsort — no join, no groupby(doc) shuffle).
+    Above the cap: hash-join the df back and re-group by doc — the
+    all-Dataset scale path, two extra shuffles.
+    """
+    num, den = float(threshold).as_integer_ratio()
+    exploded = _explode_doc_shingles(docs_ds, shingle_k, id_col)
+    df = (exploded.groupby("shingle").count()
+          .rename_columns({"count()": "df"}))
+
+    from k_gap_ray.dsutil import drop_empty_blocks
+
+    df = drop_empty_blocks(df.materialize())
+    if df.count() <= broadcast_cap:
+        import ray
+
+        dft = pa.concat_tables(ray.get(df.to_arrow_refs()))
+        hashes = dft.column("shingle").to_numpy(zero_copy_only=False)
+        counts = dft.column("df").to_numpy(zero_copy_only=False)
+        o = np.argsort(hashes)
+        ref = ray.put((hashes[o], counts[o]))
+
+        def cut_local(t: pa.Table) -> pa.Table:
+            import ray as _r
+
+            ids, d_u, h_u, n = _distinct_doc_shingles(t, shingle_k, id_col)
+            if len(ids) == 0:
+                return pa.table({"band_key": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64())})
+            hs, cs = _r.get(ref)
+            dfv = cs[np.searchsorted(hs, h_u)]
+            keep = _prefix_keep_mask(d_u, h_u, dfv, n, num, den)
+            return pa.table({
+                "band_key": pa.array(h_u[keep], pa.int64()),
+                id_col: pa.array(ids[d_u[keep]], pa.int64())})
+
+        return docs_ds.map_batches(cut_local, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    joined = join_datasets(exploded, df, on="shingle",
+                           scrub_left=False, scrub_right=True)
+
+    def prefix_cut(t: pa.Table) -> pa.Table:
+        # one group = one doc's (shingle, df) rows
+        n = int(t.column("n_shingles")[0].as_py())
+        p = n - (num * n + den - 1) // den + 1
+        dfv = t.column("df").to_numpy(zero_copy_only=False)
+        hv = t.column("shingle").to_numpy(zero_copy_only=False)
+        keep = np.lexsort((hv, dfv))[:max(int(p), 1)]
+        return pa.table({
+            "band_key": pa.array(hv[keep], pa.int64()),
+            id_col: t.column(id_col).take(pa.array(keep))})
+
+    return joined.groupby(id_col).map_groups(prefix_cut,
+                                             batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_k: int = 2,
+                        broadcast_cap: int = 2_000_000):
+    """EXACT n-gram-Jaccard near-dup pairs (no LSH, no probabilistic
+    recall): prefix-filtered candidate generation + exact shingle-set
+    verification through the pair join. Same output contract as
+    ``minhash_dedup_pairs`` — (id_a, id_b, n_common, n_union) with the
+    threshold compared in exact integer arithmetic."""
+    docs_ds = docs_ds.materialize()  # banding AND verify join consume it
+    bands = ngram_prefix_bands(docs_ds, threshold, shingle_k,
+                               broadcast_cap=broadcast_cap)
+    pairs = lsh_candidate_pairs(bands)
+    return verify_jaccard_pairs(pairs, docs_ds, threshold, shingle_k)
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (SWAR)."""
     x = x.astype(np.uint64, copy=True)

@@ -289,6 +289,65 @@ def canonicalize(mentions_ds, force_distributed_cc: bool = False):
     return _canonicalize_driver(pairs_ds.take_all())
 
 
+def connected_components(nodes_ds, edges_ds, node_col: str = "node",
+                         driver_cap: int | None = None,
+                         max_iters: int = 12):
+    """Generic connected components (A8) over string-keyed nodes.
+
+    ``nodes_ds`` is a Dataset with one string node per row;
+    ``edges_ds`` a Dataset of undirected edges (a, b). Returns a
+    Dataset(node, label) where label is the lexicographic-min member
+    of the node's component (deterministic under any block order —
+    zero-pad numeric ids before calling if numeric-min semantics are
+    needed).
+
+    Below ``driver_cap`` nodes AND edges (default DRIVER_CC_MAX) an
+    exact union-find runs in-driver — both inputs are candidate-pair /
+    vocabulary scale by construction, so this is the common path.
+    Above it, the distributed min-label propagation (`_cc_distributed`)
+    takes over with no driver-side materialization.
+    """
+    cap = DRIVER_CC_MAX if driver_cap is None else driver_cap
+    surfaces = nodes_ds
+    if node_col != "norm_surface":
+        surfaces = nodes_ds.rename_columns({node_col: "norm_surface"})
+    surfaces = surfaces.materialize()
+    edges_ds = edges_ds.materialize()
+    if surfaces.count() > cap or edges_ds.count() > cap:
+        labels = _cc_distributed(surfaces, edges_ds, max_iters=max_iters)
+        return labels
+
+    import ray.data as rd
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = [r["norm_surface"] for r in surfaces.take_all()]
+    for n in nodes:
+        parent.setdefault(n, n)
+    for e in edges_ds.take_all():
+        a, b = e["a"], e["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    label_of = {n: find(n) for n in parent}
+    out = sorted(label_of.items())
+    return rd.from_arrow(pa.table({
+        "node": pa.array([n for n, _ in out], pa.string()),
+        "label": pa.array([l for _, l in out], pa.string())}))
+
+
 def canonicalize_vocab_table(pairs: pa.Table):
     """Driver fast path over an ALREADY-SMALL (norm_surface, surface)
     pair table — e.g. the kind=vocab combiner rows whose parquet

@@ -134,6 +134,28 @@ def feed_watermarks(members_ds):
         Count(alias_name="n_members"))
 
 
+def hash_sample(ds, id_col: str, keep_pct: int, modulus: int = 100,
+                mult: int = 2654435761):
+    """Deterministic hash sampling (O5): keep rows where
+    ``(id * mult) mod 2^32 mod modulus < keep_pct``.
+
+    Unlike seeded random sampling this is reproducible independent of
+    block layout and cluster size AND expressible in plain SQL, so the
+    sample is oracle-verifiable value-for-value — the property a
+    resumable 100-TB pipeline needs (re-running a failed shard must
+    re-select the same rows). ``mult`` is Knuth's multiplicative-hash
+    constant; ids below 2^31 keep the product inside int64."""
+    import numpy as np
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = (ids * mult) % (1 << 32) % modulus
+        return t.filter(pa.array(h < keep_pct))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def synth_feed_members(n_entities: int = 20, versions: int = 3,
                        feeds: tuple[str, ...] = ("bodc-P02", "mtt-P02-NL"),
                        seed: int = 11) -> pa.Table:

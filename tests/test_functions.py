@@ -213,6 +213,75 @@ def test_minhash_pairs_equal_bruteforce(docs_ds):
     assert mine == truth
 
 
+def test_ngram_jaccard_equal_bruteforce(docs_ds):
+    """The prefix-filtered exact join must reproduce the brute-force
+    all-pairs bigram-Jaccard result — recall 1.0 by construction (the
+    pigeonhole prefix bound), not probabilistically."""
+    from k_gap_ray.functions.dedup import _word_shingles, ngram_jaccard_pairs
+
+    rows = docs_ds.take_all()
+    sh = {r["doc_id"]: _word_shingles(r["text"], 2) for r in rows}
+    ids = sorted(sh)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = len(sh[a] & sh[b])
+            u = len(sh[a]) + len(sh[b]) - c
+            if 2 * c >= u:
+                truth[(a, b)] = (c, u)
+    got = {(r["doc_id_a"], r["doc_id_b"]): (r["n_common"], r["n_union"])
+           for r in ngram_jaccard_pairs(
+               docs_ds, threshold=0.5, shingle_k=2).take_all()}
+    assert got == truth
+    assert truth  # fixture must actually exercise the join
+    # the join-based scale path (df too big to broadcast) must agree
+    got_join = {(r["doc_id_a"], r["doc_id_b"]): (r["n_common"], r["n_union"])
+                for r in ngram_jaccard_pairs(
+                    docs_ds, threshold=0.5, shingle_k=2,
+                    broadcast_cap=0).take_all()}
+    assert got_join == truth
+
+
+def test_connected_components_generic(ray_session):
+    """Generic CC (A8): chain a-b-c + isolated pair + singleton; the
+    driver union-find and the distributed label-propagation path must
+    agree (and label = lexicographic-min member)."""
+    import ray.data as rd
+
+    from k_gap_ray.ops.canonicalize import connected_components
+
+    nodes = rd.from_arrow(pa.table({
+        "node": pa.array(list("abcdex"), pa.string())}))
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(["b", "c", "d"], pa.string()),
+        "b": pa.array(["a", "b", "e"], pa.string())}))
+    want = {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "x": "x"}
+    fast = {r["node"]: r["label"]
+            for r in connected_components(nodes, edges).take_all()}
+    assert fast == want
+    dist = {r["node"]: r["label"]
+            for r in connected_components(
+                nodes, edges, driver_cap=0).take_all()}
+    assert dist == want
+
+
+def test_hash_sample_layout_invariant(ray_session):
+    """Deterministic hash sampling selects the same ids regardless of
+    block layout, and matches the closed-form predicate."""
+    import ray.data as rd
+
+    from k_gap_ray.ops.transform import hash_sample
+
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    want = {i for i in range(1000)
+            if (i * 2654435761) % (1 << 32) % 100 < 30}
+    one = {r["doc_id"] for r in hash_sample(
+        rd.from_arrow(t), "doc_id", 30).take_all()}
+    many = {r["doc_id"] for r in hash_sample(
+        rd.from_arrow(t).repartition(7), "doc_id", 30).take_all()}
+    assert one == want == many
+
+
 def test_simhash_pairs_pigeonhole_recall(docs_ds):
     """max_hamming=8 must use 9 chunks: every pair within the budget is
     found (round-1 advice: 4x16 chunks silently lost distance 4..8)."""
