@@ -426,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anti_join": rel.q_anti_join,
         "q_semi_join": rel.q_semi_join,
         "q_topk_orders": rel.q_topk_orders,
+        "q_top_orders_per_priority": rel.q_top_orders_per_priority,
+        "q_events_median_by_type": rel.q_events_median_by_type,
         "q_sort_limit_offset": rel.q_sort_limit_offset,
         "q_distinct_flags": rel.q_distinct_flags,
         "q_union_priorities": rel.q_union_priorities,
@@ -590,6 +592,23 @@ def oracle_sql() -> dict[str, str]:
         "q_topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_top_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey)
+                           AS BIGINT) AS rank
+                FROM orders)
+            WHERE rank <= 3
+        """,
+        "q_events_median_by_type": """
+            SELECT event_type,
+                   median(CAST(round(value * 100) AS BIGINT)) / 100.0
+                       AS median_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "q_sort_limit_offset": """
             SELECT o_orderkey, o_totalprice FROM orders

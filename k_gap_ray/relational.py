@@ -521,3 +521,106 @@ def dereference(triples_ds, seeds: list[str], depth: int = 2):
     for h in collected[1:]:
         out = out.union(h)
     return out
+
+
+def grouped_topk(ds, key: str, value: str, k: int, tiebreak: str):
+    """Top-k rows per group, ordered by (value DESC, tiebreak ASC) —
+    the windowed `row_number() <= k` pattern (grouped LIMIT is the
+    per-feed "latest n members" idiom, docs/components/sembench.md).
+
+    Scale shape: a per-batch PARTIAL top-k cut first (vectorized
+    lexsort, no Python loop), so the groupby shuffle carries at most
+    k rows per key per input block instead of the full table; the
+    per-group finisher re-cuts the k survivors. Emits a ``rank``
+    column (1-based) so ties are deterministic under any block order.
+    """
+    import numpy as np
+
+    def partial_cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        vv = t.column(value).to_numpy(zero_copy_only=False)
+        tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, -vv, kv))
+        ks = kv[order]
+        starts = np.ones(len(ks), dtype=bool)
+        starts[1:] = ks[1:] != ks[:-1]
+        idx = np.arange(len(ks), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(starts, idx, 0))
+        keep = (idx - run_start) < k
+        return t.take(pa.array(order[keep]))
+
+    def final_cut(t: pa.Table) -> pa.Table:
+        out = partial_cut(t)
+        n = min(out.num_rows, k)
+        out = out.slice(0, n)
+        return out.append_column("rank",
+                                 pa.array(range(1, n + 1), pa.int64()))
+
+    partial = ds.map_batches(partial_cut, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partial.groupby(key).map_groups(final_cut,
+                                           batch_format="pyarrow")
+
+
+def q_top_orders_per_priority(sf_dir: str):
+    """Grouped top-k: the 3 highest-value orders per order priority
+    (value DESC, orderkey ASC tiebreak), with ranks."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return grouped_topk(ds, key="o_orderpriority", value="o_totalprice",
+                        k=3, tiebreak="o_orderkey")
+
+
+def grouped_median_scaled(ds, key: str, value: str, scale: int):
+    """Exact per-group median over fixed-point-scaled values.
+
+    Distributed shape: quantize to int64 in-batch, pre-aggregate to a
+    (key, scaled-value) histogram — ONE count per distinct value per
+    group leaves the combiner, bounded by value cardinality (after
+    quantization), never by row count — then a per-group finisher
+    walks its (tiny) histogram cumulatively to the exact middle.
+    Even-sized groups average the two middle values (SQL median
+    semantics); the result is n.0 or n.5 exactly, so doubles compare
+    bit-identically with the oracle."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    def quantize(t: pa.Table) -> pa.Table:
+        v = np.rint(pc.cast(t.column(value), pa.float64())
+                    .to_numpy(zero_copy_only=False) * scale).astype("int64")
+        return pa.table({key: t.column(key),
+                         "v_s": pa.array(v, pa.int64())})
+
+    hist = (ds.map_batches(quantize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([key, "v_s"]).aggregate(Count(alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # one group's histogram: rows (key, v_s, n)
+        v = t.column("v_s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        lo_rank, hi_rank = (total - 1) // 2, total // 2
+        lo = v[np.searchsorted(cum, lo_rank + 1)]
+        hi = v[np.searchsorted(cum, hi_rank + 1)]
+        med = (float(lo) + float(hi)) / 2.0 / scale
+        return pa.table({key: t.column(key).slice(0, 1),
+                         "median_value": pa.array([med], pa.float64()),
+                         "n": pa.array([total], pa.int64())})
+
+    return hist.groupby(key).map_groups(finish, batch_format="pyarrow")
+
+
+def q_events_median_by_type(sf_dir: str):
+    """Exact per-type median of event value (2-decimal fixed point):
+    the histogram-combiner median, value-verified against SQL
+    ``median``."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_median_scaled(ds, key="event_type", value="value",
+                                 scale=100)

@@ -89,3 +89,45 @@ def test_annotate_actor_pool_parity(ray_session, pages_table):
                 for r in ds.take_all()}
 
     assert key_set(a) == key_set(b)
+
+
+def test_grouped_topk_ties_and_layout(ray_session):
+    """Partial-cut + per-group finisher must equal the window-function
+    semantics (value DESC, tiebreak ASC, rank 1..k) under any block
+    layout, including tied values crossing the cut."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.relational import grouped_topk
+
+    t = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 2, pa.string()),
+        "v": pa.array([3.0, 5.0, 5.0, 5.0, 1.0, 2.0, 2.0], pa.float64()),
+        "id": pa.array([10, 11, 12, 13, 14, 20, 21], pa.int64()),
+    })
+    want = {("a", 11, 1), ("a", 12, 2), ("a", 13, 3),
+            ("b", 20, 1), ("b", 21, 2)}
+    for parts in (1, 5):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = {(r["g"], r["id"], r["rank"])
+               for r in grouped_topk(ds, "g", "v", 3, "id").take_all()}
+        assert got == want, parts
+
+
+def test_grouped_median_exact(ray_session):
+    """Histogram-combiner median: odd group -> middle value, even
+    group -> mean of the two middles, exact at 2-decimal fixed point."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.relational import grouped_median_scaled
+
+    t = pa.table({
+        "g": pa.array(["odd"] * 3 + ["even"] * 4 + ["one"], pa.string()),
+        "v": pa.array([1.25, 9.75, 2.5, 4.0, 1.0, 2.0, 3.0, 7.77],
+                      pa.float64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    got = {r["g"]: (r["median_value"], r["n"])
+           for r in grouped_median_scaled(ds, "g", "v", 100).take_all()}
+    assert got == {"odd": (2.5, 3), "even": (2.5, 4), "one": (7.77, 1)}
