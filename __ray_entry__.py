@@ -183,6 +183,20 @@ def _doc_dup_clusters(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _doc_neardup_dedup(sf_dir: str):
+    """The end-to-end near-dup DEDUP operation (cluster -> keep the
+    min-id representative): documents surviving bigram-Jaccard
+    deduplication at threshold 0.5."""
+    import pyarrow.compute as pc
+
+    labels = _doc_dup_clusters(sf_dir)
+    return labels.map_batches(
+        lambda t: t.filter(pc.equal(t.column("doc_id"),
+                                    t.column("cluster_id")))
+        .select(["doc_id"]),
+        batch_format="pyarrow")
+
+
 def _doc_hash_sample(sf_dir: str):
     """O5 deterministic hash sampling: 30% of documents selected by a
     multiplicative id hash — block-layout- and cluster-size-invariant,
@@ -191,6 +205,16 @@ def _doc_hash_sample(sf_dir: str):
 
     return hash_sample(_docs(sf_dir, ["doc_id", "lang"]),
                        "doc_id", keep_pct=30)
+
+
+def _events_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate over events — the mergeable
+    cardinality sketch, SQL-mirrored exactly (see functions/sketch.py):
+    even the approximate operator is value-verified."""
+    from k_gap_ray.functions.sketch import hll_count
+    from k_gap_ray.relational import _read
+
+    return hll_count(_read(sf_dir, "events", ["user_id"]), "user_id")
 
 
 def _deref_reachable(sf_dir: str):
@@ -421,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_asof_click": rel.q_events_asof_click,
         "q_events_user_running": rel.q_events_user_running,
         "q_events_watermark": rel.q_events_watermark,
+        "q_events_hll_users": _events_hll_users,
         "q_join_customer_nation_region": rel.q_join_customer_nation_region,
         "q_left_join_orders": rel.q_left_join_orders,
         "q_anti_join": rel.q_anti_join,
@@ -445,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_simhash_pairs": _doc_simhash_pairs,
         "q_doc_ngram_jaccard": _doc_ngram_jaccard,
         "q_doc_dup_clusters": _doc_dup_clusters,
+        "q_doc_neardup_dedup": _doc_neardup_dedup,
         "q_doc_hash_sample": _doc_hash_sample,
         # --- graph traversal (J5) ---
         "q_deref_reachable": _deref_reachable,
@@ -566,6 +592,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q_events_watermark": "SELECT max(ts) AS max_ts FROM events",
+        # exact SQL mirror of the HyperLogLog sketch (multiplicative
+        # hash, register maxima, integer harmonic sum, linear-counting
+        # correction) — constants must track functions/sketch.py
+        "q_events_hll_users": """
+            WITH h0 AS (SELECT DISTINCT user_id % 4294967296 AS x
+                        FROM events),
+            h1 AS (SELECT CAST((xor(x, x // 65536)::HUGEINT
+                                * 2246822507) % 4294967296 AS BIGINT) AS x
+                   FROM h0),
+            h2 AS (SELECT CAST((xor(x, x // 8192)::HUGEINT
+                                * 3266489909) % 4294967296 AS BIGINT) AS x
+                   FROM h1),
+            h AS (SELECT xor(x, x // 65536) AS hv FROM h2),
+            r AS (SELECT hv % 4096 AS reg,
+                         max(CASE WHEN hv // 4096 = 0 THEN 21
+                             ELSE 20 - CAST(floor(log2(hv // 4096))
+                                            AS BIGINT) END) AS rho
+                  FROM h GROUP BY reg),
+            s AS (SELECT CAST(sum(2 ** (21 - rho)) AS BIGINT) AS s_used,
+                         count(*) AS n_used FROM r)
+            SELECT CAST(round(CASE WHEN raw <= 10240.0 AND n_used < 4096
+                              THEN 4096.0 * ln(4096.0 / (4096 - n_used))
+                              ELSE raw END) AS BIGINT) AS n_est,
+                   n_used AS n_registers_used
+            FROM (SELECT n_used,
+                         (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0
+                         * 4096.0 * 2097152.0
+                         / (s_used + (4096 - n_used) * 2097152.0) AS raw
+                  FROM s)
+        """,
         "q_join_customer_nation_region": """
             SELECT r_name, count(*) AS n_customers,
                    sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
@@ -872,6 +928,9 @@ def _text_analysis_oracles() -> dict[str, str]:
         "q_doc_minhash_pairs": minhash_pairs,
         "q_doc_ngram_jaccard": ngram_jaccard,
         "q_doc_dup_clusters": dup_clusters,
+        "q_doc_neardup_dedup":
+            f"SELECT doc_id FROM ({dup_clusters}) "
+            f"WHERE doc_id = cluster_id",
         "q_doc_hash_sample": hash_sample,
         "q_deref_reachable": deref,
         "q_emb_near_dup": emb_near_dup,

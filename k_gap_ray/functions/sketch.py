@@ -1,0 +1,106 @@
+"""Distributed cardinality sketch: HyperLogLog (Flajolet et al. 2007,
+public algorithm) with the linear-counting small-range correction.
+
+Ray-Data shape: one vectorized map_batches computes PER-BATCH register
+maxima (at most m=4096 rows leave a batch regardless of its row
+count), a groupby(register).max merge combines them — the shuffle is
+bounded by m x n_blocks, never by row count — and a driver finisher
+folds the 4096-row register table into the estimate. That is the
+canonical mergeable-sketch pattern: partial per block, tiny merge,
+O(m) finish; register tables from different datasets/partitions can
+be unioned before the merge for cross-shard or sliding-window counts.
+
+The hash is the murmur3 32-bit finalizer (public domain), chosen
+because xor / shift-as-integer-division / multiply-mod-2^32 are all
+expressible in plain SQL, so the DuckDB oracle reproduces the SKETCH
+(registers, scaled integer harmonic sum, estimate) value-for-value —
+the approximate operator is still exactly verifiable. (A plain
+multiplicative-mod hash was tried first and failed the error-bound
+test: no avalanche, so consecutive ids break the geometric
+register-max statistics.) The 32-bit window (20 rho bits) is plenty
+below ~10^5 true cardinality; at real scale swap in a 64-bit hash
+(the register/merge plumbing is unchanged) and lose the SQL mirror,
+keeping the pytest error-bound check. Estimator error
+~1.04/sqrt(4096) = 1.6%.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 12                      # 4096 registers
+HLL_M = 1 << HLL_P
+_W = 20                         # bits in the rho window (32 - p)
+_RHO_MAX = _W + 1
+_SCALE = 1 << _RHO_MAX          # 2^21: integer weight of an EMPTY register
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _mix32(v: np.ndarray) -> np.ndarray:
+    """murmur3 fmix32 over the low 32 bits, in uint64 lanes."""
+    h = v.astype(np.uint64) & _M32
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(0x85EBCA6B)) & _M32
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(0xC2B2AE35)) & _M32
+    h ^= h >> np.uint64(16)
+    return h
+
+
+def _floor_log2(v: np.ndarray) -> np.ndarray:
+    """Exact floor(log2(v)) for v >= 1 (values < 2^53): frexp exponent
+    minus one — no float-log rounding anywhere."""
+    _, e = np.frexp(v.astype(np.float64))
+    return (e - 1).astype(np.int64)
+
+
+def hll_partials(ds, col: str):
+    """Dataset -> (reg, rho) per-batch register maxima rows."""
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) == 0:
+            return pa.table({"reg": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = _mix32(v).astype(np.int64)
+        reg = h % HLL_M
+        rest = h // HLL_M                      # < 2^20
+        rho = np.where(rest == 0, _RHO_MAX, _W - _floor_log2(
+            np.maximum(rest, 1)))
+        maxes = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(maxes, reg, rho)
+        used = np.nonzero(maxes)[0]
+        return pa.table({"reg": pa.array(used, pa.int64()),
+                         "rho": pa.array(maxes[used], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hll_count(ds, col: str):
+    """Distinct-count estimate -> 1-row table
+    (n_est:int64, n_registers_used:int64).
+
+    The harmonic sum is kept as an exact INTEGER (each register
+    contributes 2^(21-rho), empties 2^21; total < 2^33), so the final
+    estimate is one exact-integer division in doubles — deterministic
+    and bit-identical to the SQL oracle's expression."""
+    merged = (hll_partials(ds, col)
+              .groupby("reg").max("rho")
+              .rename_columns({"max(rho)": "rho"}))
+    rows = merged.take_all()                  # <= 4096 rows by construction
+    n_used = len(rows)
+    s_used = sum(1 << (_RHO_MAX - r["rho"]) for r in rows)
+    zeros = HLL_M - n_used
+    total = s_used + zeros * _SCALE
+    raw = (0.7213 / (1.0 + 1.079 / HLL_M)) * float(HLL_M) * float(HLL_M) \
+        * float(_SCALE) / float(total)
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        est = float(HLL_M) * math.log(float(HLL_M) / zeros)
+    else:
+        est = raw
+    return pa.table({
+        "n_est": pa.array([int(round(est))], pa.int64()),
+        "n_registers_used": pa.array([n_used], pa.int64())})

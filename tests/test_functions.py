@@ -458,3 +458,26 @@ def test_ivf_index_build_and_query(ray_session, tmp_path):
                          exclude_ids={0})["vec_id"].to_pylist())
     planted = {1, 2, 3, 4, 5}
     assert len(approx & planted) / max(1, len(planted & exact)) >= 0.9
+
+
+def test_hll_error_bound_and_merge(ray_session):
+    """HLL estimate within ~3 standard errors (1.04/sqrt(4096) = 1.6%)
+    of the true cardinality, and the register merge is associative:
+    sketching two halves separately and unioning the partials gives
+    the identical register table (the mergeable-sketch property)."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.sketch import hll_count, hll_partials
+
+    ids = list(range(30_000)) * 2          # heavy duplication
+    ds = rd.from_arrow(pa.table({"x": pa.array(ids, pa.int64())}))
+    est = hll_count(ds, "x").column("n_est")[0].as_py()
+    assert abs(est - 30_000) / 30_000 < 0.05
+
+    a = rd.from_arrow(pa.table({"x": pa.array(ids[:20_000], pa.int64())}))
+    b = rd.from_arrow(pa.table({"x": pa.array(ids[20_000:], pa.int64())}))
+    merged = (hll_partials(a, "x").union(hll_partials(b, "x"))
+              .groupby("reg").max("rho"))
+    whole = hll_partials(ds, "x").groupby("reg").max("rho")
+    as_map = lambda d: {r["reg"]: r["max(rho)"] for r in d.take_all()}
+    assert as_map(merged) == as_map(whole)
