@@ -207,6 +207,39 @@ def _doc_hash_sample(sf_dir: str):
                        "doc_id", keep_pct=30)
 
 
+def _events_hourly_users(sf_dir: str):
+    """Grouped COUNT DISTINCT (A2 x A3): distinct users per hour as a
+    two-level aggregate — in-batch pair dedup (vectorized) shrinks the
+    stream, groupby(hour,user) finishes the global distinct, and a
+    second tiny groupby counts per hour. The exact companion to the
+    HLL sketch query."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.relational import _read
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t.column("ts"), unit="hour")
+        he = pc.cast(h, pa.int64()).to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, he))
+        he_s, u_s = he[order], u[order]
+        first = np.ones(len(he_s), dtype=bool)
+        first[1:] = (he_s[1:] != he_s[:-1]) | (u_s[1:] != u_s[:-1])
+        keep = pa.array(order[first])
+        return pa.table({"window_start": h.take(keep),
+                         "user_id": t.column("user_id").take(keep)})
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    pairs = ev.map_batches(distinct_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    distinct = pairs.groupby(["window_start", "user_id"]).count()
+    return (distinct.select_columns(["window_start"])
+            .groupby("window_start").count()
+            .rename_columns({"count()": "n_users"}))
+
+
 def _events_hll_users(sf_dir: str):
     """HyperLogLog distinct-user estimate over events — the mergeable
     cardinality sketch, SQL-mirrored exactly (see functions/sketch.py):
@@ -446,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_user_running": rel.q_events_user_running,
         "q_events_watermark": rel.q_events_watermark,
         "q_events_hll_users": _events_hll_users,
+        "q_events_hourly_users": _events_hourly_users,
         "q_join_customer_nation_region": rel.q_join_customer_nation_region,
         "q_left_join_orders": rel.q_left_join_orders,
         "q_anti_join": rel.q_anti_join,
@@ -592,6 +626,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q_events_watermark": "SELECT max(ts) AS max_ts FROM events",
+        "q_events_hourly_users": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
         # exact SQL mirror of the HyperLogLog sketch (multiplicative
         # hash, register maxima, integer harmonic sum, linear-counting
         # correction) — constants must track functions/sketch.py

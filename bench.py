@@ -97,6 +97,26 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
 
+    def result() -> dict:
+        return {
+            "metric": "kg_pipeline_e2e_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "n_pages": n_pages,
+            "pages_per_sec": round(n_pages / headline, 1),
+            "n_triples": n_triples,
+        }
+
+    if os.environ.get("KGAP_SKIP_BUNDLE"):
+        # scaling reps time only the headline job; re-running the
+        # query bundle would double each rep's wall clock without
+        # touching the measured value
+        ray.shutdown()
+        return result()
+
     def timed(name: str, fn) -> None:
         t = time.perf_counter()
         out = fn(SF_DIR)
@@ -140,19 +160,8 @@ def run_bench() -> dict:
         rd.read_parquet(f"{d}/embeddings.parquet",
                         columns=["vec_id", "embedding"]), threshold=0.4))
 
-    result = {
-        "metric": "kg_pipeline_e2e_sec",
-        "value": round(headline, 3),
-        "unit": "sec",
-        "queries": queries,
-        "sf": sf,
-        "num_cpus": NUM_CPUS,
-        "n_pages": n_pages,
-        "pages_per_sec": round(n_pages / headline, 1),
-        "n_triples": n_triples,
-    }
     ray.shutdown()
-    return result
+    return result()
 
 
 def run_scaling() -> dict:
@@ -173,7 +182,8 @@ def run_scaling() -> dict:
     out = {}
     floors = {}
     for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   KGAP_SKIP_BUNDLE="1")
         # HARD-pin the whole process tree (raylet, plasma, workers,
         # driver) to ncpu cores: ray.init(num_cpus=N) only caps
         # scheduler slots, so an unpinned "8-CPU" run borrows the other

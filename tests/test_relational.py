@@ -131,3 +131,22 @@ def test_grouped_median_exact(ray_session):
     got = {r["g"]: (r["median_value"], r["n"])
            for r in grouped_median_scaled(ds, "g", "v", 100).take_all()}
     assert got == {"odd": (2.5, 3), "even": (2.5, 4), "one": (7.77, 1)}
+
+
+def test_hourly_distinct_users_matches_duckdb(ray_session, sf_dir):
+    """Grouped COUNT DISTINCT via in-batch pair dedup + two-level
+    groupby equals the SQL answer."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    got = _to_pandas(em.queries()["q_events_hourly_users"](sf_dir))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute(em.oracle_sql()["q_events_hourly_users"]).fetchdf()
+    assert len(got) == len(want)
+    g = _norm(got)
+    w = _norm(want)
+    assert g.equals(w)
