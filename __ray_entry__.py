@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_having": rel.q_having,
         "q_events_by_type": rel.q_events_by_type,
         "q_events_hourly": rel.q_events_hourly,
+        "q_events_hourly_pivot": rel.q_events_hourly_pivot,
         "q_events_sliding": rel.q_events_sliding,
         "q_events_sessions": rel.q_events_sessions,
         "q_events_asof_click": rel.q_events_asof_click,
@@ -487,8 +488,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_orders": rel.q_topk_orders,
         "q_top_orders_per_priority": rel.q_top_orders_per_priority,
         "q_events_median_by_type": rel.q_events_median_by_type,
+        "q_events_p90_by_type": rel.q_events_p90_by_type,
         "q_sort_limit_offset": rel.q_sort_limit_offset,
         "q_distinct_flags": rel.q_distinct_flags,
+        "q_lineitem_rollup": rel.q_lineitem_rollup,
         "q_union_priorities": rel.q_union_priorities,
         # --- documents / text-analysis ops ---
         "q_doc_lang_stats": _doc_lang_stats,
@@ -571,6 +574,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0
                        AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "q_events_hourly_pivot": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_view
             FROM events GROUP BY 1
         """,
         "q_events_sliding": """
@@ -705,12 +722,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
+        "q_events_p90_by_type": """
+            SELECT event_type,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9)
+                       / 100.0 AS q_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
         "q_sort_limit_offset": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10
         """,
         "q_distinct_flags":
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "q_lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
         "q_union_priorities": """
             SELECT o_orderpriority, count(*) AS n FROM (
                 SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000

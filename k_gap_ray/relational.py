@@ -624,3 +624,103 @@ def q_events_median_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
     return grouped_median_scaled(ds, key="event_type", value="value",
                                  scale=100)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_hourly_pivot(sf_dir: str):
+    """Pivot (wide conditional aggregation): per-hour event counts with
+    one COLUMN per event type, in a single pass — per-batch indicator
+    columns feed ordinary SUM aggregates, so the shuffle carries one
+    partial row per (block, hour) instead of a per-type scan or a
+    post-groupby reshape."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t.column("ts"), unit="hour")
+        cols = {"window_start": h}
+        for et in EVENT_TYPES:
+            cols[f"n_{et}"] = pc.cast(
+                pc.equal(t.column("event_type"), pa.scalar(et)), pa.int64())
+        return pa.table(cols)
+
+    wide = ds.map_batches(indicators, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return wide.groupby("window_start").aggregate(
+        *[Sum(f"n_{et}", alias_name=f"n_{et}") for et in EVENT_TYPES])
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """ROLLUP (multi-level aggregate): (flag, status) counts plus
+    per-flag subtotals and the grand total, NULL-padded like SQL
+    ROLLUP. The subtotal levels re-aggregate the BASE AGGREGATE (a
+    handful of rows) instead of rescanning the fact table — the
+    cube-cell derivation that makes rollup one shuffle at any scale."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    base = (ds.groupby(["l_returnflag", "l_linestatus"]).count()
+            .rename_columns({"count()": "n"}))
+    rows = base.take_all()          # |flags| x |statuses| cells only
+    flags: dict[str, int] = {}
+    total = 0
+    for r in rows:
+        flags[r["l_returnflag"]] = flags.get(r["l_returnflag"], 0) + r["n"]
+        total += r["n"]
+    out_flag = [r["l_returnflag"] for r in rows] + list(flags) + [None]
+    out_stat = [r["l_linestatus"] for r in rows] \
+        + [None] * (len(flags) + 1)
+    out_n = [r["n"] for r in rows] + list(flags.values()) + [total]
+    return pa.table({
+        "l_returnflag": pa.array(out_flag, pa.string()),
+        "l_linestatus": pa.array(out_stat, pa.string()),
+        "n": pa.array(out_n, pa.int64())})
+
+
+def grouped_quantile_disc_scaled(ds, key: str, value: str, q: float,
+                                 scale: int):
+    """Exact per-group DISCRETE quantile (the value at 1-based rank
+    ceil(q*n), DuckDB quantile_disc semantics — pinned empirically
+    n=2..10 incl. the ceil-vs-floor divergence at n=2, q=0.9) over
+    fixed-point-scaled values. Same scale shape as
+    grouped_median_scaled: histogram combiner, per-group cumulative
+    walk."""
+    import math
+
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    def quantize(t: pa.Table) -> pa.Table:
+        v = np.rint(pc.cast(t.column(value), pa.float64())
+                    .to_numpy(zero_copy_only=False) * scale).astype("int64")
+        return pa.table({key: t.column(key),
+                         "v_s": pa.array(v, pa.int64())})
+
+    hist = (ds.map_batches(quantize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([key, "v_s"]).aggregate(Count(alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t.column("v_s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        rank = max(1, math.ceil(q * total))
+        val = v[np.searchsorted(cum, rank)] / scale
+        return pa.table({key: t.column(key).slice(0, 1),
+                         "q_value": pa.array([float(val)], pa.float64()),
+                         "n": pa.array([total], pa.int64())})
+
+    return hist.groupby(key).map_groups(finish, batch_format="pyarrow")
+
+
+def q_events_p90_by_type(sf_dir: str):
+    """Per-type p90 of event value (2-decimal fixed point), exact
+    discrete quantile — oracle: quantile_disc(0.9)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile_disc_scaled(ds, key="event_type",
+                                        value="value", q=0.9, scale=100)

@@ -87,6 +87,20 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
             ds = ds.limit(step.pop("n"))
         elif op == "union":
             ds = ds.union(step.pop("other"))
+        elif op == "grouped_topk":
+            from k_gap_ray.relational import grouped_topk
+
+            ds = grouped_topk(ds, step.pop("key"), step.pop("value"),
+                              step.pop("k"), step.pop("tiebreak"))
+        elif op == "hash_sample":
+            from k_gap_ray.ops.transform import hash_sample
+
+            ds = hash_sample(ds, step.pop("id_col"),
+                             step.pop("keep_pct"), **step)
+        elif op == "hll_count":
+            from k_gap_ray.functions.sketch import hll_count
+
+            ds = hll_count(ds, step.pop("col"))
         elif op == "construct_remap":
             from k_gap_ray.ops.transform import construct_remap
 

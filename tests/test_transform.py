@@ -208,3 +208,31 @@ def test_error_side_channel_rows(ray_session):
     err = kinds["error"][0]
     assert err["url"] == "https://bad.example/2"
     assert "Error" in err["error"] or "error" in err["error"].lower() or err["error"]
+
+
+def test_workflow_new_ops(ray_session, sf_dir):
+    """X1 coverage of the round-2 operators: hash_sample ->
+    grouped_topk chained declaratively, and a terminal hll_count."""
+    from k_gap_ray.workflow import run_workflow
+
+    out = run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/orders.parquet",
+         "columns": ["o_orderkey", "o_orderpriority", "o_totalprice"]},
+        {"op": "hash_sample", "id_col": "o_orderkey", "keep_pct": 50},
+        {"op": "grouped_topk", "key": "o_orderpriority",
+         "value": "o_totalprice", "k": 2, "tiebreak": "o_orderkey"},
+    ])
+    rows = out.take_all()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["o_orderpriority"], []).append(r["rank"])
+    assert per_key and all(sorted(v) == list(range(1, len(v) + 1))
+                           for v in per_key.values())
+    assert all(len(v) <= 2 for v in per_key.values())
+
+    est = run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/events.parquet",
+         "columns": ["user_id"]},
+        {"op": "hll_count", "col": "user_id"},
+    ])
+    assert est.column("n_est")[0].as_py() > 0
