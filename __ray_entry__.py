@@ -197,6 +197,78 @@ def _doc_neardup_dedup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _doc_clean_corpus(sf_dir: str):
+    """Flagship training-data-prep COMPOSITION, one streaming chain:
+    predicted-English + quality-floor filter -> exact dedup (keep min
+    doc_id per text) -> exact bigram-Jaccard near-dup dedup (keep
+    cluster min) -> surviving (doc_id, n_tokens). Every stage is an
+    operator verified on its own elsewhere; this query verifies the
+    COMPOSITION against one chained SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.dedup import exact_dedup, ngram_jaccard_pairs
+    from k_gap_ray.functions.textstats import lang_id, quality_scores
+    from k_gap_ray.ops.canonicalize import connected_components
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    lang = lang_id(docs)
+    qual = quality_scores(docs)
+
+    # quality_scores emits integer evidence columns; the quality score
+    # itself is float — filter on an integer-safe predicate instead
+    # (n_tokens window) plus the language prediction, both joinable
+    keep_lang = lang.map_batches(
+        lambda t: t.filter(pc.equal(t.column("pred_lang"),
+                                    pa.scalar("en")))
+        .select(["doc_id"]),
+        batch_format="pyarrow")
+    keep_qual = qual.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("n_tokens"), pa.scalar(20)),
+            pc.less_equal(t.column("n_tokens"), pa.scalar(400))))
+        .select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow")
+
+    from k_gap_ray.dsutil import join_datasets
+
+    kept = join_datasets(keep_qual, keep_lang, on="doc_id",
+                         scrub_left=False, scrub_right=False)
+    kept_docs = join_datasets(
+        kept.select_columns(["doc_id", "n_tokens"]),
+        docs, on="doc_id", scrub_left=False, scrub_right=False) \
+        .materialize()
+
+    # exact dedup: keep min doc_id per text among the kept docs
+    survivors = exact_dedup(kept_docs).select_columns(["doc_id"])
+    surv_docs = join_datasets(survivors, kept_docs.select_columns(
+        ["doc_id", "text", "n_tokens"]), on="doc_id",
+        scrub_left=False, scrub_right=False).materialize()
+
+    # near-dup dedup within the exact-dedup survivors
+    pairs = ngram_jaccard_pairs(surv_docs, threshold=0.5, shingle_k=2)
+
+    def pad(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 12, padding="0")
+
+    nodes = surv_docs.map_batches(
+        lambda t: pa.table({"node": pad(t.column("doc_id"))}),
+        batch_format="pyarrow")
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": pad(t.column("doc_id_a")),
+                            "b": pad(t.column("doc_id_b"))}),
+        batch_format="pyarrow")
+    labels = connected_components(nodes, edges)
+    reps = labels.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(
+            t.filter(pc.equal(t.column("node"), t.column("label")))
+            .column("node"), pa.int64())}),
+        batch_format="pyarrow")
+    return join_datasets(reps, surv_docs.select_columns(
+        ["doc_id", "n_tokens"]), on="doc_id",
+        scrub_left=False, scrub_right=False)
+
+
 def _doc_hash_sample(sf_dir: str):
     """O5 deterministic hash sampling: 30% of documents selected by a
     multiplicative id hash — block-layout- and cluster-size-invariant,
@@ -508,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_ngram_jaccard": _doc_ngram_jaccard,
         "q_doc_dup_clusters": _doc_dup_clusters,
         "q_doc_neardup_dedup": _doc_neardup_dedup,
+        "q_doc_clean_corpus": _doc_clean_corpus,
         "q_doc_hash_sample": _doc_hash_sample,
         # --- graph traversal (J5) ---
         "q_deref_reachable": _deref_reachable,
@@ -892,6 +965,61 @@ def _text_analysis_oracles() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         WHERE 2 * n_common >= n_union
     """
+    # flagship composition: lang filter -> token-window filter ->
+    # exact dedup -> bigram near-dup dedup, one chained oracle
+    clean_corpus = f"""
+        WITH RECURSIVE s AS (
+            SELECT doc_id,
+                   {sql_stopword_count('text', 'de')} AS s_de,
+                   {sql_stopword_count('text', 'en')} AS s_en,
+                   {sql_stopword_count('text', 'es')} AS s_es,
+                   {sql_stopword_count('text', 'fr')} AS s_fr
+            FROM documents),
+        lang AS (SELECT doc_id,
+               CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                         AND s_de > 0 THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                    WHEN s_fr > 0 THEN 'fr'
+                    ELSE 'und' END AS pred_lang
+            FROM s),
+        tok AS (SELECT doc_id, text,
+                       length(text) - length(replace(text, ' ', ''))
+                       + CASE WHEN length(text) > 0 THEN 1 ELSE 0 END
+                           AS n_tokens
+                FROM documents),
+        kept AS (SELECT t.doc_id, t.text, t.n_tokens
+                 FROM tok t JOIN lang l ON l.doc_id = t.doc_id
+                 WHERE l.pred_lang = 'en'
+                   AND t.n_tokens BETWEEN 20 AND 400),
+        ex AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+        surv AS (SELECT k.doc_id, k.text, k.n_tokens
+                 FROM kept k JOIN ex ON ex.doc_id = k.doc_id),
+        t2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM surv),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(tk) >= 2 THEN
+                          list_distinct(list_transform(
+                              range(1, len(tk)),
+                              i -> array_to_string(tk[i:i+1], ' ')))
+                      ELSE [array_to_string(tk, ' ')] END AS ss
+               FROM t2),
+        p AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE 2 * len(list_intersect(a.ss, b.ss))
+                    >= len(a.ss) + len(b.ss)
+                       - len(list_intersect(a.ss, b.ss))),
+        e AS (SELECT pa AS a, pb AS b FROM p
+              UNION ALL SELECT pb, pa FROM p),
+        reach(node, r) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b)
+        SELECT sv.doc_id, sv.n_tokens
+        FROM surv sv
+        LEFT JOIN (SELECT node, min(r) AS mn FROM reach GROUP BY node) m
+            ON m.node = sv.doc_id
+        WHERE least(sv.doc_id, coalesce(m.mn, sv.doc_id)) = sv.doc_id
+    """
     # word-BIGRAM shingles (the exact prefix-filter join's config);
     # same integer-threshold comparison, brute-force all pairs
     bigram_sh = """
@@ -985,6 +1113,7 @@ def _text_analysis_oracles() -> dict[str, str]:
         FROM nation GROUP BY 1
     """
     return {
+        "q_doc_clean_corpus": clean_corpus,
         "q_rdf_turtle": turtle,
         "q_media_features": media,
         "q_doc_langid": langid,
