@@ -409,6 +409,27 @@ def _knn_lsh(sf_dir: str):
     return knn_lsh(ds, np.asarray(q, dtype=np.float64), k=10, exclude_ids={0})
 
 
+def _knn_ivf(sf_dir: str):
+    """IVF ANN query over a persisted centroid-partitioned index
+    (built once per sf tier under /tmp): rows-only at the gate —
+    approximate by design; recall vs the exact top-10 is pinned in
+    tests/test_functions.py::test_ivf_index_build_and_query."""
+    import numpy as np
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import build_ivf_index, knn_ivf
+
+    idx_dir = f"/tmp/kgap_ivf/sf{_sf_of(sf_dir)}"
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    if not os.path.exists(f"{idx_dir}/centroids.npy"):
+        os.makedirs(idx_dir, exist_ok=True)
+        C = build_ivf_index(ds, idx_dir, n_centroids=8)
+        np.save(f"{idx_dir}/centroids.npy", C)
+    q = np.asarray([r for r in ds.take(1)][0]["embedding"], np.float64)
+    return knn_ivf(idx_dir, q, k=10, n_probe=4, exclude_ids={0})
+
+
 def _doc_lang_stats(sf_dir: str):
     """Grouped doc stats (A5/A3). avg_chars is an exact int64 sum over
     integral values divided once — bit-identical to the SQL oracle."""
@@ -587,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- embeddings: similarity search + near-dup ---
         "q_knn_top10": _knn,
         "q_knn_lsh": _knn_lsh,
+        "q_knn_ivf": _knn_ivf,
         "q_emb_near_dup": _emb_near_dup,
         "q_emb_sim_join": _emb_sim_join,
         # --- declarative workflow engine (X1-X3) ---
