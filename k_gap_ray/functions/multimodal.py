@@ -187,3 +187,111 @@ def decode_stage(media_ds, mode: str = "fake", concurrency=(1, 4),
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+FRAME = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("frame_idx", pa.int32()),
+        pa.field("ts_sec", pa.float64()),
+        pa.field("payload", pa.binary()),
+    ]
+)
+
+
+class MediaResizer:
+    """Actor-pool resize stage: payload -> payload at (target_w,
+    target_h). Same stub contract as MediaDecoder: ``fake`` is a
+    deterministic byte-level pseudo-resize (output length scales with
+    the target area, content derived from the input hash so resizing
+    is reproducible and testable); ``real`` raises at the exact PIL /
+    libvips call site. Output keeps the MEDIA schema so resize chains
+    into decode_stage."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224,
+                 mode: str = "fake") -> None:
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.tw, self.th = int(target_w), int(target_h)
+
+    def _resize_real(self, payload: bytes, mime: str) -> bytes:
+        raise NotImplementedError(
+            "real resize requires PIL/libvips, not available in this "
+            "container — slot the library call here")
+
+    def _resize_fake(self, payload: bytes, mime: str) -> bytes:
+        n_out = max(16, (self.tw * self.th) // 64)
+        seed = hashlib.sha256(payload).digest()
+        reps = n_out // len(seed) + 1
+        return (seed * reps)[:n_out]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fn = self._resize_fake if self.mode == "fake" else self._resize_real
+        out = [fn(p, m) for p, m in zip(batch.column("payload").to_pylist(),
+                                        batch.column("mime").to_pylist())]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "payload": pa.array(out, pa.binary()),
+            "mime": batch.column("mime"),
+            "source_url": batch.column("source_url"),
+        })
+
+
+def resize_stage(media_ds, target_w: int = 224, target_h: int = 224,
+                 mode: str = "fake", concurrency=(1, 4),
+                 batch_size: int = 64):
+    return media_ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h,
+                               "mode": mode},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: one video row -> ``n_frames``
+    evenly spaced frame rows (media_id, frame_idx, ts_sec, payload) —
+    the 1->N binary explode a video pipeline needs, with small batch
+    sizes so n_frames x payload x concurrency stays in-heap. ``fake``
+    slices the payload at evenly spaced offsets with a fake duration
+    of n_bytes/1000 s; ``real`` raises at the ffmpeg seek site."""
+
+    def __init__(self, n_frames: int = 4, mode: str = "fake") -> None:
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.n = int(n_frames)
+        self.mode = mode
+
+    def _frames_real(self, payload: bytes):
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg, not available in "
+            "this container — slot the seek/decode call here")
+
+    def _frames_fake(self, payload: bytes):
+        dur = len(payload) / 1000.0
+        chunk = max(1, len(payload) // self.n)
+        return [(i, i * dur / self.n,
+                 payload[i * chunk:(i + 1) * chunk] or b"\x00")
+                for i in range(self.n)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fn = self._frames_fake if self.mode == "fake" else self._frames_real
+        rows: dict[str, list] = {n: [] for n in FRAME.names}
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            for idx, ts, fp in fn(payload):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(idx)
+                rows["ts_sec"].append(ts)
+                rows["payload"].append(fp)
+        return pa.Table.from_pydict(rows, schema=FRAME)
+
+
+def frame_sample_stage(media_ds, n_frames: int = 4, mode: str = "fake",
+                       concurrency=(1, 4), batch_size: int = 32):
+    return media_ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames, "mode": mode},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

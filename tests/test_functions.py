@@ -481,3 +481,44 @@ def test_hll_error_bound_and_merge(ray_session):
     whole = hll_partials(ds, "x").groupby("reg").max("rho")
     as_map = lambda d: {r["reg"]: r["max(rho)"] for r in d.take_all()}
     assert as_map(merged) == as_map(whole)
+
+
+def test_resize_and_frame_sample_stages(ray_session):
+    """Multimodal resize (payload -> target-area payload, MEDIA schema
+    preserved so it chains into decode) and frame sampling (1 -> N
+    binary explode with timestamps); deterministic in fake mode, real
+    mode raises at the codec slot."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.multimodal import (
+        FrameSampler,
+        MediaResizer,
+        decode_stage,
+        frame_sample_stage,
+        resize_stage,
+        synth_media,
+    )
+
+    media = rd.from_arrow(synth_media(12))
+    resized = resize_stage(media, target_w=64, target_h=64)
+    feats = decode_stage(resized, mode="fake").take_all()
+    assert len(feats) == 12
+    sizes = {r["n_bytes"] for r in feats}
+    assert sizes == {64 * 64 // 64}        # every payload at target area
+
+    frames = frame_sample_stage(rd.from_arrow(synth_media(5)),
+                                n_frames=4).take_all()
+    assert len(frames) == 20
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r)
+    for mid, fr in per.items():
+        idxs = sorted(f["frame_idx"] for f in fr)
+        assert idxs == [0, 1, 2, 3]
+        ts = [f["ts_sec"] for f in sorted(fr, key=lambda x: x["frame_idx"])]
+        assert ts == sorted(ts) and all(len(f["payload"]) > 0 for f in fr)
+
+    with pytest.raises(NotImplementedError):
+        MediaResizer(mode="real")(synth_media(1))
+    with pytest.raises(NotImplementedError):
+        FrameSampler(mode="real")(synth_media(1))
