@@ -101,6 +101,18 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
             from k_gap_ray.functions.sketch import hll_count
 
             ds = hll_count(ds, step.pop("col"))
+        elif op == "resize_media":
+            from k_gap_ray.functions.multimodal import resize_stage
+
+            ds = resize_stage(ds, **step)
+        elif op == "decode_media":
+            from k_gap_ray.functions.multimodal import decode_stage
+
+            ds = decode_stage(ds, **step)
+        elif op == "frame_sample":
+            from k_gap_ray.functions.multimodal import frame_sample_stage
+
+            ds = frame_sample_stage(ds, **step)
         elif op == "construct_remap":
             from k_gap_ray.ops.transform import construct_remap
 

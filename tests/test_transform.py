@@ -236,3 +236,23 @@ def test_workflow_new_ops(ray_session, sf_dir):
         {"op": "hll_count", "col": "user_id"},
     ])
     assert est.column("n_est")[0].as_py() > 0
+
+
+def test_workflow_media_chain(ray_session, tmp_path):
+    """X1 media chain: synth media written to parquet, then a
+    declarative read -> resize -> decode workflow."""
+    import pyarrow.parquet as pq
+
+    from k_gap_ray.functions.multimodal import synth_media
+    from k_gap_ray.workflow import run_workflow
+
+    path = str(tmp_path / "media.parquet")
+    pq.write_table(synth_media(9), path)
+    out = run_workflow([
+        {"op": "read_parquet", "path": path},
+        {"op": "resize_media", "target_w": 32, "target_h": 64},
+        {"op": "decode_media", "mode": "fake"},
+    ])
+    rows = out.take_all()
+    assert len(rows) == 9
+    assert {r["n_bytes"] for r in rows} == {32 * 64 // 64}
