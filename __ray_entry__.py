@@ -142,17 +142,20 @@ def _doc_simhash_pairs(sf_dir: str):
 
 def _doc_ngram_jaccard(sf_dir: str):
     """EXACT n-gram Jaccard similarity join (prefix-filtered, not
-    probabilistic) — word-BIGRAM shingles at threshold 0.5, vs the
-    minhash query's trigrams: a distinct result set whose recall is
-    1.0 by construction, so the brute-force oracle matches exactly."""
+    probabilistic) — word-4-GRAM shingles at threshold 0.75, vs the
+    minhash query's trigrams at 0.5: a distinct result set whose
+    recall is 1.0 by construction, so the brute-force oracle matches
+    exactly. k=4 / t=0.75 is the measured scale-sane config
+    (candidates == true pairs at sf0.1; see the
+    ngram_jaccard_pairs docstring for the k/t scaling tradeoff)."""
     from k_gap_ray.functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
-                               threshold=0.5, shingle_k=2)
+                               threshold=0.75, shingle_k=4)
 
 
 def _doc_dup_clusters(sf_dir: str):
-    """A8 connected components over the exact bigram-Jaccard dup
+    """A8 connected components over the exact 4-gram-Jaccard dup
     pairs: every doc labeled with the min doc_id of its duplicate
     cluster (singletons label themselves). Numeric-min semantics via
     zero-padded string nodes (CC labels are lexicographic-min)."""
@@ -163,7 +166,7 @@ def _doc_dup_clusters(sf_dir: str):
     from k_gap_ray.ops.canonicalize import connected_components
 
     docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5, shingle_k=2)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.75, shingle_k=4)
 
     def pad(col):
         return pc.utf8_lpad(pc.cast(col, pa.string()), 12, padding="0")
@@ -185,8 +188,8 @@ def _doc_dup_clusters(sf_dir: str):
 
 def _doc_neardup_dedup(sf_dir: str):
     """The end-to-end near-dup DEDUP operation (cluster -> keep the
-    min-id representative): documents surviving bigram-Jaccard
-    deduplication at threshold 0.5."""
+    min-id representative): documents surviving 4-gram-Jaccard
+    deduplication at threshold 0.75."""
     import pyarrow.compute as pc
 
     labels = _doc_dup_clusters(sf_dir)
@@ -200,7 +203,7 @@ def _doc_neardup_dedup(sf_dir: str):
 def _doc_clean_corpus(sf_dir: str):
     """Flagship training-data-prep COMPOSITION, one streaming chain:
     predicted-English + quality-floor filter -> exact dedup (keep min
-    doc_id per text) -> exact bigram-Jaccard near-dup dedup (keep
+    doc_id per text) -> exact 4-gram-Jaccard near-dup dedup (keep
     cluster min) -> surviving (doc_id, n_tokens). Every stage is an
     operator verified on its own elsewhere; this query verifies the
     COMPOSITION against one chained SQL oracle."""
@@ -246,7 +249,7 @@ def _doc_clean_corpus(sf_dir: str):
         scrub_left=False, scrub_right=False).materialize()
 
     # near-dup dedup within the exact-dedup survivors
-    pairs = ngram_jaccard_pairs(surv_docs, threshold=0.5, shingle_k=2)
+    pairs = ngram_jaccard_pairs(surv_docs, threshold=0.75, shingle_k=4)
 
     def pad(col):
         return pc.utf8_lpad(pc.cast(col, pa.string()), 12, padding="0")
@@ -988,7 +991,7 @@ def _text_analysis_oracles() -> dict[str, str]:
         WHERE 2 * n_common >= n_union
     """
     # flagship composition: lang filter -> token-window filter ->
-    # exact dedup -> bigram near-dup dedup, one chained oracle
+    # exact dedup -> 4-gram near-dup dedup, one chained oracle
     clean_corpus = f"""
         WITH RECURSIVE s AS (
             SELECT doc_id,
@@ -1019,17 +1022,17 @@ def _text_analysis_oracles() -> dict[str, str]:
                  FROM kept k JOIN ex ON ex.doc_id = k.doc_id),
         t2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM surv),
         sh AS (SELECT doc_id,
-                      CASE WHEN len(tk) >= 2 THEN
+                      CASE WHEN len(tk) >= 4 THEN
                           list_distinct(list_transform(
-                              range(1, len(tk)),
-                              i -> array_to_string(tk[i:i+1], ' ')))
+                              range(1, len(tk) - 2),
+                              i -> array_to_string(tk[i:i+3], ' ')))
                       ELSE [array_to_string(tk, ' ')] END AS ss
                FROM t2),
         p AS (SELECT a.doc_id AS pa, b.doc_id AS pb
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE 2 * len(list_intersect(a.ss, b.ss))
-                    >= len(a.ss) + len(b.ss)
-                       - len(list_intersect(a.ss, b.ss))),
+              WHERE 4 * len(list_intersect(a.ss, b.ss))
+                    >= 3 * (len(a.ss) + len(b.ss)
+                            - len(list_intersect(a.ss, b.ss)))),
         e AS (SELECT pa AS a, pb AS b FROM p
               UNION ALL SELECT pb, pa FROM p),
         reach(node, r) AS (
@@ -1042,16 +1045,17 @@ def _text_analysis_oracles() -> dict[str, str]:
             ON m.node = sv.doc_id
         WHERE least(sv.doc_id, coalesce(m.mn, sv.doc_id)) = sv.doc_id
     """
-    # word-BIGRAM shingles (the exact prefix-filter join's config);
-    # same integer-threshold comparison, brute-force all pairs
-    bigram_sh = """
+    # word-4-GRAM shingles (the exact prefix-filter join's measured
+    # scale-sane config); same integer-threshold comparison (0.75 =
+    # 3/4 exactly), brute-force all pairs
+    ngram4_sh = """
         WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk
                       FROM documents),
         sh AS (SELECT doc_id,
-                      CASE WHEN len(tk) >= 2 THEN
+                      CASE WHEN len(tk) >= 4 THEN
                           list_distinct(list_transform(
-                              range(1, len(tk)),
-                              i -> array_to_string(tk[i:i+1], ' ')))
+                              range(1, len(tk) - 2),
+                              i -> array_to_string(tk[i:i+3], ' ')))
                       ELSE [array_to_string(tk, ' ')] END AS s
                FROM toks),
         p AS (
@@ -1061,16 +1065,16 @@ def _text_analysis_oracles() -> dict[str, str]:
                        AS n_union
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
     """
-    ngram_jaccard = bigram_sh + """
+    ngram_jaccard = ngram4_sh + """
         SELECT doc_id_a, doc_id_b, n_common, n_union FROM p
-        WHERE 2 * n_common >= n_union
+        WHERE 4 * n_common >= 3 * n_union
     """
     # transitive closure over the verified pair edges -> per-doc min
     # reachable id = duplicate-cluster label (singletons label
     # themselves)
-    dup_clusters = bigram_sh + """,
+    dup_clusters = ngram4_sh + """,
         kept AS (SELECT doc_id_a AS a, doc_id_b AS b FROM p
-                 WHERE 2 * n_common >= n_union),
+                 WHERE 4 * n_common >= 3 * n_union),
         e AS (SELECT a, b FROM kept UNION ALL SELECT b, a FROM kept),
         reach(node, r) AS (
             SELECT a, b FROM e

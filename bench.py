@@ -148,7 +148,7 @@ def run_bench() -> dict:
 
     timed("q_doc_ngram_jaccard", lambda d: ngram_jaccard_pairs(
         rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"]),
-        threshold=0.5, shingle_k=2))
+        threshold=0.75, shingle_k=4))
     timed("q_knn_top10", lambda d: knn_by_id(d, 0, 10))
 
     from k_gap_ray.functions.dedup import cosine_pairs_exact

@@ -321,7 +321,7 @@ def _prefix_keep_mask(d_u: np.ndarray, h_u: np.ndarray, dfv: np.ndarray,
     return keep
 
 
-def ngram_prefix_bands(docs_ds, threshold: float = 0.5, shingle_k: int = 2,
+def ngram_prefix_bands(docs_ds, threshold: float = 0.75, shingle_k: int = 4,
                        id_col: str = "doc_id",
                        broadcast_cap: int = 2_000_000):
     """Prefix-filtered shingle index for the EXACT n-gram-Jaccard join.
@@ -400,13 +400,24 @@ def ngram_prefix_bands(docs_ds, threshold: float = 0.5, shingle_k: int = 2,
                                              batch_format="pyarrow")
 
 
-def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_k: int = 2,
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.75, shingle_k: int = 4,
                         broadcast_cap: int = 2_000_000):
     """EXACT n-gram-Jaccard near-dup pairs (no LSH, no probabilistic
     recall): prefix-filtered candidate generation + exact shingle-set
     verification through the pair join. Same output contract as
     ``minhash_dedup_pairs`` — (id_a, id_b, n_common, n_union) with the
-    threshold compared in exact integer arithmetic."""
+    threshold compared in exact integer arithmetic.
+
+    CONFIG GOVERNS SCALE, measured at 5,000 docs (sf0.1): prefix
+    filtering prunes by RARE shingles, so candidates collapse only
+    when the shingle space is rich relative to the corpus — k=4 at
+    t=0.75 yields candidates == true pairs (256) in 8 s, k=3 ~160k
+    candidates, while k=2 (tiny shared bigram vocabulary) degenerates
+    toward all-pairs (7.5M). Low thresholds or small shingle spaces
+    are MinHash-LSH territory (`minhash_dedup_pairs`); the exact join
+    is the high-threshold path. Prefer exactly-representable
+    thresholds (0.75 = 3/4) so the integer comparison stays tiny on
+    the SQL oracle side."""
     docs_ds = docs_ds.materialize()  # banding AND verify join consume it
     bands = ngram_prefix_bands(docs_ds, threshold, shingle_k,
                                broadcast_cap=broadcast_cap)

@@ -240,6 +240,18 @@ def test_ngram_jaccard_equal_bruteforce(docs_ds):
                     docs_ds, threshold=0.5, shingle_k=2,
                     broadcast_cap=0).take_all()}
     assert got_join == truth
+    # the shipped config (k=4, t=0.75) is exact too
+    sh4 = {r["doc_id"]: _word_shingles(r["text"], 4) for r in rows}
+    truth4 = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = len(sh4[a] & sh4[b])
+            u = len(sh4[a]) + len(sh4[b]) - c
+            if 4 * c >= 3 * u:
+                truth4.add((a, b))
+    got4 = {(r["doc_id_a"], r["doc_id_b"])
+            for r in ngram_jaccard_pairs(docs_ds).take_all()}
+    assert got4 == truth4 and truth4
 
 
 def test_connected_components_generic(ray_session):
