@@ -589,6 +589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_flags": rel.q_distinct_flags,
         "q_lineitem_rollup": rel.q_lineitem_rollup,
         "q_union_priorities": rel.q_union_priorities,
+        "q_priority_intersect": rel.q_priority_intersect,
+        "q_priority_except": rel.q_priority_except,
         # --- documents / text-analysis ops ---
         "q_doc_lang_stats": _doc_lang_stats,
         "q_doc_source_counts": _doc_source_counts,
@@ -844,6 +846,16 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT o_orderpriority FROM orders WHERE o_totalprice < 50000
             ) GROUP BY o_orderpriority
+        """,
+        "q_priority_intersect": """
+            SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000
+            INTERSECT
+            SELECT o_orderpriority FROM orders WHERE o_totalprice < 50000
+        """,
+        "q_priority_except": """
+            SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000
+            EXCEPT
+            SELECT o_orderpriority FROM orders WHERE o_totalprice < 50000
         """,
         "q_workflow_lang_en": """
             SELECT lang, count(*) AS n, max(n_chars) AS max_chars

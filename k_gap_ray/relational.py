@@ -724,3 +724,63 @@ def q_events_p90_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
     return grouped_quantile_disc_scaled(ds, key="event_type",
                                         value="value", q=0.9, scale=100)
+
+
+def q_priority_intersect(sf_dir: str):
+    """INTERSECT: order priorities present among BOTH high-value
+    (>200k) and low-value (<50k) orders — two pruned distinct sets,
+    combined with a distinct inner join (no row explosion: both sides
+    deduped before the join)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def side(pred):
+        return (ds.map_batches(
+            lambda t, p=pred: t.filter(p(t)).select(["o_orderpriority"]),
+            batch_format="pyarrow")
+            .groupby("o_orderpriority").count()
+            .select_columns(["o_orderpriority"]))
+
+    hi = side(lambda t: pc.greater(t.column("o_totalprice"),
+                                   pa.scalar(200000.0)))
+    lo = side(lambda t: pc.less(t.column("o_totalprice"),
+                                pa.scalar(50000.0)))
+    from k_gap_ray.dsutil import join_datasets
+
+    return join_datasets(hi, lo.rename_columns(
+        {"o_orderpriority": "p2"}), on="o_orderpriority",
+        right_on="p2").select_columns(["o_orderpriority"])
+
+
+def q_priority_except(sf_dir: str):
+    """EXCEPT: priorities of high-value orders never seen below 50k —
+    distinct left side minus a broadcast right key set (the anti-join
+    set-difference; right side is tiny after dedup)."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    hi = (ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"),
+                                      pa.scalar(200000.0)))
+        .select(["o_orderpriority"]),
+        batch_format="pyarrow")
+        .groupby("o_orderpriority").count()
+        .select_columns(["o_orderpriority"]))
+    lo_keys = (ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_totalprice"),
+                                   pa.scalar(50000.0)))
+        .select(["o_orderpriority"]),
+        batch_format="pyarrow")
+        .groupby("o_orderpriority").count().take_all())
+    ref = ray.put(pa.array(sorted(r["o_orderpriority"] for r in lo_keys),
+                           pa.string()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        return t.filter(pc.invert(pc.is_in(t.column("o_orderpriority"),
+                                           value_set=_r.get(ref))))
+
+    out = hi.map_batches(anti, batch_format="pyarrow")
+    return pa.Table.from_pylist(
+        out.take_all(),
+        schema=pa.schema([("o_orderpriority", pa.string())]))
