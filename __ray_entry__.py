@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": rel.q_events_sessions,
         "q_events_asof_click": rel.q_events_asof_click,
         "q_events_user_running": rel.q_events_user_running,
+        "q_events_value_delta": rel.q_events_value_delta,
         "q_events_watermark": rel.q_events_watermark,
         "q_events_hll_users": _events_hll_users,
         "q_events_hourly_users": _events_hourly_users,
@@ -743,6 +744,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q_events_watermark": "SELECT max(ts) AS max_ts FROM events",
+        "q_events_value_delta": """
+            SELECT event_id,
+                   CAST(v - lag(v) OVER w AS BIGINT) AS delta_s
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            QUALIFY lag(v) OVER w IS NOT NULL
+        """,
         "q_events_hourly_users": """
             SELECT date_trunc('hour', ts) AS window_start,
                    count(DISTINCT user_id) AS n_users

@@ -784,3 +784,38 @@ def q_priority_except(sf_dir: str):
     return pa.Table.from_pylist(
         out.take_all(),
         schema=pa.schema([("o_orderpriority", pa.string())]))
+
+
+def q_events_value_delta(sf_dir: str):
+    """Window lag: each event's value change vs the user's previous
+    event (ts, event_id order), first-per-user dropped. Fixed-point
+    int deltas so the subtraction is exact on both engines; per-key
+    ordered compute via groupby(user).map_groups with an in-group
+    vectorized diff (same shape as the running-sum query)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        v = np.rint(pc.cast(t.column("value"), pa.float64())
+                    .to_numpy(zero_copy_only=False) * 100).astype("int64")
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "event_id": t.column("event_id"),
+                         "v_s": pa.array(v, pa.int64())})
+
+    def diffs(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("v_s").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        v_o, eid_o = v[order], eid[order]
+        return pa.table({
+            "event_id": pa.array(eid_o[1:], pa.int64()),
+            "delta_s": pa.array(v_o[1:] - v_o[:-1], pa.int64())})
+
+    scaled = ds.map_batches(scale, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return scaled.groupby("user_id").map_groups(diffs,
+                                                batch_format="pyarrow")
