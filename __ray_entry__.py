@@ -154,27 +154,24 @@ def _doc_ngram_jaccard(sf_dir: str):
                                threshold=0.75, shingle_k=4)
 
 
-def _doc_dup_clusters(sf_dir: str):
-    """A8 connected components over the exact 4-gram-Jaccard dup
-    pairs: every doc labeled with the min doc_id of its duplicate
-    cluster (singletons label themselves). Numeric-min semantics via
-    zero-padded string nodes (CC labels are lexicographic-min)."""
+def _doc_cluster_labels(docs_ds, pairs_ds):
+    """(docs, near-dup pairs) -> Dataset(doc_id, cluster_id) via
+    connected components. Numeric-min label semantics through
+    zero-padded string nodes (CC labels are lexicographic-min);
+    shared by the dup-clusters query and the clean-corpus
+    composition so the two can never diverge."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from k_gap_ray.functions.dedup import ngram_jaccard_pairs
     from k_gap_ray.ops.canonicalize import connected_components
-
-    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
-    pairs = ngram_jaccard_pairs(docs, threshold=0.75, shingle_k=4)
 
     def pad(col):
         return pc.utf8_lpad(pc.cast(col, pa.string()), 12, padding="0")
 
-    nodes = docs.map_batches(
+    nodes = docs_ds.map_batches(
         lambda t: pa.table({"node": pad(t.column("doc_id"))}),
         batch_format="pyarrow")
-    edges = pairs.map_batches(
+    edges = pairs_ds.map_batches(
         lambda t: pa.table({"a": pad(t.column("doc_id_a")),
                             "b": pad(t.column("doc_id_b"))}),
         batch_format="pyarrow")
@@ -184,6 +181,17 @@ def _doc_dup_clusters(sf_dir: str):
             "doc_id": pc.cast(t.column("node"), pa.int64()),
             "cluster_id": pc.cast(t.column("label"), pa.int64())}),
         batch_format="pyarrow")
+
+
+def _doc_dup_clusters(sf_dir: str):
+    """A8 connected components over the exact 4-gram-Jaccard dup
+    pairs: every doc labeled with the min doc_id of its duplicate
+    cluster (singletons label themselves)."""
+    from k_gap_ray.functions.dedup import ngram_jaccard_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    pairs = ngram_jaccard_pairs(docs, threshold=0.75, shingle_k=4)
+    return _doc_cluster_labels(docs, pairs)
 
 
 def _doc_neardup_dedup(sf_dir: str):
@@ -212,7 +220,6 @@ def _doc_clean_corpus(sf_dir: str):
 
     from k_gap_ray.functions.dedup import exact_dedup, ngram_jaccard_pairs
     from k_gap_ray.functions.textstats import lang_id, quality_scores
-    from k_gap_ray.ops.canonicalize import connected_components
 
     docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
     lang = lang_id(docs)
@@ -242,30 +249,23 @@ def _doc_clean_corpus(sf_dir: str):
         docs, on="doc_id", scrub_left=False, scrub_right=False) \
         .materialize()
 
-    # exact dedup: keep min doc_id per text among the kept docs
+    # exact dedup: keep min doc_id per text among the kept docs.
+    # scrub_left=True: survivors came out of a sort-based groupby and
+    # can carry empty-schema blocks that crash a hash join
+    # (join_datasets contract; review finding)
     survivors = exact_dedup(kept_docs).select_columns(["doc_id"])
     surv_docs = join_datasets(survivors, kept_docs.select_columns(
         ["doc_id", "text", "n_tokens"]), on="doc_id",
-        scrub_left=False, scrub_right=False).materialize()
+        scrub_left=True, scrub_right=False).materialize()
 
-    # near-dup dedup within the exact-dedup survivors
+    # near-dup dedup within the exact-dedup survivors: same pair +
+    # cluster pipeline as q_doc_dup_clusters (shared helper)
     pairs = ngram_jaccard_pairs(surv_docs, threshold=0.75, shingle_k=4)
-
-    def pad(col):
-        return pc.utf8_lpad(pc.cast(col, pa.string()), 12, padding="0")
-
-    nodes = surv_docs.map_batches(
-        lambda t: pa.table({"node": pad(t.column("doc_id"))}),
-        batch_format="pyarrow")
-    edges = pairs.map_batches(
-        lambda t: pa.table({"a": pad(t.column("doc_id_a")),
-                            "b": pad(t.column("doc_id_b"))}),
-        batch_format="pyarrow")
-    labels = connected_components(nodes, edges)
+    labels = _doc_cluster_labels(surv_docs, pairs)
     reps = labels.map_batches(
-        lambda t: pa.table({"doc_id": pc.cast(
-            t.filter(pc.equal(t.column("node"), t.column("label")))
-            .column("node"), pa.int64())}),
+        lambda t: t.filter(pc.equal(t.column("doc_id"),
+                                    t.column("cluster_id")))
+        .select(["doc_id"]),
         batch_format="pyarrow")
     return join_datasets(reps, surv_docs.select_columns(
         ["doc_id", "n_tokens"]), on="doc_id",
@@ -426,9 +426,23 @@ def _knn_ivf(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     if not os.path.exists(f"{idx_dir}/centroids.npy"):
-        os.makedirs(idx_dir, exist_ok=True)
-        C = build_ivf_index(ds, idx_dir, n_centroids=8)
-        np.save(f"{idx_dir}/centroids.npy", C)
+        # build into a fresh temp dir, publish with one atomic rename:
+        # a crash mid-build must never leave partial partition files
+        # that a rebuild would APPEND to (write_parquet doesn't clear
+        # the dir -> duplicate vec_ids in every probe; review finding)
+        tmp = f"{idx_dir}.build.{os.getpid()}"
+        import shutil as _sh
+
+        _sh.rmtree(idx_dir, ignore_errors=True)  # stale partial build
+        _sh.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        C = build_ivf_index(ds, tmp, n_centroids=8)
+        np.save(f"{tmp}/centroids.npy", C)
+        os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
+        try:
+            os.rename(tmp, idx_dir)
+        except OSError:
+            _sh.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
     q = np.asarray([r for r in ds.take(1)][0]["embedding"], np.float64)
     return knn_ivf(idx_dir, q, k=10, n_probe=4, exclude_ids={0})
 

@@ -171,12 +171,15 @@ def minhash_doc_bands(ds, shingle_k: int = 3, id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _pairs_table(blocks: pa.Table, id_col: str) -> pa.Table:
+def _pairs_table(blocks: pa.Table, id_col: str,
+                 max_bucket: int | None) -> pa.Table:
     a_out, b_out = [], []
     for members in blocks.column("members").to_pylist():
         if members is None or len(members) < 2:
             continue
-        ms = sorted(set(members))[:MAX_BUCKET]
+        ms = sorted(set(members))
+        if max_bucket is not None:
+            ms = ms[:max_bucket]
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
                 a_out.append(ms[i])
@@ -185,12 +188,22 @@ def _pairs_table(blocks: pa.Table, id_col: str) -> pa.Table:
                      f"{id_col}_b": pa.array(b_out, pa.int64())})
 
 
-def lsh_candidate_pairs(band_ds, id_col: str = "doc_id"):
-    """(band_key, id) -> distinct candidate id pairs (a < b)."""
+def lsh_candidate_pairs(band_ds, id_col: str = "doc_id",
+                        max_bucket: int | None = MAX_BUCKET):
+    """(band_key, id) -> distinct candidate id pairs (a < b).
+
+    ``max_bucket`` caps per-bucket pair expansion for the
+    PROBABILISTIC callers (minhash/simhash/embedding LSH, where an
+    oversized bucket signals a degenerate band, not signal). EXACT
+    callers (the prefix-filter Jaccard join) must pass None: a bucket
+    of 300 mutually-duplicate boilerplate pages is real signal there,
+    and capping would silently drop pairs the recall-1.0 contract
+    promises."""
     blocks = (band_ds.groupby("band_key")
               .aggregate(SafeUnique(id_col, alias_name="members")))
-    pairs = blocks.map_batches(lambda t: _pairs_table(t, id_col),
-                               batch_format="pyarrow")
+    pairs = blocks.map_batches(
+        lambda t: _pairs_table(t, id_col, max_bucket),
+        batch_format="pyarrow")
     return (pairs.groupby([f"{id_col}_a", f"{id_col}_b"]).count()
             .select_columns([f"{id_col}_a", f"{id_col}_b"]))
 
@@ -303,11 +316,22 @@ def _explode_doc_shingles(ds, shingle_k: int, id_col: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _prefix_lengths(n: np.ndarray, num: int, den: int) -> np.ndarray:
+    """p = n - ceil(t*n) + 1 per doc, computed with PYTHON ints per
+    unique size: for non-dyadic thresholds as_integer_ratio yields
+    num ~ 10^15 and `num * n` in int64 numpy silently overflows past
+    ~2.5k shingles, corrupting the prefix bound (review finding)."""
+    uniq, inv = np.unique(n, return_inverse=True)
+    p_u = np.array([int(v) - (num * int(v) + den - 1) // den + 1
+                    for v in uniq], dtype=np.int64)
+    return p_u[inv]
+
+
 def _prefix_keep_mask(d_u: np.ndarray, h_u: np.ndarray, dfv: np.ndarray,
                       n: np.ndarray, num: int, den: int) -> np.ndarray:
     """Vectorized per-doc prefix cut: order each doc's shingles by
     (df asc, hash asc) and keep the first n - ceil(t*n) + 1."""
-    p = n - (num * n + den - 1) // den + 1
+    p = _prefix_lengths(n, num, den)
     order = np.lexsort((h_u, dfv, d_u))
     d_o = d_u[order]
     # position within doc after the (df, hash) ordering
@@ -421,7 +445,10 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.75, shingle_k: int = 4,
     docs_ds = docs_ds.materialize()  # banding AND verify join consume it
     bands = ngram_prefix_bands(docs_ds, threshold, shingle_k,
                                broadcast_cap=broadcast_cap)
-    pairs = lsh_candidate_pairs(bands)
+    # max_bucket=None: exactness requires UNCAPPED pair expansion — a
+    # giant bucket here is a real mutual-duplicate cluster, and its
+    # quadratic pair count is the answer's intrinsic size
+    pairs = lsh_candidate_pairs(bands, max_bucket=None)
     return verify_jaccard_pairs(pairs, docs_ds, threshold, shingle_k)
 
 

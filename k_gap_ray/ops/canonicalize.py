@@ -171,6 +171,7 @@ def _cc_distributed(surfaces_ds, edges_ds, max_iters: int = 12):
 
     num_parts = max(2, min(32, edges2.num_blocks()))
     prev_sum = checksum(labels)
+    converged = False
     for _ in range(max_iters):
         msgs = edges2.join(labels, join_type="inner",
                            num_partitions=num_parts,
@@ -185,8 +186,19 @@ def _cc_distributed(surfaces_ds, edges_ds, max_iters: int = 12):
         ).materialize()
         cur_sum = checksum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # fail LOUD: returning here would hand back non-minimal labels
+        # with no signal (components deeper than max_iters propagate
+        # one hop per round) — silently-wrong cluster ids are worse
+        # than a retryable error (review finding)
+        raise RuntimeError(
+            f"connected-components label propagation did not converge "
+            f"within max_iters={max_iters}; the graph has a component "
+            f"with diameter > {max_iters} — rerun with a larger "
+            f"max_iters")
     return labels  # Dataset(node, label)
 
 

@@ -534,3 +534,37 @@ def test_resize_and_frame_sample_stages(ray_session):
         MediaResizer(mode="real")(synth_media(1))
     with pytest.raises(NotImplementedError):
         FrameSampler(mode="real")(synth_media(1))
+
+
+def test_ngram_exact_bucket_uncapped(ray_session):
+    """300 mutually-identical docs form one >MAX_BUCKET bucket; the
+    exact join must emit ALL C(300,2) pairs (the probabilistic paths'
+    256-member cap would silently drop 12k of them — review fix)."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.dedup import ngram_jaccard_pairs
+
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": ["alpha beta gamma delta epsilon zeta eta theta"] * n,
+    })
+    pairs = ngram_jaccard_pairs(rd.from_arrow(t)).count()
+    assert pairs == n * (n - 1) // 2
+
+
+def test_cc_nonconvergence_raises(ray_session):
+    """The distributed CC path must FAIL LOUDLY when a component's
+    diameter exceeds the iteration budget, never return non-minimal
+    labels silently (review fix)."""
+    import ray.data as rd
+
+    from k_gap_ray.ops.canonicalize import connected_components
+
+    nodes = [f"n{i:03d}" for i in range(12)]
+    chain = rd.from_arrow(pa.table({
+        "a": pa.array(nodes[:-1], pa.string()),
+        "b": pa.array(nodes[1:], pa.string())}))
+    nodes_ds = rd.from_arrow(pa.table({"node": pa.array(nodes, pa.string())}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes_ds, chain, driver_cap=0, max_iters=3)
