@@ -129,6 +129,12 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
             ds.write_csv(step.pop("path"), **step)
         elif op == "write_json":
             ds.write_json(step.pop("path"), **step)
+        elif op == "write_xlsx":
+            # small-result Excel sink (reference's notebook to_excel
+            # edge, jupyter.md:575-585); driver-side by contract
+            from k_gap_ray.sources.xlsx import write_xlsx
+
+            write_xlsx(ds, step.pop("path"), **step)
         elif op == "write_ntriples":
             from k_gap_ray.sources.rdfio import write_ntriples
 

@@ -309,3 +309,62 @@ def test_rdfxml_subset(ray_session, tmp_path):
     p = tmp_path / "doc.rdf"
     p.write_text(xml)
     assert read_rdfxml(str(p)).count() == 5
+
+
+def test_xlsx_roundtrip(tmp_path):
+    """S7 Excel edge (jupyter.md:575-585): numbers stay numeric,
+    strings stay strings, nulls stay null, through a real zip+OOXML
+    round trip (no openpyxl in this sandbox -> stdlib writer)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from k_gap_ray.sources.xlsx import read_xlsx, write_xlsx
+
+    t = pa.table({
+        "name": ["alpha", "b<&>\"quote'", None],
+        "n": pa.array([1, 2, None], pa.int64()),
+        "x": pa.array([1.5, float("nan"), -0.25], pa.float64()),
+        "ok": pa.array([True, False, None], pa.bool_()),
+    })
+    path = str(tmp_path / "out.xlsx")
+    assert write_xlsx(t, path, sheet_name="résults") == 3
+    df = read_xlsx(path)
+    assert list(df.columns) == ["name", "n", "x", "ok"]
+    assert df["name"].tolist()[:2] == ["alpha", "b<&>\"quote'"]
+    assert df["name"][2] is None
+    assert df["n"].tolist()[:2] == [1, 2] and df["n"][2] is None
+    assert df["x"][0] == 1.5 and df["x"][2] == -0.25
+    assert df["x"][1] is None  # NaN -> empty cell
+    assert df["ok"].tolist()[:2] == [True, False]
+    # the zip really is a well-formed xlsx package
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+    assert {"[Content_Types].xml", "xl/workbook.xml",
+            "xl/worksheets/sheet1.xml"} <= names
+    # pandas round-trip too (the reference calls df.to_excel)
+    df2 = pd.DataFrame({"a": [10, 20], "b": ["x", "y"]})
+    write_xlsx(df2, path)
+    back = read_xlsx(path)
+    assert back["a"].tolist() == [10, 20]
+    assert back["b"].tolist() == ["x", "y"]
+
+
+def test_workflow_write_xlsx_step(ray_session, tmp_path):
+    """The declarative workflow can end in an Excel sink."""
+    from k_gap_ray.sources.xlsx import read_xlsx
+    from k_gap_ray.workflow import run_workflow
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]}), src)
+    out = str(tmp_path / "wf.xlsx")
+    run_workflow([
+        {"op": "read_parquet", "path": src},
+        {"op": "write_xlsx", "path": out, "sheet_name": "data"},
+    ])
+    df = read_xlsx(out)
+    assert sorted(df["k"].tolist()) == [1, 2, 3]
