@@ -282,6 +282,44 @@ def _doc_hash_sample(sf_dir: str):
                        "doc_id", keep_pct=30)
 
 
+def _doc_vocab(sf_dir: str):
+    """Corpus vocabulary with per-token document frequency and term
+    frequency — the tokenizer-training / IDF-weighting input.  Exact
+    distributed aggregate: per-batch dictionary-encoded partials, one
+    token-keyed groupby-sum shuffle."""
+    from k_gap_ray.functions.textstats import vocab_df
+
+    return vocab_df(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _doc_decontam(sf_dir: str):
+    """Benchmark decontamination: documents sharing a token 3-gram
+    with the held-out eval slice (doc_id % 97 == 0), with the count of
+    DISTINCT matching grams as integer evidence.  Eval gram set is
+    small-side broadcast (ray.put once); the corpus streams.  n=3 on
+    the 31-word synthetic vocabulary plays the role 13-grams play on
+    real text: small enough to produce cross-doc overlap, so the
+    result is non-trivially non-empty."""
+    import numpy as np
+    import pyarrow as pa
+
+    from k_gap_ray.functions.decontam import (eval_ngram_set,
+                                              ngram_decontaminate)
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+
+    def mod_filter(keep_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 97 == 0) if keep_eval else (ids % 97 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    ev = docs.map_batches(mod_filter(True), batch_format="pyarrow")
+    sc = docs.map_batches(mod_filter(False), batch_format="pyarrow")
+    return ngram_decontaminate(sc, eval_ngram_set(ev, n=3), n=3)
+
+
 def _events_hourly_users(sf_dir: str):
     """Grouped COUNT DISTINCT (A2 x A3): distinct users per hour as a
     two-level aggregate — in-batch pair dedup (vectorized) shrinks the
@@ -623,6 +661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_neardup_dedup": _doc_neardup_dedup,
         "q_doc_clean_corpus": _doc_clean_corpus,
         "q_doc_hash_sample": _doc_hash_sample,
+        "q_doc_vocab": _doc_vocab,
+        "q_doc_decontam": _doc_decontam,
         # --- graph traversal (J5) ---
         "q_deref_reachable": _deref_reachable,
         # --- embeddings: similarity search + near-dup ---
@@ -1191,6 +1231,27 @@ def _text_analysis_oracles() -> dict[str, str]:
             f"SELECT doc_id FROM ({dup_clusters}) "
             f"WHERE doc_id = cluster_id",
         "q_doc_hash_sample": hash_sample,
+        "q_doc_vocab": """
+            SELECT token, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token
+        """,
+        "q_doc_decontam": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            idx AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM toks),
+            grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+                      FROM idx),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            sc AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+            SELECT sc.doc_id, count(DISTINCT sc.g)::BIGINT AS n_contaminated
+            FROM sc JOIN ev USING (g)
+            GROUP BY sc.doc_id
+        """,
         "q_deref_reachable": deref,
         "q_emb_near_dup": emb_near_dup,
         "q_emb_sim_join": emb_sim_join,

@@ -67,9 +67,11 @@ def to_dataframe(result):
 def export_df(df, path: str, **kwargs) -> str:
     """Export a DataFrame by extension: .csv / .json / .xlsx / .parquet.
 
-    The Excel edge needs openpyxl/xlsxwriter; when neither is
-    installed (this container) a clear ImportError names the missing
-    dependency instead of failing deep inside pandas."""
+    The Excel edge prefers pandas' ``to_excel`` (openpyxl/xlsxwriter)
+    when available and otherwise uses the bundled stdlib OOXML writer
+    (`sources/xlsx.py`) — either way ``export_df(df, "x.xlsx")``
+    works, matching the reference's notebook export surface
+    (jupyter.md:575-585)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".csv":
         df.to_csv(path, index=False, **kwargs)
@@ -80,15 +82,12 @@ def export_df(df, path: str, **kwargs) -> str:
     elif ext in (".xlsx", ".xls"):
         try:
             import openpyxl  # noqa: F401
+
+            df.to_excel(path, index=False, **kwargs)
         except ImportError:
-            try:
-                import xlsxwriter  # noqa: F401
-            except ImportError as exc:
-                raise ImportError(
-                    "Excel export requires openpyxl or xlsxwriter "
-                    "(pip install openpyxl); neither is installed"
-                ) from exc
-        df.to_excel(path, index=False, **kwargs)
+            from k_gap_ray.sources.xlsx import write_xlsx
+
+            write_xlsx(df, path, **kwargs)
     else:
         raise ValueError(f"unsupported export extension: {ext}")
     return path

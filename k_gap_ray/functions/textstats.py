@@ -116,6 +116,51 @@ def token_counts(ds):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def vocab_df(ds, id_col: str = "doc_id", text_col: str = "text",
+             min_df: int = 1):
+    """Corpus vocabulary table: (token, df, tf) — document frequency
+    and total term frequency per distinct token.  The input a
+    tokenizer trainer or an IDF-weighted quality filter wants.
+
+    Exactness: each document lives wholly in one row, so the per-batch
+    partial (in-batch distinct (doc, token) pairs for df, raw token
+    counts for tf) followed by one groupby-sum over tokens is exact —
+    the shuffle moves O(batch vocabulary), not O(total tokens).
+    Vectorized via dictionary-encoding: tokens -> int codes, (doc,
+    token) dedup as a single int64 key array through np.unique.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, counts, _ = _tokens_of(t.column(text_col))
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df_p": pa.array([], pa.int64()),
+                             "tf_p": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        tf = np.bincount(codes, minlength=len(vocab))
+        pair_codes = np.unique(doc_idx * len(vocab) + codes)
+        df = np.bincount(pair_codes % len(vocab), minlength=len(vocab))
+        return pa.table({"token": vocab,
+                         "df_p": pa.array(df, pa.int64()),
+                         "tf_p": pa.array(tf, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token").aggregate(Sum("df_p", alias_name="df"),
+                                       Sum("tf_p", alias_name="tf")))
+    out = agg.map_batches(
+        lambda t: t.select(["token", "df", "tf"]), batch_format="pyarrow")
+    if min_df > 1:
+        out = out.filter(expr=f"df >= {min_df}")
+    return out
+
+
 class BpeishTokenCounter:
     """Token counting with a BPE-ish compiled regex (actor-pool stage:
     the pattern — a stand-in for a real tokenizer load — is compiled

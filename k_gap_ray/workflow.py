@@ -97,6 +97,10 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
 
             ds = hash_sample(ds, step.pop("id_col"),
                              step.pop("keep_pct"), **step)
+        elif op == "vocab_df":
+            from k_gap_ray.functions.textstats import vocab_df
+
+            ds = vocab_df(ds, **step)
         elif op == "hll_count":
             from k_gap_ray.functions.sketch import hll_count
 

@@ -568,3 +568,56 @@ def test_cc_nonconvergence_raises(ray_session):
     nodes_ds = rd.from_arrow(pa.table({"node": pa.array(nodes, pa.string())}))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes_ds, chain, driver_cap=0, max_iters=3)
+
+
+def test_vocab_df_exact_counts(ray_session):
+    """df = #docs containing the token, tf = total occurrences —
+    exact across batch boundaries (partial + groupby-sum)."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.textstats import vocab_df
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["a b a", "b c", "a", "c c c"],
+    })
+    # 2 blocks to force cross-batch merging of partials
+    ds = rd.from_arrow(t).repartition(2)
+    out = {r["token"]: (r["df"], r["tf"])
+           for r in vocab_df(ds).take_all()}
+    assert out == {"a": (2, 3), "b": (2, 2), "c": (2, 4)}
+    # min_df filter
+    got = sorted(r["token"] for r in
+                 vocab_df(ds, min_df=2).take_all())
+    assert got == ["a", "b", "c"]
+
+
+def test_ngram_decontaminate_planted(ray_session):
+    """A doc sharing a 3-gram with the eval set is flagged with the
+    exact count of DISTINCT shared grams; clean docs are absent; a
+    doc shorter than n contributes nothing."""
+    import ray
+    import ray.data as rd
+
+    from k_gap_ray.functions.decontam import (eval_ngram_set,
+                                              ngram_decontaminate)
+
+    ev = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": ["the quick brown fox jumps"],
+    }))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "x the quick brown fox y",   # shares 2 distinct 3-grams
+            "totally clean document here",
+            "quick brown fox",           # exactly one eval gram
+            "fox jumps",                 # shorter than n=3 -> nothing
+        ],
+    })).repartition(2)
+    ref = eval_ngram_set(ev, n=3)
+    grams = ray.get(ref)
+    assert len(grams) == 3  # 5 tokens -> 3 distinct 3-grams
+    out = {r["doc_id"]: r["n_contaminated"]
+           for r in ngram_decontaminate(corpus, ref, n=3).take_all()}
+    assert out == {1: 2, 3: 1}

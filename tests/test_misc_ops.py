@@ -123,8 +123,8 @@ def test_turtle_parse_and_roundtrip(ray_session, tmp_path):
 
 def test_query_catalog_and_export(ray_session, tmp_path):
     """S3/S7: named template -> ${var} substitution -> DataFrame ->
-    export by extension; Excel edge raises a clear ImportError when
-    openpyxl is absent."""
+    export by extension; Excel edge works even without openpyxl via
+    the stdlib OOXML writer."""
     import json
 
     import pyarrow as pa
@@ -156,15 +156,11 @@ def test_query_catalog_and_export(ray_session, tmp_path):
     out = export_df(df, str(tmp_path / "out.csv"))
     assert "lang" in open(out).read()
     export_df(df, str(tmp_path / "out.json"))
-    try:
-        import openpyxl  # noqa: F401
-        has_xlsx = True
-    except ImportError:
-        has_xlsx = False
-    if not has_xlsx:
-        import pytest as _pytest
-        with _pytest.raises(ImportError, match="openpyxl"):
-            export_df(df, str(tmp_path / "out.xlsx"))
+    from k_gap_ray.sources.xlsx import read_xlsx
+
+    export_df(df, str(tmp_path / "out.xlsx"))
+    back = read_xlsx(str(tmp_path / "out.xlsx"))
+    assert back.to_dict("records") == [{"lang": "en", "count()": 2}]
 
 
 def test_persisted_lsh_index(ray_session, tmp_path):
