@@ -320,6 +320,28 @@ def _doc_decontam(sf_dir: str):
     return ngram_decontaminate(sc, eval_ngram_set(ev, n=3), n=3)
 
 
+def _doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition evidence (top-token count,
+    distinct token / 2-gram / 3-gram counts) as exact integers — the
+    inputs to duplicate-fraction quality filters."""
+    from k_gap_ray.functions.textstats import repetition_scores
+
+    return repetition_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _doc_packing(sf_dir: str):
+    """Concat-and-chunk sequence packing: each doc's span in the
+    doc_id-ordered global token stream and the 512-token training
+    sequences it overlaps.  Two-pass distributed prefix sum (bucket
+    totals -> broadcast offsets -> per-bucket local cumsum); driver
+    state is O(buckets), never O(docs)."""
+    from k_gap_ray.functions.packing import pack_sequences
+    from k_gap_ray.functions.textstats import token_counts
+
+    tc = token_counts(_docs(sf_dir, ["doc_id", "text"]))
+    return pack_sequences(tc, seq_len=512)
+
+
 def _events_hourly_users(sf_dir: str):
     """Grouped COUNT DISTINCT (A2 x A3): distinct users per hour as a
     two-level aggregate — in-batch pair dedup (vectorized) shrinks the
@@ -663,6 +685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_hash_sample": _doc_hash_sample,
         "q_doc_vocab": _doc_vocab,
         "q_doc_decontam": _doc_decontam,
+        "q_doc_repetition": _doc_repetition,
+        "q_doc_packing": _doc_packing,
         # --- graph traversal (J5) ---
         "q_deref_reachable": _deref_reachable,
         # --- embeddings: similarity search + near-dup ---
@@ -1251,6 +1275,58 @@ def _text_analysis_oracles() -> dict[str, str]:
             SELECT sc.doc_id, count(DISTINCT sc.g)::BIGINT AS n_contaminated
             FROM sc JOIN ev USING (g)
             GROUP BY sc.doc_id
+        """,
+        "q_doc_repetition": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            wcnt AS (SELECT doc_id, w, count(*) AS cnt
+                     FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+                     GROUP BY doc_id, w),
+            wstats AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+                              count(*)::BIGINT AS n_distinct_tokens,
+                              max(cnt)::BIGINT AS top_token_count
+                       FROM wcnt GROUP BY doc_id),
+            i2 AS (SELECT doc_id, t,
+                          unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM toks),
+            g2 AS (SELECT doc_id, count(*)::BIGINT AS n_2grams,
+                          count(DISTINCT array_to_string(t[i:i+1], ' ')
+                                )::BIGINT AS n_distinct_2grams
+                   FROM i2 GROUP BY doc_id),
+            i3 AS (SELECT doc_id, t,
+                          unnest(generate_series(1, len(t) - 2)) AS i
+                   FROM toks),
+            g3 AS (SELECT doc_id, count(*)::BIGINT AS n_3grams,
+                          count(DISTINCT array_to_string(t[i:i+2], ' ')
+                                )::BIGINT AS n_distinct_3grams
+                   FROM i3 GROUP BY doc_id)
+            SELECT w.doc_id, w.n_tokens, w.n_distinct_tokens,
+                   w.top_token_count,
+                   COALESCE(g2.n_2grams, 0)::BIGINT AS n_2grams,
+                   COALESCE(g2.n_distinct_2grams, 0)::BIGINT
+                       AS n_distinct_2grams,
+                   COALESCE(g3.n_3grams, 0)::BIGINT AS n_3grams,
+                   COALESCE(g3.n_distinct_3grams, 0)::BIGINT
+                       AS n_distinct_3grams
+            FROM wstats w LEFT JOIN g2 USING (doc_id)
+                          LEFT JOIN g3 USING (doc_id)
+        """,
+        "q_doc_packing": """
+            WITH tc AS (SELECT doc_id,
+                   (CASE WHEN length(text) = 0 THEN 0
+                         ELSE length(text) - length(replace(text, ' ', ''))
+                              + 1 END)::BIGINT AS n_tokens
+                 FROM documents),
+            cum AS (SELECT doc_id, n_tokens,
+                           SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               CURRENT ROW)::BIGINT AS c
+                    FROM tc)
+            SELECT doc_id, n_tokens, (c - n_tokens) AS tok_start,
+                   c AS tok_end,
+                   ((c - n_tokens) // 512) AS seq_first,
+                   (greatest(c - n_tokens, c - 1) // 512) AS seq_last
+            FROM cum
         """,
         "q_deref_reachable": deref,
         "q_emb_near_dup": emb_near_dup,

@@ -32,31 +32,7 @@ import pyarrow.compute as pc
 import ray
 
 
-def _batch_ngrams(t: pa.Table, n: int, id_col: str, text_col: str):
-    """Vectorized token n-grams for every row of a batch.
-
-    Returns (doc_ids: pa.Array aligned per gram, grams: pa.Array of
-    space-joined n-gram strings).  Documents shorter than ``n`` tokens
-    contribute nothing.
-    """
-    from k_gap_ray.functions.textstats import _tokens_of
-
-    flat, counts, _ = _tokens_of(t.column(text_col))
-    total = len(flat)
-    if total < n:
-        return (pa.array([], t.column(id_col).type),
-                pa.array([], pa.string()))
-    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    # gram starting at flat position i is valid iff position i+n-1
-    # still belongs to the same document
-    valid = doc_idx[: total - n + 1] == doc_idx[n - 1:]
-    parts = [flat.slice(k, total - n + 1) for k in range(n)]
-    grams_all = pc.binary_join_element_wise(*parts, " ")
-    mask = pa.array(valid)
-    grams = pc.filter(grams_all, mask)
-    ids = pc.take(t.column(id_col),
-                  pa.array(doc_idx[: total - n + 1][valid]))
-    return ids, grams
+from k_gap_ray.functions.textstats import batch_token_ngrams as _batch_ngrams
 
 
 def eval_ngram_set(eval_ds, n: int = 13, text_col: str = "text"):

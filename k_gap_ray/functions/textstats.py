@@ -116,6 +116,38 @@ def token_counts(ds):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _batch_ngram_positions(t: pa.Table, n: int, text_col: str):
+    """(batch, n) -> (row positions np.int64 aligned per gram, grams
+    pa.StringArray).  Documents shorter than ``n`` tokens contribute
+    nothing.  Fully vectorized: shifted flat-token slices joined
+    element-wise."""
+    flat, counts, _ = _tokens_of(t.column(text_col))
+    total = len(flat)
+    if total < n:
+        return np.zeros(0, dtype=np.int64), pa.array([], pa.string())
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    # gram starting at flat position i is valid iff position i+n-1
+    # still belongs to the same document
+    valid = doc_idx[: total - n + 1] == doc_idx[n - 1:]
+    parts = [flat.slice(k, total - n + 1) for k in range(n)]
+    grams_all = pc.binary_join_element_wise(*parts, " ")
+    grams = pc.filter(grams_all, pa.array(valid))
+    return doc_idx[: total - n + 1][valid], grams
+
+
+def batch_token_ngrams(t: pa.Table, n: int, id_col: str, text_col: str):
+    """Vectorized token n-grams for every row of a batch.
+
+    Returns (doc_ids: pa.Array aligned per gram, grams: pa.Array of
+    space-joined n-gram strings).  Shared by the decontamination scan
+    and the repetition-quality scorer.
+    """
+    pos, grams = _batch_ngram_positions(t, n, text_col)
+    if len(pos) == 0:
+        return pa.array([], t.column(id_col).type), grams
+    return pc.take(t.column(id_col), pa.array(pos)), grams
+
+
 def vocab_df(ds, id_col: str = "doc_id", text_col: str = "text",
              min_df: int = 1):
     """Corpus vocabulary table: (token, df, tf) — document frequency
@@ -159,6 +191,65 @@ def vocab_df(ds, id_col: str = "doc_id", text_col: str = "text",
     if min_df > 1:
         out = out.filter(expr=f"df >= {min_df}")
     return out
+
+
+def repetition_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style within-document repetition evidence, per doc:
+
+    - ``n_tokens`` / ``n_distinct_tokens`` and ``top_token_count``
+      (count of the most frequent token) — the "top word fraction"
+      numerators/denominators,
+    - ``n_2grams`` / ``n_distinct_2grams`` and ``n_3grams`` /
+      ``n_distinct_3grams`` — duplicate-n-gram-fraction evidence.
+
+    All columns are exact integers (the oracle compares counts, never
+    float ratios); callers derive fractions downstream.  One
+    ``map_batches`` pass, no shuffle: every document lives wholly in
+    its row, so per-batch dictionary-encode + unique-pair counting is
+    globally exact.
+    """
+
+    def stats(t: pa.Table) -> pa.Table:
+        flat, counts, _ = _tokens_of(t.column(text_col))
+        ndocs = t.num_rows
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        out = {id_col: t.column(id_col),
+               "n_tokens": pa.array(counts, pa.int64())}
+
+        def distinct_and_top(ids_np, vals, want_top: bool):
+            """per-doc distinct count (and max multiplicity) of vals."""
+            enc = pc.dictionary_encode(vals)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            nv = max(1, len(enc.dictionary))
+            pairs, pair_counts = np.unique(ids_np * nv + codes,
+                                           return_counts=True)
+            docs_of_pair = pairs // nv
+            distinct = np.bincount(docs_of_pair, minlength=ndocs)
+            if not want_top:
+                return distinct, None
+            top = np.zeros(ndocs, dtype=np.int64)
+            np.maximum.at(top, docs_of_pair, pair_counts)
+            return distinct, top
+
+        d1, top = distinct_and_top(doc_idx, flat, True)
+        out["n_distinct_tokens"] = pa.array(d1, pa.int64())
+        out["top_token_count"] = pa.array(top, pa.int64())
+        for n in (2, 3):
+            gids, grams = _batch_ngram_positions(t, n, text_col)
+            total = np.bincount(gids, minlength=ndocs)
+            if len(grams):
+                dn, _ = distinct_and_top(gids, grams, False)
+            else:
+                dn = np.zeros(ndocs, dtype=np.int64)
+            out[f"n_{n}grams"] = pa.array(total, pa.int64())
+            out[f"n_distinct_{n}grams"] = pa.array(dn, pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 class BpeishTokenCounter:

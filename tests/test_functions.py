@@ -621,3 +621,59 @@ def test_ngram_decontaminate_planted(ray_session):
     out = {r["doc_id"]: r["n_contaminated"]
            for r in ngram_decontaminate(corpus, ref, n=3).take_all()}
     assert out == {1: 2, 3: 1}
+
+
+def test_repetition_scores_planted(ray_session):
+    """Exact integer repetition evidence on hand-checked docs."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.textstats import repetition_scores
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["a a a b",        # 4 tokens, 2 distinct, top=3
+                 "x y x y x"],     # 5 tokens, 2 distinct, top=3
+    })
+    out = {r["doc_id"]: r for r in
+           repetition_scores(rd.from_arrow(t)).take_all()}
+    d0 = out[0]
+    assert (d0["n_tokens"], d0["n_distinct_tokens"],
+            d0["top_token_count"]) == (4, 2, 3)
+    # 2-grams of doc0: "a a","a a","a b" -> 3 total, 2 distinct
+    assert (d0["n_2grams"], d0["n_distinct_2grams"]) == (3, 2)
+    # 3-grams: "a a a","a a b" -> 2 total 2 distinct
+    assert (d0["n_3grams"], d0["n_distinct_3grams"]) == (2, 2)
+    d1 = out[1]
+    # 2-grams: xy yx xy yx -> 4 total 2 distinct; 3-grams: xyx yxy xyx
+    assert (d1["n_2grams"], d1["n_distinct_2grams"]) == (4, 2)
+    assert (d1["n_3grams"], d1["n_distinct_3grams"]) == (3, 2)
+
+
+def test_pack_sequences_cross_block_exact(ray_session):
+    """The two-pass prefix sum is exact across blocks AND buckets:
+    spans tile the stream with no gaps/overlaps in doc_id order, and
+    sequence ids match the direct serial computation."""
+    import numpy as np
+    import ray.data as rd
+
+    from k_gap_ray.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(7)
+    n = 200
+    toks = rng.integers(0, 40, size=n).astype(np.int64)  # some zeros
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "n_tokens": pa.array(toks, pa.int64())})
+    ds = rd.from_arrow(t).repartition(7)
+    out = pack_sequences(ds, seq_len=64, bucket_size=32) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    cum = np.concatenate([[0], np.cumsum(toks)])
+    assert out["tok_start"].tolist() == cum[:-1].tolist()
+    assert out["tok_end"].tolist() == cum[1:].tolist()
+    exp_first = cum[:-1] // 64
+    exp_last = np.maximum(cum[:-1], cum[1:] - 1) // 64
+    assert out["seq_first"].tolist() == exp_first.tolist()
+    assert out["seq_last"].tolist() == exp_last.tolist()
+    # empty docs keep a degenerate span
+    z = out[out["n_tokens"] == 0]
+    assert len(z) > 0 and (z["tok_start"] == z["tok_end"]).all()
+    assert (z["seq_first"] == z["seq_last"]).all()
