@@ -282,6 +282,18 @@ def _doc_hash_sample(sf_dir: str):
                        "doc_id", keep_pct=30)
 
 
+def _doc_mixture(sf_dir: str):
+    """Data-mixture reweighting: stratified deterministic sampling
+    with per-language keep rates (en 60%, de 30%, rest 10%) — the
+    source/language up/down-weighting step of a training-data
+    pipeline, layout-invariant and value-verifiable."""
+    from k_gap_ray.ops.transform import mixture_sample
+
+    return mixture_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                          "lang", {"en": 60, "de": 30}, "doc_id",
+                          default_pct=10)
+
+
 def _doc_vocab(sf_dir: str):
     """Corpus vocabulary with per-token document frequency and term
     frequency — the tokenizer-training / IDF-weighting input.  Exact
@@ -684,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_clean_corpus": _doc_clean_corpus,
         "q_doc_hash_sample": _doc_hash_sample,
         "q_doc_vocab": _doc_vocab,
+        "q_doc_mixture": _doc_mixture,
         "q_doc_decontam": _doc_decontam,
         "q_doc_repetition": _doc_repetition,
         "q_doc_packing": _doc_packing,
@@ -1255,6 +1268,12 @@ def _text_analysis_oracles() -> dict[str, str]:
             f"SELECT doc_id FROM ({dup_clusters}) "
             f"WHERE doc_id = cluster_id",
         "q_doc_hash_sample": hash_sample,
+        "q_doc_mixture": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+                  (CASE WHEN lang = 'en' THEN 60
+                        WHEN lang = 'de' THEN 30 ELSE 10 END)
+        """,
         "q_doc_vocab": """
             SELECT token, count(DISTINCT doc_id)::BIGINT AS df,
                    count(*)::BIGINT AS tf

@@ -156,6 +156,47 @@ def hash_sample(ds, id_col: str, keep_pct: int, modulus: int = 100,
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mixture_sample(ds, group_col: str, rates: dict, id_col: str,
+                   default_pct: int = 0, modulus: int = 100,
+                   mult: int = 2654435761):
+    """Data-mixture reweighting: stratified deterministic sampling
+    with a per-group keep percentage (``rates[group] -> pct``; groups
+    absent from ``rates`` keep ``default_pct``).
+
+    The training-data "mixing" step — up/down-weight sources,
+    languages, or quality tiers to hit a target mixture — built on the
+    same layout-invariant multiplicative hash as :func:`hash_sample`,
+    so the selection is reproducible shard-by-shard and SQL-mirrorable
+    (a CASE over the group column).  ``rates`` is config-sized (one
+    entry per source/lang), captured in the task closure — no
+    broadcast machinery needed.
+    """
+    import numpy as np
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = (ids * mult) % (1 << 32) % modulus
+        enc = pc.dictionary_encode(t.column(group_col))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        pct_by_val = np.array(
+            [rates.get(v, default_pct)
+             for v in enc.dictionary.to_pylist()], dtype=np.int64)
+        idx = enc.indices
+        if idx.null_count:  # null group -> default_pct
+            idx = pc.fill_null(idx, -1)
+        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pct_by_val):
+            pct = np.where(codes >= 0,
+                           pct_by_val[np.maximum(codes, 0)], default_pct)
+        else:
+            pct = np.full(len(ids), default_pct, dtype=np.int64)
+        return t.filter(pa.array(h < pct))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def synth_feed_members(n_entities: int = 20, versions: int = 3,
                        feeds: tuple[str, ...] = ("bodc-P02", "mtt-P02-NL"),
                        seed: int = 11) -> pa.Table:

@@ -256,3 +256,33 @@ def test_workflow_media_chain(ray_session, tmp_path):
     rows = out.take_all()
     assert len(rows) == 9
     assert {r["n_bytes"] for r in rows} == {32 * 64 // 64}
+
+
+def test_mixture_sample_stratified(ray_session):
+    """Per-group keep rates: group rate 100 keeps everything, rate 0
+    drops everything, unknown groups take default_pct; selection is
+    the same multiplicative hash as hash_sample (layout-invariant)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.ops.transform import hash_sample, mixture_sample
+
+    n = 400
+    langs = ["en", "de", "fr", None]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array([langs[i % 4] for i in range(n)]),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    out = mixture_sample(ds, "lang", {"en": 100, "de": 0}, "doc_id",
+                         default_pct=30).to_pandas()
+    assert (out["lang"] == "en").sum() == 100      # all en kept
+    assert (out["lang"] == "de").sum() == 0        # all de dropped
+    # fr + null rows follow the default 30% hash rule == hash_sample
+    base = hash_sample(ds, "doc_id", keep_pct=30).to_pandas()
+    for grp in ["fr", None]:
+        got = set(out[out["lang"].isna() if grp is None
+                      else out["lang"] == grp]["doc_id"])
+        exp = set(base[base["lang"].isna() if grp is None
+                       else base["lang"] == grp]["doc_id"])
+        assert got == exp
