@@ -435,6 +435,29 @@ def _deref_reachable(sf_dir: str):
             .select_columns(["node"]))
 
 
+def _pagerank(sf_dir: str):
+    """A8-family iterative graph analytics: exact-integer PageRank over
+    the order->part bipartite graph (node id = key*2 / key*2+1 so both
+    sides share one int64 space).  Fixed 3 iterations, int64 floor-div
+    arithmetic -> bit-identical to the chained-CTE DuckDB oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.graph import pagerank_int
+    from k_gap_ray.relational import _read
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(lambda t: pa.table({
+            "src": pc.multiply(pc.cast(t.column("l_orderkey"), pa.int64()),
+                               pa.scalar(2, pa.int64())),
+            "dst": pc.add(
+                pc.multiply(pc.cast(t.column("l_partkey"), pa.int64()),
+                            pa.scalar(2, pa.int64())),
+                pa.scalar(1, pa.int64()))}),
+            batch_format="pyarrow")
+    return pagerank_int(edges, iters=3, num_partitions=8)
+
+
 def _emb_near_dup(sf_dir: str):
     import ray.data as rd
 
@@ -700,8 +723,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_decontam": _doc_decontam,
         "q_doc_repetition": _doc_repetition,
         "q_doc_packing": _doc_packing,
-        # --- graph traversal (J5) ---
+        # --- graph traversal (J5) / graph analytics ---
         "q_deref_reachable": _deref_reachable,
+        "q_pagerank": _pagerank,
         # --- embeddings: similarity search + near-dup ---
         "q_knn_top10": _knn,
         "q_knn_lsh": _knn_lsh,
@@ -1003,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _text_analysis_oracles() -> dict[str, str]:
+    from k_gap_ray.functions.graph import sql_pagerank
     from k_gap_ray.functions.textstats import (
         BPE_PATTERN,
         H1_BASE,
@@ -1348,6 +1373,9 @@ def _text_analysis_oracles() -> dict[str, str]:
             FROM cum
         """,
         "q_deref_reachable": deref,
+        "q_pagerank": sql_pagerank(
+            "SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst "
+            "FROM lineitem", iters=3),
         "q_emb_near_dup": emb_near_dup,
         "q_emb_sim_join": emb_sim_join,
     }

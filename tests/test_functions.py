@@ -677,3 +677,32 @@ def test_pack_sequences_cross_block_exact(ray_session):
     z = out[out["n_tokens"] == 0]
     assert len(z) > 0 and (z["tok_start"] == z["tok_end"]).all()
     assert (z["seq_first"] == z["seq_last"]).all()
+
+
+def test_pagerank_int_matches_sql_oracle(ray_session):
+    """Exact-integer PageRank is bit-identical to the chained-CTE
+    DuckDB oracle on a small graph with a hub, a chain, a cycle and a
+    dangling-inbound node, across a multi-block layout."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import pagerank_int, sql_pagerank
+
+    # 1,2,3 -> 0 (hub); 0 -> 4 -> 5 (chain); 5 -> 4 (cycle);
+    # 6 -> 0 but nothing -> 6 (no-inbound node); 3 also -> 5
+    src = [1, 2, 3, 0, 4, 5, 6, 3]
+    dst = [0, 0, 0, 4, 5, 4, 0, 5]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())})).repartition(3)
+    res = {r["node"]: r["rank"] for r in
+           pagerank_int(edges, iters=4, num_partitions=2).take_all()}
+
+    rows = ", ".join(f"({s}, {d})" for s, d in zip(src, dst))
+    sql = sql_pagerank(
+        f"SELECT * FROM (VALUES {rows}) AS t(src, dst)", iters=4)
+    exp = {int(n): int(r) for n, r in
+           duckdb.connect().execute(sql).fetchall()}
+    assert res == exp
+    # no-inbound node 6 sits at the constant teleport rank
+    assert res[6] == 150_000
