@@ -435,6 +435,21 @@ def _deref_reachable(sf_dir: str):
             .select_columns(["node"]))
 
 
+SEARCH_TERMS = ["hash", "join", "filter"]
+
+
+def _doc_search(sf_dir: str):
+    """Inverted-index keyword search: top-10 documents by integer
+    TF-IDF for a fixed query, bit-identical to the SQL oracle."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.search import tfidf_search
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return tfidf_search(ds, SEARCH_TERMS, k=10)
+
+
 def _pagerank(sf_dir: str):
     """A8-family iterative graph analytics: exact-integer PageRank over
     the order->part bipartite graph (node id = key*2 / key*2+1 so both
@@ -723,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_decontam": _doc_decontam,
         "q_doc_repetition": _doc_repetition,
         "q_doc_packing": _doc_packing,
+        "q_doc_search": _doc_search,
         # --- graph traversal (J5) / graph analytics ---
         "q_deref_reachable": _deref_reachable,
         "q_pagerank": _pagerank,
@@ -1028,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _text_analysis_oracles() -> dict[str, str]:
     from k_gap_ray.functions.graph import sql_pagerank
+    from k_gap_ray.functions.search import sql_tfidf_search
     from k_gap_ray.functions.textstats import (
         BPE_PATTERN,
         H1_BASE,
@@ -1373,6 +1390,7 @@ def _text_analysis_oracles() -> dict[str, str]:
             FROM cum
         """,
         "q_deref_reachable": deref,
+        "q_doc_search": sql_tfidf_search(SEARCH_TERMS, k=10),
         "q_pagerank": sql_pagerank(
             "SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst "
             "FROM lineitem", iters=3),

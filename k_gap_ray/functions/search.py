@@ -1,0 +1,207 @@
+"""Inverted-index keyword search over the documents table.
+
+The reference platform's most-used interactive surface is querying the
+store from notebooks (``jupyter/kgap/notebooks/kgap_tools.py`` drives
+parameterized SPARQL text lookups); this module is that capability over
+a Ray Dataset corpus: build a term-partitioned postings table once,
+then answer keyword queries touching only the matching partitions.
+
+Scoring is integer TF-IDF, deliberately float-free:
+
+    idf_int(t) = (N * idf_scale) // df(t)        (int64 floor div)
+    score(d)   = sum_{t in query} tf(d, t) * idf_int(t)
+
+Every operation is an order-independent int64 sum, so results are
+bit-identical to the DuckDB oracle (:func:`sql_tfidf_search`) with no
+float-boundary coin flips; ties at the cutoff break on ``doc_id`` on
+both sides.
+
+Scale shape: the per-batch partial computes (term, doc_id, tf) with
+tokens filtered to the query IN-BATCH, so the shuffled stream is
+O(matching docs x query terms), never O(corpus tokens).  The df lookup
+collected to the driver is bounded by the QUERY length (a handful of
+rows), not the corpus.  The persisted index hash-partitions postings
+by term into ``n_buckets`` parquet directories; a query reads only the
+buckets its terms hash into.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from k_gap_ray.functions.textstats import H1_BASE, H1_MOD, hash_tokens
+
+IDF_SCALE = 1000
+
+
+def _postings_partial(t: pa.Table, id_col: str, text_col: str,
+                      terms: list[str] | None) -> pa.Table:
+    """In-batch (term, doc_id, tf) — exact, because each document
+    lives wholly in one row."""
+    from k_gap_ray.functions.textstats import _tokens_of
+
+    flat, counts, _ = _tokens_of(t.column(text_col))
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "tf": pa.array([], pa.int64())})
+    if len(flat) == 0:
+        return empty
+    doc_ids = pc.cast(t.column(id_col), pa.int64()).combine_chunks() \
+        .to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    if terms is not None:
+        keep = pc.is_in(flat, value_set=pa.array(terms, pa.string())) \
+            .to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        if len(flat) == 0:
+            return empty
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    pair = doc_idx * len(vocab) + codes
+    uniq, tf = np.unique(pair, return_counts=True)
+    return pa.table({
+        "term": pc.take(vocab, pa.array(uniq % len(vocab))),
+        "doc_id": pa.array(doc_ids[uniq // len(vocab)], pa.int64()),
+        "tf": pa.array(tf.astype(np.int64), pa.int64())})
+
+
+def build_postings(ds, id_col: str = "doc_id", text_col: str = "text",
+                   terms: list[str] | None = None):
+    """Dataset(term, doc_id, tf) — one map_batches pass, no shuffle.
+    With ``terms`` given, only those terms' postings are emitted."""
+    return ds.map_batches(
+        lambda t: _postings_partial(t, id_col, text_col, terms),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_search(ds, terms: list[str], k: int = 10,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 idf_scale: int = IDF_SCALE, n_docs: int | None = None):
+    """Top-k documents by integer TF-IDF for ``terms`` ->
+    Dataset(doc_id, score), score desc / doc_id asc, deterministic.
+
+    ``n_docs`` defaults to ``ds.count()`` (parquet metadata count).
+    Two rounds by necessity (idf needs global df before scoring); the
+    df pass collects len(terms) rows — query-sized, never corpus-sized.
+    """
+    if n_docs is None:
+        n_docs = ds.count()
+    post = build_postings(ds, id_col, text_col, terms).materialize()
+    return _score_postings(post, terms, k, idf_scale, n_docs)
+
+
+def _score_postings(post, terms: list[str], k: int, idf_scale: int,
+                    n_docs: int):
+    from ray.data.aggregate import Sum
+
+    df_rows = post.groupby("term").count().take_all()
+    idf = {r["term"]: (n_docs * idf_scale) // r["count()"]
+           for r in df_rows}
+    terms_arr = pa.array(list(idf.keys()), pa.string())
+    idf_arr = pa.array([idf[t] for t in idf], pa.int64())
+
+    def score(t: pa.Table) -> pa.Table:
+        pos = pc.index_in(t.column("term"), value_set=terms_arr)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "s": pc.multiply(t.column("tf"),
+                             pc.take(idf_arr, pos))})
+
+    scored = (post.map_batches(score, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("s", alias_name="score")))
+    return (scored.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "score": t.column("score")}),
+        batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False]).limit(k))
+
+
+def term_bucket(terms, n_buckets: int) -> np.ndarray:
+    """Stable term -> partition bucket (vectorized rolling hash)."""
+    arr = terms if isinstance(terms, pa.Array) \
+        else pa.array(list(terms), pa.string())
+    return (hash_tokens(arr, H1_BASE, H1_MOD)
+            % np.uint64(n_buckets)).astype(np.int64)
+
+
+def write_inverted_index(ds, path: str, id_col: str = "doc_id",
+                         text_col: str = "text", n_buckets: int = 64):
+    """Persist the FULL postings table hash-partitioned by term:
+    ``<path>/bucket=<b>/*.parquet`` plus ``<path>/_meta.json``
+    (n_docs, n_buckets).  Build once, query many times — queries read
+    only their terms' buckets (same pattern as the persisted ANN
+    index).  Returns n_docs."""
+    import json
+    import os
+
+    n_docs = ds.count()
+    post = build_postings(ds, id_col, text_col)
+
+    def addbucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pa.array(term_bucket(t.column("term").combine_chunks(),
+                                           n_buckets), pa.int64()))
+
+    post.map_batches(addbucket, batch_format="pyarrow") \
+        .write_parquet(path, partition_cols=["bucket"])
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "n_buckets": n_buckets}, f)
+    return n_docs
+
+
+def search_inverted_index(path: str, terms: list[str], k: int = 10,
+                          idf_scale: int = IDF_SCALE):
+    """Query a persisted index: reads ONLY the parquet partitions the
+    query terms hash into, then scores as :func:`tfidf_search`."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    buckets = sorted(set(term_bucket(terms, meta["n_buckets"]).tolist()))
+    dirs = [os.path.join(path, f"bucket={b}") for b in buckets]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "score": pa.array([], pa.int64())}))
+    files = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    tset = pa.array(terms, pa.string())
+    post = rd.read_parquet(files, columns=["term", "doc_id", "tf"]) \
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("term"), value_set=tset)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return _score_postings(post.materialize(), terms, k, idf_scale,
+                           meta["n_docs"])
+
+
+def sql_tfidf_search(terms: list[str], k: int = 10,
+                     idf_scale: int = IDF_SCALE,
+                     docs_table: str = "documents") -> str:
+    """DuckDB oracle with the identical integer recurrence."""
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM {docs_table}),
+        qt AS (SELECT doc_id, term FROM toks WHERE term IN ({in_list})),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM qt GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+               FROM qt GROUP BY term),
+        n AS (SELECT count(*)::BIGINT AS n FROM {docs_table})
+        SELECT tf.doc_id,
+               SUM(tf.tf * ((n.n * {idf_scale}) // df.df))::BIGINT AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id
+        LIMIT {k}
+    """

@@ -97,6 +97,19 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
 
             ds = hash_sample(ds, step.pop("id_col"),
                              step.pop("keep_pct"), **step)
+        elif op == "tfidf_search":
+            from k_gap_ray.functions.search import tfidf_search
+
+            ds = tfidf_search(ds, step.pop("terms"), **step)
+        elif op == "build_search_index":
+            from k_gap_ray.functions.search import write_inverted_index
+
+            write_inverted_index(ds, step.pop("path"), **step)
+        elif op == "search_index":
+            from k_gap_ray.functions.search import search_inverted_index
+
+            ds = search_inverted_index(step.pop("path"),
+                                       step.pop("terms"), **step)
         elif op == "vocab_df":
             from k_gap_ray.functions.textstats import vocab_df
 

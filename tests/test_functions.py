@@ -706,3 +706,75 @@ def test_pagerank_int_matches_sql_oracle(ray_session):
     assert res == exp
     # no-inbound node 6 sits at the constant teleport rank
     assert res[6] == 150_000
+
+
+def _search_corpus():
+    texts = ["hash join beats sort merge join",
+             "filter early filter often",
+             "a hash table per filter",
+             "sort then merge",
+             "join join join",          # tf-heavy
+             "nothing relevant here",
+             "",                        # empty doc
+             "hash hash filter join"]
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+
+
+def test_tfidf_search_matches_sql_oracle(ray_session):
+    """Integer TF-IDF top-k is bit-identical to the DuckDB oracle,
+    including tf weighting, per-term idf, and doc_id tiebreaks, across
+    a multi-block layout."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.search import sql_tfidf_search, tfidf_search
+
+    tbl = _search_corpus()
+    terms = ["hash", "join", "filter"]
+    res = [(r["doc_id"], r["score"]) for r in
+           tfidf_search(rd.from_arrow(tbl).repartition(3), terms,
+                        k=5).take_all()]
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(sql_tfidf_search(terms, k=5)).fetchall()
+    assert res == [(int(d), int(s)) for d, s in exp]
+    assert len(res) == 5 and res[0][1] >= res[-1][1]
+
+
+def test_inverted_index_persisted_equals_direct(ray_session, tmp_path):
+    """The persisted term-partitioned index answers queries
+    identically to the direct scan, touching only the buckets the
+    query terms hash into."""
+    import os
+
+    import ray.data as rd
+
+    from k_gap_ray.functions.search import (
+        search_inverted_index,
+        term_bucket,
+        tfidf_search,
+        write_inverted_index,
+    )
+
+    tbl = _search_corpus()
+    ds = rd.from_arrow(tbl).repartition(3)
+    path = str(tmp_path / "idx")
+    n = write_inverted_index(ds, path, n_buckets=8)
+    assert n == tbl.num_rows
+    # hash-partitioned layout exists and the query's bucket set is a
+    # strict subset of it
+    all_buckets = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert len(all_buckets) > 1
+    terms = ["hash", "filter"]
+    q_buckets = {f"bucket={b}" for b in term_bucket(terms, 8)}
+    assert q_buckets < all_buckets
+
+    got = search_inverted_index(path, terms, k=4).take_all()
+    want = tfidf_search(ds, terms, k=4).take_all()
+    assert got == want
+    # a query whose terms appear nowhere is empty but typed
+    miss = search_inverted_index(path, ["zzzznope"], k=4)
+    assert miss.count() == 0
