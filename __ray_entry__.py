@@ -436,6 +436,20 @@ def _deref_reachable(sf_dir: str):
 
 
 SEARCH_TERMS = ["hash", "join", "filter"]
+REDACT_RULES = [(r"\bjoin\b", "[OP]"), (r"hash|scan|merge", "[X]")]
+
+
+def _doc_redact(sf_dir: str):
+    """Regex scrubbing pass (PII-masking stand-in): sequential RE2
+    rules over the text column, per-rule match counts as integer
+    evidence; redacted text + counts compare exactly vs the oracle."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.redact import redact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return redact(ds, REDACT_RULES)
 
 
 def _doc_search(sf_dir: str):
@@ -739,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_repetition": _doc_repetition,
         "q_doc_packing": _doc_packing,
         "q_doc_search": _doc_search,
+        "q_doc_redact": _doc_redact,
         # --- graph traversal (J5) / graph analytics ---
         "q_deref_reachable": _deref_reachable,
         "q_pagerank": _pagerank,
@@ -1044,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _text_analysis_oracles() -> dict[str, str]:
     from k_gap_ray.functions.graph import sql_pagerank
+    from k_gap_ray.functions.redact import sql_redact
     from k_gap_ray.functions.search import sql_tfidf_search
     from k_gap_ray.functions.textstats import (
         BPE_PATTERN,
@@ -1391,6 +1407,7 @@ def _text_analysis_oracles() -> dict[str, str]:
         """,
         "q_deref_reachable": deref,
         "q_doc_search": sql_tfidf_search(SEARCH_TERMS, k=10),
+        "q_doc_redact": sql_redact(REDACT_RULES),
         "q_pagerank": sql_pagerank(
             "SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst "
             "FROM lineitem", iters=3),

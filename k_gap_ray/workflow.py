@@ -97,6 +97,14 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
 
             ds = hash_sample(ds, step.pop("id_col"),
                              step.pop("keep_pct"), **step)
+        elif op == "redact":
+            from k_gap_ray.functions.redact import redact
+
+            ds = redact(ds, [tuple(r) for r in step.pop("rules")], **step)
+        elif op == "normalize_text":
+            from k_gap_ray.functions.redact import normalize_text
+
+            ds = normalize_text(ds, **step)
         elif op == "tfidf_search":
             from k_gap_ray.functions.search import tfidf_search
 

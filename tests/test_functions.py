@@ -778,3 +778,63 @@ def test_inverted_index_persisted_equals_direct(ray_session, tmp_path):
     # a query whose terms appear nowhere is empty but typed
     miss = search_inverted_index(path, ["zzzznope"], k=4)
     assert miss.count() == 0
+
+
+def test_redact_matches_sql_oracle(ray_session):
+    """Sequential regex redaction + per-rule counts are identical to
+    the chained-CTE DuckDB oracle, including a rule that matches text
+    PRODUCED by the previous rule, adjacent matches, and empty/null
+    text."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.redact import redact, sql_redact
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "mask mask tail",
+            "maskmask back-to-back",      # adjacent matches
+            "nothing to do",
+            "",                            # empty
+            None,                          # null -> ''
+            "x y x"], pa.string())})
+    # rule 1 matches the '[M]' tokens rule 0 emits -> order-sensitive
+    rules = [("mask", "[M]"), (r"\[M\] \[M\]", "[MM]"), ("x", "y")]
+    res = redact(rd.from_arrow(tbl).repartition(3), rules) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(sql_redact(rules)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert res["text"].tolist() == exp["text"].tolist()
+    for i in range(len(rules)):
+        assert res[f"n_redact_{i}"].tolist() == \
+            exp[f"n_redact_{i}"].tolist(), f"rule {i}"
+    # the order-sensitive doc really collapsed
+    assert res.loc[0, "text"] == "[MM] tail"
+    assert res.loc[5, "text"] == "y y y"
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    """lowercase + whitespace collapse + trim == the SQL expression
+    lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.redact import normalize_text
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["  Hello\t\tWORLD  ", "a\n\nb\r\nc",
+                          None, "already clean"], pa.string())})
+    res = normalize_text(rd.from_arrow(tbl).repartition(2)) \
+        .to_pandas().sort_values("doc_id")["text"].tolist()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = [r[0] for r in con.execute(
+        "SELECT lower(trim(regexp_replace(COALESCE(text, ''), "
+        "'\\s+', ' ', 'g'))) FROM documents ORDER BY doc_id").fetchall()]
+    assert res == exp
+    assert res[0] == "hello world"
