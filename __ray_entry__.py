@@ -602,6 +602,20 @@ def _doc_source_counts(sf_dir: str):
             .rename_columns({"count()": "n"}))
 
 
+def _kg_docs_triples(sf_dir: str):
+    """The REAL extract->annotate->canonicalize->materialize pipeline
+    over a pages corpus derived deterministically from the registered
+    documents table — the one KG product the gate can value-hash
+    against a pure-SQL reconstruction (pipelines/docs_kg.py)."""
+    import ray.data as rd
+
+    from k_gap_ray.pipelines.docs_kg import kg_from_docs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    return kg_from_docs(docs)
+
+
 def _kg_report(sf_dir: str):
     """A7 dataset-statistics bundle over the constructed graph
     (sembench report-step analogue, docs/components/sembench.md:229-253)."""
@@ -775,6 +789,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg("entities"),
         "kg_mention_counts": _kg_mention_counts,
         "kg_report": _kg_report,
+        # --- KG pipeline over a documents-derived corpus (FULL oracle) ---
+        "kg_docs_triples": _kg_docs_triples,
     }
 
 
@@ -1050,11 +1066,21 @@ def oracle_sql() -> dict[str, str]:
         # docstring), which upgrades these from rows-only to full
         # value-hash verification
         **_text_analysis_oracles(),
+        # the full KG pipeline run over a documents-derived corpus:
+        # value-hash-verified against a pure-SQL reconstruction with a
+        # statically-inlined LSH pair graph (pipelines/docs_kg.py)
+        "kg_docs_triples": _sql_docs_kg(),
         # q_knn_lsh (approximate by design; recall pinned in pytest
         # against the exact result) and kg_* (computed over the
         # synthesized pages corpus, not the driver's tables) remain
         # rows-only.
     }
+
+
+def _sql_docs_kg() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_kg
+
+    return sql_docs_kg()
 
 
 def _text_analysis_oracles() -> dict[str, str]:

@@ -1,0 +1,286 @@
+"""End-to-end KG construction over a corpus derived from `documents`.
+
+The flagship extract -> annotate -> canonicalize -> materialize path
+normally runs over the synthetic pages corpus, whose generator uses
+Python ``random`` — so the driver gate can only row-count it. This
+module closes that gap: it derives a pages corpus *deterministically
+from the registered ``documents`` table* (every consecutive triple of
+text tokens becomes one "{subject} {verb} {object}." sentence via a
+rolling-codepoint token hash), runs the REAL pipeline over it, and
+ships a pure-SQL DuckDB oracle that reconstructs the exact canonical
+quad set independently — making the north-star triple output
+value-hash-verified, not just row-counted.
+
+The oracle replicates canonicalization exactly without executing LSH:
+block membership per surface depends only on the surface string (band
+keys of its own minhash signature) and the per-block pair cap
+(MAX_BLOCK=64) can never bind for the <=64-surface gazetteer alias
+vocabulary, so the verified-pair graph over alias norms is STATIC. The
+SQL inlines that edge list and computes connected components over the
+subgraph induced by the norms that actually appear (recursive-CTE
+transitive closure), with lexicographic-min roots — precisely the
+pipeline's union-find semantics (oracle/canon.py).
+
+Reference parity: the reference materializes deduplicated named-graph
+quads per feed (/root/reference/ldes-consumer/app.py:309-317); graph =
+per-source named graph, provenance url = lexicographic-min page url.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from k_gap_ray.oracle.kernel import (
+    GAZETTEER,
+    LITERAL_VERB_MAP,
+    VERB_MAP,
+    norm_surface,
+)
+
+HASH_B = 31
+HASH_M = 1_000_000_007
+
+# Flat alias list in gazetteer order; sentence construction indexes it
+# by token hash. Includes every case/spacing/typo variant, so the
+# canonicalization stage has real clustering work to do.
+ALIAS_LIST: list[str] = [f for _, _, forms in GAZETTEER for f in forms]
+N_ALIAS = len(ALIAS_LIST)
+
+# Entity verbs first, then literal verbs — the last two indices emit
+# literal-object sentences (~1/6 of sentences).
+VERB_LIST: list[str] = sorted(VERB_MAP) + sorted(LITERAL_VERB_MAP)
+N_VERB = len(VERB_LIST)
+_N_ENT_VERB = len(VERB_MAP)
+# (lit_base, lit_mod) per literal verb, in VERB_LIST order.
+_LIT_PARAMS = {"employs": (5, 5000), "was founded in": (1900, 125)}
+
+
+def token_hash(tok: str) -> int:
+    """Rolling codepoint hash, identical to the DuckDB ``list_reduce``
+    expression in :func:`sql_docs_kg` (proven-exact pattern: both sides
+    fold (a*31 + codepoint) mod 1e9+7 left-to-right)."""
+    h = 0
+    for c in tok:
+        h = (h * HASH_B + ord(c)) % HASH_M
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Engine side: documents -> pages (vectorized), then the real pipeline.
+# ---------------------------------------------------------------------------
+
+def _build_pages_batch(t: pa.Table) -> pa.Table:
+    """One Arrow batch of documents -> pages rows (url, warc_ts, html,
+    text, lang). Token hashing goes through the per-batch unique-value
+    pattern (vocab is tiny under Zipf repetition); all string assembly
+    is Arrow/numpy kernels — no per-row Python in the loop."""
+    from k_gap_ray.schema import PAGES
+
+    toks = pc.split_pattern(
+        pc.fill_null(t.column("text"), ""), pattern=" ").combine_chunks()
+    values = toks.values
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    uniq = pc.unique(values)
+    uniq_h = np.fromiter((token_hash(u) for u in uniq.to_pylist()),
+                         dtype=np.int64, count=len(uniq))
+    hv = uniq_h[pc.index_in(values, uniq).to_numpy(zero_copy_only=False)]
+
+    n_tok = np.diff(offsets)
+    n_sent = n_tok // 3
+    total = int(n_sent.sum())
+    doc_of = np.repeat(np.arange(len(n_sent)), n_sent)
+    cum = np.concatenate(([0], np.cumsum(n_sent)))
+    sno = np.arange(total) - cum[doc_of]
+    starts = offsets[:-1][doc_of] + 3 * sno
+    h_s, h_v, h_o = hv[starts], hv[starts + 1], hv[starts + 2]
+
+    alias_arr = np.asarray(ALIAS_LIST, dtype=object)
+    verb_arr = np.asarray(VERB_LIST, dtype=object)
+    i_v = h_v % N_VERB
+    subj = alias_arr[h_s % N_ALIAS]
+    verb = verb_arr[i_v]
+    obj = alias_arr[h_o % N_ALIAS].copy()
+    for li, v in enumerate(VERB_LIST[_N_ENT_VERB:], start=_N_ENT_VERB):
+        base, mod = _LIT_PARAMS[v]
+        m = i_v == li
+        obj[m] = (base + h_o[m] % mod).astype(np.int64).astype(str)
+
+    sent = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(
+            pa.array(subj, pa.string()), pa.array(verb, pa.string()),
+            pa.array(obj, pa.string()), " "),
+        ".", "")
+    para = pc.binary_join_element_wise("<p>", sent, "</p>", "")
+
+    def _per_doc_join(flat, sep: str) -> pa.Array:
+        lst = pa.ListArray.from_arrays(pa.array(cum, pa.int32()), flat)
+        return pc.binary_join(lst, sep)
+
+    text = _per_doc_join(sent, "\n")
+    paras = _per_doc_join(para, "")
+
+    doc_id_s = pc.cast(t.column("doc_id"), pa.string())
+    src = t.column("source")
+    url = pc.binary_join_element_wise(
+        "https://", src, ".example/doc/", doc_id_s, "")
+    html = pc.binary_join_element_wise(
+        "<html><head><title>Doc ", doc_id_s, "</title></head><body>",
+        "<nav>Home | About | Data | Contact</nav>",
+        '<div class="content">', paras, "</div>",
+        "<footer>(c) 2024 ", src, ".example</footer></body></html>", "")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    warc = base + t.column("doc_id").to_numpy(
+        zero_copy_only=False).astype("timedelta64[s]")
+    return pa.table({
+        "url": url,
+        "warc_ts": pa.array(warc, pa.timestamp("us")),
+        "html": pc.cast(html, pa.binary()),
+        "text": text,
+        "lang": t.column("lang"),
+    }, schema=PAGES)
+
+
+def build_pages_from_docs(docs_ds):
+    """documents(doc_id, text, lang, source) -> pages Dataset in the
+    input_hint shape. One zero-shuffle map_batches pass."""
+    return docs_ds.map_batches(_build_pages_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def kg_from_docs(docs_ds):
+    """Run the full in-memory KG pipeline over the derived corpus and
+    return the canonical quad Dataset (subject-deduped, min-url
+    provenance)."""
+    from k_gap_ray.pipeline import run_pipeline
+
+    return run_pipeline(build_pages_from_docs(docs_ds))["triples"]
+
+
+# ---------------------------------------------------------------------------
+# Oracle side: pure DuckDB SQL over the registered `documents` view.
+# ---------------------------------------------------------------------------
+
+def _slug(norm: str) -> str:
+    import re
+
+    return re.sub(r"[^a-z0-9]+", "-", norm).strip("-")
+
+
+def static_alias_edges() -> tuple[list[str], list[tuple[str, str]]]:
+    """(distinct alias norms, verified-pair edges) — the static LSH
+    candidate graph over the gazetteer vocabulary. Valid because band
+    keys are a pure function of each surface and MAX_BLOCK(64) >= the
+    alias-norm vocabulary size, so no per-block truncation can occur."""
+    from k_gap_ray.oracle.canon import (
+        MAX_BLOCK,
+        band_keys,
+        minhash_signatures,
+        verify_pair,
+    )
+
+    norms = sorted({norm_surface(f) for f in ALIAS_LIST})
+    assert len(norms) <= MAX_BLOCK, "static edge list needs cap-free blocks"
+    keys = [set(band_keys(s)) for s in minhash_signatures(norms)]
+    edges = [
+        (norms[i], norms[j])
+        for i in range(len(norms))
+        for j in range(i + 1, len(norms))
+        if (keys[i] & keys[j]) and verify_pair(norms[i], norms[j])
+    ]
+    return norms, edges
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def sql_docs_kg(docs_table: str = "documents") -> str:
+    """DuckDB oracle reproducing :func:`kg_from_docs` exactly."""
+    alias_rows = ", ".join(
+        f"({i}, {_q(norm_surface(s))})" for i, s in enumerate(ALIAS_LIST))
+    norms, edges = static_alias_edges()
+    norm_rows = ", ".join(f"({_q(n)}, {_q(_slug(n))})" for n in norms)
+    if edges:
+        edge_src = "SELECT * FROM (VALUES " + ", ".join(
+            f"({_q(a)}, {_q(b)})" for a, b in edges) + ") e(x, y)"
+    else:
+        edge_src = "SELECT NULL::VARCHAR AS x, NULL::VARCHAR AS y WHERE FALSE"
+    verb_rows = []
+    for i, v in enumerate(VERB_LIST):
+        if v in LITERAL_VERB_MAP:
+            pred, dtype = LITERAL_VERB_MAP[v]
+            base, mod = _LIT_PARAMS[v]
+            verb_rows.append(
+                f"({i}, {_q(pred)}, TRUE, {_q(dtype)}, {base}, {mod})")
+        else:
+            verb_rows.append(
+                f"({i}, {_q(VERB_MAP[v])}, FALSE, '', 0, 1)")
+    # list_filter drops the '' char that string_split('','') emits
+    # (DuckDB unicode('') is -1, Python ord has no such char): an empty
+    # token hashes to 0 on both sides.
+    thash = ("list_reduce(list_prepend(0, list_transform(list_filter("
+             "string_split(tok, ''), c -> c <> ''), c -> "
+             "unicode(c)::BIGINT)), "
+             f"(a, b) -> ((a::HUGEINT * {HASH_B} + b) % {HASH_M})::BIGINT)")
+    return f"""
+WITH RECURSIVE
+alias(idx, norm) AS (VALUES {alias_rows}),
+norms(norm, slug) AS (VALUES {norm_rows}),
+verbs(idx, pred, is_lit, dtype, lit_base, lit_mod) AS (VALUES {", ".join(verb_rows)}),
+sp AS (SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS toks
+       FROM {docs_table}),
+tok AS (SELECT doc_id, source, unnest(toks) AS tok,
+               unnest(generate_series(1, len(toks))) AS ord FROM sp),
+h AS (SELECT doc_id, source, (ord - 1) // 3 AS sno, (ord - 1) % 3 AS pos,
+             {thash} AS hv FROM tok),
+sent AS (SELECT doc_id, source, sno,
+                MAX(CASE WHEN pos = 0 THEN hv END) AS h_s,
+                MAX(CASE WHEN pos = 1 THEN hv END) AS h_v,
+                MAX(CASE WHEN pos = 2 THEN hv END) AS h_o,
+                COUNT(*) AS n
+         FROM h GROUP BY doc_id, source, sno),
+fs AS (SELECT doc_id, source, (h_s % {N_ALIAS})::INT AS i_s,
+              (h_v % {N_VERB})::INT AS i_v, h_o
+       FROM sent WHERE n = 3),
+appearing(norm) AS (
+  SELECT DISTINCT a.norm FROM fs JOIN alias a ON a.idx = fs.i_s
+  UNION
+  SELECT DISTINCT a.norm FROM fs
+  JOIN verbs v ON v.idx = fs.i_v AND NOT v.is_lit
+  JOIN alias a ON a.idx = (fs.h_o % {N_ALIAS})::INT),
+live AS (SELECT e.x, e.y FROM ({edge_src}) e
+         JOIN appearing ax ON ax.norm = e.x
+         JOIN appearing ay ON ay.norm = e.y),
+sym AS (SELECT x, y FROM live UNION SELECT y, x FROM live
+        UNION SELECT norm, norm FROM appearing),
+reach(a, b) AS (SELECT x, y FROM sym
+                UNION
+                SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b),
+iri AS (SELECT r.a AS norm,
+               'urn:kgap:entity:' || n.slug AS entity
+        FROM (SELECT a, MIN(b) AS root FROM reach GROUP BY a) r
+        JOIN norms n ON n.norm = r.root),
+trip AS (
+  SELECT si.entity AS subj, v.pred AS pred,
+         CASE WHEN v.is_lit
+              THEN CAST(v.lit_base + fs.h_o % v.lit_mod AS VARCHAR)
+              ELSE oi.entity END AS obj,
+         v.is_lit AS obj_is_literal,
+         CASE WHEN v.is_lit THEN v.dtype ELSE '' END AS obj_datatype,
+         '' AS obj_lang,
+         'urn:kgap:web:' || fs.source || '.example' AS graph,
+         'https://' || fs.source || '.example/doc/' ||
+             CAST(fs.doc_id AS VARCHAR) AS url
+  FROM fs
+  JOIN verbs v ON v.idx = fs.i_v
+  JOIN alias sa ON sa.idx = fs.i_s
+  JOIN iri si ON si.norm = sa.norm
+  LEFT JOIN alias oa ON oa.idx = (fs.h_o % {N_ALIAS})::INT AND NOT v.is_lit
+  LEFT JOIN iri oi ON oi.norm = oa.norm)
+SELECT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang, graph,
+       MIN(url) AS url
+FROM trip
+GROUP BY subj, pred, obj, obj_is_literal, obj_datatype, obj_lang, graph
+"""
