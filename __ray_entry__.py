@@ -616,6 +616,33 @@ def _kg_docs_triples(sf_dir: str):
     return kg_from_docs(docs)
 
 
+def _kg_docs_mention_counts(sf_dir: str):
+    """Mentions per canonical entity over the documents-derived corpus
+    (the skew-prone combiner aggregate), value-hash-verified
+    (pipelines/docs_kg.py:sql_docs_mention_counts)."""
+    import ray.data as rd
+
+    from k_gap_ray.pipelines.docs_kg import kg_mention_counts_from_docs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    return kg_mention_counts_from_docs(docs)
+
+
+def _kg_docs_entities(sf_dir: str):
+    """The pipeline's canonical entity table over the documents-derived
+    corpus, list columns flattened to sorted "|"-joined strings —
+    value-hash-verified against the recursive-CTE component oracle
+    (pipelines/docs_kg.py:sql_docs_entities)."""
+    import ray.data as rd
+
+    from k_gap_ray.pipelines.docs_kg import kg_entities_from_docs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    return kg_entities_from_docs(docs)
+
+
 def _kg_report(sf_dir: str):
     """A7 dataset-statistics bundle over the constructed graph
     (sembench report-step analogue, docs/components/sembench.md:229-253)."""
@@ -791,6 +818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_report": _kg_report,
         # --- KG pipeline over a documents-derived corpus (FULL oracle) ---
         "kg_docs_triples": _kg_docs_triples,
+        "kg_docs_entities": _kg_docs_entities,
+        "kg_docs_mention_counts": _kg_docs_mention_counts,
     }
 
 
@@ -1070,6 +1099,8 @@ def oracle_sql() -> dict[str, str]:
         # value-hash-verified against a pure-SQL reconstruction with a
         # statically-inlined LSH pair graph (pipelines/docs_kg.py)
         "kg_docs_triples": _sql_docs_kg(),
+        "kg_docs_entities": _sql_docs_entities(),
+        "kg_docs_mention_counts": _sql_docs_mention_counts(),
         # q_knn_lsh (approximate by design; recall pinned in pytest
         # against the exact result) and kg_* (computed over the
         # synthesized pages corpus, not the driver's tables) remain
@@ -1081,6 +1112,18 @@ def _sql_docs_kg() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_kg
 
     return sql_docs_kg()
+
+
+def _sql_docs_entities() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_entities
+
+    return sql_docs_entities()
+
+
+def _sql_docs_mention_counts() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_mention_counts
+
+    return sql_docs_mention_counts()
 
 
 def _text_analysis_oracles() -> dict[str, str]:

@@ -158,6 +158,47 @@ def kg_from_docs(docs_ds):
     return run_pipeline(build_pages_from_docs(docs_ds))["triples"]
 
 
+def kg_mention_counts_from_docs(docs_ds):
+    """Mentions per canonical entity over the derived corpus — the
+    skew-prone combiner aggregate (ops/canonicalize.mention_counts),
+    value-verifiable because mention emission is deterministic here:
+    one subject mention per sentence plus one object mention when the
+    verb is non-literal (oracle/kernel.py extract_from_text)."""
+    import ray
+
+    from k_gap_ray.ops.canonicalize import mention_counts
+    from k_gap_ray.pipeline import run_pipeline
+
+    res = run_pipeline(build_pages_from_docs(docs_ds))
+    mapping = res["mapping"]
+    ref = ray.put(mapping) if isinstance(mapping, dict) else mapping
+    return mention_counts(res["mentions"], ref)
+
+
+def kg_entities_from_docs(docs_ds) -> pa.Table:
+    """The pipeline's canonical entity table over the derived corpus,
+    with the two list columns flattened to "|"-joined strings (both
+    engine paths emit them pre-sorted; the oracle's ``string_agg``
+    mirrors the join) so the driver's astype(str) value hash is
+    layout-independent."""
+    from k_gap_ray.pipeline import run_pipeline
+
+    ents = run_pipeline(build_pages_from_docs(docs_ds))["entities"]
+    if not isinstance(ents, pa.Table):  # distributed-CC path: Dataset
+        import ray
+
+        ents = pa.concat_tables(
+            ray.get(ents.to_arrow_refs())).combine_chunks()
+    return pa.table({
+        "entity_id": ents.column("entity_id"),
+        "members": pc.binary_join(
+            ents.column("members").combine_chunks(), "|"),
+        "surface_forms": pc.binary_join(
+            ents.column("surface_forms").combine_chunks(), "|"),
+        "n_members": ents.column("size"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Oracle side: pure DuckDB SQL over the registered `documents` view.
 # ---------------------------------------------------------------------------
@@ -196,10 +237,13 @@ def _q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def sql_docs_kg(docs_table: str = "documents") -> str:
-    """DuckDB oracle reproducing :func:`kg_from_docs` exactly."""
+def _sql_ctes(docs_table: str) -> str:
+    """Shared oracle CTE prefix: documents -> token hashes -> sentences
+    -> appearing alias norms -> live static pair graph -> recursive-CTE
+    connected components (``reach``) -> per-norm entity IRIs (``iri``)."""
     alias_rows = ", ".join(
-        f"({i}, {_q(norm_surface(s))})" for i, s in enumerate(ALIAS_LIST))
+        f"({i}, {_q(norm_surface(s))}, {_q(s)})"
+        for i, s in enumerate(ALIAS_LIST))
     norms, edges = static_alias_edges()
     norm_rows = ", ".join(f"({_q(n)}, {_q(_slug(n))})" for n in norms)
     if edges:
@@ -226,7 +270,7 @@ def sql_docs_kg(docs_table: str = "documents") -> str:
              f"(a, b) -> ((a::HUGEINT * {HASH_B} + b) % {HASH_M})::BIGINT)")
     return f"""
 WITH RECURSIVE
-alias(idx, norm) AS (VALUES {alias_rows}),
+alias(idx, norm, form) AS (VALUES {alias_rows}),
 norms(norm, slug) AS (VALUES {norm_rows}),
 verbs(idx, pred, is_lit, dtype, lit_base, lit_mod) AS (VALUES {", ".join(verb_rows)}),
 sp AS (SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS toks
@@ -258,10 +302,14 @@ sym AS (SELECT x, y FROM live UNION SELECT y, x FROM live
 reach(a, b) AS (SELECT x, y FROM sym
                 UNION
                 SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b),
-iri AS (SELECT r.a AS norm,
-               'urn:kgap:entity:' || n.slug AS entity
-        FROM (SELECT a, MIN(b) AS root FROM reach GROUP BY a) r
-        JOIN norms n ON n.norm = r.root),
+comp AS (SELECT a AS norm, MIN(b) AS root FROM reach GROUP BY a),
+iri AS (SELECT c.norm, 'urn:kgap:entity:' || n.slug AS entity
+        FROM comp c JOIN norms n ON n.norm = c.root)"""
+
+
+def sql_docs_kg(docs_table: str = "documents") -> str:
+    """DuckDB oracle reproducing :func:`kg_from_docs` exactly."""
+    return _sql_ctes(docs_table) + f""",
 trip AS (
   SELECT si.entity AS subj, v.pred AS pred,
          CASE WHEN v.is_lit
@@ -283,4 +331,47 @@ SELECT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang, graph,
        MIN(url) AS url
 FROM trip
 GROUP BY subj, pred, obj, obj_is_literal, obj_datatype, obj_lang, graph
+"""
+
+
+def sql_docs_entities(docs_table: str = "documents") -> str:
+    """DuckDB oracle reproducing :func:`kg_entities_from_docs`:
+    one row per connected component of appearing norms, list columns
+    flattened to sorted "|"-joined strings."""
+    return _sql_ctes(docs_table) + f""",
+app_forms AS (
+  SELECT DISTINCT a.norm, a.form FROM fs JOIN alias a ON a.idx = fs.i_s
+  UNION
+  SELECT DISTINCT a.norm, a.form FROM fs
+  JOIN verbs v ON v.idx = fs.i_v AND NOT v.is_lit
+  JOIN alias a ON a.idx = (fs.h_o % {N_ALIAS})::INT),
+mem AS (SELECT root, string_agg(norm, '|' ORDER BY norm) AS members,
+               COUNT(*) AS n_members
+        FROM comp GROUP BY root),
+frm AS (SELECT DISTINCT c.root, f.form
+        FROM comp c JOIN app_forms f ON f.norm = c.norm),
+fa AS (SELECT root, string_agg(form, '|' ORDER BY form) AS surface_forms
+       FROM frm GROUP BY root)
+SELECT 'urn:kgap:entity:' || n.slug AS entity_id, m.members,
+       fa.surface_forms, m.n_members
+FROM mem m JOIN fa ON fa.root = m.root JOIN norms n ON n.norm = m.root
+"""
+
+
+def sql_docs_mention_counts(docs_table: str = "documents") -> str:
+    """DuckDB oracle reproducing :func:`kg_mention_counts_from_docs`:
+    one subject mention per complete sentence, plus one object mention
+    when the verb is non-literal, counted per canonical entity."""
+    return _sql_ctes(docs_table) + f""",
+men AS (
+  SELECT si.entity FROM fs
+  JOIN alias sa ON sa.idx = fs.i_s
+  JOIN iri si ON si.norm = sa.norm
+  UNION ALL
+  SELECT oi.entity FROM fs
+  JOIN verbs v ON v.idx = fs.i_v AND NOT v.is_lit
+  JOIN alias oa ON oa.idx = (fs.h_o % {N_ALIAS})::INT
+  JOIN iri oi ON oi.norm = oa.norm)
+SELECT entity AS entity_id, COUNT(*) AS n_mentions
+FROM men GROUP BY entity
 """

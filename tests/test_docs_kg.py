@@ -118,6 +118,83 @@ def test_kg_from_docs_matches_sql_oracle(ray_session):
     assert (dup.url.str.startswith("https://srcA.example/")).all()
 
 
+def test_kg_entities_from_docs_matches_sql_oracle(ray_session):
+    """Entity table (flattened members/surface_forms) == recursive-CTE
+    component oracle, on the same nasty-edges table as the triples
+    test plus multi-batch execution."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.pipelines.docs_kg import (
+        kg_entities_from_docs,
+        sql_docs_entities,
+    )
+
+    texts = [
+        "alpha beta gamma",
+        "alpha beta gamma delta",
+        "xy",
+        None,
+        "p q r alpha beta gamma",
+        "one two three four five six seven eight nine",
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["srcB", "srcA", "srcA", "srcB", "srcC", "srcA"]),
+    })
+    eng = kg_entities_from_docs(rd.from_arrow(docs).repartition(3)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ora = con.execute(sql_docs_entities()).df()
+    assert len(eng) == len(ora) > 0
+    assert sorted(eng.columns) == sorted(ora.columns)
+    assert _hash_df(eng) == _hash_df(ora)
+    # every multi-member entity's members string is sorted and joined
+    multi = eng[eng.n_members > 1]
+    for m in multi.members:
+        parts = m.split("|")
+        assert parts == sorted(parts) and len(parts) > 1
+
+
+def test_kg_mention_counts_from_docs_matches_sql_oracle(ray_session):
+    """Per-entity mention counts (combiner aggregate) == the UNION ALL
+    subject+object counting oracle, multi-batch."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.pipelines.docs_kg import (
+        kg_mention_counts_from_docs,
+        sql_docs_mention_counts,
+    )
+
+    texts = [
+        "alpha beta gamma",
+        "alpha beta gamma delta",
+        "xy",
+        None,
+        "p q r alpha beta gamma",
+        "one two three four five six seven eight nine",
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["srcB", "srcA", "srcA", "srcB", "srcC", "srcA"]),
+    })
+    eng = kg_mention_counts_from_docs(
+        rd.from_arrow(docs).repartition(3)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ora = con.execute(sql_docs_mention_counts()).df()
+    assert len(eng) == len(ora) > 0
+    assert _hash_df(eng) == _hash_df(ora)
+    # duplicated sentences are NOT deduped in the mention stream: total
+    # mentions >= 2 per repeated "alpha beta gamma" occurrence
+    assert eng.n_mentions.sum() >= 6
+
+
 @pytest.mark.slow
 def test_kg_docs_matches_oracle_at_sf0001(ray_session):
     import duckdb
