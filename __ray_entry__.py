@@ -616,6 +616,41 @@ def _kg_docs_triples(sf_dir: str):
     return kg_from_docs(docs)
 
 
+DOCS_SPARQL = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?a ?b ?loc WHERE {
+  ?a kp:collaboratesWith ?b .
+  ?a kp:locatedIn ?loc .
+  FILTER (CONTAINS(?loc, "marine") || CONTAINS(?loc, "okafor"))
+}
+"""
+
+
+def _sparql_docs(sf_dir: str):
+    """S3 SPARQL SELECT executed natively on Ray Data (k_gap_ray.sparql)
+    over the docs-derived canonical quad set; the oracle compiles the
+    SAME query to SQL over the quads reconstruction
+    (pipelines/docs_kg.py:sql_docs_sparql). Reference parity:
+    jupyter/kgap/notebooks/kgap_tools.py:22-31 (SPARQL SELECT against
+    the graph store)."""
+    import ray.data as rd
+
+    from k_gap_ray.pipelines.docs_kg import kg_from_docs
+    from k_gap_ray.sparql import sparql_select
+
+    import pyarrow as _pa
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    res = sparql_select(kg_from_docs(docs), DOCS_SPARQL)
+    # DISTINCT result is result-set-scale; pin the schema through the
+    # driver edge (an empty Dataset loses its schema in to_pandas)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("b", _pa.string()),
+                           ("loc", _pa.string())]))
+
+
 def _kg_docs_mention_counts(sf_dir: str):
     """Mentions per canonical entity over the documents-derived corpus
     (the skew-prone combiner aggregate), value-hash-verified
@@ -820,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
+        "q_sparql_docs": _sparql_docs,
     }
 
 
@@ -1101,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_docs_triples": _sql_docs_kg(),
         "kg_docs_entities": _sql_docs_entities(),
         "kg_docs_mention_counts": _sql_docs_mention_counts(),
+        "q_sparql_docs": _sql_sparql_docs(),
         # q_knn_lsh (approximate by design; recall pinned in pytest
         # against the exact result) and kg_* (computed over the
         # synthesized pages corpus, not the driver's tables) remain
@@ -1124,6 +1161,12 @@ def _sql_docs_mention_counts() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_mention_counts
 
     return sql_docs_mention_counts()
+
+
+def _sql_sparql_docs() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_sparql
+
+    return sql_docs_sparql(DOCS_SPARQL)
 
 
 def _text_analysis_oracles() -> dict[str, str]:

@@ -309,7 +309,23 @@ iri AS (SELECT c.norm, 'urn:kgap:entity:' || n.slug AS entity
 
 def sql_docs_kg(docs_table: str = "documents") -> str:
     """DuckDB oracle reproducing :func:`kg_from_docs` exactly."""
-    return _sql_ctes(docs_table) + f""",
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + "\nSELECT * FROM quads")
+
+
+def sql_docs_sparql(sparql: str, docs_table: str = "documents") -> str:
+    """DuckDB oracle for a SPARQL SELECT run over the docs-derived
+    canonical quad set: the shared KG-reconstruction CTEs feed the
+    ``quads`` relation, and the query itself is compiled by the
+    independent SQL backend (k_gap_ray.sparql.sparql_to_sql)."""
+    from k_gap_ray.sparql import sparql_to_sql
+
+    return (_sql_ctes(docs_table) + _sql_quads_cte() + "\n"
+            + sparql_to_sql(sparql, quads_rel="quads"))
+
+
+def _sql_quads_cte() -> str:
+    return f""",
 trip AS (
   SELECT si.entity AS subj, v.pred AS pred,
          CASE WHEN v.is_lit
@@ -326,12 +342,12 @@ trip AS (
   JOIN alias sa ON sa.idx = fs.i_s
   JOIN iri si ON si.norm = sa.norm
   LEFT JOIN alias oa ON oa.idx = (fs.h_o % {N_ALIAS})::INT AND NOT v.is_lit
-  LEFT JOIN iri oi ON oi.norm = oa.norm)
-SELECT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang, graph,
-       MIN(url) AS url
-FROM trip
-GROUP BY subj, pred, obj, obj_is_literal, obj_datatype, obj_lang, graph
-"""
+  LEFT JOIN iri oi ON oi.norm = oa.norm),
+quads AS (
+  SELECT subj, pred, obj, obj_is_literal, obj_datatype, obj_lang, graph,
+         MIN(url) AS url
+  FROM trip
+  GROUP BY subj, pred, obj, obj_is_literal, obj_datatype, obj_lang, graph)"""
 
 
 def sql_docs_entities(docs_table: str = "documents") -> str:

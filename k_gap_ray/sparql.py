@@ -1,0 +1,480 @@
+"""SPARQL SELECT subset (S3) executed natively on Ray Data quads.
+
+The reference's interactive surface is SPARQL SELECT against GraphDB
+(`/root/reference/jupyter/kgap/notebooks/kgap_tools.py:22-31`; query
+templates under `docs/components/graphdb.md`). This module plays that
+role Ray-Data-first: :func:`parse_sparql` parses a practical SPARQL
+subset, :func:`sparql_select` compiles it to a Dataset plan over a
+quads table (one filtered scan per triple pattern, hash joins on the
+shared variables, vectorized FILTER masks), and :func:`sparql_to_sql`
+compiles the SAME parsed query to ANSI SQL — the independent oracle
+backend for the driver gate and the cross-check tests.
+
+Supported subset (documented; out-of-subset input raises ValueError):
+
+- ``PREFIX pfx: <iri>`` declarations; terms ``?var``, ``<iri>``,
+  ``pfx:local``, ``"string"``, bare integers (compared AS STRINGS —
+  the quad object column is string-typed; zero-pad numeric literals
+  for range filters).
+- ``SELECT [DISTINCT] ?a ?b | *`` over ``WHERE { tp . tp . FILTER }``
+  basic graph patterns. Matching is over the quad table's rows (the
+  union of named graphs); use DISTINCT for set-semantics results.
+- ``FILTER`` expressions: ``= != < <= > >=`` comparisons between
+  variables and literals (string collation on both backends),
+  ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``, ``&&``, ``||``,
+  parentheses.
+- ``ORDER BY [ASC(?v)|DESC(?v)|?v]``, ``LIMIT n``, ``OFFSET m``
+  (offset applied at the driver edge on the sorted head, as in
+  relational.q_sort_limit_offset).
+
+Scale notes: every triple pattern is an independent pruned scan of the
+(materialized-once) quads Dataset; patterns sharing one variable join
+via a hash join on that column, multi-variable joins go through one
+composite key column. No cartesian products (raises). Skewed join
+variables (e.g. a hub entity) inherit the hash-join partitioning —
+salt upstream if a pattern variable is known-hot.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SEP = "\x1f"  # composite join key separator (same caveat as dedup_quads)
+
+_POS_COLS = (("s", "subj"), ("p", "pred"), ("o", "obj"))
+
+
+@dataclass(frozen=True)
+class Term:
+    kind: str  # 'var' | 'iri' | 'lit'
+    value: str
+
+
+@dataclass(frozen=True)
+class Pattern:
+    s: Term
+    p: Term
+    o: Term
+
+    def vars(self) -> list[str]:
+        out = []
+        for _, t in self.terms():
+            if t.kind == "var" and t.value not in out:
+                out.append(t.value)
+        return out
+
+    def terms(self):
+        return [("s", self.s), ("p", self.p), ("o", self.o)]
+
+
+@dataclass
+class SparqlQuery:
+    select_vars: list[str] | None  # None = *
+    distinct: bool = False
+    patterns: list[Pattern] = field(default_factory=list)
+    filters: list[tuple] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s+|\#[^\n]*
+      |(?P<iri><[^<>\s]*>)
+      |(?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+      |(?P<str>"(?:[^"\\]|\\.)*")
+      |(?P<num>-?\d+)
+      |(?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+      |(?P<kw>[A-Za-z_][A-Za-z0-9_]*)
+      |(?P<op>&&|\|\||!=|<=|>=|[=<>{}().,;*])
+    """,
+    re.X,
+)
+
+
+def _tokenize(q: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if m is None:
+            raise ValueError(f"SPARQL lex error at {q[pos:pos + 20]!r}")
+        pos = m.end()
+        for name in ("iri", "var", "str", "num", "pname", "kw", "op"):
+            v = m.group(name)
+            if v is not None:
+                toks.append((name, v))
+                break
+    return toks
+
+
+class _P:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i] if self.i < len(self.toks) else ("", "")
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def kw(self, word: str) -> bool:
+        k, v = self.peek()
+        if k == "kw" and v.upper() == word:
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        k, v = self.next()
+        if k != "op" or v != op:
+            raise ValueError(f"expected {op!r}, got {v!r}")
+
+    def term(self) -> Term:
+        k, v = self.next()
+        if k == "var":
+            return Term("var", v[1:])
+        if k == "iri":
+            return Term("iri", v[1:-1])
+        if k == "pname":
+            pfx, _, local = v.partition(":")
+            if pfx not in self.prefixes:
+                raise ValueError(f"undeclared prefix {pfx!r}")
+            return Term("iri", self.prefixes[pfx] + local)
+        if k == "str":
+            return Term("lit", re.sub(r"\\(.)", r"\1", v[1:-1]))
+        if k == "num":
+            return Term("lit", v)
+        raise ValueError(f"bad term {v!r}")
+
+    # FILTER expression: or > and > primary
+    def expr(self) -> tuple:
+        e = self.expr_and()
+        while self.peek() == ("op", "||"):
+            self.next()
+            e = ("or", e, self.expr_and())
+        return e
+
+    def expr_and(self) -> tuple:
+        e = self.expr_prim()
+        while self.peek() == ("op", "&&"):
+            self.next()
+            e = ("and", e, self.expr_prim())
+        return e
+
+    def expr_prim(self) -> tuple:
+        k, v = self.peek()
+        if (k, v) == ("op", "("):
+            self.next()
+            e = self.expr()
+            self.expect_op(")")
+            return e
+        if k == "kw" and v.upper() in ("STRSTARTS", "CONTAINS"):
+            name = v.upper()
+            self.next()
+            self.expect_op("(")
+            var = self.term()
+            if var.kind != "var":
+                raise ValueError(f"{name} needs a variable first arg")
+            self.expect_op(",")
+            lit = self.term()
+            if lit.kind != "lit":
+                raise ValueError(f"{name} needs a literal second arg")
+            self.expect_op(")")
+            return ("fn", name, var.value, lit.value)
+        left = self.term()
+        ok, ov = self.next()
+        if ok != "op" or ov not in ("=", "!=", "<", "<=", ">", ">="):
+            raise ValueError(f"bad comparison operator {ov!r}")
+        right = self.term()
+        return ("cmp", ov, left, right)
+
+
+def parse_sparql(query: str) -> SparqlQuery:
+    p = _P(_tokenize(query))
+    while p.kw("PREFIX"):
+        k, v = p.next()
+        if k != "pname":
+            raise ValueError(f"bad PREFIX name {v!r}")
+        pfx = v[: v.index(":")]
+        ik, iv = p.next()
+        if ik != "iri":
+            raise ValueError("PREFIX needs an <iri>")
+        p.prefixes[pfx] = iv[1:-1]
+    if not p.kw("SELECT"):
+        raise ValueError("only SELECT queries are supported")
+    q = SparqlQuery(select_vars=None)
+    q.distinct = p.kw("DISTINCT")
+    if p.peek() == ("op", "*"):
+        p.next()
+    else:
+        vs = []
+        while p.peek()[0] == "var":
+            vs.append(p.next()[1][1:])
+        if not vs:
+            raise ValueError("SELECT needs variables or *")
+        q.select_vars = vs
+    if not p.kw("WHERE"):
+        raise ValueError("expected WHERE")
+    p.expect_op("{")
+    while p.peek() != ("op", "}"):
+        if p.kw("FILTER"):
+            p.expect_op("(")
+            q.filters.append(p.expr())
+            p.expect_op(")")
+        else:
+            q.patterns.append(Pattern(p.term(), p.term(), p.term()))
+        if p.peek() == ("op", "."):
+            p.next()
+    p.next()  # }
+    if p.kw("ORDER"):
+        if not p.kw("BY"):
+            raise ValueError("expected BY after ORDER")
+        while True:
+            k, v = p.peek()
+            if k == "var":
+                p.next()
+                q.order_by.append((v[1:], True))
+            elif k == "kw" and v.upper() in ("ASC", "DESC"):
+                asc = v.upper() == "ASC"
+                p.next()
+                p.expect_op("(")
+                t = p.term()
+                p.expect_op(")")
+                q.order_by.append((t.value, asc))
+            else:
+                break
+        if not q.order_by:
+            raise ValueError("ORDER BY needs at least one key")
+    # LIMIT / OFFSET in either order
+    for _ in range(2):
+        if p.kw("LIMIT"):
+            q.limit = int(p.next()[1])
+        elif p.kw("OFFSET"):
+            q.offset = int(p.next()[1])
+    if p.i != len(p.toks):
+        raise ValueError(f"trailing tokens at {p.toks[p.i:]}")
+    if not q.patterns:
+        raise ValueError("WHERE needs at least one triple pattern")
+    if q.offset and q.limit is None:
+        raise ValueError("OFFSET requires LIMIT")
+    if (q.limit is not None or q.offset) and not q.order_by:
+        raise ValueError("LIMIT/OFFSET require ORDER BY (deterministic cut)")
+    known = set()
+    for pat in q.patterns:
+        known.update(pat.vars())
+    for v in q.select_vars or []:
+        if v not in known:
+            raise ValueError(f"SELECT variable ?{v} is not bound")
+    out = set(q.select_vars) if q.select_vars is not None else known
+    for v, _ in q.order_by:
+        if v not in out:
+            raise ValueError(f"ORDER BY ?{v} must be a selected variable")
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Ray Data backend
+# ---------------------------------------------------------------------------
+
+
+def _make_scan(pat: Pattern):
+    def scan(t: pa.Table) -> pa.Table:
+        mask = None
+        seen: dict[str, str] = {}
+        for pos, col in _POS_COLS:
+            term = getattr(pat, pos)
+            if term.kind == "var":
+                if term.value in seen:  # same var twice in one pattern
+                    m = pc.equal(t.column(seen[term.value]), t.column(col))
+                    mask = m if mask is None else pc.and_(mask, m)
+                else:
+                    seen[term.value] = col
+            else:
+                m = pc.equal(t.column(col), term.value)
+                mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            t = t.filter(mask)
+        return pa.table({v: t.column(col) for v, col in seen.items()})
+
+    return scan
+
+
+def _eval(e: tuple, t: pa.Table):
+    tag = e[0]
+    if tag == "or":
+        return pc.or_(_eval(e[1], t), _eval(e[2], t))
+    if tag == "and":
+        return pc.and_(_eval(e[1], t), _eval(e[2], t))
+    if tag == "fn":
+        _, name, var, lit = e
+        col = t.column(var)
+        if name == "STRSTARTS":
+            return pc.starts_with(col, lit)
+        return pc.match_substring(col, lit)  # CONTAINS, literal substring
+    _, op, left, right = e
+    lv = t.column(left.value) if left.kind == "var" else left.value
+    rv = t.column(right.value) if right.kind == "var" else right.value
+    ops = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+           "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+    return ops[op](lv, rv)
+
+
+def _composite_join(left, right, shared: list[str]):
+    from k_gap_ray.dsutil import join_datasets
+
+    def key_keep(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            *[t.column(v) for v in shared], _SEP)
+        return t.append_column("__jk", k)
+
+    def key_drop(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            *[t.column(v) for v in shared], _SEP)
+        t = t.drop_columns(shared)
+        return t.append_column("__jk", k)
+
+    j = join_datasets(
+        left.map_batches(key_keep, batch_format="pyarrow"),
+        right.map_batches(key_drop, batch_format="pyarrow"),
+        on="__jk", scrub_left=False, scrub_right=False)
+    return j.map_batches(lambda t: t.drop_columns(["__jk"]),
+                         batch_format="pyarrow")
+
+
+def sparql_select(quads, query: str | SparqlQuery):
+    """Execute a SPARQL SELECT (subset) over a quads Dataset with
+    columns subj/pred/obj (extra columns ignored). Returns a Dataset
+    (or pa.Table when LIMIT pagination cuts at the driver edge) whose
+    columns are the selected variable names."""
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    q = parse_sparql(query) if isinstance(query, str) else query
+    # one materialize, N pattern scans — also scrubs groupby-produced
+    # empty-schema blocks (dedup_quads output is a common input here)
+    quads = drop_empty_blocks(quads.materialize())
+
+    plan, bound = None, []
+    for pat in q.patterns:
+        # materialized per scan: joining two LAZY scans of the same
+        # materialized parent silently yields 0 rows on Ray 2.49 (the
+        # slim var projections are cheap to pin)
+        ds = quads.map_batches(_make_scan(pat), batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+        pvars = pat.vars()
+        if plan is None:
+            plan, bound = ds, list(pvars)
+            continue
+        shared = [v for v in bound if v in pvars]
+        if not shared:
+            raise ValueError(
+                "disconnected pattern (cartesian product) not supported")
+        if len(shared) == 1:
+            plan = join_datasets(plan, ds, on=shared[0],
+                                 scrub_left=False, scrub_right=False)
+        else:
+            plan = _composite_join(plan, ds, shared)
+        bound += [v for v in pvars if v not in bound]
+
+    if q.filters:
+        filters = list(q.filters)
+
+        def apply(t: pa.Table) -> pa.Table:
+            mask = None
+            for e in filters:
+                m = _eval(e, t)
+                mask = m if mask is None else pc.and_(mask, m)
+            return t.filter(mask)
+
+        plan = plan.map_batches(apply, batch_format="pyarrow")
+
+    out_vars = q.select_vars or bound
+    plan = plan.map_batches(lambda t: t.select(out_vars),
+                            batch_format="pyarrow")
+    if q.distinct:
+        plan = (plan.groupby(out_vars).count().select_columns(out_vars))
+    if q.order_by:
+        keys = [v for v, _ in q.order_by]
+        desc = [not asc for _, asc in q.order_by]
+        plan = plan.sort(keys, descending=desc)
+    if q.limit is not None:
+        head = plan.limit(q.offset + q.limit).take_all()
+        return pa.Table.from_pylist(
+            head[q.offset:], schema=pa.schema(
+                [(v, pa.string()) for v in out_vars]))
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# SQL backend (the oracle)
+# ---------------------------------------------------------------------------
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
+    tag = e[0]
+    if tag == "or":
+        return f"({_expr_sql(e[1], var_bind)} OR {_expr_sql(e[2], var_bind)})"
+    if tag == "and":
+        return (f"({_expr_sql(e[1], var_bind)} AND "
+                f"{_expr_sql(e[2], var_bind)})")
+    if tag == "fn":
+        _, name, var, lit = e
+        fn = "starts_with" if name == "STRSTARTS" else "contains"
+        return f"{fn}({var_bind[var]}, {_sql_str(lit)})"
+    _, op, left, right = e
+    sop = {"=": "=", "!=": "<>", "<": "<", "<=": "<=",
+           ">": ">", ">=": ">="}[op]
+
+    def ref(t: Term) -> str:
+        return var_bind[t.value] if t.kind == "var" else _sql_str(t.value)
+
+    return f"{ref(left)} {sop} {ref(right)}"
+
+
+def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
+    """Compile the same SPARQL subset to ANSI SQL over a relation with
+    columns subj/pred/obj — the independent oracle backend."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    var_bind: dict[str, str] = {}
+    conds: list[str] = []
+    for i, pat in enumerate(q.patterns):
+        for pos, col in _POS_COLS:
+            term = getattr(pat, pos)
+            ref = f"t{i}.{col}"
+            if term.kind == "var":
+                if term.value in var_bind:
+                    conds.append(f"{var_bind[term.value]} = {ref}")
+                else:
+                    var_bind[term.value] = ref
+            else:
+                conds.append(f"{ref} = {_sql_str(term.value)}")
+    for e in q.filters:
+        conds.append(_expr_sql(e, var_bind))
+    out_vars = q.select_vars or list(var_bind)
+    sel = ", ".join(f"{var_bind[v]} AS {v}" for v in out_vars)
+    sql = ("SELECT " + ("DISTINCT " if q.distinct else "") + sel
+           + "\nFROM " + ", ".join(f"{quads_rel} t{i}"
+                                   for i in range(len(q.patterns))))
+    if conds:
+        sql += "\nWHERE " + " AND ".join(conds)
+    if q.order_by:
+        sql += "\nORDER BY " + ", ".join(
+            f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order_by)
+    if q.limit is not None:
+        sql += f"\nLIMIT {q.limit} OFFSET {q.offset}"
+    return sql
