@@ -651,6 +651,32 @@ def _sparql_docs(sf_dir: str):
                            ("loc", _pa.string())]))
 
 
+DOCS_SPARQL_AGG = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?loc (COUNT(?a) AS ?n) WHERE {
+  ?a kp:locatedIn ?loc .
+  OPTIONAL { ?a kp:employs ?emp . }
+} GROUP BY ?loc
+"""
+
+
+def _sparql_docs_agg(sf_dir: str):
+    """SPARQL OPTIONAL (left join) + grouped COUNT over the
+    docs-derived quads, against the same compiled-SQL oracle."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from k_gap_ray.pipelines.docs_kg import kg_from_docs
+    from k_gap_ray.sparql import sparql_select
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    res = sparql_select(kg_from_docs(docs), DOCS_SPARQL_AGG)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("loc", _pa.string()), ("n", _pa.int64())]))
+
+
 def _kg_docs_mention_counts(sf_dir: str):
     """Mentions per canonical entity over the documents-derived corpus
     (the skew-prone combiner aggregate), value-hash-verified
@@ -856,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_docs_entities": _kg_docs_entities,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
         "q_sparql_docs": _sparql_docs,
+        "q_sparql_docs_agg": _sparql_docs_agg,
     }
 
 
@@ -1138,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_docs_entities": _sql_docs_entities(),
         "kg_docs_mention_counts": _sql_docs_mention_counts(),
         "q_sparql_docs": _sql_sparql_docs(),
+        "q_sparql_docs_agg": _sql_sparql_docs_agg(),
         # q_knn_lsh (approximate by design; recall pinned in pytest
         # against the exact result) and kg_* (computed over the
         # synthesized pages corpus, not the driver's tables) remain
@@ -1167,6 +1195,12 @@ def _sql_sparql_docs() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_sparql
 
     return sql_docs_sparql(DOCS_SPARQL)
+
+
+def _sql_sparql_docs_agg() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_sparql
+
+    return sql_docs_sparql(DOCS_SPARQL_AGG)
 
 
 def _text_analysis_oracles() -> dict[str, str]:

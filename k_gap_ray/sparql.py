@@ -19,6 +19,11 @@ Supported subset (documented; out-of-subset input raises ValueError):
 - ``SELECT [DISTINCT] ?a ?b | *`` over ``WHERE { tp . tp . FILTER }``
   basic graph patterns. Matching is over the quad table's rows (the
   union of named graphs); use DISTINCT for set-semantics results.
+- ``OPTIONAL { tp . FILTER }`` groups (each left-joined to the
+  required part on their shared variables; unmatched rows null-fill).
+- One ``(COUNT(?x) AS ?n)`` aggregate with ``GROUP BY`` (or global);
+  ?x must be a required-group variable so COUNT == row count on both
+  backends.
 - ``FILTER`` expressions: ``= != < <= > >=`` comparisons between
   variables and literals (string collation on both backends),
   ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``, ``&&``, ``||``,
@@ -77,6 +82,12 @@ class SparqlQuery:
     distinct: bool = False
     patterns: list[Pattern] = field(default_factory=list)
     filters: list[tuple] = field(default_factory=list)
+    # OPTIONAL groups, each left-joined to the required part in order
+    optionals: list[tuple[list[Pattern], list[tuple]]] = \
+        field(default_factory=list)
+    # single aggregate: (fn, var, alias); COUNT only
+    agg: tuple[str, str, str] | None = None
+    group_by: list[str] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int = 0
@@ -220,9 +231,33 @@ def parse_sparql(query: str) -> SparqlQuery:
         p.next()
     else:
         vs = []
-        while p.peek()[0] == "var":
-            vs.append(p.next()[1][1:])
-        if not vs:
+        while True:
+            k, v = p.peek()
+            if k == "var":
+                vs.append(p.next()[1][1:])
+            elif (k, v) == ("op", "("):
+                # (COUNT(?x) AS ?alias)
+                p.next()
+                fk, fv = p.next()
+                if fk != "kw" or fv.upper() != "COUNT":
+                    raise ValueError("only COUNT aggregates are supported")
+                p.expect_op("(")
+                t = p.term()
+                if t.kind != "var":
+                    raise ValueError("COUNT needs a variable")
+                p.expect_op(")")
+                if not p.kw("AS"):
+                    raise ValueError("aggregate needs AS ?alias")
+                ak, av = p.next()
+                if ak != "var":
+                    raise ValueError("aggregate alias must be a variable")
+                p.expect_op(")")
+                if q.agg is not None:
+                    raise ValueError("only one aggregate is supported")
+                q.agg = ("COUNT", t.value, av[1:])
+            else:
+                break
+        if not vs and q.agg is None:
             raise ValueError("SELECT needs variables or *")
         q.select_vars = vs
     if not p.kw("WHERE"):
@@ -233,11 +268,35 @@ def parse_sparql(query: str) -> SparqlQuery:
             p.expect_op("(")
             q.filters.append(p.expr())
             p.expect_op(")")
+        elif p.kw("OPTIONAL"):
+            p.expect_op("{")
+            pats: list[Pattern] = []
+            flts: list[tuple] = []
+            while p.peek() != ("op", "}"):
+                if p.kw("FILTER"):
+                    p.expect_op("(")
+                    flts.append(p.expr())
+                    p.expect_op(")")
+                else:
+                    pats.append(Pattern(p.term(), p.term(), p.term()))
+                if p.peek() == ("op", "."):
+                    p.next()
+            p.next()  # }
+            if not pats:
+                raise ValueError("OPTIONAL needs at least one pattern")
+            q.optionals.append((pats, flts))
         else:
             q.patterns.append(Pattern(p.term(), p.term(), p.term()))
         if p.peek() == ("op", "."):
             p.next()
     p.next()  # }
+    if p.kw("GROUP"):
+        if not p.kw("BY"):
+            raise ValueError("expected BY after GROUP")
+        while p.peek()[0] == "var":
+            q.group_by.append(p.next()[1][1:])
+        if not q.group_by:
+            raise ValueError("GROUP BY needs at least one variable")
     if p.kw("ORDER"):
         if not p.kw("BY"):
             raise ValueError("expected BY after ORDER")
@@ -271,13 +330,32 @@ def parse_sparql(query: str) -> SparqlQuery:
         raise ValueError("OFFSET requires LIMIT")
     if (q.limit is not None or q.offset) and not q.order_by:
         raise ValueError("LIMIT/OFFSET require ORDER BY (deterministic cut)")
-    known = set()
+    required = set()
     for pat in q.patterns:
-        known.update(pat.vars())
+        required.update(pat.vars())
+    known = set(required)
+    for pats, _ in q.optionals:
+        for pat in pats:
+            known.update(pat.vars())
     for v in q.select_vars or []:
         if v not in known:
             raise ValueError(f"SELECT variable ?{v} is not bound")
-    out = set(q.select_vars) if q.select_vars is not None else known
+    if q.agg is not None:
+        if q.distinct:
+            raise ValueError("DISTINCT with aggregates is not supported")
+        _, avar, alias = q.agg
+        if avar not in required:
+            raise ValueError(
+                f"COUNT(?{avar}) must count a required (non-OPTIONAL) "
+                "variable — null-skipping counts are out of subset")
+        if set(q.select_vars or []) != set(q.group_by):
+            raise ValueError(
+                "aggregate SELECT must project exactly the GROUP BY vars")
+        out = set(q.group_by) | {alias}
+    elif q.group_by:
+        raise ValueError("GROUP BY requires an aggregate in SELECT")
+    else:
+        out = set(q.select_vars) if q.select_vars is not None else known
     for v, _ in q.order_by:
         if v not in out:
             raise ValueError(f"ORDER BY ?{v} must be a selected variable")
@@ -331,7 +409,8 @@ def _eval(e: tuple, t: pa.Table):
     return ops[op](lv, rv)
 
 
-def _composite_join(left, right, shared: list[str]):
+def _composite_join(left, right, shared: list[str],
+                    join_type: str = "inner"):
     from k_gap_ray.dsutil import join_datasets
 
     def key_keep(t: pa.Table) -> pa.Table:
@@ -348,9 +427,59 @@ def _composite_join(left, right, shared: list[str]):
     j = join_datasets(
         left.map_batches(key_keep, batch_format="pyarrow"),
         right.map_batches(key_drop, batch_format="pyarrow"),
-        on="__jk", scrub_left=False, scrub_right=False)
+        on="__jk", join_type=join_type,
+        scrub_left=False, scrub_right=False)
     return j.map_batches(lambda t: t.drop_columns(["__jk"]),
                          batch_format="pyarrow")
+
+
+def _join_plans(plan, bound: list[str], ds, pvars: list[str],
+                join_type: str = "inner"):
+    """Join a sub-plan into the running plan on their shared variables;
+    returns (plan, bound)."""
+    from k_gap_ray.dsutil import join_datasets
+
+    shared = [v for v in bound if v in pvars]
+    if not shared:
+        raise ValueError(
+            "disconnected pattern (cartesian product) not supported")
+    if len(shared) == 1:
+        plan = join_datasets(plan, ds, on=shared[0], join_type=join_type,
+                             scrub_left=False, scrub_right=False)
+    else:
+        plan = _composite_join(plan, ds, shared, join_type=join_type)
+    return plan, bound + [v for v in pvars if v not in bound]
+
+
+def _apply_filters(plan, filters: list[tuple]):
+    filters = list(filters)
+
+    def apply(t: pa.Table) -> pa.Table:
+        mask = None
+        for e in filters:
+            m = _eval(e, t)
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask)
+
+    return plan.map_batches(apply, batch_format="pyarrow")
+
+
+def _build_group(quads, patterns: list[Pattern], filters: list[tuple]):
+    """Join a basic graph pattern's scans; returns (plan, bound vars)."""
+    plan, bound = None, []
+    for pat in patterns:
+        # materialized per scan: joining two LAZY scans of the same
+        # materialized parent silently yields 0 rows on Ray 2.49 (the
+        # slim var projections are cheap to pin)
+        ds = quads.map_batches(_make_scan(pat), batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+        if plan is None:
+            plan, bound = ds, list(pat.vars())
+        else:
+            plan, bound = _join_plans(plan, bound, ds, pat.vars())
+    if filters:
+        plan = _apply_filters(plan, filters)
+    return plan, bound
 
 
 def sparql_select(quads, query: str | SparqlQuery):
@@ -358,61 +487,48 @@ def sparql_select(quads, query: str | SparqlQuery):
     columns subj/pred/obj (extra columns ignored). Returns a Dataset
     (or pa.Table when LIMIT pagination cuts at the driver edge) whose
     columns are the selected variable names."""
-    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+    from k_gap_ray.dsutil import drop_empty_blocks
 
     q = parse_sparql(query) if isinstance(query, str) else query
     # one materialize, N pattern scans — also scrubs groupby-produced
     # empty-schema blocks (dedup_quads output is a common input here)
     quads = drop_empty_blocks(quads.materialize())
 
-    plan, bound = None, []
-    for pat in q.patterns:
-        # materialized per scan: joining two LAZY scans of the same
-        # materialized parent silently yields 0 rows on Ray 2.49 (the
-        # slim var projections are cheap to pin)
-        ds = quads.map_batches(_make_scan(pat), batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
-        pvars = pat.vars()
-        if plan is None:
-            plan, bound = ds, list(pvars)
-            continue
-        shared = [v for v in bound if v in pvars]
-        if not shared:
-            raise ValueError(
-                "disconnected pattern (cartesian product) not supported")
-        if len(shared) == 1:
-            plan = join_datasets(plan, ds, on=shared[0],
-                                 scrub_left=False, scrub_right=False)
-        else:
-            plan = _composite_join(plan, ds, shared)
-        bound += [v for v in pvars if v not in bound]
-
+    plan, bound = _build_group(quads, q.patterns, [])
+    for pats, flts in q.optionals:
+        sub, sub_bound = _build_group(quads, pats, flts)
+        plan, bound = _join_plans(plan, bound, sub, sub_bound,
+                                  join_type="left_outer")
+    # top-level filters run after OPTIONAL joins: a comparison on an
+    # unmatched (null) optional var is null → dropped, matching SQL
     if q.filters:
-        filters = list(q.filters)
+        plan = _apply_filters(plan, q.filters)
 
-        def apply(t: pa.Table) -> pa.Table:
-            mask = None
-            for e in filters:
-                m = _eval(e, t)
-                mask = m if mask is None else pc.and_(mask, m)
-            return t.filter(mask)
-
-        plan = plan.map_batches(apply, batch_format="pyarrow")
-
-    out_vars = q.select_vars or bound
-    plan = plan.map_batches(lambda t: t.select(out_vars),
-                            batch_format="pyarrow")
-    if q.distinct:
-        plan = (plan.groupby(out_vars).count().select_columns(out_vars))
+    if q.agg is not None:
+        _, _, alias = q.agg  # COUNT of a required var == row count
+        if not q.group_by:
+            n = plan.count()
+            return pa.table({alias: pa.array([n], pa.int64())})
+        plan = (plan.groupby(q.group_by).count()
+                .rename_columns({"count()": alias}))
+        out_vars = list(q.group_by) + [alias]
+    else:
+        out_vars = q.select_vars or bound
+        plan = plan.map_batches(lambda t: t.select(out_vars),
+                                batch_format="pyarrow")
+        if q.distinct:
+            plan = (plan.groupby(out_vars).count().select_columns(out_vars))
     if q.order_by:
         keys = [v for v, _ in q.order_by]
         desc = [not asc for _, asc in q.order_by]
         plan = plan.sort(keys, descending=desc)
     if q.limit is not None:
         head = plan.limit(q.offset + q.limit).take_all()
+        alias = q.agg[2] if q.agg is not None else None
         return pa.Table.from_pylist(
             head[q.offset:], schema=pa.schema(
-                [(v, pa.string()) for v in out_vars]))
+                [(v, pa.int64() if v == alias else pa.string())
+                 for v in out_vars]))
     return plan
 
 
@@ -446,13 +562,13 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
     return f"{ref(left)} {sop} {ref(right)}"
 
 
-def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
-    """Compile the same SPARQL subset to ANSI SQL over a relation with
-    columns subj/pred/obj — the independent oracle backend."""
-    q = parse_sparql(query) if isinstance(query, str) else query
+def _group_sql(patterns: list[Pattern], filters: list[tuple],
+               quads_rel: str) -> tuple[str, list[str]]:
+    """One basic graph pattern -> derived-table SQL selecting its
+    variables as columns; returns (sql, vars in first-seen order)."""
     var_bind: dict[str, str] = {}
     conds: list[str] = []
-    for i, pat in enumerate(q.patterns):
+    for i, pat in enumerate(patterns):
         for pos, col in _POS_COLS:
             term = getattr(pat, pos)
             ref = f"t{i}.{col}"
@@ -463,15 +579,55 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
                     var_bind[term.value] = ref
             else:
                 conds.append(f"{ref} = {_sql_str(term.value)}")
-    for e in q.filters:
+    for e in filters:
         conds.append(_expr_sql(e, var_bind))
-    out_vars = q.select_vars or list(var_bind)
-    sel = ", ".join(f"{var_bind[v]} AS {v}" for v in out_vars)
-    sql = ("SELECT " + ("DISTINCT " if q.distinct else "") + sel
-           + "\nFROM " + ", ".join(f"{quads_rel} t{i}"
-                                   for i in range(len(q.patterns))))
+    out = list(var_bind)
+    sql = ("SELECT " + ", ".join(f"{var_bind[v]} AS {v}" for v in out)
+           + " FROM " + ", ".join(f"{quads_rel} t{i}"
+                                  for i in range(len(patterns))))
     if conds:
-        sql += "\nWHERE " + " AND ".join(conds)
+        sql += " WHERE " + " AND ".join(conds)
+    return sql, out
+
+
+def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
+    """Compile the same SPARQL subset to ANSI SQL over a relation with
+    columns subj/pred/obj — the independent oracle backend. The
+    required pattern group and each OPTIONAL group become derived
+    tables, LEFT JOINed on their shared variables."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    base_sql, base_vars = _group_sql(q.patterns, [], quads_rel)
+    outer_bind = {v: f"r.{v}" for v in base_vars}
+    from_sql = f"({base_sql}) r"
+    for i, (pats, flts) in enumerate(q.optionals):
+        g_sql, g_vars = _group_sql(pats, flts, quads_rel)
+        shared = [v for v in outer_bind if v in g_vars]
+        if not shared:
+            raise ValueError(
+                "disconnected OPTIONAL (cartesian product) not supported")
+        on = " AND ".join(f"{outer_bind[v]} = o{i}.{v}" for v in shared)
+        from_sql += f"\nLEFT JOIN ({g_sql}) o{i} ON {on}"
+        for v in g_vars:
+            outer_bind.setdefault(v, f"o{i}.{v}")
+    conds = [_expr_sql(e, outer_bind) for e in q.filters]
+
+    if q.agg is not None:
+        _, avar, alias = q.agg
+        sel_items = [f"{outer_bind[v]} AS {v}" for v in q.group_by]
+        sel_items.append(f"COUNT({outer_bind[avar]}) AS {alias}")
+        sql = "SELECT " + ", ".join(sel_items) + "\nFROM " + from_sql
+        if conds:
+            sql += "\nWHERE " + " AND ".join(conds)
+        if q.group_by:
+            sql += "\nGROUP BY " + ", ".join(
+                outer_bind[v] for v in q.group_by)
+    else:
+        out_vars = q.select_vars or list(outer_bind)
+        sel = ", ".join(f"{outer_bind[v]} AS {v}" for v in out_vars)
+        sql = ("SELECT " + ("DISTINCT " if q.distinct else "") + sel
+               + "\nFROM " + from_sql)
+        if conds:
+            sql += "\nWHERE " + " AND ".join(conds)
     if q.order_by:
         sql += "\nORDER BY " + ", ".join(
             f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order_by)

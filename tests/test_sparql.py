@@ -48,6 +48,24 @@ CROSS_QUERIES = [
     # multi-var shared join (composite key): both vars shared
     'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE '
     '{ ?x p:knows ?y . ?x p:knows ?y . }',
+    # OPTIONAL left join: e:d knows e:d but has no p:loc → null loc
+    'PREFIX p: <p:> SELECT ?x ?y ?l WHERE { ?x p:knows ?y .'
+    ' OPTIONAL { ?y p:loc ?l . } }',
+    # OPTIONAL with a filter inside the optional group
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:knows ?y .'
+    ' OPTIONAL { ?x p:loc ?l . FILTER (CONTAINS(?l, "bay")) } }',
+    # top-level filter on an optional var drops unmatched rows
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:knows ?y .'
+    ' OPTIONAL { ?y p:loc ?l . } FILTER (?l != "l:bay") }',
+    # grouped COUNT
+    'PREFIX p: <p:> SELECT ?x (COUNT(?y) AS ?n) WHERE '
+    '{ ?x p:knows ?y . } GROUP BY ?x',
+    # global COUNT
+    'PREFIX p: <p:> SELECT (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y . }',
+    # grouped COUNT over a join, ordered with LIMIT
+    'PREFIX p: <p:> SELECT ?l (COUNT(?x) AS ?n) WHERE '
+    '{ ?x p:loc ?l . ?x p:knows ?y . } GROUP BY ?l'
+    ' ORDER BY DESC(?n) ?l LIMIT 2',
 ]
 
 
