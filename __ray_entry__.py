@@ -518,6 +518,45 @@ def _emb_sim_join(sf_dir: str):
     return cosine_pairs_exact(ds, threshold=0.4, n_buckets=8)
 
 
+def _emb_dedup_survivors(sf_dir: str):
+    """SemDeDup-style embedding dedup: survivors (vec_id, label) after
+    dropping every vector with an exact cosine >= 0.4 to a lower-id
+    vector. Pair discovery is the bucketed exact quadratic join; the
+    drop set is applied as a distributed anti join (no driver-side id
+    set). Deterministic min-id-survives rule == SQL NOT EXISTS."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.dedup import near_dup_survivors_emb
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    return near_dup_survivors_emb(ds, threshold=0.4, n_buckets=8)
+
+
+def _emb_centroids(sf_dir: str):
+    """Per-label fixed-point centroid evidence (the class-prototype /
+    k-means-E-step vector aggregate): (label, dim, sum_fx, n_vecs)
+    with sum_fx = sum of floor(component * 1e6) — order-independent
+    exact int64, bit-identical to the SQL unnest oracle."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import label_centroids_fx
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return label_centroids_fx(ds)
+
+
+def _doc_dup_spans(sf_dir: str):
+    """Cross-document duplicated 8-gram spans (ExactSubstr-style
+    boilerplate evidence): token 8-grams occurring in >= 2 distinct
+    documents, with their document frequency."""
+    from k_gap_ray.functions.textstats import dup_ngram_spans
+
+    return dup_ngram_spans(_docs(sf_dir, ["doc_id", "text"]),
+                           n=8, min_docs=2)
+
+
 def _knn(sf_dir: str):
     from k_gap_ray.functions.similarity import knn_by_id
 
@@ -854,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_decontam": _doc_decontam,
         "q_doc_repetition": _doc_repetition,
         "q_doc_packing": _doc_packing,
+        "q_doc_dup_spans": _doc_dup_spans,
         "q_doc_search": _doc_search,
         "q_doc_redact": _doc_redact,
         # --- graph traversal (J5) / graph analytics ---
@@ -865,6 +905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_ivf": _knn_ivf,
         "q_emb_near_dup": _emb_near_dup,
         "q_emb_sim_join": _emb_sim_join,
+        "q_emb_dedup_survivors": _emb_dedup_survivors,
+        "q_emb_centroids": _emb_centroids,
         # --- declarative workflow engine (X1-X3) ---
         "q_workflow_lang_en": _workflow_lang_en,
         # --- RDF text formats (S2) ---
@@ -1559,4 +1601,26 @@ def _text_analysis_oracles() -> dict[str, str]:
             "FROM lineitem", iters=3),
         "q_emb_near_dup": emb_near_dup,
         "q_emb_sim_join": emb_sim_join,
+        "q_emb_dedup_survivors": """
+            SELECT a.vec_id, a.label FROM embeddings a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id < a.vec_id
+                  AND list_cosine_similarity(a.embedding,
+                                             b.embedding) >= 0.4)
+        """,
+        "q_emb_centroids": _sql_emb_centroids(),
+        "q_doc_dup_spans": _sql_doc_dup_spans(),
     }
+
+
+def _sql_emb_centroids() -> str:
+    from k_gap_ray.functions.similarity import sql_label_centroids_fx
+
+    return sql_label_centroids_fx()
+
+
+def _sql_doc_dup_spans() -> str:
+    from k_gap_ray.functions.textstats import sql_dup_ngram_spans
+
+    return sql_dup_ngram_spans(n=8, min_docs=2)

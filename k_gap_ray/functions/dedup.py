@@ -699,3 +699,43 @@ def cosine_pairs_exact(emb_ds, threshold: float, n_buckets: int = 8,
 
 def content_hash(text: str) -> str:
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def near_dup_survivors_emb(emb_ds, threshold: float = 0.4,
+                           n_buckets: int = 8,
+                           keep_cols: tuple = ("label",)):
+    """SemDeDup-style embedding near-dup DEDUP: drop every vector whose
+    exact cosine with some LOWER-id vector is >= ``threshold``; return
+    the survivors (vec_id + ``keep_cols``).
+
+    Deterministic drop rule (the min-id side of every near pair always
+    survives) so the result is engine-independent: survivors == rows
+    with NO earlier neighbor, exactly SQL's NOT EXISTS formulation.
+    Pairs come from :func:`cosine_pairs_exact` (full recall), the drop
+    set is applied as a distributed left-anti join — no driver-side
+    id set at any corpus size.
+    """
+    import pyarrow.compute as pc
+
+    from k_gap_ray.dsutil import join_datasets
+
+    emb_ds = emb_ds.materialize()
+    pairs = cosine_pairs_exact(
+        emb_ds.select_columns(["vec_id", "embedding"]),
+        threshold=threshold, n_buckets=n_buckets)
+    # one row per dropped id (greater side of any near pair); comes out
+    # of a sort-based groupby -> may carry empty-schema blocks, so the
+    # join below scrubs that side
+    drops = pairs.groupby("vec_id_b").count().map_batches(
+        lambda t: pa.table({
+            "vec_id": t.column("vec_id_b"),
+            "dropped": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+    keep = emb_ds.select_columns(["vec_id", *keep_cols])
+    joined = join_datasets(keep, drops, on="vec_id",
+                           join_type="left_outer",
+                           scrub_left=False, scrub_right=True)
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("dropped")))
+        .select(["vec_id", *keep_cols]),
+        batch_format="pyarrow")

@@ -259,3 +259,82 @@ def knn_lsh(emb_ds, query_vec: np.ndarray, k: int = 10, radius: int = 1,
             pa.compute.is_in(t.column("bucket"), value_set=w)),
         batch_format="pyarrow").select_columns(["vec_id", "embedding"])
     return knn_bruteforce(cand, q, k=k, exclude_ids=exclude_ids)
+
+
+def label_centroids_fx(emb_ds, scale: int = 1_000_000,
+                       label_col: str = "label",
+                       emb_col: str = "embedding"):
+    """Per-label elementwise centroid evidence over an embedding
+    column — the class-prototype / k-means-E-step vector aggregate.
+
+    Returns (label, dim, sum_fx, n_vecs) long-form, dim 1-based;
+    centroid[dim] = sum_fx / (scale * n_vecs).  Each component is
+    floored to int64 fixed-point (``floor(x * scale)``) BEFORE
+    summation, so the sums are order-independent exact integers —
+    bit-identical on any engine, no float-accumulation tolerance.
+
+    Scale shape: the per-batch partial collapses D rows x dim floats
+    into (labels-in-batch x dim) integer rows, so the single groupby
+    shuffle moves O(labels * dim) per batch regardless of corpus size.
+    """
+    from ray.data.aggregate import Sum
+
+    from k_gap_ray.dsutil import list_col_matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"ck": z, "sum_p": z, "cnt_p": z})
+        labels = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        M = list_col_matrix(t.column(emb_col), dtype=np.float64)
+        F = np.floor(M * scale).astype(np.int64)
+        dims = F.shape[1]
+        if dims >= 4096:
+            raise ValueError("label_centroids_fx: dim must be < 4096 "
+                             "(composite-key packing)")
+        ul, inv = np.unique(labels, return_inverse=True)
+        S = np.zeros((len(ul), dims), dtype=np.int64)
+        np.add.at(S, inv, F)
+        cnt = np.bincount(inv).astype(np.int64)
+        # composite shuffle key (single-key groupby; dim 1-based)
+        ck = (np.repeat(ul, dims) * 4096
+              + np.tile(np.arange(1, dims + 1, dtype=np.int64), len(ul)))
+        return pa.table({"ck": pa.array(ck, pa.int64()),
+                         "sum_p": pa.array(S.reshape(-1), pa.int64()),
+                         "cnt_p": pa.array(np.repeat(cnt, dims), pa.int64())})
+
+    agg = (emb_ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("ck").aggregate(Sum("sum_p", alias_name="sum_fx"),
+                                    Sum("cnt_p", alias_name="n_vecs")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ck = t.column("ck")
+        k4096 = pa.scalar(4096, pa.int64())
+        return pa.table({
+            "label": pa.compute.divide(ck, k4096),
+            "dim": pa.compute.subtract(
+                ck, pa.compute.multiply(
+                    pa.compute.divide(ck, k4096), k4096)),
+            "sum_fx": pa.compute.cast(t.column("sum_fx"), pa.int64()),
+            "n_vecs": pa.compute.cast(t.column("n_vecs"), pa.int64())})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_label_centroids_fx(scale: int = 1_000_000,
+                           table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`label_centroids_fx` (parallel unnest)."""
+    return f"""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {scale})
+                              AS BIGINT))) AS fx
+      FROM {table})
+    SELECT label, dim, CAST(SUM(fx) AS BIGINT) AS sum_fx,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM ex GROUP BY label, dim
+    """

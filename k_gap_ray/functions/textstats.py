@@ -193,6 +193,66 @@ def vocab_df(ds, id_col: str = "doc_id", text_col: str = "text",
     return out
 
 
+def dup_ngram_spans(ds, n: int = 8, min_docs: int = 2,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Cross-document duplicated n-gram spans: (gram, n_docs) for every
+    token n-gram that occurs in >= ``min_docs`` DISTINCT documents —
+    the evidence table an ExactSubstr-style cross-doc deduplicator
+    consumes (repeated boilerplate/spans shared across pages).
+
+    Exactness at scale: each document lives wholly in one row, so the
+    per-batch distinct (gram, doc) pairs are GLOBALLY distinct; a
+    per-batch count per gram is an exact partial, and one
+    gram-keyed groupby-sum finishes it. The shuffle carries one row
+    per (gram, batch), not one per occurrence.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, grams = batch_token_ngrams(t, n, id_col, text_col)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "nd_p": pa.array([], pa.int64())})
+        # distinct (gram, doc) pairs, then docs-per-gram, in one arrow
+        # C++ two-key hash aggregate (no per-row python)
+        pairs = pa.table({"gram": grams, "d": ids}) \
+            .group_by(["gram", "d"]).aggregate([])
+        per_gram = pairs.group_by(["gram"]).aggregate([("d", "count")])
+        return pa.table({
+            "gram": per_gram.column("gram"),
+            "nd_p": pc.cast(per_gram.column("d_count"), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("gram").aggregate(Sum("nd_p", alias_name="n_docs")))
+    out = agg.map_batches(
+        lambda t: pa.table({"gram": t.column("gram"),
+                            "n_docs": pc.cast(t.column("n_docs"),
+                                              pa.int64())}),
+        batch_format="pyarrow")
+    if min_docs > 1:
+        out = out.filter(expr=f"n_docs >= {min_docs}")
+    return out
+
+
+def sql_dup_ngram_spans(n: int = 8, min_docs: int = 2,
+                        table: str = "documents") -> str:
+    """DuckDB oracle for :func:`dup_ngram_spans` (list-slice n-grams)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM {table}
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - {n - 1}),
+                    i -> array_to_string(l[i:i + {n - 1}], ' '))) AS gram
+      FROM toks WHERE len(l) >= {n}
+    )
+    SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM grams GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= {min_docs}
+    """
+
+
 def repetition_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style within-document repetition evidence, per doc:
 

@@ -838,3 +838,80 @@ def test_normalize_text_matches_duckdb(ray_session):
         "'\\s+', ' ', 'g'))) FROM documents ORDER BY doc_id").fetchall()]
     assert res == exp
     assert res[0] == "hello world"
+
+
+def test_dup_ngram_spans_planted(docs_ds):
+    from k_gap_ray.functions.textstats import dup_ngram_spans
+
+    # 3-grams shared across distinct docs: docs 0,1,2,7 share the
+    # "the quick brown ... lazy" prefix 3-grams (4 distinct docs);
+    # doc 4 shares nothing
+    rows = {r["gram"]: r["n_docs"]
+            for r in dup_ngram_spans(docs_ds, n=3, min_docs=2).take_all()}
+    assert rows["the quick brown"] == 4
+    assert rows["over the lazy"] == 4
+    # "the lazy dog" only in the three exact copies 0,2,7
+    assert rows["the lazy dog"] == 3
+    assert "spark join merge" not in rows  # single doc -> filtered
+
+
+def test_dup_ngram_spans_matches_duckdb(docs_ds):
+    import duckdb
+
+    from k_gap_ray.functions.textstats import (dup_ngram_spans,
+                                               sql_dup_ngram_spans)
+
+    mine = {(r["gram"], r["n_docs"])
+            for r in dup_ngram_spans(docs_ds, n=2, min_docs=2).take_all()}
+    con = duckdb.connect()
+    con.register("documents", docs_ds.to_pandas())
+    oracle = {(g, n) for g, n in con.execute(
+        sql_dup_ngram_spans(n=2, min_docs=2)).fetchall()}
+    assert mine == oracle and len(mine) > 0
+
+
+def test_label_centroids_fx_exact(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import (label_centroids_fx,
+                                                sql_label_centroids_fx)
+
+    rng = np.random.RandomState(7)
+    n, dim = 200, 16
+    emb = rng.randn(n, dim).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int64)
+    tbl = pa.table({
+        "label": pa.array(labels, pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1), pa.float32()), dim).cast(
+                pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(5)  # exercise cross-block sums
+    mine = {(r["label"], r["dim"]): (r["sum_fx"], r["n_vecs"])
+            for r in label_centroids_fx(ds).take_all()}
+    con = duckdb.connect()
+    con.register("embeddings", tbl.to_pandas())
+    oracle = {(l, d): (s, c) for l, d, s, c in con.execute(
+        sql_label_centroids_fx()).fetchall()}
+    assert mine == oracle
+    assert len(mine) == 3 * dim
+
+
+def test_near_dup_survivors_emb(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.functions.dedup import near_dup_survivors_emb
+
+    # vecs 0,1 identical direction; 2 orthogonal; 3 = copy of 2 -> the
+    # greater id of each near pair drops, min-id side survives
+    emb = np.array([[1.0, 0.0], [2.0, 0.0], [0.0, 1.0], [0.0, 3.0]],
+                   dtype=np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "label": pa.array([10, 11, 12, 13], pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1), pa.float32()), 2).cast(
+                pa.list_(pa.float32()))})
+    surv = {(r["vec_id"], r["label"]) for r in near_dup_survivors_emb(
+        rd.from_arrow(tbl), threshold=0.9, n_buckets=2).take_all()}
+    assert surv == {(0, 10), (2, 12)}
