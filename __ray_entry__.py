@@ -641,18 +641,38 @@ def _doc_source_counts(sf_dir: str):
             .rename_columns({"count()": "n"}))
 
 
+_DOCS_KG_CACHE: dict[str, Any] = {}
+
+
+def _docs_kg_run(sf_dir: str) -> dict[str, Any]:
+    """Docs-derived KG pipeline products, built ONCE per sf tier:
+    seven gate queries (kg_docs_* + the four SPARQL queries) consume
+    the same run, so re-executing the full extract->annotate->
+    canonicalize pipeline per query would multiply gate wall time by
+    7 for no information."""
+    import ray.data as rd
+
+    from k_gap_ray.pipelines.docs_kg import run_docs_pipeline
+
+    if sf_dir not in _DOCS_KG_CACHE:
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+        res = run_docs_pipeline(docs)
+        res["triples"] = res["triples"].materialize()
+        _DOCS_KG_CACHE[sf_dir] = res
+    return _DOCS_KG_CACHE[sf_dir]
+
+
+def _docs_quads(sf_dir: str):
+    return _docs_kg_run(sf_dir)["triples"]
+
+
 def _kg_docs_triples(sf_dir: str):
     """The REAL extract->annotate->canonicalize->materialize pipeline
     over a pages corpus derived deterministically from the registered
     documents table — the one KG product the gate can value-hash
     against a pure-SQL reconstruction (pipelines/docs_kg.py)."""
-    import ray.data as rd
-
-    from k_gap_ray.pipelines.docs_kg import kg_from_docs
-
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "lang", "source"])
-    return kg_from_docs(docs)
+    return _docs_quads(sf_dir)
 
 
 DOCS_SPARQL = """
@@ -672,16 +692,11 @@ def _sparql_docs(sf_dir: str):
     (pipelines/docs_kg.py:sql_docs_sparql). Reference parity:
     jupyter/kgap/notebooks/kgap_tools.py:22-31 (SPARQL SELECT against
     the graph store)."""
-    import ray.data as rd
-
-    from k_gap_ray.pipelines.docs_kg import kg_from_docs
     from k_gap_ray.sparql import sparql_select
 
     import pyarrow as _pa
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "lang", "source"])
-    res = sparql_select(kg_from_docs(docs), DOCS_SPARQL)
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL)
     # DISTINCT result is result-set-scale; pin the schema through the
     # driver edge (an empty Dataset loses its schema in to_pandas)
     return _pa.Table.from_pylist(
@@ -703,30 +718,69 @@ def _sparql_docs_agg(sf_dir: str):
     """SPARQL OPTIONAL (left join) + grouped COUNT over the
     docs-derived quads, against the same compiled-SQL oracle."""
     import pyarrow as _pa
-    import ray.data as rd
 
-    from k_gap_ray.pipelines.docs_kg import kg_from_docs
     from k_gap_ray.sparql import sparql_select
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "lang", "source"])
-    res = sparql_select(kg_from_docs(docs), DOCS_SPARQL_AGG)
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_AGG)
     return _pa.Table.from_pylist(
         res.take_all(),
         schema=_pa.schema([("loc", _pa.string()), ("n", _pa.int64())]))
+
+
+DOCS_SPARQL_UNION = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?a ?v WHERE {
+  { ?a kp:funds ?v . }
+  UNION
+  { ?a kp:manages ?v . FILTER (REGEX(?v, "marine|fund")) }
+}
+"""
+
+
+def _sparql_docs_union(sf_dir: str):
+    """SPARQL UNION (bag union of two BGP branches) with a REGEX
+    branch filter over the docs-derived quads; the oracle compiles the
+    SAME query to UNION ALL SQL (sparql_to_sql)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_UNION)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("v", _pa.string())]))
+
+
+DOCS_SPARQL_NOTEXISTS = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?a ?b WHERE {
+  ?a kp:funds ?b .
+  FILTER NOT EXISTS { ?b kp:funds ?a . }
+}
+"""
+
+
+def _sparql_docs_notexists(sf_dir: str):
+    """SPARQL FILTER NOT EXISTS (correlated anti-join on BOTH vars —
+    the composite-key path) over the docs-derived quads: non-mutual
+    funding pairs; the oracle is the compiled NOT EXISTS SQL."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_NOTEXISTS)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("b", _pa.string())]))
 
 
 def _kg_docs_mention_counts(sf_dir: str):
     """Mentions per canonical entity over the documents-derived corpus
     (the skew-prone combiner aggregate), value-hash-verified
     (pipelines/docs_kg.py:sql_docs_mention_counts)."""
-    import ray.data as rd
-
     from k_gap_ray.pipelines.docs_kg import kg_mention_counts_from_docs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "lang", "source"])
-    return kg_mention_counts_from_docs(docs)
+    return kg_mention_counts_from_docs(None, res=_docs_kg_run(sf_dir))
 
 
 def _kg_docs_entities(sf_dir: str):
@@ -734,13 +788,9 @@ def _kg_docs_entities(sf_dir: str):
     corpus, list columns flattened to sorted "|"-joined strings —
     value-hash-verified against the recursive-CTE component oracle
     (pipelines/docs_kg.py:sql_docs_entities)."""
-    import ray.data as rd
-
     from k_gap_ray.pipelines.docs_kg import kg_entities_from_docs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "lang", "source"])
-    return kg_entities_from_docs(docs)
+    return kg_entities_from_docs(None, res=_docs_kg_run(sf_dir))
 
 
 def _kg_report(sf_dir: str):
@@ -925,6 +975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_docs_mention_counts": _kg_docs_mention_counts,
         "q_sparql_docs": _sparql_docs,
         "q_sparql_docs_agg": _sparql_docs_agg,
+        "q_sparql_docs_union": _sparql_docs_union,
+        "q_sparql_docs_notexists": _sparql_docs_notexists,
     }
 
 
@@ -1208,6 +1260,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_docs_mention_counts": _sql_docs_mention_counts(),
         "q_sparql_docs": _sql_sparql_docs(),
         "q_sparql_docs_agg": _sql_sparql_docs_agg(),
+        "q_sparql_docs_union": _sql_sparql_docs_q(DOCS_SPARQL_UNION),
+        "q_sparql_docs_notexists": _sql_sparql_docs_q(DOCS_SPARQL_NOTEXISTS),
         # q_knn_lsh (approximate by design; recall pinned in pytest
         # against the exact result) and kg_* (computed over the
         # synthesized pages corpus, not the driver's tables) remain
@@ -1237,6 +1291,12 @@ def _sql_sparql_docs() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_sparql
 
     return sql_docs_sparql(DOCS_SPARQL)
+
+
+def _sql_sparql_docs_q(sparql: str) -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_sparql
+
+    return sql_docs_sparql(sparql)
 
 
 def _sql_sparql_docs_agg() -> str:

@@ -149,16 +149,25 @@ def build_pages_from_docs(docs_ds):
                                zero_copy_batch=True)
 
 
-def kg_from_docs(docs_ds):
+def run_docs_pipeline(docs_ds):
+    """Full in-memory KG pipeline over the derived corpus; returns the
+    product dict (triples/mentions/entities/mapping...). Callers that
+    need several products should run this ONCE and pass the dict to
+    the kg_*_from_docs helpers via ``res=`` instead of paying a full
+    pipeline execution per product."""
+    from k_gap_ray.pipeline import run_pipeline
+
+    return run_pipeline(build_pages_from_docs(docs_ds))
+
+
+def kg_from_docs(docs_ds, res=None):
     """Run the full in-memory KG pipeline over the derived corpus and
     return the canonical quad Dataset (subject-deduped, min-url
     provenance)."""
-    from k_gap_ray.pipeline import run_pipeline
-
-    return run_pipeline(build_pages_from_docs(docs_ds))["triples"]
+    return (res or run_docs_pipeline(docs_ds))["triples"]
 
 
-def kg_mention_counts_from_docs(docs_ds):
+def kg_mention_counts_from_docs(docs_ds, res=None):
     """Mentions per canonical entity over the derived corpus — the
     skew-prone combiner aggregate (ops/canonicalize.mention_counts),
     value-verifiable because mention emission is deterministic here:
@@ -167,23 +176,20 @@ def kg_mention_counts_from_docs(docs_ds):
     import ray
 
     from k_gap_ray.ops.canonicalize import mention_counts
-    from k_gap_ray.pipeline import run_pipeline
 
-    res = run_pipeline(build_pages_from_docs(docs_ds))
+    res = res or run_docs_pipeline(docs_ds)
     mapping = res["mapping"]
     ref = ray.put(mapping) if isinstance(mapping, dict) else mapping
     return mention_counts(res["mentions"], ref)
 
 
-def kg_entities_from_docs(docs_ds) -> pa.Table:
+def kg_entities_from_docs(docs_ds, res=None) -> pa.Table:
     """The pipeline's canonical entity table over the derived corpus,
     with the two list columns flattened to "|"-joined strings (both
     engine paths emit them pre-sorted; the oracle's ``string_agg``
     mirrors the join) so the driver's astype(str) value hash is
     layout-independent."""
-    from k_gap_ray.pipeline import run_pipeline
-
-    ents = run_pipeline(build_pages_from_docs(docs_ds))["entities"]
+    ents = (res or run_docs_pipeline(docs_ds))["entities"]
     if not isinstance(ents, pa.Table):  # distributed-CC path: Dataset
         import ray
 

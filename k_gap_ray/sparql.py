@@ -21,13 +21,20 @@ Supported subset (documented; out-of-subset input raises ValueError):
   union of named graphs); use DISTINCT for set-semantics results.
 - ``OPTIONAL { tp . FILTER }`` groups (each left-joined to the
   required part on their shared variables; unmatched rows null-fill).
+- ``{ bgp } UNION { bgp } [UNION ...]`` as the WHERE body (bag union,
+  == SQL UNION ALL; every branch must bind the same variable set;
+  use DISTINCT for set semantics). Branches are plain BGPs+FILTERs.
+- ``FILTER NOT EXISTS { tp . FILTER }`` anti-join groups (correlated
+  on the shared variables; applied after OPTIONAL joins, like the
+  other top-level filters — identically on both backends).
 - One ``(COUNT(?x) AS ?n)`` aggregate with ``GROUP BY`` (or global);
   ?x must be a required-group variable so COUNT == row count on both
   backends.
 - ``FILTER`` expressions: ``= != < <= > >=`` comparisons between
   variables and literals (string collation on both backends),
-  ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``, ``&&``, ``||``,
-  parentheses.
+  ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``, ``REGEX(?v, "re")``
+  (RE2-compatible patterns — both Arrow and DuckDB use RE2-family
+  engines), ``&&``, ``||``, parentheses.
 - ``ORDER BY [ASC(?v)|DESC(?v)|?v]``, ``LIMIT n``, ``OFFSET m``
   (offset applied at the driver edge on the sorted head, as in
   relational.q_sort_limit_offset).
@@ -84,6 +91,12 @@ class SparqlQuery:
     filters: list[tuple] = field(default_factory=list)
     # OPTIONAL groups, each left-joined to the required part in order
     optionals: list[tuple[list[Pattern], list[tuple]]] = \
+        field(default_factory=list)
+    # UNION branches (when non-empty, `patterns`/`optionals` are empty)
+    unions: list[tuple[list[Pattern], list[tuple]]] = \
+        field(default_factory=list)
+    # FILTER NOT EXISTS groups (anti-joined on their shared variables)
+    not_exists: list[tuple[list[Pattern], list[tuple]]] = \
         field(default_factory=list)
     # single aggregate: (fn, var, alias); COUNT only
     agg: tuple[str, str, str] | None = None
@@ -191,7 +204,7 @@ class _P:
             e = self.expr()
             self.expect_op(")")
             return e
-        if k == "kw" and v.upper() in ("STRSTARTS", "CONTAINS"):
+        if k == "kw" and v.upper() in ("STRSTARTS", "CONTAINS", "REGEX"):
             name = v.upper()
             self.next()
             self.expect_op("(")
@@ -262,34 +275,56 @@ def parse_sparql(query: str) -> SparqlQuery:
         q.select_vars = vs
     if not p.kw("WHERE"):
         raise ValueError("expected WHERE")
+
+    def parse_plain_group() -> tuple[list[Pattern], list[tuple]]:
+        """``{ tp . tp . FILTER }`` (no nesting); consumes through ``}``."""
+        p.expect_op("{")
+        pats: list[Pattern] = []
+        flts: list[tuple] = []
+        while p.peek() != ("op", "}"):
+            if p.kw("FILTER"):
+                p.expect_op("(")
+                flts.append(p.expr())
+                p.expect_op(")")
+            else:
+                pats.append(Pattern(p.term(), p.term(), p.term()))
+            if p.peek() == ("op", "."):
+                p.next()
+        p.next()  # }
+        if not pats:
+            raise ValueError("group needs at least one pattern")
+        return pats, flts
+
     p.expect_op("{")
-    while p.peek() != ("op", "}"):
-        if p.kw("FILTER"):
-            p.expect_op("(")
-            q.filters.append(p.expr())
-            p.expect_op(")")
-        elif p.kw("OPTIONAL"):
-            p.expect_op("{")
-            pats: list[Pattern] = []
-            flts: list[tuple] = []
-            while p.peek() != ("op", "}"):
-                if p.kw("FILTER"):
-                    p.expect_op("(")
-                    flts.append(p.expr())
-                    p.expect_op(")")
+    if p.peek() == ("op", "{"):
+        # union form: WHERE { { bgp } UNION { bgp } [UNION ...] }
+        q.unions.append(parse_plain_group())
+        while p.kw("UNION"):
+            q.unions.append(parse_plain_group())
+        if len(q.unions) < 2:
+            raise ValueError("a braced WHERE body needs UNION branches")
+        if p.peek() != ("op", "}"):
+            raise ValueError("UNION branches cannot mix with other "
+                             "WHERE elements in this subset")
+        p.next()  # }
+    else:
+        while p.peek() != ("op", "}"):
+            if p.kw("FILTER"):
+                if p.kw("NOT"):
+                    if not p.kw("EXISTS"):
+                        raise ValueError("expected EXISTS after FILTER NOT")
+                    q.not_exists.append(parse_plain_group())
                 else:
-                    pats.append(Pattern(p.term(), p.term(), p.term()))
-                if p.peek() == ("op", "."):
-                    p.next()
-            p.next()  # }
-            if not pats:
-                raise ValueError("OPTIONAL needs at least one pattern")
-            q.optionals.append((pats, flts))
-        else:
-            q.patterns.append(Pattern(p.term(), p.term(), p.term()))
-        if p.peek() == ("op", "."):
-            p.next()
-    p.next()  # }
+                    p.expect_op("(")
+                    q.filters.append(p.expr())
+                    p.expect_op(")")
+            elif p.kw("OPTIONAL"):
+                q.optionals.append(parse_plain_group())
+            else:
+                q.patterns.append(Pattern(p.term(), p.term(), p.term()))
+            if p.peek() == ("op", "."):
+                p.next()
+        p.next()  # }
     if p.kw("GROUP"):
         if not p.kw("BY"):
             raise ValueError("expected BY after GROUP")
@@ -324,19 +359,40 @@ def parse_sparql(query: str) -> SparqlQuery:
             q.offset = int(p.next()[1])
     if p.i != len(p.toks):
         raise ValueError(f"trailing tokens at {p.toks[p.i:]}")
-    if not q.patterns:
+    if not q.patterns and not q.unions:
         raise ValueError("WHERE needs at least one triple pattern")
     if q.offset and q.limit is None:
         raise ValueError("OFFSET requires LIMIT")
     if (q.limit is not None or q.offset) and not q.order_by:
         raise ValueError("LIMIT/OFFSET require ORDER BY (deterministic cut)")
-    required = set()
-    for pat in q.patterns:
-        required.update(pat.vars())
+    if q.unions:
+        branch_vars = []
+        for pats, _ in q.unions:
+            bv = set()
+            for pat in pats:
+                bv.update(pat.vars())
+            branch_vars.append(bv)
+        if any(bv != branch_vars[0] for bv in branch_vars[1:]):
+            raise ValueError(
+                "every UNION branch must bind the same variable set "
+                "(null-filling unbound union vars is out of subset)")
+        required = set(branch_vars[0])
+    else:
+        required = set()
+        for pat in q.patterns:
+            required.update(pat.vars())
     known = set(required)
     for pats, _ in q.optionals:
         for pat in pats:
             known.update(pat.vars())
+    for pats, _ in q.not_exists:
+        ne_vars = set()
+        for pat in pats:
+            ne_vars.update(pat.vars())
+        if not (ne_vars & known):
+            raise ValueError(
+                "FILTER NOT EXISTS group shares no variable with the "
+                "outer pattern (uncorrelated anti-join is out of subset)")
     for v in q.select_vars or []:
         if v not in known:
             raise ValueError(f"SELECT variable ?{v} is not bound")
@@ -400,6 +456,8 @@ def _eval(e: tuple, t: pa.Table):
         col = t.column(var)
         if name == "STRSTARTS":
             return pc.starts_with(col, lit)
+        if name == "REGEX":
+            return pc.match_substring_regex(col, lit)
         return pc.match_substring(col, lit)  # CONTAINS, literal substring
     _, op, left, right = e
     lv = t.column(left.value) if left.kind == "var" else left.value
@@ -494,7 +552,20 @@ def sparql_select(quads, query: str | SparqlQuery):
     # empty-schema blocks (dedup_quads output is a common input here)
     quads = drop_empty_blocks(quads.materialize())
 
-    plan, bound = _build_group(quads, q.patterns, [])
+    if q.unions:
+        # bag union of the branch plans (== SQL UNION ALL); branches
+        # bind the same vars (validated), project to one column order
+        order = sorted({v for pat in q.unions[0][0] for v in pat.vars()})
+        branches = []
+        for pats, flts in q.unions:
+            b, _ = _build_group(quads, pats, flts)
+            branches.append(b.map_batches(
+                lambda t, o=tuple(order): t.select(list(o)),
+                batch_format="pyarrow"))
+        plan = branches[0].union(*branches[1:])
+        bound = list(order)
+    else:
+        plan, bound = _build_group(quads, q.patterns, [])
     for pats, flts in q.optionals:
         sub, sub_bound = _build_group(quads, pats, flts)
         plan, bound = _join_plans(plan, bound, sub, sub_bound,
@@ -503,6 +574,37 @@ def sparql_select(quads, query: str | SparqlQuery):
     # unmatched (null) optional var is null → dropped, matching SQL
     if q.filters:
         plan = _apply_filters(plan, q.filters)
+    for pats, flts in q.not_exists:
+        # correlated anti-join: rows with a match in the group drop.
+        # The sub-plan is deduped to the DISTINCT shared-var tuples
+        # (EXISTS semantics — no row multiplication), marker-joined
+        # left-outer, then null-marker rows survive.
+        sub, sub_bound = _build_group(quads, pats, flts)
+        shared = [v for v in bound if v in sub_bound]
+        marker = (sub.map_batches(
+            lambda t, s=tuple(shared): t.select(list(s)),
+            batch_format="pyarrow")
+            .groupby(shared).count()
+            .map_batches(
+                lambda t, s=tuple(shared): pa.table(
+                    {**{v: t.column(v) for v in s},
+                     "__ne": pa.array([1] * t.num_rows, pa.int64())}),
+                batch_format="pyarrow"))
+        # the marker descends from a sort-based groupby -> can carry
+        # empty-SCHEMA zero-row blocks that crash the hash join; scrub
+        marker = drop_empty_blocks(marker.materialize())
+        if len(shared) == 1:
+            from k_gap_ray.dsutil import join_datasets
+            plan = join_datasets(plan, marker, on=shared[0],
+                                 join_type="left_outer",
+                                 scrub_left=False, scrub_right=False)
+        else:
+            plan = _composite_join(plan, marker, shared,
+                                   join_type="left_outer")
+        plan = plan.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("__ne")))
+            .drop_columns(["__ne"]),
+            batch_format="pyarrow")
 
     if q.agg is not None:
         _, _, alias = q.agg  # COUNT of a required var == row count
@@ -550,6 +652,8 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
                 f"{_expr_sql(e[2], var_bind)})")
     if tag == "fn":
         _, name, var, lit = e
+        if name == "REGEX":
+            return f"regexp_matches({var_bind[var]}, {_sql_str(lit)})"
         fn = "starts_with" if name == "STRSTARTS" else "contains"
         return f"{fn}({var_bind[var]}, {_sql_str(lit)})"
     _, op, left, right = e
@@ -596,7 +700,16 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
     required pattern group and each OPTIONAL group become derived
     tables, LEFT JOINed on their shared variables."""
     q = parse_sparql(query) if isinstance(query, str) else query
-    base_sql, base_vars = _group_sql(q.patterns, [], quads_rel)
+    if q.unions:
+        order = sorted({v for pat in q.unions[0][0] for v in pat.vars()})
+        parts = []
+        for i, (pats, flts) in enumerate(q.unions):
+            g_sql, _ = _group_sql(pats, flts, quads_rel)
+            parts.append("SELECT " + ", ".join(order)
+                         + f" FROM ({g_sql}) u{i}")
+        base_sql, base_vars = " UNION ALL ".join(parts), order
+    else:
+        base_sql, base_vars = _group_sql(q.patterns, [], quads_rel)
     outer_bind = {v: f"r.{v}" for v in base_vars}
     from_sql = f"({base_sql}) r"
     for i, (pats, flts) in enumerate(q.optionals):
@@ -610,6 +723,12 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
         for v in g_vars:
             outer_bind.setdefault(v, f"o{i}.{v}")
     conds = [_expr_sql(e, outer_bind) for e in q.filters]
+    for i, (pats, flts) in enumerate(q.not_exists):
+        g_sql, g_vars = _group_sql(pats, flts, quads_rel)
+        shared = [v for v in outer_bind if v in g_vars]
+        on = " AND ".join(f"nx{i}.{v} = {outer_bind[v]}" for v in shared)
+        conds.append(f"NOT EXISTS (SELECT 1 FROM ({g_sql}) nx{i} "
+                     f"WHERE {on})")
 
     if q.agg is not None:
         _, avar, alias = q.agg

@@ -66,6 +66,29 @@ CROSS_QUERIES = [
     'PREFIX p: <p:> SELECT ?l (COUNT(?x) AS ?n) WHERE '
     '{ ?x p:loc ?l . ?x p:knows ?y . } GROUP BY ?l'
     ' ORDER BY DESC(?n) ?l LIMIT 2',
+    # UNION of two branches binding the same vars (bag union)
+    'PREFIX p: <p:> SELECT ?x ?v WHERE '
+    '{ { ?x p:loc ?v . } UNION { ?x p:knows ?v . } }',
+    # UNION + DISTINCT + a filter inside one branch
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?v WHERE '
+    '{ { ?x p:loc ?v . FILTER (CONTAINS(?v, "bay")) } UNION '
+    '{ ?x p:knows ?v . } }',
+    # UNION feeding a grouped COUNT
+    'PREFIX p: <p:> SELECT ?x (COUNT(?v) AS ?n) WHERE '
+    '{ { ?x p:loc ?v . } UNION { ?x p:knows ?v . } } GROUP BY ?x',
+    # FILTER NOT EXISTS: knowers with no location
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' FILTER NOT EXISTS { ?x p:loc ?l . } }',
+    # NOT EXISTS with a filter inside the group (anti-join on a subset)
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' FILTER NOT EXISTS { ?x p:loc ?l . FILTER (CONTAINS(?l, "bay")) } }',
+    # NOT EXISTS correlated on TWO shared vars (composite anti-join):
+    # knows-pairs that are not mutual
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' FILTER NOT EXISTS { ?y p:knows ?x . } }',
+    # REGEX filter (RE2 dialect on both backends)
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:loc ?l .'
+    ' FILTER (REGEX(?l, "^l:(bay|shelf)$")) }',
 ]
 
 
