@@ -183,15 +183,23 @@ def _doc_cluster_labels(docs_ds, pairs_ds):
         batch_format="pyarrow")
 
 
+_DOC_CLUSTERS_CACHE: dict[str, Any] = {}
+
+
 def _doc_dup_clusters(sf_dir: str):
     """A8 connected components over the exact 4-gram-Jaccard dup
     pairs: every doc labeled with the min doc_id of its duplicate
-    cluster (singletons label themselves)."""
+    cluster (singletons label themselves). Built once per sf tier —
+    q_doc_dup_clusters and q_doc_neardup_dedup consume the same
+    labels, so the pair join + CC would otherwise run twice."""
     from k_gap_ray.functions.dedup import ngram_jaccard_pairs
 
-    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
-    pairs = ngram_jaccard_pairs(docs, threshold=0.75, shingle_k=4)
-    return _doc_cluster_labels(docs, pairs)
+    if sf_dir not in _DOC_CLUSTERS_CACHE:
+        docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+        pairs = ngram_jaccard_pairs(docs, threshold=0.75, shingle_k=4)
+        _DOC_CLUSTERS_CACHE[sf_dir] = \
+            _doc_cluster_labels(docs, pairs).materialize()
+    return _DOC_CLUSTERS_CACHE[sf_dir]
 
 
 def _doc_neardup_dedup(sf_dir: str):
