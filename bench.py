@@ -160,6 +160,16 @@ def run_bench() -> dict:
         rd.read_parquet(f"{d}/embeddings.parquet",
                         columns=["vec_id", "embedding"]), threshold=0.4))
 
+    from k_gap_ray.functions.similarity import label_centroids_fx
+    from k_gap_ray.functions.textstats import dup_ngram_spans
+
+    timed("q_doc_dup_spans", lambda d: dup_ngram_spans(
+        rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"]),
+        n=8, min_docs=2))
+    timed("q_emb_centroids", lambda d: label_centroids_fx(
+        rd.read_parquet(f"{d}/embeddings.parquet",
+                        columns=["label", "embedding"])))
+
     ray.shutdown()
     return result()
 
