@@ -782,6 +782,32 @@ def _sparql_docs_notexists(sf_dir: str):
         schema=_pa.schema([("a", _pa.string()), ("b", _pa.string())]))
 
 
+DOCS_SPARQL_CONSTRUCT = """
+PREFIX kp: <urn:kgap:pred:>
+CONSTRUCT {
+  ?a <urn:kgap:pred:partner> ?b .
+  ?b <urn:kgap:pred:partner> ?a .
+}
+WHERE { { ?a kp:funds ?b . } UNION { ?a kp:manages ?b . } }
+"""
+
+
+def _sparql_docs_construct(sf_dir: str):
+    """SPARQL CONSTRUCT (M6 vocabulary remap as a query): fold the
+    funds/manages predicates into one symmetric `partner` relation
+    over the docs-derived quads; the oracle is the compiled
+    UNION-ALL-of-templates DISTINCT SQL."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_construct
+
+    res = sparql_construct(_docs_quads(sf_dir), DOCS_SPARQL_CONSTRUCT)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("subj", _pa.string()), ("pred", _pa.string()),
+                           ("obj", _pa.string())]))
+
+
 def _kg_docs_mention_counts(sf_dir: str):
     """Mentions per canonical entity over the documents-derived corpus
     (the skew-prone combiner aggregate), value-hash-verified
@@ -985,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_agg": _sparql_docs_agg,
         "q_sparql_docs_union": _sparql_docs_union,
         "q_sparql_docs_notexists": _sparql_docs_notexists,
+        "q_sparql_docs_construct": _sparql_docs_construct,
     }
 
 
@@ -1270,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_agg": _sql_sparql_docs_agg(),
         "q_sparql_docs_union": _sql_sparql_docs_q(DOCS_SPARQL_UNION),
         "q_sparql_docs_notexists": _sql_sparql_docs_q(DOCS_SPARQL_NOTEXISTS),
+        "q_sparql_docs_construct": _sql_sparql_docs_construct(),
         # q_knn_lsh (approximate by design; recall pinned in pytest
         # against the exact result) and kg_* (computed over the
         # synthesized pages corpus, not the driver's tables) remain
@@ -1305,6 +1333,12 @@ def _sql_sparql_docs_q(sparql: str) -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_sparql
 
     return sql_docs_sparql(sparql)
+
+
+def _sql_sparql_docs_construct() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_construct
+
+    return sql_docs_construct(DOCS_SPARQL_CONSTRUCT)
 
 
 def _sql_sparql_docs_agg() -> str:

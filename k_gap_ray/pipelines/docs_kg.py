@@ -330,6 +330,16 @@ def sql_docs_sparql(sparql: str, docs_table: str = "documents") -> str:
             + sparql_to_sql(sparql, quads_rel="quads"))
 
 
+def sql_docs_construct(sparql: str, docs_table: str = "documents") -> str:
+    """DuckDB oracle for a SPARQL CONSTRUCT run over the docs-derived
+    canonical quad set (same CTE plumbing as :func:`sql_docs_sparql`,
+    compiled by the independent CONSTRUCT SQL backend)."""
+    from k_gap_ray.sparql import sparql_construct_to_sql
+
+    return (_sql_ctes(docs_table) + _sql_quads_cte() + "\n"
+            + sparql_construct_to_sql(sparql, quads_rel="quads"))
+
+
 def _sql_quads_cte() -> str:
     return f""",
 trip AS (

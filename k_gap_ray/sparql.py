@@ -38,6 +38,11 @@ Supported subset (documented; out-of-subset input raises ValueError):
 - ``ORDER BY [ASC(?v)|DESC(?v)|?v]``, ``LIMIT n``, ``OFFSET m``
   (offset applied at the driver edge on the sorted head, as in
   relational.q_sort_limit_offset).
+- ``CONSTRUCT { tp . tp . } WHERE { ... }`` (:func:`sparql_construct`
+  / :func:`sparql_construct_to_sql`): instantiate each template per
+  solution, drop instantiations with unbound OPTIONAL vars, return
+  the DISTINCT triple set — the M6 vocabulary-remap operator as a
+  query; no solution modifiers.
 
 Scale notes: every triple pattern is an independent pruned scan of the
 (materialized-once) quads Dataset; patterns sharing one variable join
@@ -98,6 +103,9 @@ class SparqlQuery:
     # FILTER NOT EXISTS groups (anti-joined on their shared variables)
     not_exists: list[tuple[list[Pattern], list[tuple]]] = \
         field(default_factory=list)
+    # CONSTRUCT template (when non-empty this is a CONSTRUCT query:
+    # select_vars/agg/order/limit are unused; result = DISTINCT triples)
+    construct: list[Pattern] = field(default_factory=list)
     # single aggregate: (fn, var, alias); COUNT only
     agg: tuple[str, str, str] | None = None
     group_by: list[str] = field(default_factory=list)
@@ -236,8 +244,20 @@ def parse_sparql(query: str) -> SparqlQuery:
         if ik != "iri":
             raise ValueError("PREFIX needs an <iri>")
         p.prefixes[pfx] = iv[1:-1]
+    if p.kw("CONSTRUCT"):
+        q = SparqlQuery(select_vars=None)
+        p.expect_op("{")
+        while p.peek() != ("op", "}"):
+            q.construct.append(Pattern(p.term(), p.term(), p.term()))
+            if p.peek() == ("op", "."):
+                p.next()
+        p.next()  # }
+        if not q.construct:
+            raise ValueError("CONSTRUCT needs at least one template "
+                             "triple")
+        return _parse_where_and_modifiers(p, q)
     if not p.kw("SELECT"):
-        raise ValueError("only SELECT queries are supported")
+        raise ValueError("only SELECT/CONSTRUCT queries are supported")
     q = SparqlQuery(select_vars=None)
     q.distinct = p.kw("DISTINCT")
     if p.peek() == ("op", "*"):
@@ -273,6 +293,10 @@ def parse_sparql(query: str) -> SparqlQuery:
         if not vs and q.agg is None:
             raise ValueError("SELECT needs variables or *")
         q.select_vars = vs
+    return _parse_where_and_modifiers(p, q)
+
+
+def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
     if not p.kw("WHERE"):
         raise ValueError("expected WHERE")
 
@@ -415,6 +439,17 @@ def parse_sparql(query: str) -> SparqlQuery:
     for v, _ in q.order_by:
         if v not in out:
             raise ValueError(f"ORDER BY ?{v} must be a selected variable")
+    if q.construct:
+        if q.agg is not None or q.order_by or q.limit is not None \
+                or q.distinct:
+            raise ValueError("CONSTRUCT takes no solution modifiers in "
+                             "this subset (the result is already a "
+                             "distinct triple set)")
+        for tp in q.construct:
+            for v in tp.vars():
+                if v not in known:
+                    raise ValueError(
+                        f"CONSTRUCT template variable ?{v} is not bound")
     return q
 
 
@@ -540,17 +575,11 @@ def _build_group(quads, patterns: list[Pattern], filters: list[tuple]):
     return plan, bound
 
 
-def sparql_select(quads, query: str | SparqlQuery):
-    """Execute a SPARQL SELECT (subset) over a quads Dataset with
-    columns subj/pred/obj (extra columns ignored). Returns a Dataset
-    (or pa.Table when LIMIT pagination cuts at the driver edge) whose
-    columns are the selected variable names."""
+def _solution_plan(quads, q: SparqlQuery):
+    """Build the solution-sequence plan (pattern joins, UNION,
+    OPTIONAL, filters, NOT EXISTS anti-joins) shared by SELECT and
+    CONSTRUCT; returns (plan, bound vars)."""
     from k_gap_ray.dsutil import drop_empty_blocks
-
-    q = parse_sparql(query) if isinstance(query, str) else query
-    # one materialize, N pattern scans — also scrubs groupby-produced
-    # empty-schema blocks (dedup_quads output is a common input here)
-    quads = drop_empty_blocks(quads.materialize())
 
     if q.unions:
         # bag union of the branch plans (== SQL UNION ALL); branches
@@ -605,6 +634,23 @@ def sparql_select(quads, query: str | SparqlQuery):
             lambda t: t.filter(pc.is_null(t.column("__ne")))
             .drop_columns(["__ne"]),
             batch_format="pyarrow")
+    return plan, bound
+
+
+def sparql_select(quads, query: str | SparqlQuery):
+    """Execute a SPARQL SELECT (subset) over a quads Dataset with
+    columns subj/pred/obj (extra columns ignored). Returns a Dataset
+    (or pa.Table when LIMIT pagination cuts at the driver edge) whose
+    columns are the selected variable names."""
+    from k_gap_ray.dsutil import drop_empty_blocks
+
+    q = parse_sparql(query) if isinstance(query, str) else query
+    if q.construct:
+        raise ValueError("use sparql_construct for CONSTRUCT queries")
+    # one materialize, N pattern scans — also scrubs groupby-produced
+    # empty-schema blocks (dedup_quads output is a common input here)
+    quads = drop_empty_blocks(quads.materialize())
+    plan, bound = _solution_plan(quads, q)
 
     if q.agg is not None:
         _, _, alias = q.agg  # COUNT of a required var == row count
@@ -632,6 +678,58 @@ def sparql_select(quads, query: str | SparqlQuery):
                 [(v, pa.int64() if v == alias else pa.string())
                  for v in out_vars]))
     return plan
+
+
+def sparql_construct(quads, query: str | SparqlQuery):
+    """Execute a SPARQL CONSTRUCT (subset) over a quads Dataset:
+    instantiate every template triple for every solution, drop
+    instantiations with an unbound (null OPTIONAL) variable, and
+    return the DISTINCT (subj, pred, obj) triple Dataset — a graph is
+    a set. The M6 vocabulary-remap operator expressed as a query."""
+    from ray.data.aggregate import Min
+
+    from k_gap_ray.dsutil import drop_empty_blocks
+
+    q = parse_sparql(query) if isinstance(query, str) else query
+    if not q.construct:
+        raise ValueError("sparql_construct needs a CONSTRUCT query")
+    quads = drop_empty_blocks(quads.materialize())
+    plan, _ = _solution_plan(quads, q)
+    templates = list(q.construct)
+
+    def emit(t: pa.Table) -> pa.Table:
+        outs = []
+        for tp in templates:
+            cols: dict = {}
+            mask = None
+            for name, term in (("subj", tp.s), ("pred", tp.p),
+                               ("obj", tp.o)):
+                if term.kind == "var":
+                    col = t.column(term.value)
+                    m = pc.is_valid(col)
+                    mask = m if mask is None else pc.and_(mask, m)
+                    cols[name] = pc.cast(col, pa.string())
+                else:
+                    cols[name] = pa.array([term.value] * t.num_rows,
+                                          pa.string())
+            tb = pa.table(cols)
+            if mask is not None:
+                tb = tb.filter(mask)
+            outs.append(tb)
+        return pa.concat_tables(outs)
+
+    tri = plan.map_batches(emit, batch_format="pyarrow")
+    # distinct triple set via ONE composite-key groupby (the key
+    # determines all three columns, so Min reconstructs them)
+    keyed = tri.map_batches(
+        lambda t: t.append_column("__k", pc.binary_join_element_wise(
+            t.column("subj"), t.column("pred"), t.column("obj"), _SEP)),
+        batch_format="pyarrow")
+    ded = keyed.groupby("__k").aggregate(
+        Min("subj", alias_name="subj"), Min("pred", alias_name="pred"),
+        Min("obj", alias_name="obj"))
+    return ded.map_batches(lambda t: t.select(["subj", "pred", "obj"]),
+                           batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -694,12 +792,9 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
     return sql, out
 
 
-def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
-    """Compile the same SPARQL subset to ANSI SQL over a relation with
-    columns subj/pred/obj — the independent oracle backend. The
-    required pattern group and each OPTIONAL group become derived
-    tables, LEFT JOINed on their shared variables."""
-    q = parse_sparql(query) if isinstance(query, str) else query
+def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
+    """Solution relation shared by SELECT and CONSTRUCT compilation:
+    returns (from_sql, outer_bind var->column map, WHERE conds)."""
     if q.unions:
         order = sorted({v for pat in q.unions[0][0] for v in pat.vars()})
         parts = []
@@ -729,6 +824,51 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
         on = " AND ".join(f"nx{i}.{v} = {outer_bind[v]}" for v in shared)
         conds.append(f"NOT EXISTS (SELECT 1 FROM ({g_sql}) nx{i} "
                      f"WHERE {on})")
+    return from_sql, outer_bind, conds
+
+
+def sparql_construct_to_sql(query: str | SparqlQuery,
+                            quads_rel: str = "quads") -> str:
+    """Compile a CONSTRUCT (subset) query to ANSI SQL yielding the
+    DISTINCT (subj, pred, obj) triple set — the oracle backend for
+    :func:`sparql_construct`. The solution relation is inlined once
+    per template triple (derived tables, no CTE — callers prepend
+    their own WITH clauses)."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    if not q.construct:
+        raise ValueError("sparql_construct_to_sql needs CONSTRUCT")
+    from_sql, outer_bind, conds = _solution_sql_parts(q, quads_rel)
+    sol = ("SELECT " + ", ".join(f"{outer_bind[v]} AS {v}"
+                                 for v in outer_bind)
+           + "\nFROM " + from_sql)
+    if conds:
+        sol += "\nWHERE " + " AND ".join(conds)
+    parts = []
+    for i, tp in enumerate(q.construct):
+        sel, notnull = [], []
+        for name, term in (("subj", tp.s), ("pred", tp.p), ("obj", tp.o)):
+            if term.kind == "var":
+                sel.append(f"s{i}.{term.value} AS {name}")
+                notnull.append(f"s{i}.{term.value} IS NOT NULL")
+            else:
+                sel.append(f"{_sql_str(term.value)} AS {name}")
+        part = f"SELECT {', '.join(sel)} FROM (\n{sol}\n) s{i}"
+        if notnull:
+            part += " WHERE " + " AND ".join(notnull)
+        parts.append(part)
+    return ("SELECT DISTINCT subj, pred, obj FROM (\n"
+            + "\nUNION ALL\n".join(parts) + "\n) cons")
+
+
+def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
+    """Compile the same SPARQL subset to ANSI SQL over a relation with
+    columns subj/pred/obj — the independent oracle backend. The
+    required pattern group and each OPTIONAL group become derived
+    tables, LEFT JOINed on their shared variables."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    if q.construct:
+        raise ValueError("use sparql_construct_to_sql for CONSTRUCT")
+    from_sql, outer_bind, conds = _solution_sql_parts(q, quads_rel)
 
     if q.agg is not None:
         _, avar, alias = q.agg

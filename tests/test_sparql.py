@@ -153,3 +153,47 @@ def test_docs_sparql_driver_query(ray_session):
     ora = con.execute(sql_docs_sparql(em.DOCS_SPARQL)).df()
     assert len(eng) == len(ora) > 0
     assert _hash_df(eng) == _hash_df(ora)
+
+
+CONSTRUCT_QUERIES = [
+    # vocabulary remap over a UNION solution
+    'PREFIX p: <p:> CONSTRUCT { ?x <p:connected> ?v . } WHERE '
+    '{ { ?x p:loc ?v . } UNION { ?x p:knows ?v . } }',
+    # two templates incl. a constant-object typing triple; unbound
+    # OPTIONAL var drops only ITS template instantiation
+    'PREFIX p: <p:> CONSTRUCT { ?x <p:hasLoc> ?l . ?x <p:a> "node" . } '
+    'WHERE { ?x p:knows ?y . OPTIONAL { ?x p:loc ?l . } }',
+    # reverse-edge construction under a filter (dedup across solutions)
+    'PREFIX p: <p:> CONSTRUCT { ?y <p:knownBy> ?x . } WHERE '
+    '{ ?x p:knows ?y . FILTER (?x != ?y) }',
+]
+
+
+@pytest.mark.parametrize("query", CONSTRUCT_QUERIES)
+def test_construct_backends_agree(ray_session, query):
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.sparql import sparql_construct, sparql_construct_to_sql
+
+    res = sparql_construct(rd.from_arrow(QUADS).repartition(3), query)
+    mine = res.to_pandas()
+    con = duckdb.connect()
+    con.register("quads", QUADS.to_pandas())
+    ora = con.execute(sparql_construct_to_sql(query)).df()
+    assert len(mine) == len(ora) and len(mine) > 0
+    assert sorted(mine.columns) == sorted(ora.columns)
+    assert _hash_df(mine) == _hash_df(ora)
+
+
+def test_construct_rejects_modifiers_and_unbound():
+    from k_gap_ray.sparql import parse_sparql
+
+    for q in [
+        'PREFIX p: <p:> CONSTRUCT { ?x <p:y> ?z . } WHERE '
+        '{ ?x p:knows ?y . }',                         # unbound ?z
+        'PREFIX p: <p:> CONSTRUCT { ?x <p:y> ?y . } WHERE '
+        '{ ?x p:knows ?y . } ORDER BY ?x LIMIT 2',     # modifiers
+    ]:
+        with pytest.raises(ValueError):
+            parse_sparql(q)
