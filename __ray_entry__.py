@@ -565,6 +565,19 @@ def _doc_dup_spans(sf_dir: str):
                            n=8, min_docs=2)
 
 
+def _part_fuzzy_pairs(sf_dir: str):
+    """Edit-distance fuzzy join over the DISTINCT part-name vocabulary
+    (typo/variant surface matching): name pairs within Levenshtein 2.
+    Bucket-pair-replicated exact quadratic over the vocabulary, banded
+    vectorized DP; the oracle is DuckDB's levenshtein()."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.dedup import fuzzy_name_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return fuzzy_name_pairs(ds, "p_name", max_dist=2)
+
+
 def _knn(sf_dir: str):
     from k_gap_ray.functions.similarity import knn_by_id
 
@@ -978,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_repetition": _doc_repetition,
         "q_doc_packing": _doc_packing,
         "q_doc_dup_spans": _doc_dup_spans,
+        "q_part_fuzzy_pairs": _part_fuzzy_pairs,
         "q_doc_search": _doc_search,
         "q_doc_redact": _doc_redact,
         # --- graph traversal (J5) / graph analytics ---
@@ -1713,6 +1727,13 @@ def _text_analysis_oracles() -> dict[str, str]:
         """,
         "q_emb_centroids": _sql_emb_centroids(),
         "q_doc_dup_spans": _sql_doc_dup_spans(),
+        "q_part_fuzzy_pairs": """
+            WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+            SELECT a.name AS name_a, b.name AS name_b
+            FROM names a JOIN names b ON a.name < b.name
+            WHERE abs(len(a.name) - len(b.name)) <= 2
+              AND levenshtein(a.name, b.name) <= 2
+        """,
     }
 
 

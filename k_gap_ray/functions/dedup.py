@@ -739,3 +739,129 @@ def near_dup_survivors_emb(emb_ds, threshold: float = 0.4,
         lambda t: t.filter(pc.is_null(t.column("dropped")))
         .select(["vec_id", *keep_cols]),
         batch_format="pyarrow")
+
+
+def _levenshtein_vec(a_codes, a_len, b_codes, b_len, k: int):
+    """Levenshtein distance for P string pairs at once: the classic DP
+    with both index loops in Python (O(maxlen^2) iterations) but every
+    cell update vectorized across the P pairs. Pads never match (-1 vs
+    -2 sentinels chosen by the caller). Returns (P,) int64 distances
+    clamped at k+1 (exact for all d <= k)."""
+    P, La = a_codes.shape
+    Lb = b_codes.shape[1]
+    cap = np.int64(k + 1)
+    prev = np.tile(np.minimum(np.arange(Lb + 1, dtype=np.int64), cap),
+                   (P, 1))
+    out = np.where(a_len == 0, np.minimum(b_len, cap), cap)
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = min(i, int(cap))
+        ai = a_codes[:, i - 1][:, None]
+        cost = (ai != b_codes).astype(np.int64)  # (P, Lb)
+        for j in range(1, Lb + 1):
+            cur[:, j] = np.minimum.reduce([
+                prev[:, j] + 1, cur[:, j - 1] + 1,
+                prev[:, j - 1] + cost[:, j - 1]])
+        np.minimum(cur, cap, out=cur)
+        hit = a_len == i
+        if hit.any():
+            out[hit] = cur[hit, b_len[hit]]
+        prev = cur
+    return out
+
+
+def fuzzy_name_pairs(ds, col: str, max_dist: int = 2, n_buckets: int = 4):
+    """Edit-distance fuzzy join over the DISTINCT values of a string
+    column: (name_a, name_b) with name_a < name_b and
+    levenshtein <= ``max_dist`` — the typo/variant surface-matching
+    operator of the dedup family.
+
+    Scale shape: the quadratic join runs over the DISTINCT value
+    vocabulary (one slim groupby), not the rows; the vocabulary is
+    bucket-pair replicated exactly like :func:`cosine_pairs_exact`
+    (deterministic content hash % n_buckets, every unordered bucket
+    pair computed once, B(B+1)/2-way parallel), with a length-window
+    prefilter (|len(a)-len(b)| <= max_dist is necessary) before the
+    vectorized DP."""
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.textstats import hash_tokens
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"name": pc.unique(
+            t.column(col).combine_chunks())})
+
+    names = (ds.map_batches(distinct_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("name").count()
+             .map_batches(lambda t: pa.table({"name": t.column("name")}),
+                          batch_format="pyarrow"))
+
+    def explode(t: pa.Table) -> pa.Table:
+        arr = t.column("name")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return pa.table({"pair_key": pa.array([], pa.int64()),
+                             "name": pa.array([], pa.string())})
+        own = (hash_tokens(arr, 1000003, (1 << 61) - 1)
+               % np.uint64(n_buckets)).astype(np.int64)
+        keys, idx = [], []
+        for j in range(n_buckets):
+            lo = np.minimum(own, j)
+            hi = np.maximum(own, j)
+            keys.append(lo * n_buckets + hi)
+            idx.append(np.arange(n))
+        return pa.table({
+            "pair_key": pa.array(np.concatenate(keys), pa.int64()),
+            "name": arr.take(pa.array(np.concatenate(idx)))})
+
+    def group_pairs(t: pa.Table) -> pa.Table:
+        from k_gap_ray.functions.textstats import hash_tokens as _ht
+
+        vals = t.column("name")
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        names_np = np.array(vals.to_pylist(), dtype=object)
+        names_np = np.unique(names_np)  # drop replicated copies
+        n = len(names_np)
+        empty = pa.table({"name_a": pa.array([], pa.string()),
+                          "name_b": pa.array([], pa.string())})
+        if n < 2:
+            return empty
+        key = int(t.column("pair_key")[0].as_py())
+        blo, bhi = key // n_buckets, key % n_buckets
+        lens = np.array([len(s) for s in names_np], dtype=np.int64)
+        ai, bi = np.nonzero(
+            np.abs(lens[:, None] - lens[None, :]) <= max_dist)
+        keep = ai < bi  # unordered pair once (names are sorted unique)
+        ai, bi = ai[keep], bi[keep]
+        if len(ai) == 0:
+            return empty
+        # pair emitted only by its own bucket-multiset group
+        hb = (_ht(pa.array(list(names_np), pa.string()), 1000003,
+                  (1 << 61) - 1) % np.uint64(n_buckets)).astype(np.int64)
+        mset = (np.minimum(hb[ai], hb[bi]) == blo) \
+            & (np.maximum(hb[ai], hb[bi]) == bhi)
+        ai, bi = ai[mset], bi[mset]
+        if len(ai) == 0:
+            return empty
+        # codepoint matrices for the vocab once, indexed per pair;
+        # different pad sentinels so pads never count as equal
+        L = int(lens.max())
+        A = np.full((n, L), -1, dtype=np.int64)
+        B = np.full((n, L), -2, dtype=np.int64)
+        for r, s in enumerate(names_np):
+            cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) \
+                .astype(np.int64)
+            A[r, :len(cps)] = cps
+            B[r, :len(cps)] = cps
+        d = _levenshtein_vec(A[ai], lens[ai], B[bi], lens[bi], max_dist)
+        ok = d <= max_dist
+        return pa.table({"name_a": pa.array(names_np[ai[ok]], pa.string()),
+                         "name_b": pa.array(names_np[bi[ok]], pa.string())})
+
+    exploded = names.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby("pair_key").map_groups(
+        group_pairs, batch_format="pyarrow")

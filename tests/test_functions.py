@@ -915,3 +915,48 @@ def test_near_dup_survivors_emb(ray_session):
     surv = {(r["vec_id"], r["label"]) for r in near_dup_survivors_emb(
         rd.from_arrow(tbl), threshold=0.9, n_buckets=2).take_all()}
     assert surv == {(0, 10), (2, 12)}
+
+
+def test_fuzzy_name_pairs_planted(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.functions.dedup import fuzzy_name_pairs
+
+    names = ["widget", "widgit", "widgets", "gadget", "sprocket",
+             "sproket", "bolt", "" ]  # incl. empty string edge
+    tbl = pa.table({"p_name": pa.array(names * 3, pa.string())})
+    pairs = {(r["name_a"], r["name_b"]) for r in fuzzy_name_pairs(
+        rd.from_arrow(tbl).repartition(3), "p_name",
+        max_dist=2).take_all()}
+    assert ("widget", "widgit") in pairs
+    assert ("widget", "widgets") in pairs
+    assert ("widgets", "widgit") in pairs       # distance 2
+    assert ("sprocket", "sproket") in pairs     # pairs sorted a < b
+    assert ("gadget", "widget") in pairs        # g->w, a->i: distance 2
+    assert not any("bolt" in p for p in pairs)  # nothing within 2 of bolt
+    assert not any("" in p for p in pairs)      # len filter drops empty
+
+
+def test_fuzzy_name_pairs_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.dedup import fuzzy_name_pairs
+
+    rng = np.random.RandomState(3)
+    base = ["alpha", "alphas", "bravo", "brav", "charlie", "charlee",
+            "delta", "dleta", "echo", "ecco", "foxtrot", "foxtrots"]
+    names = [base[i] for i in rng.randint(0, len(base), 200)]
+    tbl = pa.table({"p_name": pa.array(names, pa.string())})
+    mine = {(r["name_a"], r["name_b"]) for r in fuzzy_name_pairs(
+        rd.from_arrow(tbl).repartition(4), "p_name",
+        max_dist=2).take_all()}
+    con = duckdb.connect()
+    con.register("part", tbl.to_pandas())
+    ora = {tuple(r) for r in con.execute("""
+        WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+        SELECT a.name, b.name FROM names a JOIN names b
+        ON a.name < b.name
+        WHERE abs(len(a.name) - len(b.name)) <= 2
+          AND levenshtein(a.name, b.name) <= 2""").fetchall()}
+    assert mine == ora and len(mine) > 0
