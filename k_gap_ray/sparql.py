@@ -35,6 +35,9 @@ Supported subset (documented; out-of-subset input raises ValueError):
   ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``, ``REGEX(?v, "re")``
   (RE2-compatible patterns — both Arrow and DuckDB use RE2-family
   engines), ``&&``, ``||``, parentheses.
+- ``VALUES ?x { v v ... }`` single-variable inline data (top-level
+  WHERE element; compiled to a membership mask / SQL ``IN`` list on
+  an already-bound variable).
 - ``ORDER BY [ASC(?v)|DESC(?v)|?v]``, ``LIMIT n``, ``OFFSET m``
   (offset applied at the driver edge on the sorted head, as in
   relational.q_sort_limit_offset).
@@ -344,6 +347,22 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                     p.expect_op(")")
             elif p.kw("OPTIONAL"):
                 q.optionals.append(parse_plain_group())
+            elif p.kw("VALUES"):
+                # single-variable inline-data form: VALUES ?x { v v }
+                var = p.term()
+                if var.kind != "var":
+                    raise ValueError("VALUES needs a variable")
+                p.expect_op("{")
+                vals: list[str] = []
+                while p.peek() != ("op", "}"):
+                    t_ = p.term()
+                    if t_.kind == "var":
+                        raise ValueError("VALUES data must be constants")
+                    vals.append(t_.value)
+                p.next()  # }
+                if not vals:
+                    raise ValueError("VALUES needs at least one value")
+                q.filters.append(("in", var.value, vals))
             else:
                 q.patterns.append(Pattern(p.term(), p.term(), p.term()))
             if p.peek() == ("op", "."):
@@ -486,6 +505,9 @@ def _eval(e: tuple, t: pa.Table):
         return pc.or_(_eval(e[1], t), _eval(e[2], t))
     if tag == "and":
         return pc.and_(_eval(e[1], t), _eval(e[2], t))
+    if tag == "in":  # VALUES inline data: membership mask
+        _, var, vals = e
+        return pc.is_in(t.column(var), value_set=pa.array(vals, pa.string()))
     if tag == "fn":
         _, name, var, lit = e
         col = t.column(var)
@@ -748,6 +770,10 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
     if tag == "and":
         return (f"({_expr_sql(e[1], var_bind)} AND "
                 f"{_expr_sql(e[2], var_bind)})")
+    if tag == "in":  # VALUES inline data
+        _, var, vals = e
+        return (f"{var_bind[var]} IN ("
+                + ", ".join(_sql_str(v) for v in vals) + ")")
     if tag == "fn":
         _, name, var, lit = e
         if name == "REGEX":

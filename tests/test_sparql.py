@@ -89,6 +89,12 @@ CROSS_QUERIES = [
     # REGEX filter (RE2 dialect on both backends)
     'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:loc ?l .'
     ' FILTER (REGEX(?l, "^l:(bay|shelf)$")) }',
+    # VALUES inline data (membership restriction on a bound var)
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' VALUES ?x { "e:a" "e:d" } }',
+    # VALUES combined with a comparison filter
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:loc ?l .'
+    ' VALUES ?l { "l:bay" "l:shelf" "l:nowhere" } FILTER (?x != "e:c") }',
 ]
 
 
