@@ -960,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semi_join": rel.q_semi_join,
         "q_topk_orders": rel.q_topk_orders,
         "q_top_orders_per_priority": rel.q_top_orders_per_priority,
+        "q_orders_rank": rel.q_orders_rank,
         "q_events_median_by_type": rel.q_events_median_by_type,
         "q_events_p90_by_type": rel.q_events_p90_by_type,
         "q_sort_limit_offset": rel.q_sort_limit_offset,
@@ -1141,6 +1142,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q_events_watermark": "SELECT max(ts) AS max_ts FROM events",
+        "q_orders_rank": """
+            SELECT o_orderkey,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                           DESC) AS BIGINT) AS price_rank
+            FROM orders
+        """,
         "q_events_value_delta": """
             SELECT event_id,
                    CAST(v - lag(v) OVER w AS BIGINT) AS delta_s

@@ -329,6 +329,29 @@ def q_events_user_running(sf_dir: str):
     return ds.groupby("user_id").map_groups(running, batch_format="pandas")
 
 
+def q_orders_rank(sf_dir: str):
+    """Partition-by window RANK: dense_rank of order value within its
+    priority class. Rank is computed on the fixed-point int price, so
+    it depends only on VALUES (ties share a rank) — deterministic
+    across engines with no tie-order ambiguity. Per-group state via
+    groupby(key).map_groups, the same window pattern as the running
+    aggregate; 5 priority classes is a known-skewed partitioning
+    (documented — salt or two-pass rank for high-cardinality keys)."""
+
+    def rank(df):
+        import numpy as np
+
+        v = np.rint(df["o_totalprice"].to_numpy() * 100).astype("int64")
+        uniq = np.unique(-v)  # ascending of negated == descending values
+        df["price_rank"] = (np.searchsorted(uniq, -v) + 1).astype("int64")
+        return df[["o_orderkey", "price_rank"]]
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return ds.groupby("o_orderpriority").map_groups(
+        rank, batch_format="pandas")
+
+
 def q_events_watermark(sf_dir: str):
     """W2 high-watermark: global MAX over event time
     (docs/components/ldes-consumer.md:338-343)."""
