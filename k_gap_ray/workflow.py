@@ -138,6 +138,29 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
             from k_gap_ray.functions.multimodal import frame_sample_stage
 
             ds = frame_sample_stage(ds, **step)
+        elif op == "dup_ngram_spans":
+            from k_gap_ray.functions.textstats import dup_ngram_spans
+
+            ds = dup_ngram_spans(ds, **step)
+        elif op == "fuzzy_name_pairs":
+            from k_gap_ray.functions.dedup import fuzzy_name_pairs
+
+            ds = fuzzy_name_pairs(ds, step.pop("col"), **step)
+        elif op == "label_centroids":
+            from k_gap_ray.functions.similarity import label_centroids_fx
+
+            ds = label_centroids_fx(ds, **step)
+        elif op == "emb_dedup":
+            from k_gap_ray.functions.dedup import near_dup_survivors_emb
+
+            ds = near_dup_survivors_emb(ds, **step)
+        elif op == "sparql":
+            from k_gap_ray.sparql import (parse_sparql, sparql_construct,
+                                          sparql_select)
+
+            parsed = parse_sparql(step.pop("query"))
+            ds = sparql_construct(ds, parsed) if parsed.construct \
+                else sparql_select(ds, parsed)
         elif op == "construct_remap":
             from k_gap_ray.ops.transform import construct_remap
 

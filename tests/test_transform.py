@@ -286,3 +286,59 @@ def test_mixture_sample_stratified(ray_session):
         exp = set(base[base["lang"].isna() if grp is None
                        else base["lang"] == grp]["doc_id"])
         assert got == exp
+
+
+def test_workflow_late_round2_steps(ray_session, sf_dir):
+    """X1 coverage of the late-round-2 operators chained declaratively:
+    dup_ngram_spans, fuzzy_name_pairs, label_centroids, emb_dedup, and
+    the sparql step (SELECT and CONSTRUCT dispatch)."""
+    import pyarrow as pa
+
+    from k_gap_ray.workflow import run_workflow
+
+    spans = run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/documents.parquet",
+         "columns": ["doc_id", "text"]},
+        {"op": "dup_ngram_spans", "n": 8, "min_docs": 2},
+    ])
+    assert {"gram", "n_docs"} == set(spans.schema().names)
+
+    fz = run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/part.parquet",
+         "columns": ["p_name"]},
+        {"op": "fuzzy_name_pairs", "col": "p_name", "max_dist": 2},
+    ])
+    assert {"name_a", "name_b"} == set(fz.schema().names)
+
+    cen = run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/embeddings.parquet",
+         "columns": ["label", "embedding"]},
+        {"op": "label_centroids"},
+    ])
+    assert cen.count() > 0
+
+    surv = run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/embeddings.parquet",
+         "columns": ["vec_id", "embedding", "label"]},
+        {"op": "emb_dedup", "threshold": 0.4},
+    ])
+    assert 0 < surv.count() <= 500
+
+    quads = pa.table({
+        "subj": ["e:a", "e:b", "e:a"],
+        "pred": ["p:knows", "p:knows", "p:loc"],
+        "obj": ["e:b", "e:a", "l:bay"]})
+    import ray.data as rd
+
+    sel = run_workflow(
+        [{"op": "sparql",
+          "query": "SELECT ?x WHERE { ?x <p:loc> ?l . }"}],
+        dataset=rd.from_arrow(quads))
+    assert [r["x"] for r in sel.take_all()] == ["e:a"]
+    con = run_workflow(
+        [{"op": "sparql",
+          "query": "CONSTRUCT { ?y <p:knownBy> ?x . } WHERE "
+                   "{ ?x <p:knows> ?y . }"}],
+        dataset=rd.from_arrow(quads))
+    got = {(r["subj"], r["pred"], r["obj"]) for r in con.take_all()}
+    assert got == {("e:b", "p:knownBy", "e:a"), ("e:a", "p:knownBy", "e:b")}
