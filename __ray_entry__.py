@@ -555,6 +555,25 @@ def _emb_centroids(sf_dir: str):
     return label_centroids_fx(ds)
 
 
+def _doc_len_hist(sf_dir: str):
+    """Sequence-length histogram (training-data length profiling):
+    docs per 50-token bucket. One vectorized token count + one tiny
+    bucket-keyed groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.textstats import token_counts
+
+    tc = token_counts(_docs(sf_dir, ["doc_id", "text"]))
+    bucketed = tc.map_batches(
+        lambda t: pa.table({"bucket": pc.multiply(
+            pc.divide(t.column("n_tokens"), pa.scalar(50, pa.int64())),
+            pa.scalar(50, pa.int64()))}),
+        batch_format="pyarrow")
+    return (bucketed.groupby("bucket").count()
+            .rename_columns({"count()": "n_docs"}))
+
+
 def _doc_dup_spans(sf_dir: str):
     """Cross-document duplicated 8-gram spans (ExactSubstr-style
     boilerplate evidence): token 8-grams occurring in >= 2 distinct
@@ -950,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": rel.q_events_sessions,
         "q_events_asof_click": rel.q_events_asof_click,
         "q_events_user_running": rel.q_events_user_running,
+        "q_events_ntile": rel.q_events_ntile,
         "q_events_value_delta": rel.q_events_value_delta,
         "q_events_watermark": rel.q_events_watermark,
         "q_events_hll_users": _events_hll_users,
@@ -992,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_repetition": _doc_repetition,
         "q_doc_packing": _doc_packing,
         "q_doc_dup_spans": _doc_dup_spans,
+        "q_doc_len_hist": _doc_len_hist,
         "q_part_fuzzy_pairs": _part_fuzzy_pairs,
         "q_doc_search": _doc_search,
         "q_doc_redact": _doc_redact,
@@ -1149,6 +1170,21 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
                            DESC) AS BIGINT) AS price_rank
             FROM orders
+        """,
+        "q_events_ntile": """
+            SELECT event_id,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(round(value * 100) AS BIGINT),
+                                event_id) AS BIGINT) AS quartile
+            FROM events
+        """,
+        "q_doc_len_hist": """
+            SELECT (CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1
+                    END // 50) * 50 AS bucket,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1
         """,
         "q_events_value_delta": """
             SELECT event_id,

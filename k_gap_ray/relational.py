@@ -352,6 +352,29 @@ def q_orders_rank(sf_dir: str):
         rank, batch_format="pandas")
 
 
+def q_events_ntile(sf_dir: str):
+    """NTILE window: quartile assignment of event value within its
+    event-type partition, ordered by the exact fixed-point value with
+    event_id tie-break (fully deterministic). SQL's NTILE fill rule —
+    the first n%k buckets take the extra row — reproduced verbatim."""
+
+    def ntile(df):
+        import numpy as np
+
+        v = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        df = df.assign(v=v).sort_values(["v", "event_id"],
+                                        kind="mergesort")
+        n, k = len(df), 4
+        base, rem = divmod(n, k)
+        sizes = [base + 1] * rem + [base] * (k - rem)
+        df["quartile"] = np.repeat(
+            np.arange(1, k + 1, dtype=np.int64), sizes)
+        return df[["event_id", "quartile"]]
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.groupby("event_type").map_groups(ntile, batch_format="pandas")
+
+
 def q_events_watermark(sf_dir: str):
     """W2 high-watermark: global MAX over event time
     (docs/components/ldes-consumer.md:338-343)."""
