@@ -27,9 +27,10 @@ Supported subset (documented; out-of-subset input raises ValueError):
 - ``FILTER NOT EXISTS { tp . FILTER }`` anti-join groups (correlated
   on the shared variables; applied after OPTIONAL joins, like the
   other top-level filters — identically on both backends).
-- One ``(COUNT(?x) AS ?n)`` aggregate with ``GROUP BY`` (or global);
-  ?x must be a required-group variable so COUNT == row count on both
-  backends.
+- One ``(COUNT|MIN|MAX(?x) AS ?n)`` aggregate with ``GROUP BY`` (or
+  global); ?x must be a required-group variable (so COUNT == row
+  count and MIN/MAX never see nulls, identically on both backends;
+  MIN/MAX compare strings — the quad object column's type).
 - ``FILTER`` expressions: ``= != < <= > >=`` comparisons between
   variables and literals (string collation on both backends),
   ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``, ``REGEX(?v, "re")``
@@ -272,15 +273,16 @@ def parse_sparql(query: str) -> SparqlQuery:
             if k == "var":
                 vs.append(p.next()[1][1:])
             elif (k, v) == ("op", "("):
-                # (COUNT(?x) AS ?alias)
+                # (COUNT|MIN|MAX(?x) AS ?alias)
                 p.next()
                 fk, fv = p.next()
-                if fk != "kw" or fv.upper() != "COUNT":
-                    raise ValueError("only COUNT aggregates are supported")
+                if fk != "kw" or fv.upper() not in ("COUNT", "MIN", "MAX"):
+                    raise ValueError(
+                        "only COUNT/MIN/MAX aggregates are supported")
                 p.expect_op("(")
                 t = p.term()
                 if t.kind != "var":
-                    raise ValueError("COUNT needs a variable")
+                    raise ValueError(f"{fv.upper()} needs a variable")
                 p.expect_op(")")
                 if not p.kw("AS"):
                     raise ValueError("aggregate needs AS ?alias")
@@ -290,7 +292,7 @@ def parse_sparql(query: str) -> SparqlQuery:
                 p.expect_op(")")
                 if q.agg is not None:
                     raise ValueError("only one aggregate is supported")
-                q.agg = ("COUNT", t.value, av[1:])
+                q.agg = (fv.upper(), t.value, av[1:])
             else:
                 break
         if not vs and q.agg is None:
@@ -675,12 +677,22 @@ def sparql_select(quads, query: str | SparqlQuery):
     plan, bound = _solution_plan(quads, q)
 
     if q.agg is not None:
-        _, _, alias = q.agg  # COUNT of a required var == row count
-        if not q.group_by:
-            n = plan.count()
-            return pa.table({alias: pa.array([n], pa.int64())})
-        plan = (plan.groupby(q.group_by).count()
-                .rename_columns({"count()": alias}))
+        fn, avar, alias = q.agg  # aggregate over a REQUIRED var
+        if fn == "COUNT":  # required var -> COUNT == row count
+            if not q.group_by:
+                n = plan.count()
+                return pa.table({alias: pa.array([n], pa.int64())})
+            plan = (plan.groupby(q.group_by).count()
+                    .rename_columns({"count()": alias}))
+        else:  # MIN/MAX: string collation, same on both backends
+            from ray.data.aggregate import Max, Min
+
+            agg_cls = Min if fn == "MIN" else Max
+            if not q.group_by:
+                val = plan.min(avar) if fn == "MIN" else plan.max(avar)
+                return pa.table({alias: pa.array([val], pa.string())})
+            plan = plan.groupby(q.group_by).aggregate(
+                agg_cls(avar, alias_name=alias))
         out_vars = list(q.group_by) + [alias]
     else:
         out_vars = q.select_vars or bound
@@ -694,7 +706,9 @@ def sparql_select(quads, query: str | SparqlQuery):
         plan = plan.sort(keys, descending=desc)
     if q.limit is not None:
         head = plan.limit(q.offset + q.limit).take_all()
-        alias = q.agg[2] if q.agg is not None else None
+        # only COUNT aliases are integer-typed; MIN/MAX stay strings
+        alias = q.agg[2] if q.agg is not None and q.agg[0] == "COUNT" \
+            else None
         return pa.Table.from_pylist(
             head[q.offset:], schema=pa.schema(
                 [(v, pa.int64() if v == alias else pa.string())
@@ -897,9 +911,9 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
     from_sql, outer_bind, conds = _solution_sql_parts(q, quads_rel)
 
     if q.agg is not None:
-        _, avar, alias = q.agg
+        fn, avar, alias = q.agg
         sel_items = [f"{outer_bind[v]} AS {v}" for v in q.group_by]
-        sel_items.append(f"COUNT({outer_bind[avar]}) AS {alias}")
+        sel_items.append(f"{fn}({outer_bind[avar]}) AS {alias}")
         sql = "SELECT " + ", ".join(sel_items) + "\nFROM " + from_sql
         if conds:
             sql += "\nWHERE " + " AND ".join(conds)

@@ -95,6 +95,14 @@ CROSS_QUERIES = [
     # VALUES combined with a comparison filter
     'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:loc ?l .'
     ' VALUES ?l { "l:bay" "l:shelf" "l:nowhere" } FILTER (?x != "e:c") }',
+    # grouped MIN aggregate (string collation)
+    'PREFIX p: <p:> SELECT ?x (MIN(?y) AS ?first) WHERE '
+    '{ ?x p:knows ?y . } GROUP BY ?x',
+    # global MAX aggregate
+    'PREFIX p: <p:> SELECT (MAX(?l) AS ?top) WHERE { ?x p:loc ?l . }',
+    # grouped MAX over a UNION solution
+    'PREFIX p: <p:> SELECT ?x (MAX(?v) AS ?mx) WHERE '
+    '{ { ?x p:loc ?v . } UNION { ?x p:knows ?v . } } GROUP BY ?x',
 ]
 
 
