@@ -977,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_customer_nation_region": rel.q_join_customer_nation_region,
         "q_left_join_orders": rel.q_left_join_orders,
         "q_anti_join": rel.q_anti_join,
+        "q_full_outer_users": rel.q_full_outer_users,
         "q_semi_join": rel.q_semi_join,
         "q_topk_orders": rel.q_topk_orders,
         "q_top_orders_per_priority": rel.q_top_orders_per_priority,
@@ -1170,6 +1171,18 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
                            DESC) AS BIGINT) AS price_rank
             FROM orders
+        """,
+        "q_full_outer_users": """
+            WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS k
+                       FROM events),
+                 c AS (SELECT c_custkey AS k FROM customer
+                       WHERE c_custkey >= 100)
+            SELECT CASE WHEN u.k IS NULL THEN 'customer_only'
+                        WHEN c.k IS NULL THEN 'events_only'
+                        ELSE 'both' END AS side,
+                   count(*)::BIGINT AS n
+            FROM u FULL OUTER JOIN c ON u.k = c.k
+            GROUP BY 1
         """,
         "q_events_ntile": """
             SELECT event_id,

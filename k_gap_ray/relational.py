@@ -441,6 +441,47 @@ def q_left_join_orders(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_full_outer_users(sf_dir: str):
+    """FULL OUTER join (the J-family shape the other queries don't
+    cover): distinct event actors vs the customer key range >= 100,
+    classified into both / events_only / customer_only and counted —
+    all three null patterns exercised. The join is Ray's hash
+    full_outer; the classification is a vectorized null mask."""
+    from ray.data.aggregate import Count
+
+    from k_gap_ray.dsutil import join_datasets
+
+    users = (_read(sf_dir, "events", ["user_id"])
+             .map_batches(lambda t: pa.table({
+                 "u": pc.unique(pc.cast(t.column("user_id")
+                                        .combine_chunks(), pa.int64()))}),
+                 batch_format="pyarrow")
+             .groupby("u").count()
+             .map_batches(lambda t: pa.table({
+                 "u": t.column("u"),
+                 "has_u": pa.array([1] * t.num_rows, pa.int64())}),
+                 batch_format="pyarrow"))
+    cust = (_read(sf_dir, "customer", ["c_custkey"])
+            .filter(expr="c_custkey >= 100")
+            .map_batches(lambda t: pa.table({
+                "c": pc.cast(t.column("c_custkey"), pa.int64()),
+                "has_c": pa.array([1] * t.num_rows, pa.int64())}),
+                batch_format="pyarrow"))
+    j = join_datasets(users, cust, on="u", right_on="c",
+                      join_type="full_outer",
+                      scrub_left=False, scrub_right=False)
+
+    def classify(t: pa.Table) -> pa.Table:
+        no_u = pc.is_null(t.column("has_u"))
+        no_c = pc.is_null(t.column("has_c"))
+        side = pc.if_else(no_u, "customer_only",
+                          pc.if_else(no_c, "events_only", "both"))
+        return pa.table({"side": side})
+
+    return (j.map_batches(classify, batch_format="pyarrow")
+            .groupby("side").aggregate(Count(alias_name="n")))
+
+
 def q_anti_join(sf_dir: str):
     """J3 anti join (FILTER NOT EXISTS): customers with no high-value
     order (docs/components/jupyter.md:556-566). Broadcast key-set
