@@ -814,6 +814,90 @@ def _sparql_docs_notexists(sf_dir: str):
         schema=_pa.schema([("a", _pa.string()), ("b", _pa.string())]))
 
 
+DOCS_SPARQL_PATH = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?a ?loc WHERE {
+  ?a kp:funds+/kp:locatedIn ?loc .
+}
+"""
+
+
+def _sparql_docs_path(sf_dir: str):
+    """SPARQL property path over the docs-derived quads: the funds+
+    transitive closure (semi-naive Dataset iteration, cycle-safe)
+    composed with a locatedIn hop (sequence-path desugaring). The
+    oracle compiles the SAME query to a recursive-CTE SQL closure
+    (sparql.py:_group_sql). Reference parity: GraphDB property-path
+    queries, jupyter/kgap/notebooks/kgap_tools.py:22-31."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_PATH)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("loc", _pa.string())]))
+
+
+_TRI_PREDS = ("urn:kgap:pred:collaboratesWith",
+              "urn:kgap:pred:partnersWith")
+
+
+def _triangles(sf_dir: str):
+    """A8-family graph analytics #3 (after connected components and
+    PageRank): exact triangle count over the docs-derived
+    collaboration graph (collaboratesWith ∪ partnersWith, undirected).
+    Ray side = degree-ordered compact-forward wedge join
+    (functions/graph.py:triangle_count); oracle = orientation-free
+    a<b<c triple self-join over the SQL quads reconstruction — two
+    independent algorithms, one exact count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.graph import triangle_count
+
+    edges = _docs_quads(sf_dir).map_batches(
+        lambda t: (lambda m: pa.table(
+            {"src": t.column("subj").filter(m),
+             "dst": t.column("obj").filter(m)}))(
+            pc.is_in(t.column("pred"),
+                     value_set=pa.array(_TRI_PREDS))),
+        batch_format="pyarrow")
+    return triangle_count(edges)
+
+
+def _bfs_depths(sf_dir: str):
+    """J5-family multi-source BFS with min-depth labels over the
+    docs-derived funding graph: seeds = all managers (subjects of
+    `manages` edges, depth 0), edges = `funds`. Ray side = semi-naive
+    frontier iteration with Dataset-resident seeds
+    (functions/graph.py:bfs_depths); oracle = depth-bounded recursive
+    CTE + GROUP BY min over the SQL quads reconstruction."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.graph import bfs_depths
+
+    quads = _docs_quads(sf_dir)
+
+    def edge_scan(pred):
+        def scan(t):
+            m = pc.equal(t.column("pred"), pred)
+            return pa.table({"src": t.column("subj").filter(m),
+                             "dst": t.column("obj").filter(m)})
+        return scan
+
+    edges = quads.map_batches(edge_scan("urn:kgap:pred:funds"),
+                              batch_format="pyarrow")
+    seeds = quads.map_batches(
+        lambda t: pa.table({"node": t.column("subj").filter(
+            pc.equal(t.column("pred"), "urn:kgap:pred:manages"))}),
+        batch_format="pyarrow")
+    # the saturated docs entity graph is small at every tier: size the
+    # per-round shuffles to the graph, not the host CPU count
+    return bfs_depths(edges, seeds, num_partitions=4)
+
+
 DOCS_SPARQL_CONSTRUCT = """
 PREFIX kp: <urn:kgap:pred:>
 CONSTRUCT {
@@ -1049,6 +1133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_union": _sparql_docs_union,
         "q_sparql_docs_notexists": _sparql_docs_notexists,
         "q_sparql_docs_construct": _sparql_docs_construct,
+        "q_sparql_docs_path": _sparql_docs_path,
+        "q_triangles": _triangles,
+        "q_bfs_depths": _bfs_depths,
     }
 
 
@@ -1370,6 +1457,9 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_union": _sql_sparql_docs_q(DOCS_SPARQL_UNION),
         "q_sparql_docs_notexists": _sql_sparql_docs_q(DOCS_SPARQL_NOTEXISTS),
         "q_sparql_docs_construct": _sql_sparql_docs_construct(),
+        "q_sparql_docs_path": _sql_sparql_docs_q(DOCS_SPARQL_PATH),
+        "q_triangles": _sql_docs_triangles(),
+        "q_bfs_depths": _sql_docs_bfs(),
         # q_knn_lsh (approximate by design; recall pinned in pytest
         # against the exact result) and kg_* (computed over the
         # synthesized pages corpus, not the driver's tables) remain
@@ -1405,6 +1495,18 @@ def _sql_sparql_docs_q(sparql: str) -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_sparql
 
     return sql_docs_sparql(sparql)
+
+
+def _sql_docs_triangles() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_triangles
+
+    return sql_docs_triangles(_TRI_PREDS)
+
+
+def _sql_docs_bfs() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_bfs
+
+    return sql_docs_bfs("urn:kgap:pred:funds", "urn:kgap:pred:manages")
 
 
 def _sql_sparql_docs_construct() -> str:

@@ -165,3 +165,210 @@ r{i} AS (
 )""")
     parts.append(f"\nSELECT node, rank FROM r{iters}")
     return "".join(parts)
+
+
+def triangle_count(edges_ds, num_partitions: int | None = None):
+    """Undirected triangle count over an edge-list Dataset(src, dst);
+    returns a one-row pa.Table ``{n_triangles: int64}``.
+
+    Degree-ordered orientation (the "compact-forward" scheme): the
+    edge set is canonicalized to distinct undirected pairs (self-loops
+    and reverse/parallel duplicates dropped), then each edge {u, v} is
+    directed from the endpoint that is smaller in the (degree, node)
+    total order. Every triangle is counted exactly once — as the wedge
+    (a→b, a→c) closed by the oriented edge b→c — and, crucially for
+    scale, every out-neighborhood is O(sqrt(m)) even on hub-skewed
+    graphs, so the quadratic wedge self-join never explodes on a hot
+    node: a celebrity node with 10^6 undirected neighbors keeps only
+    the (rare) higher-degree ones as OUT-edges. Partitioning: the
+    wedge join is keyed on the wedge center, the closing join on the
+    composite (b, c) key — both plain hash shuffles.
+
+    DuckDB oracle: :func:`sql_triangles` (orientation-free triple
+    self-join — an intentionally different algorithm, same count).
+    """
+    from ray.data.aggregate import Min
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    _S = "\x1f"
+
+    def canon(t: pa.Table) -> pa.Table:
+        src = pc.cast(t.column("src"), pa.string())
+        dst = pc.cast(t.column("dst"), pa.string())
+        keep = pc.not_equal(src, dst)
+        src, dst = src.filter(keep), dst.filter(keep)
+        lo = pc.if_else(pc.less(src, dst), src, dst)
+        hi = pc.if_else(pc.less(src, dst), dst, src)
+        return pa.table({"a": lo, "b": hi,
+                         "__k": pc.binary_join_element_wise(lo, hi, _S)})
+
+    und = (edges_ds.map_batches(canon, batch_format="pyarrow")
+           .groupby("__k").aggregate(Min("a", alias_name="a"),
+                                     Min("b", alias_name="b"))
+           .map_batches(lambda t: t.select(["a", "b"]),
+                        batch_format="pyarrow"))
+    und = und.materialize()
+    if und.count() == 0:  # Ray 2.49 hash joins crash on empty sides
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    und = drop_empty_blocks(und)
+
+    # degree per node: partial per-batch counts, one slim shuffle
+    def node_partials(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t.column("a").combine_chunks(),
+                                 t.column("b").combine_chunks()])
+        vc = both.value_counts()
+        return pa.table({"node": vc.field("values"),
+                         "dp": pc.cast(vc.field("counts"), pa.int64())})
+
+    deg = (und.map_batches(node_partials, batch_format="pyarrow")
+           .groupby("node").sum("dp").rename_columns({"sum(dp)": "d"}))
+    deg = drop_empty_blocks(deg.materialize())
+
+    wa = join_datasets(und, deg, on="a", right_on="node",
+                       scrub_left=False, scrub_right=False) \
+        .map_batches(lambda t: pa.table(
+            {"a": t.column("a"), "b": t.column("b"),
+             "da": t.column("d")}), batch_format="pyarrow")
+    wab = join_datasets(wa, deg, on="b", right_on="node",
+                        scrub_left=False, scrub_right=False)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        da, db = t.column("da"), t.column("d")
+        a_first = pc.or_(pc.less(da, db),
+                         pc.and_(pc.equal(da, db), pc.less(a, b)))
+        return pa.table({
+            "u": pc.if_else(a_first, a, b),
+            "v": pc.if_else(a_first, b, a),
+            "dv": pc.if_else(a_first, db, da)})
+
+    ori = drop_empty_blocks(
+        wab.map_batches(orient, batch_format="pyarrow").materialize())
+
+    # wedges centered on u: out-neighbor pairs ordered by (deg, node)
+    left = ori.map_batches(lambda t: pa.table(
+        {"u": t.column("u"), "v1": t.column("v"), "dv1": t.column("dv")}),
+        batch_format="pyarrow")
+    right = ori.map_batches(lambda t: pa.table(
+        {"u": t.column("u"), "v2": t.column("v"), "dv2": t.column("dv")}),
+        batch_format="pyarrow")
+    wedges = join_datasets(left, right, on="u",
+                           num_partitions=num_partitions,
+                           scrub_left=False, scrub_right=False)
+
+    def wedge_keys(t: pa.Table) -> pa.Table:
+        lt = pc.or_(pc.less(t.column("dv1"), t.column("dv2")),
+                    pc.and_(pc.equal(t.column("dv1"), t.column("dv2")),
+                            pc.less(t.column("v1"), t.column("v2"))))
+        t = t.filter(lt)
+        return pa.table({"__ek": pc.binary_join_element_wise(
+            t.column("v1"), t.column("v2"), _S)})
+
+    cand = wedges.map_batches(wedge_keys, batch_format="pyarrow")
+    ekeys = ori.map_batches(lambda t: pa.table(
+        {"__ek": pc.binary_join_element_wise(
+            t.column("u"), t.column("v"), _S)}), batch_format="pyarrow")
+    closed = join_datasets(cand, ekeys, on="__ek",
+                           num_partitions=num_partitions,
+                           scrub_left=False, scrub_right=False)
+    return pa.table({"n_triangles": pa.array([closed.count()], pa.int64())})
+
+
+def sql_triangles(edges_sql: str, lead: str = "WITH") -> str:
+    """DuckDB oracle for :func:`triangle_count`: canonicalize to the
+    distinct undirected pair set, then the classic a<b<c triple
+    self-join — no degree orientation, deliberately a different
+    algorithm than the Ray side. ``edges_sql`` yields (src, dst);
+    pass ``lead=","`` to append to an existing WITH chain."""
+    return f"""{lead} __und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({edges_sql}) __e WHERE src <> dst
+)
+SELECT count(*) AS n_triangles FROM __und e1
+JOIN __und e2 ON e1.a = e2.a AND e1.b < e2.b
+JOIN __und e3 ON e3.a = e1.b AND e3.b = e2.b"""
+
+
+def bfs_depths(edges_ds, seeds_ds, max_depth: int = 32,
+               num_partitions: int | None = None):
+    """Multi-source BFS: minimum hop distance from any seed, as a
+    Dataset(node, depth). Seeds are depth 0; unreachable nodes absent.
+
+    Complements :func:`relational.dereference` (reachable SET from a
+    driver-side seed list): here the seeds are themselves a Dataset
+    (no driver materialization — the seed set may be query-derived and
+    huge), and the output carries the min depth label. Each round is
+    ONE hash join (frontier ⋈ edges on src) + ONE groupby-Min: the
+    round-d hop candidates are tagged depth d, unioned with the
+    visited table (union is free — no shuffle) and reduced by
+    ``groupby(node).Min(depth)``; rows whose min depth == d are
+    exactly the newly-reached nodes and become the next frontier
+    (semi-naive — re-reached old nodes keep their smaller depth and
+    drop out). Cycles terminate naturally; per-round join work is
+    proportional to the frontier, not the graph. ``max_depth`` only
+    guards pathological diameters.
+
+    DuckDB oracle: :func:`sql_bfs_depths` (depth-bounded recursive CTE
+    + GROUP BY min — a different formulation, same table).
+    """
+    from ray.data.aggregate import Min
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    def with_depth(ds, d: int):
+        return ds.map_batches(lambda t: pa.table(
+            {"node": pc.cast(t.column("node"), pa.string()),
+             "depth": pa.array([d] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+
+    def min_depth(ds):
+        return drop_empty_blocks(
+            ds.groupby("node").aggregate(Min("depth", alias_name="depth"))
+            .map_batches(lambda t: t.select(["node", "depth"]),
+                         batch_format="pyarrow").materialize())
+
+    visited = min_depth(with_depth(seeds_ds, 0))
+    frontier = visited
+    if visited.count() == 0:
+        return visited
+    edges = drop_empty_blocks(edges_ds.map_batches(
+        lambda t: pa.table({"src": pc.cast(t.column("src"), pa.string()),
+                            "dst": pc.cast(t.column("dst"), pa.string())}),
+        batch_format="pyarrow").materialize())
+    if edges.count() == 0:
+        return visited
+    for d in range(1, max_depth + 1):
+        hop = join_datasets(
+            frontier.map_batches(lambda t: t.select(["node"]),
+                                 batch_format="pyarrow"),
+            edges, on="node", right_on="src",
+            num_partitions=num_partitions,
+            scrub_left=False, scrub_right=False) \
+            .map_batches(lambda t: pa.table({"node": t.column("dst")}),
+                         batch_format="pyarrow")
+        visited = min_depth(visited.union(with_depth(hop, d)))
+        frontier = drop_empty_blocks(visited.map_batches(
+            lambda t, dd=d: t.filter(pc.equal(t.column("depth"), dd)),
+            batch_format="pyarrow").materialize())
+        if frontier.count() == 0:
+            return visited
+    return visited
+
+
+def sql_bfs_depths(edges_sql: str, seeds_sql: str,
+                   max_depth: int = 32,
+                   lead: str = "WITH RECURSIVE") -> str:
+    """DuckDB oracle for :func:`bfs_depths`: a depth-bounded recursive
+    CTE enumerating (node, depth) pairs (UNION set semantics bounds
+    the recursion), reduced by GROUP BY min. ``edges_sql`` yields
+    (src, dst); ``seeds_sql`` yields (node); pass ``lead=","`` to
+    append to an existing WITH RECURSIVE chain."""
+    return f"""{lead} __bfs(node, d) AS (
+  SELECT DISTINCT CAST(node AS VARCHAR), 0 FROM ({seeds_sql}) __s
+  UNION
+  SELECT CAST(e.dst AS VARCHAR), b.d + 1
+  FROM __bfs b JOIN ({edges_sql}) e ON CAST(e.src AS VARCHAR) = b.node
+  WHERE b.d < {max_depth}
+)
+SELECT node, min(d) AS depth FROM __bfs GROUP BY node"""

@@ -330,6 +330,38 @@ def sql_docs_sparql(sparql: str, docs_table: str = "documents") -> str:
             + sparql_to_sql(sparql, quads_rel="quads"))
 
 
+def sql_docs_triangles(preds: tuple[str, ...],
+                       docs_table: str = "documents") -> str:
+    """DuckDB oracle for a triangle count over the docs-derived quads
+    restricted to ``preds`` (undirected): the shared KG-reconstruction
+    CTEs feed ``quads``, then functions/graph.py:sql_triangles appends
+    its canonical-pair CTE and the a<b<c triple self-join."""
+    from k_gap_ray.functions.graph import sql_triangles
+
+    in_list = ", ".join("'" + p.replace("'", "''") + "'" for p in preds)
+    edges = ("SELECT subj AS src, obj AS dst FROM quads "
+             f"WHERE pred IN ({in_list})")
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sql_triangles(edges, lead=","))
+
+
+def sql_docs_bfs(edge_pred: str, seed_pred: str, max_depth: int = 32,
+                 docs_table: str = "documents") -> str:
+    """DuckDB oracle for multi-source BFS min-depths over the
+    docs-derived quads: seeds = distinct subjects of ``seed_pred``
+    edges, graph = ``edge_pred`` edges, closed by the depth-bounded
+    recursive CTE from functions/graph.py:sql_bfs_depths (appended to
+    the shared WITH RECURSIVE reconstruction chain)."""
+    from k_gap_ray.functions.graph import sql_bfs_depths
+
+    edges = ("SELECT subj AS src, obj AS dst FROM quads WHERE pred = "
+             + _q(edge_pred))
+    seeds = ("SELECT DISTINCT subj AS node FROM quads WHERE pred = "
+             + _q(seed_pred))
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sql_bfs_depths(edges, seeds, max_depth=max_depth, lead=","))
+
+
 def sql_docs_construct(sparql: str, docs_table: str = "documents") -> str:
     """DuckDB oracle for a SPARQL CONSTRUCT run over the docs-derived
     canonical quad set (same CTE plumbing as :func:`sql_docs_sparql`,

@@ -36,6 +36,13 @@ Supported subset (documented; out-of-subset input raises ValueError):
   ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``, ``REGEX(?v, "re")``
   (RE2-compatible patterns — both Arrow and DuckDB use RE2-family
   engines), ``&&``, ``||``, parentheses.
+- Property paths in the predicate position: ``^step`` (inverse),
+  ``step/step/...`` (sequence — desugared to extra patterns over
+  reserved ``__pp{n}`` hop variables, hidden from ``SELECT *``), and
+  ``<iri>+`` (one-or-more — the transitive closure of the predicate's
+  edge set, computed semi-naively in Dataset ops on the Ray backend
+  and by a recursive CTE on the SQL backend). ``+`` needs a constant
+  IRI; ``^``/``/`` compose with variable predicates too.
 - ``VALUES ?x { v v ... }`` single-variable inline data (top-level
   WHERE element; compiled to a membership mask / SQL ``IN`` list on
   an already-bound variable).
@@ -65,6 +72,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _SEP = "\x1f"  # composite join key separator (same caveat as dedup_quads)
+_INTERNAL = "__pp"  # reserved prefix: path-hop vars, hidden from SELECT *
 
 _POS_COLS = (("s", "subj"), ("p", "pred"), ("o", "obj"))
 
@@ -130,7 +138,7 @@ _TOKEN_RE = re.compile(
       |(?P<num>-?\d+)
       |(?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
       |(?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-      |(?P<op>&&|\|\||!=|<=|>=|[=<>{}().,;*])
+      |(?P<op>&&|\|\||!=|<=|>=|[=<>{}().,;*/+^])
     """,
     re.X,
 )
@@ -156,6 +164,7 @@ class _P:
         self.toks = toks
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.fresh = 0  # fresh internal-variable counter (path hops)
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.i] if self.i < len(self.toks) else ("", "")
@@ -193,6 +202,45 @@ class _P:
         if k == "num":
             return Term("lit", v)
         raise ValueError(f"bad term {v!r}")
+
+    def triple_patterns(self) -> list[Pattern]:
+        """One `subject path object` statement, desugared to patterns.
+
+        Property-path subset: ``^step`` (inverse), ``step/step/...``
+        (sequence), ``<iri>+`` (one-or-more; kept as a Term of kind
+        ``path+`` and closed transitively at execution time on both
+        backends). Sequence hops bind fresh internal ``__pp{n}``
+        variables (reserved prefix; excluded from ``SELECT *``)."""
+        s = self.term()
+        steps: list[tuple[bool, Term]] = []
+        while True:
+            inv = self.peek() == ("op", "^")
+            if inv:
+                self.next()
+            t = self.term()
+            if t.kind == "lit":
+                raise ValueError("literal in predicate position")
+            if self.peek() == ("op", "+"):
+                if t.kind != "iri":
+                    raise ValueError("'+' needs a constant IRI predicate")
+                self.next()
+                t = Term("path+", t.value)
+            steps.append((inv, t))
+            if self.peek() == ("op", "/"):
+                self.next()
+                continue
+            break
+        o = self.term()
+        pats, cur = [], s
+        for i, (inv, t) in enumerate(steps):
+            if i == len(steps) - 1:
+                nxt = o
+            else:
+                nxt = Term("var", f"{_INTERNAL}{self.fresh}")
+                self.fresh += 1
+            pats.append(Pattern(nxt, t, cur) if inv else Pattern(cur, t, nxt))
+            cur = nxt
+        return pats
 
     # FILTER expression: or > and > primary
     def expr(self) -> tuple:
@@ -316,7 +364,7 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                 flts.append(p.expr())
                 p.expect_op(")")
             else:
-                pats.append(Pattern(p.term(), p.term(), p.term()))
+                pats.extend(p.triple_patterns())
             if p.peek() == ("op", "."):
                 p.next()
         p.next()  # }
@@ -366,7 +414,7 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                     raise ValueError("VALUES needs at least one value")
                 q.filters.append(("in", var.value, vals))
             else:
-                q.patterns.append(Pattern(p.term(), p.term(), p.term()))
+                q.patterns.extend(p.triple_patterns())
             if p.peek() == ("op", "."):
                 p.next()
         p.next()  # }
@@ -415,7 +463,8 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
         for pats, _ in q.unions:
             bv = set()
             for pat in pats:
-                bv.update(pat.vars())
+                bv.update(v for v in pat.vars()
+                          if not v.startswith(_INTERNAL))
             branch_vars.append(bv)
         if any(bv != branch_vars[0] for bv in branch_vars[1:]):
             raise ValueError(
@@ -501,6 +550,99 @@ def _make_scan(pat: Pattern):
     return scan
 
 
+def _make_pair_scan(pat: Pattern):
+    """Project a closure pair table (__a/__b) onto the pattern's
+    subject/object terms — constants filter, variables name columns
+    (same contract as _make_scan, p slot already consumed)."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        mask = None
+        seen: dict[str, str] = {}
+        for term, col in ((pat.s, "__a"), (pat.o, "__b")):
+            if term.kind == "var":
+                if term.value in seen:  # ?x p+ ?x: cyclic nodes
+                    m = pc.equal(t.column(seen[term.value]), t.column(col))
+                    mask = m if mask is None else pc.and_(mask, m)
+                else:
+                    seen[term.value] = col
+            else:
+                m = pc.equal(t.column(col), term.value)
+                mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            t = t.filter(mask)
+        return pa.table({v: t.column(col) for v, col in seen.items()})
+
+    return scan
+
+
+def _path_plus(quads, pred: str):
+    """Transitive closure (one-or-more hops) of the ``pred`` edge
+    relation, as a Dataset with columns __a/__b/__k — the scan
+    relation behind a ``<p>+`` pattern slot.
+
+    Semi-naive iteration in pure Dataset ops: each round joins only
+    the newly-discovered pairs (delta) against the base edges, dedups
+    via ONE composite-key groupby, and anti-joins against the closure
+    so already-known pairs never re-enter the frontier; terminates on
+    cycles because the pair set grows monotonically. All-pairs by
+    design (both endpoints may be unbound variables); when one
+    endpoint is a constant, the seeded frontier walk
+    (relational.dereference) is the cheaper scale path — same
+    semantics, documented trade-off. The SQL oracle closes the same
+    relation with a recursive CTE (see _group_sql)."""
+    from ray.data.aggregate import Min
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    cols = ["__a", "__b", "__k"]
+
+    def scan(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column("pred"), pred))
+        return pa.table({"__a": sel.column("subj"),
+                         "__b": sel.column("obj")})
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column("__k", pc.binary_join_element_wise(
+            t.column("__a"), t.column("__b"), _SEP))
+
+    def distinct(ds):
+        ded = (ds.groupby("__k").aggregate(
+            Min("__a", alias_name="__a"), Min("__b", alias_name="__b"))
+            .map_batches(lambda t: t.select(cols), batch_format="pyarrow"))
+        return drop_empty_blocks(ded.materialize())
+
+    edges = distinct(quads.map_batches(scan, batch_format="pyarrow")
+                     .map_batches(keyed, batch_format="pyarrow"))
+    closure, delta = edges, edges
+    while True:
+        hop = join_datasets(
+            delta.map_batches(lambda t: pa.table(
+                {"__a": t.column("__a"), "__j": t.column("__b")}),
+                batch_format="pyarrow"),
+            edges.map_batches(lambda t: pa.table(
+                {"__j": t.column("__a"), "__nb": t.column("__b")}),
+                batch_format="pyarrow"),
+            on="__j", scrub_left=False, scrub_right=False)
+        hop = distinct(hop.map_batches(lambda t: keyed(pa.table(
+            {"__a": t.column("__a"), "__b": t.column("__nb")})),
+            batch_format="pyarrow"))
+        seen = closure.map_batches(lambda t: pa.table(
+            {"__k": t.column("__k"),
+             "__seen": pa.array([1] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+        new = (join_datasets(hop, seen, on="__k", join_type="left_outer",
+                             scrub_left=False, scrub_right=False)
+               .map_batches(
+                   lambda t: t.filter(pc.is_null(t.column("__seen")))
+                   .select(cols), batch_format="pyarrow")
+               .materialize())
+        if new.count() == 0:
+            return closure
+        new = drop_empty_blocks(new)
+        closure = drop_empty_blocks(closure.union(new).materialize())
+        delta = new
+
+
 def _eval(e: tuple, t: pa.Table):
     tag = e[0]
     if tag == "or":
@@ -583,13 +725,26 @@ def _apply_filters(plan, filters: list[tuple]):
 
 def _build_group(quads, patterns: list[Pattern], filters: list[tuple]):
     """Join a basic graph pattern's scans; returns (plan, bound vars)."""
+    from k_gap_ray.dsutil import drop_empty_blocks
+
     plan, bound = None, []
     for pat in patterns:
         # materialized per scan: joining two LAZY scans of the same
         # materialized parent silently yields 0 rows on Ray 2.49 (the
-        # slim var projections are cheap to pin)
-        ds = quads.map_batches(_make_scan(pat), batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
+        # slim var projections are cheap to pin). Scrubbed too: a
+        # zero-row scan block reaching a hash-join partition alone
+        # crashes the per-partition pyarrow join (observed with the
+        # many-tiny-block closure scans behind path+ patterns); the
+        # scrub is ref-iteration only on an already-materialized ds.
+        if pat.p.kind == "path+":
+            ds = (_path_plus(quads, pat.p.value)
+                  .map_batches(_make_pair_scan(pat),
+                               batch_format="pyarrow")
+                  .materialize())
+        else:
+            ds = quads.map_batches(_make_scan(pat), batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+        ds = drop_empty_blocks(ds)
         if plan is None:
             plan, bound = ds, list(pat.vars())
         else:
@@ -608,7 +763,8 @@ def _solution_plan(quads, q: SparqlQuery):
     if q.unions:
         # bag union of the branch plans (== SQL UNION ALL); branches
         # bind the same vars (validated), project to one column order
-        order = sorted({v for pat in q.unions[0][0] for v in pat.vars()})
+        order = sorted({v for pat in q.unions[0][0] for v in pat.vars()
+                        if not v.startswith(_INTERNAL)})
         branches = []
         for pats, flts in q.unions:
             b, _ = _build_group(quads, pats, flts)
@@ -695,7 +851,8 @@ def sparql_select(quads, query: str | SparqlQuery):
                 agg_cls(avar, alias_name=alias))
         out_vars = list(q.group_by) + [alias]
     else:
-        out_vars = q.select_vars or bound
+        out_vars = q.select_vars or [v for v in bound
+                                     if not v.startswith(_INTERNAL)]
         plan = plan.map_batches(lambda t: t.select(out_vars),
                                 batch_format="pyarrow")
         if q.distinct:
@@ -824,9 +981,25 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
     for e in filters:
         conds.append(_expr_sql(e, var_bind))
     out = list(var_bind)
+
+    def rel(i: int, pat: Pattern) -> str:
+        if pat.p.kind != "path+":
+            return f"{quads_rel} t{i}"
+        # one-or-more property path: the pattern's relation is the
+        # transitive closure of the pred edge set, computed by a
+        # recursive CTE (UNION = set semantics, terminates on cycles)
+        # — the independent oracle for _path_plus's semi-naive rounds
+        pl = _sql_str(pat.p.value)
+        return (f"(WITH RECURSIVE __cl{i}(subj, obj) AS ("
+                f"SELECT subj, obj FROM {quads_rel} WHERE pred = {pl}"
+                f" UNION "
+                f"SELECT c.subj, q.obj FROM __cl{i} c JOIN {quads_rel} q"
+                f" ON q.pred = {pl} AND c.obj = q.subj)"
+                f" SELECT subj, {pl} AS pred, obj FROM __cl{i}) t{i}")
+
     sql = ("SELECT " + ", ".join(f"{var_bind[v]} AS {v}" for v in out)
-           + " FROM " + ", ".join(f"{quads_rel} t{i}"
-                                  for i in range(len(patterns))))
+           + " FROM " + ", ".join(rel(i, pat)
+                                  for i, pat in enumerate(patterns)))
     if conds:
         sql += " WHERE " + " AND ".join(conds)
     return sql, out
@@ -836,7 +1009,8 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
     """Solution relation shared by SELECT and CONSTRUCT compilation:
     returns (from_sql, outer_bind var->column map, WHERE conds)."""
     if q.unions:
-        order = sorted({v for pat in q.unions[0][0] for v in pat.vars()})
+        order = sorted({v for pat in q.unions[0][0] for v in pat.vars()
+                        if not v.startswith(_INTERNAL)})
         parts = []
         for i, (pats, flts) in enumerate(q.unions):
             g_sql, _ = _group_sql(pats, flts, quads_rel)
@@ -921,7 +1095,8 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
             sql += "\nGROUP BY " + ", ".join(
                 outer_bind[v] for v in q.group_by)
     else:
-        out_vars = q.select_vars or list(outer_bind)
+        out_vars = q.select_vars or [v for v in outer_bind
+                                     if not v.startswith(_INTERNAL)]
         sel = ", ".join(f"{outer_bind[v]} AS {v}" for v in out_vars)
         sql = ("SELECT " + ("DISTINCT " if q.distinct else "") + sel
                + "\nFROM " + from_sql)

@@ -960,3 +960,68 @@ def test_fuzzy_name_pairs_matches_duckdb(ray_session):
         WHERE abs(len(a.name) - len(b.name)) <= 2
           AND levenshtein(a.name, b.name) <= 2""").fetchall()}
     assert mine == ora and len(mine) > 0
+
+
+def test_triangle_count_matches_sql_oracle(ray_session):
+    """Degree-ordered compact-forward triangle count equals the
+    orientation-free triple-self-join oracle on a graph with a K4,
+    a hub fan (no triangles among leaves), self-loops and
+    duplicate/reversed edges."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import sql_triangles, triangle_count
+
+    src = ["1", "1", "1", "2", "2", "3",   # K4 on 1..4 (4 triangles)
+           "h", "h", "h", "h", "h",        # hub fan to l1..l5
+           "l1", "1",                      # hub-leaf chord: l1-l2? no:
+           "4", "9"]                       # l1->1 edge, self-loop, dup
+    dst = ["2", "3", "4", "3", "4", "4",
+           "l1", "l2", "l3", "l4", "l5",
+           "1", "2",                       # duplicate of 1-2 (reversed
+           "4", "9"]                       # via l? below) + self-loops
+    edges = pa.table({"src": src, "dst": dst})
+    got = triangle_count(rd.from_arrow(edges).repartition(4))
+    exp = duckdb.connect().register("e", edges).execute(
+        sql_triangles("SELECT src, dst FROM e")).fetchone()[0]
+    assert got.column("n_triangles").to_pylist() == [exp]
+    # K4 contributes 4; h-l1-1? h-l1 and l1-1 exist but h-1 does not
+    assert exp == 4
+
+
+def test_triangle_count_empty_edges(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import triangle_count
+
+    edges = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+    got = triangle_count(rd.from_arrow(edges))
+    assert got.column("n_triangles").to_pylist() == [0]
+
+
+def test_bfs_depths_matches_sql_oracle(ray_session):
+    """Multi-source BFS min-depths (groupby-Min semi-naive rounds)
+    equal the depth-bounded recursive-CTE oracle on a graph with two
+    seeds, a shared frontier, a cycle back into a seed, and an
+    unreachable component."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import bfs_depths, sql_bfs_depths
+
+    edges = pa.table({
+        "src": ["s1", "s1", "a", "b", "c", "s2", "d", "x"],
+        "dst": ["a", "b", "c", "c", "s1", "d", "c", "y"]})
+    seeds = pa.table({"node": ["s1", "s2", "s2"]})  # dup seed row
+    got = {r["node"]: r["depth"] for r in bfs_depths(
+        rd.from_arrow(edges).repartition(3),
+        rd.from_arrow(seeds), num_partitions=2).take_all()}
+    con = duckdb.connect()
+    con.register("e", edges)
+    con.register("s", seeds)
+    exp = dict(con.execute(sql_bfs_depths(
+        "SELECT src, dst FROM e", "SELECT node FROM s")).fetchall())
+    assert got == exp
+    # spot semantics: shared node c is min(2 via s1, 2 via s2->d->c)
+    assert got["c"] == 2 and got["s1"] == 0 and "x" not in got

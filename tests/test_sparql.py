@@ -103,6 +103,24 @@ CROSS_QUERIES = [
     # grouped MAX over a UNION solution
     'PREFIX p: <p:> SELECT ?x (MAX(?v) AS ?mx) WHERE '
     '{ { ?x p:loc ?v . } UNION { ?x p:knows ?v . } } GROUP BY ?x',
+    # property path +: transitive closure over a CYCLIC knows graph
+    # (e:a->e:c->e:a); semi-naive rounds vs recursive CTE
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE { ?x p:knows+ ?y . }',
+    # path + with both endpoints the same var: nodes on a knows-cycle
+    'PREFIX p: <p:> SELECT DISTINCT ?x WHERE { ?x p:knows+ ?x . }',
+    # sequence path: closure feeding a second hop (fresh __pp var)
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?l WHERE '
+    '{ ?x p:knows+/p:loc ?l . }',
+    # inverse path: ^loc turns location into subject position
+    'PREFIX p: <p:> SELECT DISTINCT ?l ?x WHERE { ?l ^p:loc ?x . }',
+    # inverse + sequence: co-located pairs via ^loc/loc
+    'PREFIX p: <p:> SELECT DISTINCT ?a ?b WHERE '
+    '{ ?a p:loc/^p:loc ?b . FILTER (?a != ?b) }',
+    # path + under a grouped COUNT (closure as aggregate input)
+    'PREFIX p: <p:> SELECT ?y (COUNT(?x) AS ?n) WHERE '
+    '{ ?x p:knows+ ?y . } GROUP BY ?y',
+    # bound-object inverse path step
+    'PREFIX p: <p:> SELECT DISTINCT ?x WHERE { "l:bay" ^p:loc ?x . }',
 ]
 
 
