@@ -1063,6 +1063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anti_join": rel.q_anti_join,
         "q_full_outer_users": rel.q_full_outer_users,
         "q_semi_join": rel.q_semi_join,
+        "q_bloom_semi_join": rel.q_bloom_semi_join,
+        "q_bloom_anti_join": rel.q_bloom_anti_join,
         "q_topk_orders": rel.q_topk_orders,
         "q_top_orders_per_priority": rel.q_top_orders_per_priority,
         "q_orders_rank": rel.q_orders_rank,
@@ -1352,6 +1354,18 @@ def oracle_sql() -> dict[str, str]:
         "q_semi_join": """
             SELECT count(DISTINCT o_custkey) AS n_customers_with_orders
             FROM orders
+        """,
+        "q_bloom_semi_join": """
+            SELECT l_returnflag, count(*) AS n FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+        """,
+        "q_bloom_anti_join": """
+            SELECT l_returnflag, count(*) AS n FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
         """,
         "q_topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

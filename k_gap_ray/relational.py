@@ -526,6 +526,46 @@ def q_semi_join(sf_dir: str):
     return pa.table({"n_customers_with_orders": pa.array([n], type=pa.int64())})
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """J4 semi join at the 100-TB shape: lineitems of URGENT orders,
+    counted per returnflag. The fact side is pre-filtered by a
+    broadcast Bloom filter built from the (much smaller) urgent-order
+    key set — only maybe-matching rows reach the exact marker join —
+    and the result is EXACTLY the plain IN-subquery semi join
+    (functions/bloom.py)."""
+    from k_gap_ray.functions.bloom import bloom_semi_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                    "1-URGENT")),
+        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    hit = bloom_semi_join(li, urgent, on="l_orderkey",
+                          right_on="o_orderkey")
+    return (hit.groupby("l_returnflag").count()
+            .rename_columns({"count()": "n"}))
+
+
+def q_bloom_anti_join(sf_dir: str):
+    """J3 anti join, Bloom-routed: lineitems whose order is NOT
+    urgent, per returnflag. Bloom misses are definite keeps emitted
+    without any shuffle; only the maybe subset pays the exact anti
+    join (functions/bloom.py)."""
+    from k_gap_ray.functions.bloom import bloom_semi_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                    "1-URGENT")),
+        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    miss = bloom_semi_join(li, urgent, on="l_orderkey",
+                           right_on="o_orderkey", anti=True)
+    return (miss.groupby("l_returnflag").count()
+            .rename_columns({"count()": "n"}))
+
+
 # ---------------------------------------------------------------------------
 # Sort / top-k / pagination (O1-O3), set ops (D2-D3)
 # ---------------------------------------------------------------------------

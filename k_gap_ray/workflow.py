@@ -154,6 +154,21 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
             from k_gap_ray.functions.dedup import near_dup_survivors_emb
 
             ds = near_dup_survivors_emb(ds, **step)
+        elif op == "bloom_semi_join":
+            from k_gap_ray.functions.bloom import bloom_semi_join
+
+            ds = bloom_semi_join(ds, step.pop("right"), step.pop("on"),
+                                 **step)
+        elif op == "triangle_count":
+            import ray.data as _rd
+
+            from k_gap_ray.functions.graph import triangle_count
+
+            ds = _rd.from_arrow(triangle_count(ds, **step))
+        elif op == "bfs_depths":
+            from k_gap_ray.functions.graph import bfs_depths
+
+            ds = bfs_depths(ds, step.pop("seeds"), **step)
         elif op == "sparql":
             from k_gap_ray.sparql import (parse_sparql, sparql_construct,
                                           sparql_select)

@@ -1025,3 +1025,47 @@ def test_bfs_depths_matches_sql_oracle(ray_session):
     assert got == exp
     # spot semantics: shared node c is min(2 via s1, 2 via s2->d->c)
     assert got["c"] == 2 and got["s1"] == 0 and "x" not in got
+
+
+def test_bloom_semi_anti_join_exact_under_false_positives(ray_session):
+    """A deliberately saturated 64-bit Bloom filter (~100 false
+    positives of 171 true negatives) must not change results: the
+    exact marker join scrubs semi, and anti routes maybes through it.
+    Results equal the IN / NOT IN oracle."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.bloom import bloom_semi_join, sql_semi_join
+
+    left = pa.table({"k": [str(i) for i in range(200)],
+                     "v": list(range(200))})
+    right = pa.table({"rk": [str(i) for i in range(0, 200, 7)] * 2})
+    lds = rd.from_arrow(left).repartition(4)
+    rds = rd.from_arrow(right).repartition(2)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for anti in (False, True):
+        got = sorted(r["v"] for r in bloom_semi_join(
+            lds, rds, on="k", right_on="rk", anti=anti,
+            n_bits=64, k=2, num_partitions=2).take_all())
+        exp = sorted(v for (_, v) in con.execute(sql_semi_join(
+            "SELECT * FROM l", "SELECT * FROM r", "k", "rk",
+            anti=anti)).fetchall())
+        assert got == exp
+
+
+def test_bloom_empty_right_side(ray_session):
+    """Empty right side: semi returns nothing, anti returns all of
+    left, without tripping the empty-side join crash."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.bloom import bloom_semi_join
+
+    left = pa.table({"k": ["a", "b"], "v": [1, 2]})
+    right = pa.table({"rk": pa.array([], pa.string())})
+    lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+    assert bloom_semi_join(lds, rds, on="k", right_on="rk").count() == 0
+    got = sorted(r["v"] for r in bloom_semi_join(
+        lds, rds, on="k", right_on="rk", anti=True).take_all())
+    assert got == [1, 2]

@@ -342,3 +342,26 @@ def test_workflow_late_round2_steps(ray_session, sf_dir):
         dataset=rd.from_arrow(quads))
     got = {(r["subj"], r["pred"], r["obj"]) for r in con.take_all()}
     assert got == {("e:b", "p:knownBy", "e:a"), ("e:a", "p:knownBy", "e:b")}
+
+
+def test_workflow_bloom_and_graph_steps(ray_session):
+    """New declarative steps: bloom_semi_join pre-filter and
+    triangle_count terminal reduce through the workflow engine."""
+    import ray.data as rd
+
+    from k_gap_ray.workflow import run_workflow
+
+    left = rd.from_arrow(pa.table(
+        {"k": ["a", "b", "c", "d"], "v": [1, 2, 3, 4]}))
+    right = rd.from_arrow(pa.table({"k": ["b", "d", "d"]}))
+    out = run_workflow([
+        {"op": "bloom_semi_join", "right": right, "on": "k",
+         "num_partitions": 2},
+    ], dataset=left)
+    assert sorted(r["v"] for r in out.take_all()) == [2, 4]
+
+    tri = run_workflow([
+        {"op": "triangle_count"},
+    ], dataset=rd.from_arrow(pa.table(
+        {"src": ["1", "1", "2"], "dst": ["2", "3", "3"]})))
+    assert tri.take_all() == [{"n_triangles": 1}]
