@@ -1073,6 +1073,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sort_limit_offset": rel.q_sort_limit_offset,
         "q_distinct_flags": rel.q_distinct_flags,
         "q_lineitem_rollup": rel.q_lineitem_rollup,
+        "q_lineitem_melt": rel.q_lineitem_melt,
+        "q_events_user_list": rel.q_events_user_list,
         "q_union_priorities": rel.q_union_priorities,
         "q_priority_intersect": rel.q_priority_intersect,
         "q_priority_except": rel.q_priority_except,
@@ -1354,6 +1356,29 @@ def oracle_sql() -> dict[str, str]:
         "q_semi_join": """
             SELECT count(DISTINCT o_custkey) AS n_customers_with_orders
             FROM orders
+        """,
+        "q_lineitem_melt": """
+            SELECT 'qty' AS measure,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS total
+            FROM lineitem
+            UNION ALL
+            SELECT 'price',
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'disc',
+                   CAST(sum(CAST(round(l_discount * 10000) AS BIGINT))
+                        AS BIGINT)
+            FROM lineitem
+        """,
+        "q_events_user_list": """
+            SELECT event_type,
+                   string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+                              ORDER BY CAST(user_id AS VARCHAR)) AS users,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "q_bloom_semi_join": """
             SELECT l_returnflag, count(*) AS n FROM lineitem

@@ -946,3 +946,59 @@ def q_events_value_delta(sf_dir: str):
                             zero_copy_batch=True)
     return scaled.groupby("user_id").map_groups(diffs,
                                                 batch_format="pyarrow")
+
+
+def q_events_user_list(sf_dir: str):
+    """A-family grouped collect: per event type, the lexicographically
+    sorted comma-joined DISTINCT user-id list plus its size. The
+    collect uses the shuffle-safe Unique aggregate (dsutil.SafeUnique);
+    the join-to-string runs in a result-set-scale finish map (one row
+    per event type). Oracle = string_agg(DISTINCT ... ORDER BY ...) —
+    the reference's "which entities appear per class" notebook idiom
+    (docs/components/jupyter.md:530-549) with the list made explicit."""
+    from k_gap_ray.dsutil import SafeUnique
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    agg = ds.groupby("event_type").aggregate(
+        SafeUnique("user_id", alias_name="users"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        users, counts = [], []
+        for row in t.column("users").to_pylist():
+            vals = sorted(str(u) for u in row)
+            users.append(",".join(vals))
+            counts.append(len(vals))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "users": pa.array(users, pa.string()),
+            "n_users": pa.array(counts, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_lineitem_melt(sf_dir: str):
+    """UNPIVOT/melt: three per-row measures folded into (measure,
+    value) rows inside one zero-shuffle map_batches, then an exact
+    fixed-point SUM per measure — the wide-to-long reshape that pairs
+    with q_events_hourly_pivot's long-to-wide. Oracle = UNION ALL of
+    three scaled sums."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for name, col, scale in (("qty", "l_quantity", 100),
+                                 ("price", "l_extendedprice", 100),
+                                 ("disc", "l_discount", 10000)):
+            p = pa.table({"measure": pa.array([name] * t.num_rows,
+                                              pa.string())})
+            parts.append(scaled_int_col(p, "v", t.column(col), scale))
+        return pa.concat_tables(parts)
+
+    out = (ds.map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("measure").aggregate(Sum("v", alias_name="total")))
+    return out.map_batches(lambda t: t.select(["measure", "total"]),
+                           batch_format="pyarrow")
