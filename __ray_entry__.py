@@ -898,6 +898,30 @@ def _bfs_depths(sf_dir: str):
     return bfs_depths(edges, seeds, num_partitions=4)
 
 
+DOCS_SPARQL_ALTPATH = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?a ?b WHERE {
+  ?a (kp:funds|kp:manages)+ ?b .
+  FILTER (?a != ?b)
+}
+"""
+
+
+def _sparql_docs_altpath(sf_dir: str):
+    """SPARQL alternative-set property path: the transitive closure
+    over the UNION of the funds and manages edge sets (direct or
+    indirect control), excluding self-reaches via cycles. Oracle =
+    the same query compiled to a pred-IN recursive CTE."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_ALTPATH)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("b", _pa.string())]))
+
+
 DOCS_SPARQL_CONSTRUCT = """
 PREFIX kp: <urn:kgap:pred:>
 CONSTRUCT {
@@ -1138,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_notexists": _sparql_docs_notexists,
         "q_sparql_docs_construct": _sparql_docs_construct,
         "q_sparql_docs_path": _sparql_docs_path,
+        "q_sparql_docs_altpath": _sparql_docs_altpath,
         "q_triangles": _triangles,
         "q_bfs_depths": _bfs_depths,
     }
@@ -1497,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_notexists": _sql_sparql_docs_q(DOCS_SPARQL_NOTEXISTS),
         "q_sparql_docs_construct": _sql_sparql_docs_construct(),
         "q_sparql_docs_path": _sql_sparql_docs_q(DOCS_SPARQL_PATH),
+        "q_sparql_docs_altpath": _sql_sparql_docs_q(DOCS_SPARQL_ALTPATH),
         "q_triangles": _sql_docs_triangles(),
         "q_bfs_depths": _sql_docs_bfs(),
         # q_knn_lsh (approximate by design; recall pinned in pytest

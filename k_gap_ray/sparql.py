@@ -38,11 +38,13 @@ Supported subset (documented; out-of-subset input raises ValueError):
   engines), ``&&``, ``||``, parentheses.
 - Property paths in the predicate position: ``^step`` (inverse),
   ``step/step/...`` (sequence — desugared to extra patterns over
-  reserved ``__pp{n}`` hop variables, hidden from ``SELECT *``), and
-  ``<iri>+`` (one-or-more — the transitive closure of the predicate's
-  edge set, computed semi-naively in Dataset ops on the Ray backend
-  and by a recursive CTE on the SQL backend). ``+`` needs a constant
-  IRI; ``^``/``/`` compose with variable predicates too.
+  reserved ``__pp{n}`` hop variables, hidden from ``SELECT *``),
+  ``(p1|p2|...)`` (alternative set — scans pred ∈ set), and
+  ``<iri>+`` / ``(p1|p2)+`` (one-or-more — the transitive closure of
+  the predicate(s)' edge set, computed semi-naively in Dataset ops on
+  the Ray backend and by a recursive CTE on the SQL backend). ``+``
+  and ``|`` need constant IRIs; ``^``/``/`` compose with variable
+  predicates too.
 - ``VALUES ?x { v v ... }`` single-variable inline data (top-level
   WHERE element; compiled to a membership mask / SQL ``IN`` list on
   an already-bound variable).
@@ -138,7 +140,7 @@ _TOKEN_RE = re.compile(
       |(?P<num>-?\d+)
       |(?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
       |(?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-      |(?P<op>&&|\|\||!=|<=|>=|[=<>{}().,;*/+^])
+      |(?P<op>&&|\|\||!=|<=|>=|[=<>{}().,;*/+^|])
     """,
     re.X,
 )
@@ -217,12 +219,26 @@ class _P:
             inv = self.peek() == ("op", "^")
             if inv:
                 self.next()
-            t = self.term()
-            if t.kind == "lit":
-                raise ValueError("literal in predicate position")
+            if self.peek() == ("op", "("):
+                # alternative set (p1|p2|...): scans pred ∈ set; with
+                # +, the closure runs over the UNION edge set
+                self.next()
+                alts = [self.term()]
+                while self.peek() == ("op", "|"):
+                    self.next()
+                    alts.append(self.term())
+                self.expect_op(")")
+                if any(a.kind != "iri" for a in alts):
+                    raise ValueError(
+                        "path alternatives must be constant IRIs")
+                t = Term("alt", _SEP.join(a.value for a in alts))
+            else:
+                t = self.term()
+                if t.kind == "lit":
+                    raise ValueError("literal in predicate position")
             if self.peek() == ("op", "+"):
-                if t.kind != "iri":
-                    raise ValueError("'+' needs a constant IRI predicate")
+                if t.kind not in ("iri", "alt"):
+                    raise ValueError("'+' needs constant IRI predicate(s)")
                 self.next()
                 t = Term("path+", t.value)
             steps.append((inv, t))
@@ -540,6 +556,10 @@ def _make_scan(pat: Pattern):
                     mask = m if mask is None else pc.and_(mask, m)
                 else:
                     seen[term.value] = col
+            elif term.kind == "alt":  # (p1|p2|...) alternative set
+                m = pc.is_in(t.column(col), value_set=pa.array(
+                    term.value.split(_SEP), pa.string()))
+                mask = m if mask is None else pc.and_(mask, m)
             else:
                 m = pc.equal(t.column(col), term.value)
                 mask = m if mask is None else pc.and_(mask, m)
@@ -578,7 +598,9 @@ def _make_pair_scan(pat: Pattern):
 def _path_plus(quads, pred: str):
     """Transitive closure (one-or-more hops) of the ``pred`` edge
     relation, as a Dataset with columns __a/__b/__k — the scan
-    relation behind a ``<p>+`` pattern slot.
+    relation behind a ``<p>+`` pattern slot. ``pred`` may carry
+    several _SEP-joined IRIs (an ``(p1|p2)+`` alternative step): the
+    closure then runs over the UNION edge set.
 
     Semi-naive iteration in pure Dataset ops: each round joins only
     the newly-discovered pairs (delta) against the base edges, dedups
@@ -595,9 +617,15 @@ def _path_plus(quads, pred: str):
     from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
 
     cols = ["__a", "__b", "__k"]
+    preds = pred.split(_SEP)
 
     def scan(t: pa.Table) -> pa.Table:
-        sel = t.filter(pc.equal(t.column("pred"), pred))
+        if len(preds) == 1:
+            m = pc.equal(t.column("pred"), preds[0])
+        else:
+            m = pc.is_in(t.column("pred"),
+                         value_set=pa.array(preds, pa.string()))
+        sel = t.filter(m)
         return pa.table({"__a": sel.column("subj"),
                          "__b": sel.column("obj")})
 
@@ -626,6 +654,9 @@ def _path_plus(quads, pred: str):
         hop = distinct(hop.map_batches(lambda t: keyed(pa.table(
             {"__a": t.column("__a"), "__b": t.column("__nb")})),
             batch_format="pyarrow"))
+        if hop.count() == 0:  # frontier reached only sink nodes: a
+            return closure    # fully-empty hop loses its schema and
+                              # would crash the anti-join below
         seen = closure.map_batches(lambda t: pa.table(
             {"__k": t.column("__k"),
              "__seen": pa.array([1] * t.num_rows, pa.int64())}),
@@ -976,6 +1007,12 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
                     conds.append(f"{var_bind[term.value]} = {ref}")
                 else:
                     var_bind[term.value] = ref
+            elif term.kind == "path+":
+                continue  # closure derived table already restricted
+            elif term.kind == "alt":
+                in_list = ", ".join(_sql_str(p)
+                                    for p in term.value.split(_SEP))
+                conds.append(f"{ref} IN ({in_list})")
             else:
                 conds.append(f"{ref} = {_sql_str(term.value)}")
     for e in filters:
@@ -986,16 +1023,22 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
         if pat.p.kind != "path+":
             return f"{quads_rel} t{i}"
         # one-or-more property path: the pattern's relation is the
-        # transitive closure of the pred edge set, computed by a
-        # recursive CTE (UNION = set semantics, terminates on cycles)
-        # — the independent oracle for _path_plus's semi-naive rounds
-        pl = _sql_str(pat.p.value)
+        # transitive closure of the pred edge set (several preds for
+        # an (p1|p2)+ alternative step), computed by a recursive CTE
+        # (UNION = set semantics, terminates on cycles) — the
+        # independent oracle for _path_plus's semi-naive rounds
+        preds = pat.p.value.split(_SEP)
+        if len(preds) == 1:
+            cond = f"pred = {_sql_str(preds[0])}"
+        else:
+            cond = "pred IN (" + ", ".join(_sql_str(p)
+                                           for p in preds) + ")"
         return (f"(WITH RECURSIVE __cl{i}(subj, obj) AS ("
-                f"SELECT subj, obj FROM {quads_rel} WHERE pred = {pl}"
+                f"SELECT subj, obj FROM {quads_rel} WHERE {cond}"
                 f" UNION "
                 f"SELECT c.subj, q.obj FROM __cl{i} c JOIN {quads_rel} q"
-                f" ON q.pred = {pl} AND c.obj = q.subj)"
-                f" SELECT subj, {pl} AS pred, obj FROM __cl{i}) t{i}")
+                f" ON q.{cond} AND c.obj = q.subj)"
+                f" SELECT subj, '' AS pred, obj FROM __cl{i}) t{i}")
 
     sql = ("SELECT " + ", ".join(f"{var_bind[v]} AS {v}" for v in out)
            + " FROM " + ", ".join(rel(i, pat)

@@ -121,6 +121,15 @@ CROSS_QUERIES = [
     '{ ?x p:knows+ ?y . } GROUP BY ?y',
     # bound-object inverse path step
     'PREFIX p: <p:> SELECT DISTINCT ?x WHERE { "l:bay" ^p:loc ?x . }',
+    # alternative predicate set (bag of both edge scans)
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE '
+    '{ ?x (p:knows|p:loc) ?y . }',
+    # closure over the UNION edge set of an alternative step
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE '
+    '{ ?x (p:knows|p:loc)+ ?y . }',
+    # alternative step inside a sequence path
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?l WHERE '
+    '{ ?x (p:knows|p:emp)/p:loc ?l . }',
 ]
 
 
