@@ -49,7 +49,14 @@ def _positions(keys, n_bits: int, k: int) -> np.ndarray:
 
 
 def _key_col(t: pa.Table, col: str):
-    return pc.cast(t.column(col), pa.string()).combine_chunks()
+    c = t.column(col)
+    if c.null_count:
+        # NULL join keys are rejected up front: SQL's NOT IN returns
+        # NULL (drops the row / empties the result) where a hash probe
+        # would keep it — refusing beats silently diverging from the
+        # documented sql_semi_join oracle contract
+        raise ValueError(f"bloom join key column {col!r} contains nulls")
+    return pc.cast(c, pa.string()).combine_chunks()
 
 
 def build_bloom(ds, col: str, n_bits: int = 1 << 20,
@@ -99,6 +106,11 @@ def bloom_semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
     pays the exact anti join. The maybe subset is materialized once
     (it is the small side by design — that is the point of the
     filter); everything upstream streams.
+
+    Join keys must be NON-NULL on both sides (enforced — a null key
+    raises): SQL's three-valued NOT IN drops null-key rows and empties
+    entirely on a null right key, where a hash probe would keep them;
+    refusing keeps the sql_semi_join oracle contract exact.
     """
     import ray
 

@@ -230,8 +230,12 @@ def triangle_count(edges_ds, num_partitions: int | None = None):
         .map_batches(lambda t: pa.table(
             {"a": t.column("a"), "b": t.column("b"),
              "da": t.column("d")}), batch_format="pyarrow")
+    # wa descends from a join: empty hash partitions emit zero-row
+    # EMPTY-SCHEMA blocks, and map_batches passes zero-row blocks
+    # through UNTOUCHED — scrub before the next join (sharp edge
+    # documented in BENCH/NOTES.md)
     wab = join_datasets(wa, deg, on="b", right_on="node",
-                        scrub_left=False, scrub_right=False)
+                        scrub_left=True, scrub_right=False)
 
     def orient(t: pa.Table) -> pa.Table:
         a, b = t.column("a"), t.column("b")
@@ -265,7 +269,14 @@ def triangle_count(edges_ds, num_partitions: int | None = None):
         return pa.table({"__ek": pc.binary_join_element_wise(
             t.column("v1"), t.column("v2"), _S)})
 
-    cand = wedges.map_batches(wedge_keys, batch_format="pyarrow")
+    # the lt filter can empty EVERY cand block (any wedge-free graph,
+    # e.g. a 2-edge path): an all-zero-row side crashes the hash join
+    # (the Ray 2.49 sharp edge) — and an empty cand means 0 triangles
+    cand = wedges.map_batches(wedge_keys,
+                              batch_format="pyarrow").materialize()
+    if cand.count() == 0:
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    cand = drop_empty_blocks(cand)
     ekeys = ori.map_batches(lambda t: pa.table(
         {"__ek": pc.binary_join_element_wise(
             t.column("u"), t.column("v"), _S)}), batch_format="pyarrow")

@@ -641,6 +641,14 @@ def _path_plus(quads, pred: str):
 
     edges = distinct(quads.map_batches(scan, batch_format="pyarrow")
                      .map_batches(keyed, batch_format="pyarrow"))
+    if edges.count() == 0:  # predicate absent: empty closure, and an
+        # all-empty side would crash the hash join below
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {"__a": pa.array([], pa.string()),
+             "__b": pa.array([], pa.string()),
+             "__k": pa.array([], pa.string())}))
     closure, delta = edges, edges
     while True:
         hop = join_datasets(

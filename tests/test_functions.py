@@ -1069,3 +1069,31 @@ def test_bloom_empty_right_side(ray_session):
     got = sorted(r["v"] for r in bloom_semi_join(
         lds, rds, on="k", right_on="rk", anti=True).take_all())
     assert got == [1, 2]
+
+
+def test_triangle_count_wedge_free_graph(ray_session):
+    """A 2-edge path has wedges but no ordered candidates — the empty
+    candidate relation must short-circuit to 0, not crash the closing
+    join (Ray 2.49 empty-block sharp edge)."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import triangle_count
+
+    t = triangle_count(rd.from_arrow(pa.table(
+        {"src": ["a", "b"], "dst": ["b", "c"]})))
+    assert t.column("n_triangles").to_pylist() == [0]
+
+
+def test_bloom_rejects_null_keys(ray_session):
+    """NULL join keys diverge from the NOT IN oracle's three-valued
+    semantics — the function refuses them up front."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from k_gap_ray.functions.bloom import bloom_semi_join
+
+    left = pa.table({"k": ["a", None], "v": [1, 2]})
+    right = pa.table({"rk": ["a"]})
+    with _pytest.raises(Exception, match="nulls"):
+        bloom_semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on="k", right_on="rk").take_all()

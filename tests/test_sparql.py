@@ -238,3 +238,17 @@ def test_construct_rejects_modifiers_and_unbound():
     ]:
         with pytest.raises(ValueError):
             parse_sparql(q)
+
+
+def test_path_plus_absent_predicate_returns_empty(ray_session):
+    """path+ over a predicate that matches no quads is an ordinary
+    empty result, not a crash (empty edge set short-circuits the
+    semi-naive closure)."""
+    import ray.data as rd
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(
+        rd.from_arrow(QUADS).repartition(3),
+        'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE { ?x p:nope+ ?y . }')
+    assert res.take_all() == []
