@@ -43,6 +43,40 @@ def _subst(value: Any, params: dict[str, Any]) -> Any:
     return value
 
 
+def load_workflow(path: str) -> tuple[list[dict], dict[str, Any]]:
+    """Parse a YAML workflow file -> (steps, params).
+
+    File shape mirrors the reference's sembench YAML specs
+    (/root/reference/docs/components/sembench.md:128-141):
+
+        params: {lang: en}         # optional defaults, ${var} targets
+        steps:
+          - op: read_parquet
+            path: /data/documents.parquet
+          - op: filter
+            expr: lang == '${lang}'
+
+    Callable step values (user transform fns, X2) cannot live in YAML;
+    reference them via params passed to :func:`run_workflow_file`.
+    """
+    import yaml
+
+    with open(path) as f:
+        spec = yaml.safe_load(f)
+    if not isinstance(spec, dict) or "steps" not in spec:
+        raise ValueError(f"workflow file {path!r} needs a 'steps' list")
+    return spec["steps"], dict(spec.get("params") or {})
+
+
+def run_workflow_file(path: str, dataset=None, **extra_params):
+    """Load a YAML workflow spec and run it; ``extra_params`` override
+    the file's ``params`` block (and may carry non-YAML values such as
+    callables for ``${fn}``-style references)."""
+    steps, params = load_workflow(path)
+    params.update(extra_params)
+    return run_workflow(steps, params=params, dataset=dataset)
+
+
 def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
                  dataset=None):
     """Compile+run a step list; returns the final Dataset (or the

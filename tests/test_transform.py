@@ -365,3 +365,24 @@ def test_workflow_bloom_and_graph_steps(ray_session):
     ], dataset=rd.from_arrow(pa.table(
         {"src": ["1", "1", "2"], "dst": ["2", "3", "3"]})))
     assert tri.take_all() == [{"n_triangles": 1}]
+
+
+def test_workflow_yaml_file(ray_session, tmp_path, sf_dir):
+    """X1 parity: the sembench-shaped YAML spec file drives the same
+    step compiler, with file params overridable at the call."""
+    from k_gap_ray.workflow import run_workflow_file
+
+    spec = tmp_path / "wf.yml"
+    spec.write_text(
+        "params:\n"
+        "  lang: en\n"
+        "steps:\n"
+        f"  - op: read_parquet\n    path: {sf_dir}/documents.parquet\n"
+        "    columns: [doc_id, lang]\n"
+        "  - op: filter\n    expr: lang == '${lang}'\n"
+        "  - op: groupby_count\n    keys: [lang]\n")
+    out = run_workflow_file(str(spec)).take_all()
+    assert len(out) == 1 and out[0]["lang"] == "en"
+    # override the file's param at the call site
+    out2 = run_workflow_file(str(spec), lang="de").take_all()
+    assert len(out2) == 1 and out2[0]["lang"] == "de"
