@@ -36,6 +36,8 @@ Supported subset (documented; out-of-subset input raises ValueError):
   ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``, ``REGEX(?v, "re")``
   (RE2-compatible patterns — both Arrow and DuckDB use RE2-family
   engines), ``&&``, ``||``, parentheses.
+- ``a`` in the predicate position (the rdf:type shorthand; composes
+  with paths).
 - Property paths in the predicate position: ``^step`` (inverse),
   ``step/step/...`` (sequence — desugared to extra patterns over
   reserved ``__pp{n}`` hop variables, hidden from ``SELECT *``),
@@ -75,6 +77,7 @@ import pyarrow.compute as pc
 
 _SEP = "\x1f"  # composite join key separator (same caveat as dedup_quads)
 _INTERNAL = "__pp"  # reserved prefix: path-hop vars, hidden from SELECT *
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"  # `a`
 
 _POS_COLS = (("s", "subj"), ("p", "pred"), ("o", "obj"))
 
@@ -232,6 +235,9 @@ class _P:
                     raise ValueError(
                         "path alternatives must be constant IRIs")
                 t = Term("alt", _SEP.join(a.value for a in alts))
+            elif self.peek() == ("kw", "a"):  # rdf:type shorthand
+                self.next()
+                t = Term("iri", _RDF_TYPE)
             else:
                 t = self.term()
                 if t.kind == "lit":

@@ -252,3 +252,30 @@ def test_path_plus_absent_predicate_returns_empty(ray_session):
         rd.from_arrow(QUADS).repartition(3),
         'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE { ?x p:nope+ ?y . }')
     assert res.take_all() == []
+
+
+def test_rdf_type_shorthand(ray_session):
+    """`a` in the predicate position is rdf:type on both backends,
+    and composes with paths (a/p:loc sequence)."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.sparql import sparql_select, sparql_to_sql
+
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    quads = pa.table({
+        "subj": ["e:a", "e:b", "c:Org", "e:a"],
+        "pred": [RT, RT, "p:loc", "p:loc"],
+        "obj": ["c:Org", "c:Person", "l:bay", "l:shelf"],
+        "graph": ["g"] * 4})
+    for q in ('SELECT ?x WHERE { ?x a <c:Org> . }',
+              'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x a/p:loc ?l . }'):
+        eng = sparql_select(rd.from_arrow(quads).repartition(2), q)
+        got = sorted(map(str, (tuple(sorted(r.items()))
+                               for r in eng.take_all())))
+        con = duckdb.connect()
+        con.register("quads", quads)
+        ora = con.execute(sparql_to_sql(q)).df()
+        exp = sorted(map(str, (tuple(sorted(r.items()))
+                               for r in ora.to_dict("records"))))
+        assert got == exp and len(got) >= 1
