@@ -603,6 +603,28 @@ def _knn(sf_dir: str):
     return knn_by_id(sf_dir, query_vec_id=0, k=10)
 
 
+def _knn_quantized(sf_dir: str):
+    """int8-quantized top-k (the 4x-memory scale path): exact integer
+    dot products over floor-quantized vectors, value-hash-identical to
+    the DuckDB list_inner_product oracle — the quantization scheme is
+    defined to be bit-identical across engines
+    (functions/similarity.py:quantize_int8)."""
+    import numpy as np
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import knn_quantized
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qrow = ds.map_batches(
+        lambda t: t.filter(_pa.compute.equal(t.column("vec_id"),
+                                             _pa.scalar(0))),
+        batch_format="pyarrow").take_all()
+    q = np.asarray(qrow[0]["embedding"], np.float64)
+    return knn_quantized(ds, q, k=10, exclude_ids={0})
+
+
 def _knn_lsh(sf_dir: str):
     import numpy as np
     import ray.data as rd
@@ -1134,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": _pagerank,
         # --- embeddings: similarity search + near-dup ---
         "q_knn_top10": _knn,
+        "q_knn_quantized": _knn_quantized,
         "q_knn_lsh": _knn_lsh,
         "q_knn_ivf": _knn_ivf,
         "q_emb_near_dup": _emb_near_dup,
@@ -1503,6 +1526,32 @@ def oracle_sql() -> dict[str, str]:
                        AS DOUBLE), 4) AS cosine
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "q_knn_quantized": """
+            WITH q AS (
+              -- CAST everything to DOUBLE: a bare 127.0 literal is
+              -- DECIMAL, and FLOAT*DECIMAL stays float32 in DuckDB,
+              -- which floors the max-magnitude component to -128
+              -- while the numpy double path gets exactly -127
+              SELECT vec_id,
+                     CASE WHEN ma = 0
+                          THEN list_transform(embedding, x -> 0.0)
+                          ELSE list_transform(
+                              embedding,
+                              x -> floor(CAST(x AS DOUBLE)
+                                         * CAST(127.0 AS DOUBLE)
+                                         / CAST(ma AS DOUBLE))) END
+                         AS qv
+              FROM (SELECT vec_id, embedding,
+                           list_aggregate(
+                               list_transform(embedding, y -> abs(y)),
+                               'max') AS ma
+                    FROM embeddings)
+            )
+            SELECT a.vec_id,
+                   CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS qscore
+            FROM q a, q b WHERE b.vec_id = 0 AND a.vec_id <> 0
+            ORDER BY qscore DESC, a.vec_id LIMIT 10
         """,
         # generated mirrors of the hashed/heuristic text kernels: the
         # numpy kernels in functions.textstats/dedup are defined so the

@@ -338,3 +338,62 @@ def sql_label_centroids_fx(scale: int = 1_000_000,
            CAST(COUNT(*) AS BIGINT) AS n_vecs
     FROM ex GROUP BY label, dim
     """
+
+
+def quantize_int8(embs: np.ndarray) -> np.ndarray:
+    """Per-vector symmetric int8 floor-quantization, defined to be
+    bit-identical to its SQL mirror: ``q = floor(x * 127.0 / ma)``
+    with ``ma = max(abs(x))`` per vector (all-double arithmetic,
+    left-associative like the SQL expression; ma == 0 -> all-zero).
+    Floor (not round) so no half-way tie rule can diverge between
+    engines. 4x memory vs float32; dot products of 127-bounded
+    integers are exact in int64 (and in the double accumulator up to
+    ~2^45 terms)."""
+    m = embs.astype(np.float64, copy=False)
+    ma = np.abs(m).max(axis=1)
+    safe = np.where(ma == 0, 1.0, ma)
+    q = np.floor((m * 127.0) / safe[:, None])
+    q[ma == 0] = 0.0
+    return q
+
+
+def knn_quantized(emb_ds, query_vec: np.ndarray, k: int = 10,
+                  exclude_ids: set[int] | None = None):
+    """Top-k by EXACT integer dot product over int8-quantized vectors
+    — the memory-bound scale path (4x smaller resident vectors, SIMD
+    int8 dot products on real hardware). Same per-batch partial-top-k
+    + tiny-global-sort shape as knn_bruteforce; scores are exact
+    int64, so the DuckDB list_inner_product oracle value-hash matches
+    exactly (no float tolerance)."""
+    import ray
+
+    q = quantize_int8(np.asarray(query_vec, np.float64)[None, :])[0]
+    q_ref = ray.put(q)
+    excl = frozenset(exclude_ids or ())
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        qv = _r.get(q_ref)
+        ids, embs = _batch_matrix(t)
+        if not ids:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "qscore": pa.array([], pa.int64())})
+        scores = (quantize_int8(embs) @ qv).astype(np.int64)
+        order = np.lexsort((ids, -scores))
+        keep: list[tuple[int, int]] = []
+        for i in order:
+            if ids[i] in excl:
+                continue
+            keep.append((ids[i], int(scores[i])))
+            if len(keep) == k:
+                break
+        return pa.table({"vec_id": pa.array([i for i, _ in keep], pa.int64()),
+                         "qscore": pa.array([s for _, s in keep], pa.int64())})
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+    top = partials.sort(["qscore", "vec_id"],
+                        descending=[True, False]).limit(k)
+    return pa.Table.from_pylist(
+        top.take_all(),
+        schema=pa.schema([("vec_id", pa.int64()), ("qscore", pa.int64())]))

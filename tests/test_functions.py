@@ -1097,3 +1097,30 @@ def test_bloom_rejects_null_keys(ray_session):
     with _pytest.raises(Exception, match="nulls"):
         bloom_semi_join(rd.from_arrow(left), rd.from_arrow(right),
                         on="k", right_on="rk").take_all()
+
+
+def test_knn_quantized_matches_sql_oracle(ray_session):
+    """int8 floor-quantization is bit-identical across engines: the
+    Ray integer top-10 equals the DuckDB list_inner_product oracle
+    (exact int64 scores — no float tolerance), and quantized values
+    stay within [-127, 127]."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    import __ray_entry__ as em
+    from k_gap_ray.functions.similarity import quantize_int8
+
+    sf = "/root/testdata/sf0.001"
+    got = em.queries()["q_knn_quantized"](sf).to_pydict()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    exp = con.execute(em.oracle_sql()["q_knn_quantized"]).fetchall()
+    assert list(zip(got["vec_id"], got["qscore"])) == [
+        (int(a), int(b)) for a, b in exp]
+
+    m = np.array([[0.5, -1.0, 0.25], [0.0, 0.0, 0.0]])
+    q = quantize_int8(m)
+    assert q.min() >= -127 and q.max() <= 127
+    assert (q[1] == 0).all()
