@@ -130,6 +130,12 @@ CROSS_QUERIES = [
     # alternative step inside a sequence path
     'PREFIX p: <p:> SELECT DISTINCT ?x ?l WHERE '
     '{ ?x (p:knows|p:emp)/p:loc ?l . }',
+    # property path + inside an OPTIONAL group (left-join a closure)
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE { ?x p:loc ?l .'
+    ' OPTIONAL { ?x p:knows+ ?y . } }',
+    # path + inside FILTER NOT EXISTS (anti-join against a closure)
+    'PREFIX p: <p:> SELECT DISTINCT ?x WHERE { ?x p:loc ?l .'
+    ' FILTER NOT EXISTS { ?x p:knows+ ?x . } }',
 ]
 
 
