@@ -322,7 +322,13 @@ def parse_sparql(query: str) -> SparqlQuery:
         q = SparqlQuery(select_vars=None)
         p.expect_op("{")
         while p.peek() != ("op", "}"):
-            q.construct.append(Pattern(p.term(), p.term(), p.term()))
+            s = p.term()
+            if p.peek() == ("kw", "a"):  # rdf:type shorthand, here too
+                p.next()
+                pr = Term("iri", _RDF_TYPE)
+            else:
+                pr = p.term()
+            q.construct.append(Pattern(s, pr, p.term()))
             if p.peek() == ("op", "."):
                 p.next()
         p.next()  # }
@@ -649,12 +655,10 @@ def _path_plus(quads, pred: str):
                      .map_batches(keyed, batch_format="pyarrow"))
     if edges.count() == 0:  # predicate absent: empty closure, and an
         # all-empty side would crash the hash join below
-        import ray.data as rd
-
-        return rd.from_arrow(pa.table(
-            {"__a": pa.array([], pa.string()),
-             "__b": pa.array([], pa.string()),
-             "__k": pa.array([], pa.string())}))
+        return None  # caller synthesizes the typed empty scan —
+        # map_batches SKIPS zero-row blocks, so returning an empty
+        # __a/__b/__k dataset here would keep the WRONG schema through
+        # _make_pair_scan and crash any later join on a pattern var
     closure, delta = edges, edges
     while True:
         hop = join_datasets(
@@ -768,8 +772,21 @@ def _apply_filters(plan, filters: list[tuple]):
     return plan.map_batches(apply, batch_format="pyarrow")
 
 
+def _empty_plan(all_vars: list[str]):
+    """Typed zero-row plan with the group's variable columns (sorted
+    for a stable order across UNION branches)."""
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(
+        {v: pa.array([], pa.string()) for v in sorted(all_vars)}))
+
+
 def _build_group(quads, patterns: list[Pattern], filters: list[tuple]):
-    """Join a basic graph pattern's scans; returns (plan, bound vars)."""
+    """Join a basic graph pattern's scans; returns (plan, bound vars).
+
+    Any scan with ZERO matches short-circuits the whole group to a
+    typed empty plan (inner joins make the group empty, and Ray 2.49's
+    hash join crashes outright when one side is fully empty)."""
     from k_gap_ray.dsutil import drop_empty_blocks
 
     plan, bound = None, []
@@ -782,13 +799,17 @@ def _build_group(quads, patterns: list[Pattern], filters: list[tuple]):
         # many-tiny-block closure scans behind path+ patterns); the
         # scrub is ref-iteration only on an already-materialized ds.
         if pat.p.kind == "path+":
-            ds = (_path_plus(quads, pat.p.value)
-                  .map_batches(_make_pair_scan(pat),
-                               batch_format="pyarrow")
-                  .materialize())
+            clo = _path_plus(quads, pat.p.value)
+            ds = None if clo is None else \
+                (clo.map_batches(_make_pair_scan(pat),
+                                 batch_format="pyarrow")
+                 .materialize())
         else:
             ds = quads.map_batches(_make_scan(pat), batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()
+        if ds is None or ds.count() == 0:
+            all_vars = {v for pt in patterns for v in pt.vars()}
+            return _empty_plan(list(all_vars)), sorted(all_vars), True
         ds = drop_empty_blocks(ds)
         if plan is None:
             plan, bound = ds, list(pat.vars())
@@ -796,7 +817,7 @@ def _build_group(quads, patterns: list[Pattern], filters: list[tuple]):
             plan, bound = _join_plans(plan, bound, ds, pat.vars())
     if filters:
         plan = _apply_filters(plan, filters)
-    return plan, bound
+    return plan, bound, False
 
 
 def _solution_plan(quads, q: SparqlQuery):
@@ -807,33 +828,59 @@ def _solution_plan(quads, q: SparqlQuery):
 
     if q.unions:
         # bag union of the branch plans (== SQL UNION ALL); branches
-        # bind the same vars (validated), project to one column order
+        # bind the same vars (validated), project to one column order;
+        # empty branches contribute nothing and are skipped (their
+        # zero-row blocks would bypass the projection map and crash
+        # downstream joins with the wrong schema)
         order = sorted({v for pat in q.unions[0][0] for v in pat.vars()
                         if not v.startswith(_INTERNAL)})
         branches = []
         for pats, flts in q.unions:
-            b, _ = _build_group(quads, pats, flts)
-            branches.append(b.map_batches(
-                lambda t, o=tuple(order): t.select(list(o)),
-                batch_format="pyarrow"))
-        plan = branches[0].union(*branches[1:])
+            b, _, b_empty = _build_group(quads, pats, flts)
+            if not b_empty:
+                branches.append(b.map_batches(
+                    lambda t, o=tuple(order): t.select(list(o)),
+                    batch_format="pyarrow"))
+        plan_empty = not branches
+        plan = _empty_plan(order) if plan_empty \
+            else branches[0].union(*branches[1:])
         bound = list(order)
     else:
-        plan, bound = _build_group(quads, q.patterns, [])
+        plan, bound, plan_empty = _build_group(quads, q.patterns, [])
     for pats, flts in q.optionals:
-        sub, sub_bound = _build_group(quads, pats, flts)
+        sub, sub_bound, sub_empty = _build_group(quads, pats, flts)
+        new = [v for v in sub_bound if v not in bound]
+        if plan_empty:
+            bound = bound + new  # still zero rows; columns moot
+            continue
+        if sub_empty:
+            # LEFT JOIN with an empty right: keep every plan row and
+            # null-fill the optional vars (the join itself would crash
+            # on the fully-empty side)
+            plan = plan.map_batches(
+                lambda t, nv=tuple(new): pa.table(
+                    {**{c: t.column(c) for c in t.column_names},
+                     **{v: pa.nulls(t.num_rows, pa.string())
+                        for v in nv}}),
+                batch_format="pyarrow")
+            bound = bound + new
+            continue
         plan, bound = _join_plans(plan, bound, sub, sub_bound,
                                   join_type="left_outer")
     # top-level filters run after OPTIONAL joins: a comparison on an
     # unmatched (null) optional var is null → dropped, matching SQL
-    if q.filters:
+    if q.filters and not plan_empty:
         plan = _apply_filters(plan, q.filters)
     for pats, flts in q.not_exists:
         # correlated anti-join: rows with a match in the group drop.
         # The sub-plan is deduped to the DISTINCT shared-var tuples
         # (EXISTS semantics — no row multiplication), marker-joined
         # left-outer, then null-marker rows survive.
-        sub, sub_bound = _build_group(quads, pats, flts)
+        if plan_empty:
+            break  # nothing to anti-filter
+        sub, sub_bound, sub_empty = _build_group(quads, pats, flts)
+        if sub_empty:
+            continue  # no matches exist: every plan row survives
         shared = [v for v in bound if v in sub_bound]
         marker = (sub.map_batches(
             lambda t, s=tuple(shared): t.select(list(s)),
@@ -846,7 +893,10 @@ def _solution_plan(quads, q: SparqlQuery):
                 batch_format="pyarrow"))
         # the marker descends from a sort-based groupby -> can carry
         # empty-SCHEMA zero-row blocks that crash the hash join; scrub
-        marker = drop_empty_blocks(marker.materialize())
+        marker = marker.materialize()
+        if marker.count() == 0:  # sub-plan filtered to nothing: every
+            continue              # plan row survives, skip the join
+        marker = drop_empty_blocks(marker)
         if len(shared) == 1:
             from k_gap_ray.dsutil import join_datasets
             plan = join_datasets(plan, marker, on=shared[0],

@@ -33,8 +33,16 @@ _VAR_RE = re.compile(r"\$\{(\w+)\}")
 
 
 def _subst(value: Any, params: dict[str, Any]) -> Any:
-    """${var} substitution in strings, recursively through containers."""
+    """${var} substitution in strings, recursively through containers.
+
+    A string that is EXACTLY one ``${var}`` reference substitutes to
+    the raw param value (callables, datasets, numbers survive — this
+    is how YAML specs reference non-YAML values like user transform
+    fns); embedded references stringify."""
     if isinstance(value, str):
+        m = _VAR_RE.fullmatch(value)
+        if m:
+            return params[m.group(1)]
         return _VAR_RE.sub(lambda m: str(params[m.group(1)]), value)
     if isinstance(value, list):
         return [_subst(v, params) for v in value]
@@ -63,8 +71,11 @@ def load_workflow(path: str) -> tuple[list[dict], dict[str, Any]]:
 
     with open(path) as f:
         spec = yaml.safe_load(f)
-    if not isinstance(spec, dict) or "steps" not in spec:
-        raise ValueError(f"workflow file {path!r} needs a 'steps' list")
+    if not isinstance(spec, dict) \
+            or not isinstance(spec.get("steps"), list) \
+            or not all(isinstance(s, dict) for s in spec["steps"]):
+        raise ValueError(
+            f"workflow file {path!r} needs a 'steps' list of step dicts")
     return spec["steps"], dict(spec.get("params") or {})
 
 

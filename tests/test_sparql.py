@@ -285,3 +285,42 @@ def test_rdf_type_shorthand(ray_session):
         exp = sorted(map(str, (tuple(sorted(r.items()))
                                for r in ora.to_dict("records"))))
         assert got == exp and len(got) >= 1
+
+
+def test_absent_path_plus_joined_with_pattern(ray_session):
+    """Absent-predicate path+ joined with another pattern (and under
+    OPTIONAL) yields the SQL backend's result instead of crashing:
+    the empty closure scan must carry the PATTERN's variable columns,
+    not the internal closure schema."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.sparql import sparql_select, sparql_to_sql
+
+    for q, nexp in (
+        ('PREFIX p: <p:> SELECT ?x ?l ?y WHERE '
+         '{ ?x p:loc ?l . ?x p:nope+ ?y . }', 0),
+        ('PREFIX p: <p:> SELECT ?x ?l ?y WHERE '
+         '{ ?x p:loc ?l . OPTIONAL { ?x p:nope+ ?y . } }', 3),
+    ):
+        eng = sparql_select(rd.from_arrow(QUADS).repartition(3), q)
+        rows = eng.take_all()
+        con = duckdb.connect()
+        con.register("quads", QUADS)
+        ora = con.execute(sparql_to_sql(q)).df()
+        assert len(rows) == len(ora) == nexp
+
+
+def test_rdf_type_shorthand_in_construct(ray_session):
+    """`a` works in CONSTRUCT template predicate positions too."""
+    import ray.data as rd
+
+    from k_gap_ray.sparql import sparql_construct
+
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    out = sparql_construct(
+        rd.from_arrow(QUADS),
+        'PREFIX p: <p:> CONSTRUCT { ?x a <c:Knower> . } '
+        'WHERE { ?x p:knows ?y . }').take_all()
+    assert len(out) == 3  # distinct knowers: e:a, e:b, e:d
+    assert all(r["pred"] == RT and r["obj"] == "c:Knower" for r in out)

@@ -386,3 +386,30 @@ def test_workflow_yaml_file(ray_session, tmp_path, sf_dir):
     # override the file's param at the call site
     out2 = run_workflow_file(str(spec), lang="de").take_all()
     assert len(out2) == 1 and out2[0]["lang"] == "de"
+
+
+def test_workflow_yaml_callable_param(ray_session, tmp_path):
+    """A full-match ${var} substitutes the RAW param value, so YAML
+    specs can reference callables (X2 user fns) via params."""
+    import ray.data as rd
+
+    from k_gap_ray.workflow import load_workflow, run_workflow_file
+
+    spec = tmp_path / "wf_fn.yml"
+    spec.write_text(
+        "steps:\n"
+        "  - op: map_batches\n    fn: ${double}\n")
+
+    def double(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "v2", pa.compute.multiply(t.column("v"), 2))
+
+    ds = rd.from_arrow(pa.table({"v": [1, 2]}))
+    out = run_workflow_file(str(spec), dataset=ds, double=double)
+    assert sorted(r["v2"] for r in out.take_all()) == [2, 4]
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text("steps:\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="steps"):
+        load_workflow(str(bad))
