@@ -944,6 +944,29 @@ def _sparql_docs_altpath(sf_dir: str):
         schema=_pa.schema([("a", _pa.string()), ("b", _pa.string())]))
 
 
+DOCS_SPARQL_BIND = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?tag WHERE {
+  ?a kp:manages ?v .
+  ?a kp:locatedIn ?loc .
+  BIND(CONCAT(?a, "@", ?loc) AS ?tag)
+}
+"""
+
+
+def _sparql_docs_bind(sf_dir: str):
+    """SPARQL BIND computed column (M4 inside the query engine):
+    manager@location tags via CONCAT over required-group vars; the
+    oracle compiles the SAME query to a ||-concatenation expression."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_BIND)
+    return _pa.Table.from_pylist(
+        res.take_all(), schema=_pa.schema([("tag", _pa.string())]))
+
+
 DOCS_SPARQL_CONSTRUCT = """
 PREFIX kp: <urn:kgap:pred:>
 CONSTRUCT {
@@ -1186,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_construct": _sparql_docs_construct,
         "q_sparql_docs_path": _sparql_docs_path,
         "q_sparql_docs_altpath": _sparql_docs_altpath,
+        "q_sparql_docs_bind": _sparql_docs_bind,
         "q_triangles": _triangles,
         "q_bfs_depths": _bfs_depths,
     }
@@ -1572,6 +1596,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_construct": _sql_sparql_docs_construct(),
         "q_sparql_docs_path": _sql_sparql_docs_q(DOCS_SPARQL_PATH),
         "q_sparql_docs_altpath": _sql_sparql_docs_q(DOCS_SPARQL_ALTPATH),
+        "q_sparql_docs_bind": _sql_sparql_docs_q(DOCS_SPARQL_BIND),
         "q_triangles": _sql_docs_triangles(),
         "q_bfs_depths": _sql_docs_bfs(),
         # q_knn_lsh (approximate by design; recall pinned in pytest

@@ -47,6 +47,11 @@ Supported subset (documented; out-of-subset input raises ValueError):
   the Ray backend and by a recursive CTE on the SQL backend). ``+``
   and ``|`` need constant IRIs; ``^``/``/`` compose with variable
   predicates too.
+- ``BIND(CONCAT(arg, ...) AS ?v)`` / ``BIND(term AS ?v)`` computed
+  columns (M4), applied after the required group; argument variables
+  must be required-group vars (never null, so Arrow's
+  binary_join_element_wise and SQL ``||`` agree exactly). Bound vars
+  are selectable, filterable, groupable and usable in CONSTRUCT.
 - ``VALUES ?x { v v ... }`` single-variable inline data (top-level
   WHERE element; compiled to a membership mask / SQL ``IN`` list on
   an already-bound variable).
@@ -111,6 +116,11 @@ class SparqlQuery:
     distinct: bool = False
     patterns: list[Pattern] = field(default_factory=list)
     filters: list[tuple] = field(default_factory=list)
+    # BIND(expr AS ?v) computed columns, applied after the required
+    # group: expr = ('concat', [Term...]) | ('term', Term); argument
+    # variables must be required-group vars (never null on both
+    # backends, so || and binary_join_element_wise agree)
+    binds: list[tuple[str, tuple]] = field(default_factory=list)
     # OPTIONAL groups, each left-joined to the required part in order
     optionals: list[tuple[list[Pattern], list[tuple]]] = \
         field(default_factory=list)
@@ -423,6 +433,26 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                     p.expect_op("(")
                     q.filters.append(p.expr())
                     p.expect_op(")")
+            elif p.kw("BIND"):
+                # BIND(CONCAT(arg, ...) AS ?v) | BIND(term AS ?v)
+                p.expect_op("(")
+                if p.kw("CONCAT"):
+                    p.expect_op("(")
+                    args = [p.term()]
+                    while p.peek() == ("op", ","):
+                        p.next()
+                        args.append(p.term())
+                    p.expect_op(")")
+                    expr = ("concat", args)
+                else:
+                    expr = ("term", p.term())
+                if not p.kw("AS"):
+                    raise ValueError("BIND needs AS ?var")
+                vk, vv = p.next()
+                if vk != "var":
+                    raise ValueError("BIND target must be a variable")
+                p.expect_op(")")
+                q.binds.append((vv[1:], expr))
             elif p.kw("OPTIONAL"):
                 q.optionals.append(parse_plain_group())
             elif p.kw("VALUES"):
@@ -507,6 +537,15 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
     for pats, _ in q.optionals:
         for pat in pats:
             known.update(pat.vars())
+    for v, expr in q.binds:
+        for t_ in (expr[1] if expr[0] == "concat" else [expr[1]]):
+            if t_.kind == "var" and t_.value not in required:
+                raise ValueError(
+                    f"BIND argument ?{t_.value} must be a required-group "
+                    "variable (nullable args are out of subset)")
+        if v in known:
+            raise ValueError(f"BIND target ?{v} is already bound")
+        known.add(v)
     for pats, _ in q.not_exists:
         ne_vars = set()
         for pat in pats:
@@ -847,6 +886,27 @@ def _solution_plan(quads, q: SparqlQuery):
         bound = list(order)
     else:
         plan, bound, plan_empty = _build_group(quads, q.patterns, [])
+    if q.binds and not plan_empty:
+        binds = list(q.binds)
+
+        def apply_binds(t: pa.Table) -> pa.Table:
+            for v, expr in binds:
+                terms = expr[1] if expr[0] == "concat" else [expr[1]]
+                parts = [t.column(x.value) if x.kind == "var"
+                         else pa.scalar(x.value, pa.string())
+                         for x in terms]
+                col = parts[0] if len(parts) == 1 and expr[0] != "concat" \
+                    else pc.binary_join_element_wise(*parts, "")
+                if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+                    # all-literal expression folds to one constant
+                    const = "".join(x.value for x in terms)
+                    col = pa.array([const] * t.num_rows, pa.string())
+                t = t.append_column(v, col)
+            return t
+
+        plan = plan.map_batches(apply_binds, batch_format="pyarrow")
+    if q.binds:
+        bound = bound + [v for v, _ in q.binds]
     for pats, flts in q.optionals:
         sub, sub_bound, sub_empty = _build_group(quads, pats, flts)
         new = [v for v in sub_bound if v not in bound]
@@ -1128,6 +1188,13 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
         base_sql, base_vars = _group_sql(q.patterns, [], quads_rel)
     outer_bind = {v: f"r.{v}" for v in base_vars}
     from_sql = f"({base_sql}) r"
+    for v, expr in q.binds:
+        # args are required vars (validated) -> never NULL, so ||
+        # concatenation matches Arrow's binary_join_element_wise
+        terms = expr[1] if expr[0] == "concat" else [expr[1]]
+        refs = [outer_bind[x.value] if x.kind == "var" else _sql_str(x.value)
+                for x in terms]
+        outer_bind[v] = "(" + " || ".join(refs) + ")"
     for i, (pats, flts) in enumerate(q.optionals):
         g_sql, g_vars = _group_sql(pats, flts, quads_rel)
         shared = [v for v in outer_bind if v in g_vars]

@@ -136,6 +136,18 @@ CROSS_QUERIES = [
     # path + inside FILTER NOT EXISTS (anti-join against a closure)
     'PREFIX p: <p:> SELECT DISTINCT ?x WHERE { ?x p:loc ?l .'
     ' FILTER NOT EXISTS { ?x p:knows+ ?x . } }',
+    # BIND with CONCAT of vars and a literal
+    'PREFIX p: <p:> SELECT ?x ?tag WHERE { ?x p:loc ?l .'
+    ' BIND(CONCAT(?x, "@", ?l) AS ?tag) }',
+    # BIND var copy + filter on the bound variable
+    'PREFIX p: <p:> SELECT ?x ?x2 WHERE { ?x p:loc ?l .'
+    ' BIND(?x AS ?x2) FILTER (CONTAINS(?x2, "e:a")) }',
+    # constant BIND feeding a grouped COUNT over the bound var
+    'PREFIX p: <p:> SELECT ?c (COUNT(?x) AS ?n) WHERE '
+    '{ ?x p:loc ?l . BIND("all" AS ?c) } GROUP BY ?c',
+    # BIND used before an OPTIONAL join (bound var + null-filled var)
+    'PREFIX p: <p:> SELECT ?tag ?y WHERE { ?x p:loc ?l .'
+    ' BIND(CONCAT(?l, "!") AS ?tag) OPTIONAL { ?x p:knows ?y . } }',
 ]
 
 
