@@ -967,6 +967,29 @@ def _sparql_docs_bind(sf_dir: str):
         res.take_all(), schema=_pa.schema([("tag", _pa.string())]))
 
 
+DOCS_SPARQL_GRAPH = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?g (COUNT(?a) AS ?n) WHERE {
+  GRAPH ?g { ?a kp:locatedIn ?loc . }
+} GROUP BY ?g
+"""
+
+
+def _sparql_docs_graph(sf_dir: str):
+    """SPARQL GRAPH clause: per-named-graph accounting over the
+    docs-derived quads — the reference's per-feed/per-graph count
+    idiom (docs/components/ldes-consumer.md:330-336) as a native
+    query; the graph variable binds the quad table's graph column."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_GRAPH)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("g", _pa.string()), ("n", _pa.int64())]))
+
+
 DOCS_SPARQL_CONSTRUCT = """
 PREFIX kp: <urn:kgap:pred:>
 CONSTRUCT {
@@ -1210,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_path": _sparql_docs_path,
         "q_sparql_docs_altpath": _sparql_docs_altpath,
         "q_sparql_docs_bind": _sparql_docs_bind,
+        "q_sparql_docs_graph": _sparql_docs_graph,
         "q_triangles": _triangles,
         "q_bfs_depths": _bfs_depths,
     }
@@ -1597,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_path": _sql_sparql_docs_q(DOCS_SPARQL_PATH),
         "q_sparql_docs_altpath": _sql_sparql_docs_q(DOCS_SPARQL_ALTPATH),
         "q_sparql_docs_bind": _sql_sparql_docs_q(DOCS_SPARQL_BIND),
+        "q_sparql_docs_graph": _sql_sparql_docs_q(DOCS_SPARQL_GRAPH),
         "q_triangles": _sql_docs_triangles(),
         "q_bfs_depths": _sql_docs_bfs(),
         # q_knn_lsh (approximate by design; recall pinned in pytest

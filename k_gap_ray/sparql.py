@@ -52,6 +52,13 @@ Supported subset (documented; out-of-subset input raises ValueError):
   must be required-group vars (never null, so Arrow's
   binary_join_element_wise and SQL ``||`` agree exactly). Bound vars
   are selectable, filterable, groupable and usable in CONSTRUCT.
+- ``GRAPH term { tp . tp . FILTER }`` (top-level WHERE element):
+  scopes each contained pattern to a named graph — a constant IRI
+  filters the quad scan's ``graph`` column, a variable BINDS it (and
+  joins across patterns sharing it, giving same-graph semantics);
+  filters inside the block are conjunctive with the top level. A
+  ``+`` path under GRAPH needs a constant graph IRI (the closure is
+  then computed over that graph's edge set only).
 - ``VALUES ?x { v v ... }`` single-variable inline data (top-level
   WHERE element; compiled to a membership mask / SQL ``IN`` list on
   an already-bound variable).
@@ -84,7 +91,6 @@ _SEP = "\x1f"  # composite join key separator (same caveat as dedup_quads)
 _INTERNAL = "__pp"  # reserved prefix: path-hop vars, hidden from SELECT *
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"  # `a`
 
-_POS_COLS = (("s", "subj"), ("p", "pred"), ("o", "obj"))
 
 
 @dataclass(frozen=True)
@@ -98,6 +104,7 @@ class Pattern:
     s: Term
     p: Term
     o: Term
+    g: Term | None = None  # GRAPH scope (None = any graph)
 
     def vars(self) -> list[str]:
         out = []
@@ -107,7 +114,18 @@ class Pattern:
         return out
 
     def terms(self):
-        return [("s", self.s), ("p", self.p), ("o", self.o)]
+        base = [("s", self.s), ("p", self.p), ("o", self.o)]
+        if self.g is not None:
+            base.append(("g", self.g))
+        return base
+
+    def positions(self):
+        """(term, quad column) pairs actually constrained by this
+        pattern — the scan/compile contract for both backends."""
+        cols = [(self.s, "subj"), (self.p, "pred"), (self.o, "obj")]
+        if self.g is not None:
+            cols.append((self.g, "graph"))
+        return cols
 
 
 @dataclass
@@ -455,6 +473,32 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                 q.binds.append((vv[1:], expr))
             elif p.kw("OPTIONAL"):
                 q.optionals.append(parse_plain_group())
+            elif p.kw("GRAPH"):
+                # GRAPH term { tp . tp . FILTER } — scope each pattern
+                # to a named graph (constant IRI or graph variable);
+                # filters inside the block are conjunctive, same as
+                # top-level (both backends apply them identically)
+                gterm = p.term()
+                if gterm.kind == "lit":
+                    raise ValueError("GRAPH needs an IRI or variable")
+                p.expect_op("{")
+                while p.peek() != ("op", "}"):
+                    if p.kw("FILTER"):
+                        p.expect_op("(")
+                        q.filters.append(p.expr())
+                        p.expect_op(")")
+                    else:
+                        for pt in p.triple_patterns():
+                            if pt.p.kind == "path+" \
+                                    and gterm.kind != "iri":
+                                raise ValueError(
+                                    "path '+' under GRAPH needs a "
+                                    "constant graph IRI")
+                            q.patterns.append(
+                                Pattern(pt.s, pt.p, pt.o, gterm))
+                    if p.peek() == ("op", "."):
+                        p.next()
+                p.next()  # }
             elif p.kw("VALUES"):
                 # single-variable inline-data form: VALUES ?x { v v }
                 var = p.term()
@@ -599,8 +643,7 @@ def _make_scan(pat: Pattern):
     def scan(t: pa.Table) -> pa.Table:
         mask = None
         seen: dict[str, str] = {}
-        for pos, col in _POS_COLS:
-            term = getattr(pat, pos)
+        for term, col in pat.positions():
             if term.kind == "var":
                 if term.value in seen:  # same var twice in one pattern
                     m = pc.equal(t.column(seen[term.value]), t.column(col))
@@ -646,12 +689,13 @@ def _make_pair_scan(pat: Pattern):
     return scan
 
 
-def _path_plus(quads, pred: str):
+def _path_plus(quads, pred: str, graph: str | None = None):
     """Transitive closure (one-or-more hops) of the ``pred`` edge
     relation, as a Dataset with columns __a/__b/__k — the scan
     relation behind a ``<p>+`` pattern slot. ``pred`` may carry
     several _SEP-joined IRIs (an ``(p1|p2)+`` alternative step): the
-    closure then runs over the UNION edge set.
+    closure then runs over the UNION edge set. ``graph`` (constant
+    IRI) restricts the edge set to one named graph.
 
     Semi-naive iteration in pure Dataset ops: each round joins only
     the newly-discovered pairs (delta) against the base edges, dedups
@@ -676,6 +720,8 @@ def _path_plus(quads, pred: str):
         else:
             m = pc.is_in(t.column("pred"),
                          value_set=pa.array(preds, pa.string()))
+        if graph is not None:
+            m = pc.and_(m, pc.equal(t.column("graph"), graph))
         sel = t.filter(m)
         return pa.table({"__a": sel.column("subj"),
                          "__b": sel.column("obj")})
@@ -838,7 +884,8 @@ def _build_group(quads, patterns: list[Pattern], filters: list[tuple]):
         # many-tiny-block closure scans behind path+ patterns); the
         # scrub is ref-iteration only on an already-materialized ds.
         if pat.p.kind == "path+":
-            clo = _path_plus(quads, pat.p.value)
+            clo = _path_plus(quads, pat.p.value,
+                             graph=pat.g.value if pat.g else None)
             ds = None if clo is None else \
                 (clo.map_batches(_make_pair_scan(pat),
                                  batch_format="pyarrow")
@@ -1123,16 +1170,18 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
     var_bind: dict[str, str] = {}
     conds: list[str] = []
     for i, pat in enumerate(patterns):
-        for pos, col in _POS_COLS:
-            term = getattr(pat, pos)
+        for term, col in pat.positions():
             ref = f"t{i}.{col}"
+            if pat.p.kind == "path+" and col in ("pred", "graph"):
+                continue  # closure derived table already restricted
+                # (a var graph with path+ is rejected at parse)
             if term.kind == "var":
                 if term.value in var_bind:
                     conds.append(f"{var_bind[term.value]} = {ref}")
                 else:
                     var_bind[term.value] = ref
             elif term.kind == "path+":
-                continue  # closure derived table already restricted
+                continue  # unreachable (covered above); kept explicit
             elif term.kind == "alt":
                 in_list = ", ".join(_sql_str(p)
                                     for p in term.value.split(_SEP))
@@ -1157,11 +1206,15 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
         else:
             cond = "pred IN (" + ", ".join(_sql_str(p)
                                            for p in preds) + ")"
+        gbase = "" if pat.g is None \
+            else f" AND graph = {_sql_str(pat.g.value)}"
+        gq = "" if pat.g is None \
+            else f" AND q.graph = {_sql_str(pat.g.value)}"
         return (f"(WITH RECURSIVE __cl{i}(subj, obj) AS ("
-                f"SELECT subj, obj FROM {quads_rel} WHERE {cond}"
+                f"SELECT subj, obj FROM {quads_rel} WHERE {cond}{gbase}"
                 f" UNION "
                 f"SELECT c.subj, q.obj FROM __cl{i} c JOIN {quads_rel} q"
-                f" ON q.{cond} AND c.obj = q.subj)"
+                f" ON q.{cond}{gq} AND c.obj = q.subj)"
                 f" SELECT subj, '' AS pred, obj FROM __cl{i}) t{i}")
 
     sql = ("SELECT " + ", ".join(f"{var_bind[v]} AS {v}" for v in out)

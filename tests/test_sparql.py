@@ -148,6 +148,21 @@ CROSS_QUERIES = [
     # BIND used before an OPTIONAL join (bound var + null-filled var)
     'PREFIX p: <p:> SELECT ?tag ?y WHERE { ?x p:loc ?l .'
     ' BIND(CONCAT(?l, "!") AS ?tag) OPTIONAL { ?x p:knows ?y . } }',
+    # GRAPH with a constant IRI: only that graph's rows match
+    'PREFIX p: <p:> SELECT ?x ?y WHERE '
+    '{ GRAPH <g1> { ?x p:knows ?y . } }',
+    # GRAPH variable: binds the graph column, selectable
+    'PREFIX p: <p:> SELECT ?g ?x ?l WHERE '
+    '{ GRAPH ?g { ?x p:loc ?l . } }',
+    # shared graph var across two patterns = same-graph join
+    'PREFIX p: <p:> SELECT DISTINCT ?g ?x WHERE '
+    '{ GRAPH ?g { ?x p:knows ?y . ?x p:loc ?l . } }',
+    # graph-scoped transitive closure (g2's knows edges only)
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE '
+    '{ GRAPH <g2> { ?x p:knows+ ?y . } }',
+    # GRAPH block with an inner filter + pattern outside the block
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:knows ?y .'
+    ' GRAPH <g1> { ?x p:loc ?l . FILTER (CONTAINS(?l, "bay")) } }',
 ]
 
 
