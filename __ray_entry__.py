@@ -990,6 +990,24 @@ def _sparql_docs_graph(sf_dir: str):
         schema=_pa.schema([("g", _pa.string()), ("n", _pa.int64())]))
 
 
+DOCS_SPARQL_ASK = """
+PREFIX kp: <urn:kgap:pred:>
+ASK { ?a kp:funds ?b . ?b kp:funds ?a . }
+"""
+
+
+def _sparql_docs_ask(sf_dir: str):
+    """SPARQL ASK (J4 existence test): does any MUTUAL funding pair
+    exist? The plan stops at the first surviving row; the oracle is
+    the compiled SELECT EXISTS(...) SQL."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_ask
+
+    val = sparql_ask(_docs_quads(sf_dir), DOCS_SPARQL_ASK)
+    return _pa.table({"ask": _pa.array([val], _pa.bool_())})
+
+
 DOCS_SPARQL_CONSTRUCT = """
 PREFIX kp: <urn:kgap:pred:>
 CONSTRUCT {
@@ -1167,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitem_rollup": rel.q_lineitem_rollup,
         "q_lineitem_melt": rel.q_lineitem_melt,
         "q_events_user_list": rel.q_events_user_list,
+        "q_events_mode_user": rel.q_events_mode_user,
         "q_union_priorities": rel.q_union_priorities,
         "q_priority_intersect": rel.q_priority_intersect,
         "q_priority_except": rel.q_priority_except,
@@ -1234,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_altpath": _sparql_docs_altpath,
         "q_sparql_docs_bind": _sparql_docs_bind,
         "q_sparql_docs_graph": _sparql_docs_graph,
+        "q_sparql_docs_ask": _sparql_docs_ask,
         "q_triangles": _triangles,
         "q_bfs_depths": _bfs_depths,
     }
@@ -1476,6 +1496,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
+        "q_events_mode_user": """
+            SELECT event_type, user_id, n FROM (
+              SELECT event_type, user_id,
+                     CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY count(*) DESC, user_id)
+                         AS rk
+              FROM events GROUP BY event_type, user_id) t
+            WHERE rk = 1
+        """,
         "q_bloom_semi_join": """
             SELECT l_returnflag, count(*) AS n FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
@@ -1622,6 +1652,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_altpath": _sql_sparql_docs_q(DOCS_SPARQL_ALTPATH),
         "q_sparql_docs_bind": _sql_sparql_docs_q(DOCS_SPARQL_BIND),
         "q_sparql_docs_graph": _sql_sparql_docs_q(DOCS_SPARQL_GRAPH),
+        "q_sparql_docs_ask": _sql_docs_ask(),
         "q_triangles": _sql_docs_triangles(),
         "q_bfs_depths": _sql_docs_bfs(),
         # q_knn_lsh (approximate by design; recall pinned in pytest
@@ -1671,6 +1702,14 @@ def _sql_docs_bfs() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_bfs
 
     return sql_docs_bfs("urn:kgap:pred:funds", "urn:kgap:pred:manages")
+
+
+def _sql_docs_ask() -> str:
+    from k_gap_ray.pipelines.docs_kg import _sql_ctes, _sql_quads_cte
+    from k_gap_ray.sparql import sparql_ask_to_sql
+
+    return (_sql_ctes("documents") + _sql_quads_cte() + "\n"
+            + sparql_ask_to_sql(DOCS_SPARQL_ASK, quads_rel="quads"))
 
 
 def _sql_sparql_docs_construct() -> str:

@@ -1002,3 +1002,33 @@ def q_lineitem_melt(sf_dir: str):
            .groupby("measure").aggregate(Sum("v", alias_name="total")))
     return out.map_batches(lambda t: t.select(["measure", "total"]),
                            batch_format="pyarrow")
+
+
+def q_events_mode_user(sf_dir: str):
+    """Grouped MODE (argmax-by-count): the dominant user per event
+    type, smallest user id on ties. Counting goes through ONE
+    composite-key groupby (type\\x1fuser -> count; multi-key groupby
+    aggregates are a measured regression, BENCH/NOTES.md), then the
+    windowed row_number()=1 cut reuses grouped_topk's partial-cut
+    combiner with k=1."""
+    _S = "\x1f"
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    keyed = ds.map_batches(
+        lambda t: pa.table({"__k": pc.binary_join_element_wise(
+            t.column("event_type"),
+            pc.cast(t.column("user_id"), pa.string()), _S)}),
+        batch_format="pyarrow")
+
+    def unkey(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("__k").combine_chunks(), _S)
+        return pa.table({
+            "event_type": pc.list_element(parts, 0),
+            "user_id": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            "n": pc.cast(t.column("count()"), pa.int64())})
+
+    counts = (keyed.groupby("__k").count()
+              .map_batches(unkey, batch_format="pyarrow"))
+    top = grouped_topk(counts, "event_type", "n", 1, "user_id")
+    return top.map_batches(
+        lambda t: t.select(["event_type", "user_id", "n"]),
+        batch_format="pyarrow")

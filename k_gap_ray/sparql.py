@@ -157,6 +157,8 @@ class SparqlQuery:
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int = 0
+    # ASK form: result is a single boolean (any solution exists?)
+    ask: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -364,8 +366,12 @@ def parse_sparql(query: str) -> SparqlQuery:
             raise ValueError("CONSTRUCT needs at least one template "
                              "triple")
         return _parse_where_and_modifiers(p, q)
+    if p.kw("ASK"):
+        q = SparqlQuery(select_vars=None)
+        q.ask = True
+        return _parse_where_and_modifiers(p, q)
     if not p.kw("SELECT"):
-        raise ValueError("only SELECT/CONSTRUCT queries are supported")
+        raise ValueError("only SELECT/ASK/CONSTRUCT queries are supported")
     q = SparqlQuery(select_vars=None)
     q.distinct = p.kw("DISTINCT")
     if p.peek() == ("op", "*"):
@@ -406,8 +412,8 @@ def parse_sparql(query: str) -> SparqlQuery:
 
 
 def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
-    if not p.kw("WHERE"):
-        raise ValueError("expected WHERE")
+    if not p.kw("WHERE") and not q.ask:
+        raise ValueError("expected WHERE")  # ASK allows a bare block
 
     def parse_plain_group() -> tuple[list[Pattern], list[tuple]]:
         """``{ tp . tp . FILTER }`` (no nesting); consumes through ``}``."""
@@ -620,6 +626,9 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
     for v, _ in q.order_by:
         if v not in out:
             raise ValueError(f"ORDER BY ?{v} must be a selected variable")
+    if q.ask and (q.agg is not None or q.order_by
+                  or q.limit is not None or q.distinct):
+        raise ValueError("ASK takes no solution modifiers")
     if q.construct:
         if q.agg is not None or q.order_by or q.limit is not None \
                 or q.distinct:
@@ -1029,6 +1038,8 @@ def sparql_select(quads, query: str | SparqlQuery):
     q = parse_sparql(query) if isinstance(query, str) else query
     if q.construct:
         raise ValueError("use sparql_construct for CONSTRUCT queries")
+    if q.ask:
+        raise ValueError("use sparql_ask for ASK queries")
     # one materialize, N pattern scans — also scrubs groupby-produced
     # empty-schema blocks (dedup_quads output is a common input here)
     quads = drop_empty_blocks(quads.materialize())
@@ -1073,6 +1084,35 @@ def sparql_select(quads, query: str | SparqlQuery):
                 [(v, pa.int64() if v == alias else pa.string())
                  for v in out_vars]))
     return plan
+
+
+def sparql_ask(quads, query: str | SparqlQuery) -> bool:
+    """Execute a SPARQL ASK (J4 existence test): True iff the WHERE
+    body has at least one solution. The plan stops at the first
+    surviving row (``limit(1)``) — the engine never materializes the
+    solution set. DuckDB oracle: :func:`sparql_ask_to_sql`."""
+    from k_gap_ray.dsutil import drop_empty_blocks
+
+    q = parse_sparql(query) if isinstance(query, str) else query
+    if not q.ask:
+        raise ValueError("sparql_ask needs an ASK query")
+    quads = drop_empty_blocks(quads.materialize())
+    plan, _ = _solution_plan(quads, q)
+    return plan.limit(1).count() > 0
+
+
+def sparql_ask_to_sql(query: str | SparqlQuery,
+                      quads_rel: str = "quads") -> str:
+    """Compile an ASK query to ``SELECT EXISTS(...) AS ask`` — the
+    independent oracle backend for :func:`sparql_ask`."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    if not q.ask:
+        raise ValueError("sparql_ask_to_sql needs an ASK query")
+    from_sql, _, conds = _solution_sql_parts(q, quads_rel)
+    inner = "SELECT 1 FROM " + from_sql
+    if conds:
+        inner += "\nWHERE " + " AND ".join(conds)
+    return f"SELECT EXISTS ({inner}) AS ask"
 
 
 def sparql_construct(quads, query: str | SparqlQuery):

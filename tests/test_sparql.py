@@ -351,3 +351,22 @@ def test_rdf_type_shorthand_in_construct(ray_session):
         'WHERE { ?x p:knows ?y . }').take_all()
     assert len(out) == 3  # distinct knowers: e:a, e:b, e:d
     assert all(r["pred"] == RT and r["obj"] == "c:Knower" for r in out)
+
+
+def test_ask_backends_agree(ray_session):
+    """ASK queries agree with the SELECT EXISTS oracle, for both
+    true and false answers, including a path-closure body."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.sparql import sparql_ask, sparql_ask_to_sql
+
+    con = duckdb.connect()
+    con.register("quads", QUADS)
+    ds = rd.from_arrow(QUADS).repartition(3)
+    for q in ('PREFIX p: <p:> ASK { ?x p:knows ?x . }',        # true
+              'PREFIX p: <p:> ASK { ?x p:loc "l:nowhere" . }',  # false
+              'PREFIX p: <p:> ASK { ?x p:knows+ ?x . }'):       # cycle
+        got = sparql_ask(ds, q)
+        exp = bool(con.execute(sparql_ask_to_sql(q)).fetchone()[0])
+        assert got == exp, q
