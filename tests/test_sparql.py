@@ -188,17 +188,20 @@ def test_parse_rejects_out_of_subset():
     from k_gap_ray.sparql import parse_sparql
 
     bad = [
-        "ASK { ?s ?p ?o }",                                # not SELECT
+        "DESCRIBE <x:y>",                                  # not in subset
         "SELECT ?x WHERE { }",                             # no patterns
         "SELECT ?x WHERE { ?a ?p ?b . }",                  # unbound select
         "SELECT ?a WHERE { ?a ?p ?b . ?c ?q ?d . }",       # cartesian is
         # caught at execution time, parse keeps it; LIMIT needs ORDER BY:
         "SELECT ?a WHERE { ?a ?p ?b . } LIMIT 3",
         "SELECT ?a WHERE { ?a x:y ?b . }",                 # undeclared pfx
+        "ASK { ?s ?p ?o } LIMIT 1",                        # ASK+modifier
     ]
-    for q in (bad[0], bad[1], bad[2], bad[4], bad[5]):
+    for q in (bad[0], bad[1], bad[2], bad[4], bad[5], bad[6]):
         with pytest.raises(ValueError):
             parse_sparql(q)
+    # ASK itself is in-subset now (bare block, no WHERE keyword)
+    assert parse_sparql("ASK { ?s ?p ?o }").ask
 
 
 def test_cartesian_product_rejected(ray_session):
