@@ -583,6 +583,10 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
         required = set()
         for pat in q.patterns:
             required.update(pat.vars())
+    if not required and not q.ask:
+        raise ValueError(
+            "the query binds no variables — only ASK supports an "
+            "all-constant pattern body")
     known = set(required)
     for pats, _ in q.optionals:
         for pat in pats:
@@ -668,6 +672,11 @@ def _make_scan(pat: Pattern):
                 mask = m if mask is None else pc.and_(mask, m)
         if mask is not None:
             t = t.filter(mask)
+        if not seen:  # all-constant pattern (canonical ASK form):
+            # preserve the MATCH COUNT through a dummy column — an
+            # empty projection would have zero rows regardless of
+            # matches and flip ASK to a wrong False
+            return pa.table({"__const": pa.nulls(t.num_rows, pa.string())})
         return pa.table({v: t.column(col) for v, col in seen.items()})
 
     return scan
@@ -909,10 +918,38 @@ def _build_group(quads, patterns: list[Pattern], filters: list[tuple]):
         if plan is None:
             plan, bound = ds, list(pat.vars())
         else:
+            # joins can empty the plan at RUNTIME (no matching keys)
+            # even when every scan is non-empty; an empty side crashes
+            # the NEXT hash join, so check after every join — the
+            # materialize doubles as the scrub the next join needs
             plan, bound = _join_plans(plan, bound, ds, pat.vars())
+            plan = plan.materialize()
+            if plan.count() == 0:
+                all_vars = {v for pt in patterns for v in pt.vars()}
+                return _empty_plan(list(all_vars)), sorted(all_vars), True
+            plan = drop_empty_blocks(plan)
     if filters:
-        plan = _apply_filters(plan, filters)
+        plan = _apply_filters(plan, filters).materialize()
+        if plan.count() == 0:  # filter-emptied group, same hazard
+            all_vars = {v for pt in patterns for v in pt.vars()}
+            return _empty_plan(list(all_vars)), sorted(all_vars), True
+        plan = drop_empty_blocks(plan)
     return plan, bound, False
+
+
+def _require_graph_column(quads, q: SparqlQuery) -> None:
+    """GRAPH-scoped queries need a ``graph`` column on the input quad
+    Dataset — fail with a contract ValueError, not a mid-execution
+    Arrow KeyError."""
+    groups = [q.patterns, q.construct] \
+        + [p for p, _ in q.optionals] + [p for p, _ in q.unions] \
+        + [p for p, _ in q.not_exists]
+    if any(pat.g is not None for pats in groups for pat in pats):
+        names = quads.schema().names
+        if "graph" not in names:
+            raise ValueError(
+                "GRAPH clause needs a 'graph' column on the quads "
+                f"Dataset (has: {names})")
 
 
 def _solution_plan(quads, q: SparqlQuery):
@@ -987,6 +1024,13 @@ def _solution_plan(quads, q: SparqlQuery):
     # unmatched (null) optional var is null → dropped, matching SQL
     if q.filters and not plan_empty:
         plan = _apply_filters(plan, q.filters)
+        if q.not_exists:
+            # a filter-emptied plan would crash the marker joins below
+            plan = plan.materialize()
+            if plan.count() == 0:
+                plan_empty = True
+            else:
+                plan = drop_empty_blocks(plan)
     for pats, flts in q.not_exists:
         # correlated anti-join: rows with a match in the group drop.
         # The sub-plan is deduped to the DISTINCT shared-var tuples
@@ -1043,6 +1087,7 @@ def sparql_select(quads, query: str | SparqlQuery):
     # one materialize, N pattern scans — also scrubs groupby-produced
     # empty-schema blocks (dedup_quads output is a common input here)
     quads = drop_empty_blocks(quads.materialize())
+    _require_graph_column(quads, q)
     plan, bound = _solution_plan(quads, q)
 
     if q.agg is not None:
@@ -1097,6 +1142,7 @@ def sparql_ask(quads, query: str | SparqlQuery) -> bool:
     if not q.ask:
         raise ValueError("sparql_ask needs an ASK query")
     quads = drop_empty_blocks(quads.materialize())
+    _require_graph_column(quads, q)
     plan, _ = _solution_plan(quads, q)
     return plan.limit(1).count() > 0
 
@@ -1129,6 +1175,7 @@ def sparql_construct(quads, query: str | SparqlQuery):
     if not q.construct:
         raise ValueError("sparql_construct needs a CONSTRUCT query")
     quads = drop_empty_blocks(quads.materialize())
+    _require_graph_column(quads, q)
     plan, _ = _solution_plan(quads, q)
     templates = list(q.construct)
 
@@ -1231,6 +1278,12 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
     for e in filters:
         conds.append(_expr_sql(e, var_bind))
     out = list(var_bind)
+    if not out:
+        # all-constant group (canonical ASK): a valid one-column
+        # relation whose ROW COUNT carries the existence answer
+        sel = "SELECT 1 AS __const"
+    else:
+        sel = "SELECT " + ", ".join(f"{var_bind[v]} AS {v}" for v in out)
 
     def rel(i: int, pat: Pattern) -> str:
         if pat.p.kind != "path+":
@@ -1257,9 +1310,8 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
                 f" ON q.{cond}{gq} AND c.obj = q.subj)"
                 f" SELECT subj, '' AS pred, obj FROM __cl{i}) t{i}")
 
-    sql = ("SELECT " + ", ".join(f"{var_bind[v]} AS {v}" for v in out)
-           + " FROM " + ", ".join(rel(i, pat)
-                                  for i, pat in enumerate(patterns)))
+    sql = (sel + " FROM " + ", ".join(rel(i, pat)
+                                      for i, pat in enumerate(patterns)))
     if conds:
         sql += " WHERE " + " AND ".join(conds)
     return sql, out

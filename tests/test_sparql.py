@@ -373,3 +373,38 @@ def test_ask_backends_agree(ray_session):
         got = sparql_ask(ds, q)
         exp = bool(con.execute(sparql_ask_to_sql(q)).fetchone()[0])
         assert got == exp, q
+
+
+def test_constant_ask_and_runtime_empty_relations(ray_session):
+    """Review regressions: (1) an all-constant ASK preserves the match
+    count through the dummy-column scan on Ray and compiles to a valid
+    SELECT 1 relation in SQL; (2) relations emptied at RUNTIME (filter
+    inside OPTIONAL, join-to-zero before NOT EXISTS) give the SQL
+    backend's answer instead of crashing the hash join; (3) GRAPH
+    over a graph-less dataset raises a contract ValueError."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.sparql import (sparql_ask, sparql_ask_to_sql,
+                                  sparql_select, sparql_to_sql)
+
+    ds = rd.from_arrow(QUADS).repartition(3)
+    con = duckdb.connect()
+    con.register("quads", QUADS)
+    for q, exp in (("ASK { <e:a> <p:knows> <e:b> . }", True),
+                   ("ASK { <e:a> <p:knows> <e:z> . }", False)):
+        assert sparql_ask(ds, q) is exp
+        assert bool(con.execute(sparql_ask_to_sql(q)).fetchone()[0]) is exp
+    for q in (
+        'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:knows ?y . OPTIONAL '
+        '{ ?x p:loc ?l . FILTER (CONTAINS(?l, "nowhere")) } }',
+        'PREFIX p: <p:> SELECT ?x WHERE { ?x p:emp ?e . ?x p:knows ?k .'
+        ' FILTER (?e = "nope") FILTER NOT EXISTS { ?x p:loc ?l . } }',
+    ):
+        eng = sparql_select(ds, q).take_all()
+        ora = con.execute(sparql_to_sql(q)).fetchall()
+        assert len(eng) == len(ora)
+    tri = rd.from_arrow(QUADS.drop_columns(["graph"]))
+    with pytest.raises(ValueError, match="graph"):
+        sparql_select(
+            tri, "SELECT ?g WHERE { GRAPH ?g { ?s <p:loc> ?o . } }")
