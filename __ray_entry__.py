@@ -1186,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitem_melt": rel.q_lineitem_melt,
         "q_events_user_list": rel.q_events_user_list,
         "q_events_mode_user": rel.q_events_mode_user,
+        "q_orders_priority_share": rel.q_orders_priority_share,
         "q_union_priorities": rel.q_union_priorities,
         "q_priority_intersect": rel.q_priority_intersect,
         "q_priority_except": rel.q_priority_except,
@@ -1495,6 +1496,13 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY CAST(user_id AS VARCHAR)) AS users,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "q_orders_priority_share": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) * 10000
+                        // SUM(count(*)) OVER () AS BIGINT) AS share_bp
+            FROM orders GROUP BY o_orderpriority
         """,
         "q_events_mode_user": """
             SELECT event_type, user_id, n FROM (

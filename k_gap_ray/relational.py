@@ -1032,3 +1032,35 @@ def q_events_mode_user(sf_dir: str):
     return top.map_batches(
         lambda t: t.select(["event_type", "user_id", "n"]),
         batch_format="pyarrow")
+
+
+def q_orders_priority_share(sf_dir: str):
+    """Percent-of-total window (count per priority over the grand
+    total) in exact integer basis points — the `count(*) /
+    sum(count(*)) OVER ()` reporting idiom without float division
+    ambiguity: share_bp = n * 10000 // total on both backends."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    per = ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+    # the grouped result is priority-cardinality-sized (5 rows): one
+    # driver-side total, then a vectorized finish map
+    import numpy as np
+
+    rows = per.take_all()
+    total = sum(r["n"] for r in rows)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype("int64")
+        bp = n * 10_000 // max(total, 1)
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "n": pa.array(n, pa.int64()),
+                         "share_bp": pa.array(bp, pa.int64())})
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(
+        rows, schema=pa.schema([("o_orderpriority", pa.string()),
+                                ("n", pa.int64())]))).map_batches(
+        finish, batch_format="pyarrow")

@@ -215,12 +215,21 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
 
             ds = bfs_depths(ds, step.pop("seeds"), **step)
         elif op == "sparql":
-            from k_gap_ray.sparql import (parse_sparql, sparql_construct,
-                                          sparql_select)
+            import pyarrow as _pa
+            import ray.data as _rd
+
+            from k_gap_ray.sparql import (parse_sparql, sparql_ask,
+                                          sparql_construct, sparql_select)
 
             parsed = parse_sparql(step.pop("query"))
-            ds = sparql_construct(ds, parsed) if parsed.construct \
-                else sparql_select(ds, parsed)
+            if parsed.construct:
+                ds = sparql_construct(ds, parsed)
+            elif parsed.ask:
+                ds = _rd.from_arrow(_pa.table(
+                    {"ask": _pa.array([sparql_ask(ds, parsed)],
+                                      _pa.bool_())}))
+            else:
+                ds = sparql_select(ds, parsed)
         elif op == "construct_remap":
             from k_gap_ray.ops.transform import construct_remap
 

@@ -413,3 +413,18 @@ def test_workflow_yaml_callable_param(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="steps"):
         load_workflow(str(bad))
+
+
+def test_workflow_sparql_ask_step(ray_session):
+    """The sparql workflow step routes ASK queries to a one-row
+    boolean dataset."""
+    import ray.data as rd
+
+    from k_gap_ray.workflow import run_workflow
+
+    quads = rd.from_arrow(pa.table({
+        "subj": ["a"], "pred": ["p"], "obj": ["b"], "graph": ["g"]}))
+    out = run_workflow([
+        {"op": "sparql", "query": "ASK { <a> <p> <b> . }"},
+    ], dataset=quads)
+    assert out.take_all() == [{"ask": True}]
