@@ -1150,7 +1150,59 @@ def _rdf_turtle(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the grading driver verifies the FIRST 50 entries
+    # against oracle_sql(). Round 2 verified the relational+doc families
+    # (all green twice); this round the previously-unchecked families
+    # (SPARQL, kg_docs, embeddings, workflow, rdf, pagerank) lead so the
+    # hard signal reaches them, and the twice-green relational family
+    # trails.
     return {
+        # --- SPARQL engine over the docs-derived KG (S3) ---
+        "q_sparql_docs": _sparql_docs,
+        "q_sparql_docs_agg": _sparql_docs_agg,
+        "q_sparql_docs_union": _sparql_docs_union,
+        "q_sparql_docs_notexists": _sparql_docs_notexists,
+        "q_sparql_docs_construct": _sparql_docs_construct,
+        "q_sparql_docs_path": _sparql_docs_path,
+        "q_sparql_docs_altpath": _sparql_docs_altpath,
+        "q_sparql_docs_bind": _sparql_docs_bind,
+        "q_sparql_docs_graph": _sparql_docs_graph,
+        "q_sparql_docs_ask": _sparql_docs_ask,
+        # --- KG pipeline over a documents-derived corpus (FULL oracle) ---
+        "kg_docs_triples": _kg_docs_triples,
+        "kg_docs_entities": _kg_docs_entities,
+        "kg_docs_mention_counts": _kg_docs_mention_counts,
+        # --- embeddings: similarity search + near-dup ---
+        "q_knn_top10": _knn,
+        "q_knn_quantized": _knn_quantized,
+        "q_knn_lsh": _knn_lsh,
+        "q_knn_ivf": _knn_ivf,
+        "q_emb_near_dup": _emb_near_dup,
+        "q_emb_sim_join": _emb_sim_join,
+        "q_emb_dedup_survivors": _emb_dedup_survivors,
+        "q_emb_centroids": _emb_centroids,
+        # --- compositions / graph / formats unchecked in r2 ---
+        "q_doc_clean_corpus": _doc_clean_corpus,
+        "q_pagerank": _pagerank,
+        "q_triangles": _triangles,
+        "q_bfs_depths": _bfs_depths,
+        "q_rdf_turtle": _rdf_turtle,
+        "q_workflow_lang_en": _workflow_lang_en,
+        "q_doc_dup_clusters": _doc_dup_clusters,
+        "q_doc_neardup_dedup": _doc_neardup_dedup,
+        "q_doc_hash_sample": _doc_hash_sample,
+        "q_doc_vocab": _doc_vocab,
+        "q_doc_mixture": _doc_mixture,
+        "q_doc_decontam": _doc_decontam,
+        "q_doc_repetition": _doc_repetition,
+        "q_doc_packing": _doc_packing,
+        "q_doc_dup_spans": _doc_dup_spans,
+        "q_doc_len_hist": _doc_len_hist,
+        "q_part_fuzzy_pairs": _part_fuzzy_pairs,
+        "q_doc_search": _doc_search,
+        "q_doc_redact": _doc_redact,
+        "q_deref_reachable": _deref_reachable,
+        "q_media_features": _media_features,
         # --- relational operator surface (SURVEY.md 2.4-2.7) ---
         "q_agg_pricing": rel.q_agg_pricing,
         "q_filter_bind": rel.q_filter_bind,
@@ -1203,60 +1255,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_minhash_pairs": _doc_minhash_pairs,
         "q_doc_simhash_pairs": _doc_simhash_pairs,
         "q_doc_ngram_jaccard": _doc_ngram_jaccard,
-        "q_doc_dup_clusters": _doc_dup_clusters,
-        "q_doc_neardup_dedup": _doc_neardup_dedup,
-        "q_doc_clean_corpus": _doc_clean_corpus,
-        "q_doc_hash_sample": _doc_hash_sample,
-        "q_doc_vocab": _doc_vocab,
-        "q_doc_mixture": _doc_mixture,
-        "q_doc_decontam": _doc_decontam,
-        "q_doc_repetition": _doc_repetition,
-        "q_doc_packing": _doc_packing,
-        "q_doc_dup_spans": _doc_dup_spans,
-        "q_doc_len_hist": _doc_len_hist,
-        "q_part_fuzzy_pairs": _part_fuzzy_pairs,
-        "q_doc_search": _doc_search,
-        "q_doc_redact": _doc_redact,
-        # --- graph traversal (J5) / graph analytics ---
-        "q_deref_reachable": _deref_reachable,
-        "q_pagerank": _pagerank,
-        # --- embeddings: similarity search + near-dup ---
-        "q_knn_top10": _knn,
-        "q_knn_quantized": _knn_quantized,
-        "q_knn_lsh": _knn_lsh,
-        "q_knn_ivf": _knn_ivf,
-        "q_emb_near_dup": _emb_near_dup,
-        "q_emb_sim_join": _emb_sim_join,
-        "q_emb_dedup_survivors": _emb_dedup_survivors,
-        "q_emb_centroids": _emb_centroids,
-        # --- declarative workflow engine (X1-X3) ---
-        "q_workflow_lang_en": _workflow_lang_en,
-        # --- RDF text formats (S2) ---
-        "q_rdf_turtle": _rdf_turtle,
-        # --- multimodal plumbing ---
-        "q_media_features": _media_features,
         # --- KG-construction pipeline products (non-SQL; rows-only) ---
         "kg_triples": _kg("triples"),
         "kg_mentions": _kg("mentions"),
         "kg_entities": _kg("entities"),
         "kg_mention_counts": _kg_mention_counts,
         "kg_report": _kg_report,
-        # --- KG pipeline over a documents-derived corpus (FULL oracle) ---
-        "kg_docs_triples": _kg_docs_triples,
-        "kg_docs_entities": _kg_docs_entities,
-        "kg_docs_mention_counts": _kg_docs_mention_counts,
-        "q_sparql_docs": _sparql_docs,
-        "q_sparql_docs_agg": _sparql_docs_agg,
-        "q_sparql_docs_union": _sparql_docs_union,
-        "q_sparql_docs_notexists": _sparql_docs_notexists,
-        "q_sparql_docs_construct": _sparql_docs_construct,
-        "q_sparql_docs_path": _sparql_docs_path,
-        "q_sparql_docs_altpath": _sparql_docs_altpath,
-        "q_sparql_docs_bind": _sparql_docs_bind,
-        "q_sparql_docs_graph": _sparql_docs_graph,
-        "q_sparql_docs_ask": _sparql_docs_ask,
-        "q_triangles": _triangles,
-        "q_bfs_depths": _bfs_depths,
     }
 
 
@@ -1605,11 +1609,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "q_knn_top10": """
+            -- CAST the lists to DOUBLE before the cosine (not after):
+            -- list_cosine_similarity on FLOAT lists is float32 math,
+            -- the engine's numpy path is float64
             SELECT vec_id,
-                   round(CAST(list_cosine_similarity(
-                       embedding,
-                       (SELECT embedding FROM embeddings WHERE vec_id = 0))
-                       AS DOUBLE), 4) AS cosine
+                   round(list_cosine_similarity(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (SELECT list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE))
+                        FROM embeddings WHERE vec_id = 0)), 4) AS cosine
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
@@ -1951,15 +1959,22 @@ def _text_analysis_oracles() -> dict[str, str]:
         )
         SELECT node FROM reach
     """
-    emb_near_dup = """
+    # list_cosine_similarity on the raw FLOAT lists does float32
+    # arithmetic; the engine computes float64 cosines, so a pair at the
+    # threshold boundary could flip between engines. CAST to DOUBLE
+    # first (same convention as the quantized-kNN oracle).
+    emb_cos_dbl = ("list_cosine_similarity("
+                   "list_transform({a}, x -> CAST(x AS DOUBLE)), "
+                   "list_transform({b}, x -> CAST(x AS DOUBLE)))")
+    emb_near_dup = f"""
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        WHERE {emb_cos_dbl.format(a='a.embedding', b='b.embedding')} >= 0.9
     """
-    emb_sim_join = """
+    emb_sim_join = f"""
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        WHERE {emb_cos_dbl.format(a='a.embedding', b='b.embedding')} >= 0.4
     """
     # ASCII payloads: byte == codepoint, so the byte statistics the
     # decode actor computes from the binary payload equal these
@@ -2088,13 +2103,13 @@ def _text_analysis_oracles() -> dict[str, str]:
             "FROM lineitem", iters=3),
         "q_emb_near_dup": emb_near_dup,
         "q_emb_sim_join": emb_sim_join,
-        "q_emb_dedup_survivors": """
+        "q_emb_dedup_survivors": f"""
             SELECT a.vec_id, a.label FROM embeddings a
             WHERE NOT EXISTS (
                 SELECT 1 FROM embeddings b
                 WHERE b.vec_id < a.vec_id
-                  AND list_cosine_similarity(a.embedding,
-                                             b.embedding) >= 0.4)
+                  AND {emb_cos_dbl.format(a='a.embedding',
+                                          b='b.embedding')} >= 0.4)
         """,
         "q_emb_centroids": _sql_emb_centroids(),
         "q_doc_dup_spans": _sql_doc_dup_spans(),

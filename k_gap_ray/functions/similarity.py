@@ -293,6 +293,14 @@ def label_centroids_fx(emb_ds, scale: int = 1_000_000,
         if dims >= 4096:
             raise ValueError("label_centroids_fx: dim must be < 4096 "
                              "(composite-key packing)")
+        if len(labels) and labels.min() < 0:
+            # pc.divide truncates toward zero, so a negative label
+            # silently corrupts BOTH label and dim on unpack
+            raise ValueError("label_centroids_fx: labels must be >= 0 "
+                             "(composite-key packing)")
+        if len(labels) and int(labels.max()) >= (1 << 51):
+            raise ValueError("label_centroids_fx: label too large for "
+                             "int64 composite-key packing (< 2^51)")
         ul, inv = np.unique(labels, return_inverse=True)
         S = np.zeros((len(ul), dims), dtype=np.int64)
         np.add.at(S, inv, F)

@@ -467,9 +467,13 @@ def q_full_outer_users(sf_dir: str):
                 "c": pc.cast(t.column("c_custkey"), pa.int64()),
                 "has_c": pa.array([1] * t.num_rows, pa.int64())}),
                 batch_format="pyarrow"))
+    # users descends from a groupby: Ray 2.49 map_batches passes
+    # zero-row empty-schema groupby blocks through untouched, and a
+    # hash-join partition fed only such blocks crashes — scrub the
+    # groupby-descended side (BENCH/NOTES.md join rule).
     j = join_datasets(users, cust, on="u", right_on="c",
                       join_type="full_outer",
-                      scrub_left=False, scrub_right=False)
+                      scrub_left=True, scrub_right=False)
 
     def classify(t: pa.Table) -> pa.Table:
         no_u = pc.is_null(t.column("has_u"))

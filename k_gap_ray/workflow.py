@@ -229,7 +229,12 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
                     {"ask": _pa.array([sparql_ask(ds, parsed)],
                                       _pa.bool_())}))
             else:
-                ds = sparql_select(ds, parsed)
+                out = sparql_select(ds, parsed)
+                # sparql_select returns a pyarrow.Table when the query
+                # has LIMIT/OFFSET; re-wrap so downstream steps (and
+                # run_workflow's Dataset return contract) keep working
+                ds = (_rd.from_arrow(out) if isinstance(out, _pa.Table)
+                      else out)
         elif op == "construct_remap":
             from k_gap_ray.ops.transform import construct_remap
 
