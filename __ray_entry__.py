@@ -1008,6 +1008,272 @@ def _sparql_docs_ask(sf_dir: str):
     return _pa.table({"ask": _pa.array([val], _pa.bool_())})
 
 
+DOCS_SPARQL_NUMERIC = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?a ?emp WHERE {
+  ?a kp:employs ?emp .
+  FILTER (?emp > 2500 && ?emp <= 4000)
+}
+"""
+
+
+def _sparql_docs_numeric(sf_dir: str):
+    """Numeric FILTER comparisons over string-stored xsd:integer
+    objects — values coerce string→double with the TRY_CAST-mirror
+    rule on both backends. Reference parity: numeric range filters
+    over qudt:numericValue (docs/advanced-topics.md:398-414)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_NUMERIC)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("emp", _pa.string())]))
+
+
+DOCS_SPARQL_TYPED = """
+PREFIX kp: <urn:kgap:pred:>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?a ?y WHERE {
+  ?a kp:foundedIn ?y .
+  FILTER (?y >= "1950"^^xsd:gYear && ?y < "2000"^^xsd:gYear)
+}
+"""
+
+
+def _sparql_docs_typed(sf_dir: str):
+    """Typed-literal range FILTER: non-numeric xsd datatypes (gYear
+    here, dateTime in q_sparql_docs_datetime) compare as strings —
+    correct for zero-padded ISO forms. Reference parity: xsd:dateTime
+    range filters (docs/advanced-topics.md:330-340)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_TYPED)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("y", _pa.string())]))
+
+
+DOCS_SPARQL_SUM = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?loc (SUM(?emp) AS ?total) WHERE {
+  ?a kp:locatedIn ?loc .
+  ?a kp:employs ?emp .
+} GROUP BY ?loc
+"""
+
+
+def _sparql_docs_sum(sf_dir: str):
+    """Grouped SUM over numeric-coerced values (integer inputs keep
+    the double sum exact on both backends). Reference parity: numeric
+    aggregation stats (docs/components/jupyter.md:178-180)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_SUM)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("loc", _pa.string()),
+                           ("total", _pa.float64())]))
+
+
+DOCS_SPARQL_AVG = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT (AVG(?emp) AS ?memp) WHERE { ?a kp:employs ?emp . }
+"""
+
+
+def _sparql_docs_avg(sf_dir: str):
+    """Global AVG: one exact integer sum divided by an exact count on
+    each backend — bit-identical doubles."""
+    from k_gap_ray.sparql import sparql_select
+
+    return sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_AVG)
+
+
+DOCS_SPARQL_GROUPCONCAT = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?a (GROUP_CONCAT(?loc; SEPARATOR="|") AS ?locs) WHERE {
+  ?a kp:locatedIn ?loc .
+} GROUP BY ?a
+"""
+
+
+def _sparql_docs_groupconcat(sf_dir: str):
+    """GROUP_CONCAT with a custom separator; values concatenate in
+    sorted order on both backends (string_agg ... ORDER BY mirror)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_GROUPCONCAT)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("locs", _pa.string())]))
+
+
+DOCS_SPARQL_BOUND = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?a ?emp2 WHERE {
+  ?a kp:locatedIn ?loc .
+  OPTIONAL { ?a kp:employs ?emp . FILTER (?emp > 2500) }
+  BIND(IF(!BOUND(?emp), "none", ?emp) AS ?emp2)
+}
+"""
+
+
+def _sparql_docs_bound(sf_dir: str):
+    """BOUND()/IF over an OPTIONAL var (with a numeric filter inside
+    the optional group): the IF bind runs after the left join on both
+    backends. Reference parity: BIND(IF(!BOUND(?result), ...))
+    (docs/components/sembench.md:176-180)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_BOUND)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("emp2", _pa.string())]))
+
+
+DOCS_SPARQL_STAR = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?x ?y WHERE { ?x kp:funds* ?y . }
+"""
+
+
+def _sparql_docs_star(sf_dir: str):
+    """Zero-or-more property path: the funds+ closure seeded with the
+    zero-hop identity over the graph's node set (semi-naive Dataset
+    rounds vs an identity-seeded recursive CTE). Reference parity:
+    recursive expansion including the zero hop
+    (docs/advanced-topics.md:226-285)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_STAR)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("x", _pa.string()), ("y", _pa.string())]))
+
+
+DOCS_SPARQL_OPTPATH = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?x ?y WHERE { ?x kp:manages? ?y . }
+"""
+
+
+def _sparql_docs_optpath(sf_dir: str):
+    """Zero-or-one property path: node-set identity ∪ the single-hop
+    manages edges (set semantics on both backends)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_OPTPATH)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("x", _pa.string()), ("y", _pa.string())]))
+
+
+DOCS_SPARQL_LANG = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?d WHERE {
+  ?d kp:abstract ?t .
+  FILTER (LANG(?t) = "en" && STRLEN(?t) > 200)
+}
+"""
+
+DOCS_SPARQL_DATETIME = """
+PREFIX kp: <urn:kgap:pred:>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?d ?ts WHERE {
+  ?d kp:fetched ?ts .
+  ?d kp:nchars ?n .
+  FILTER (?ts >= "2024-01-01T00:02:00"^^xsd:dateTime && ?n >= 500)
+}
+"""
+
+
+def _docs_direct_quads(sf_dir: str):
+    """documents -> a quads Dataset that carries language tags and
+    typed-literal lexical forms DIRECTLY (one zero-shuffle
+    map_batches; the docs-KG quads have no language tags): abstract
+    (text @ the document's lang), fetched (xsd:dateTime lexical form,
+    2024-01-01T00:00:00 + doc_id seconds), nchars (xsd:integer). The
+    SQL mirror is _sql_docs_direct_quads()."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    def to_quads(t: _pa.Table) -> _pa.Table:
+        did = _pc.cast(t.column("doc_id"), _pa.string())
+        subj = _pc.binary_join_element_wise("urn:kgap:doc:", did, "")
+        n = t.num_rows
+        base = _np.datetime64("2024-01-01T00:00:00", "s")
+        fetched = base + t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype("timedelta64[s]")
+        fetched_str = _pc.strftime(
+            _pa.array(fetched, _pa.timestamp("s")),
+            format="%Y-%m-%dT%H:%M:%S")
+        blank = _pa.array([""] * n, _pa.string())
+
+        def rel(pred: str, obj, lang) -> _pa.Table:
+            return _pa.table({
+                "subj": subj,
+                "pred": _pa.array([pred] * n, _pa.string()),
+                "obj": obj, "obj_lang": lang})
+
+        return _pa.concat_tables([
+            rel("urn:kgap:pred:abstract", t.column("text"),
+                t.column("lang")),
+            rel("urn:kgap:pred:fetched", fetched_str, blank),
+            rel("urn:kgap:pred:nchars",
+                _pc.cast(t.column("n_chars"), _pa.string()), blank),
+        ])
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"]).map_batches(
+            to_quads, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sparql_docs_lang(sf_dir: str):
+    """LANG() + STRLEN() filter over language-tagged literals: the
+    object scan also projects obj_lang (internal __pplang column on
+    both backends). Reference parity: FILTER(LANG(?label) = 'en')
+    (docs/components/jupyter.md:437-439), STRLEN
+    (docs/components/sembench.md:210)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_direct_quads(sf_dir), DOCS_SPARQL_LANG)
+    return _pa.Table.from_pylist(
+        res.take_all(), schema=_pa.schema([("d", _pa.string())]))
+
+
+def _sparql_docs_datetime(sf_dir: str):
+    """xsd:dateTime range filter (ISO-8601 lexical order == temporal
+    order) combined with a numeric filter on a second pattern.
+    Reference parity: docs/advanced-topics.md:330-340."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_direct_quads(sf_dir), DOCS_SPARQL_DATETIME)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("d", _pa.string()), ("ts", _pa.string())]))
+
+
 DOCS_SPARQL_CONSTRUCT = """
 PREFIX kp: <urn:kgap:pred:>
 CONSTRUCT {
@@ -1168,6 +1434,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_bind": _sparql_docs_bind,
         "q_sparql_docs_graph": _sparql_docs_graph,
         "q_sparql_docs_ask": _sparql_docs_ask,
+        # --- round-3 SPARQL surface: typed literals, LANG/BOUND/IF/
+        #     STRLEN, SUM/AVG/GROUP_CONCAT, path * and ? ---
+        "q_sparql_docs_numeric": _sparql_docs_numeric,
+        "q_sparql_docs_typed": _sparql_docs_typed,
+        "q_sparql_docs_sum": _sparql_docs_sum,
+        "q_sparql_docs_avg": _sparql_docs_avg,
+        "q_sparql_docs_groupconcat": _sparql_docs_groupconcat,
+        "q_sparql_docs_bound": _sparql_docs_bound,
+        "q_sparql_docs_star": _sparql_docs_star,
+        "q_sparql_docs_optpath": _sparql_docs_optpath,
+        "q_sparql_docs_lang": _sparql_docs_lang,
+        "q_sparql_docs_datetime": _sparql_docs_datetime,
         # --- KG pipeline over a documents-derived corpus (FULL oracle) ---
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
@@ -1669,6 +1947,18 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_bind": _sql_sparql_docs_q(DOCS_SPARQL_BIND),
         "q_sparql_docs_graph": _sql_sparql_docs_q(DOCS_SPARQL_GRAPH),
         "q_sparql_docs_ask": _sql_docs_ask(),
+        "q_sparql_docs_numeric": _sql_sparql_docs_q(DOCS_SPARQL_NUMERIC),
+        "q_sparql_docs_typed": _sql_sparql_docs_q(DOCS_SPARQL_TYPED),
+        "q_sparql_docs_sum": _sql_sparql_docs_q(DOCS_SPARQL_SUM),
+        "q_sparql_docs_avg": _sql_sparql_docs_q(DOCS_SPARQL_AVG),
+        "q_sparql_docs_groupconcat":
+            _sql_sparql_docs_q(DOCS_SPARQL_GROUPCONCAT),
+        "q_sparql_docs_bound": _sql_sparql_docs_q(DOCS_SPARQL_BOUND),
+        "q_sparql_docs_star": _sql_sparql_docs_q(DOCS_SPARQL_STAR),
+        "q_sparql_docs_optpath": _sql_sparql_docs_q(DOCS_SPARQL_OPTPATH),
+        "q_sparql_docs_lang": _sql_sparql_direct_q(DOCS_SPARQL_LANG),
+        "q_sparql_docs_datetime":
+            _sql_sparql_direct_q(DOCS_SPARQL_DATETIME),
         "q_triangles": _sql_docs_triangles(),
         "q_bfs_depths": _sql_docs_bfs(),
         # q_knn_lsh (approximate by design; recall pinned in pytest
@@ -1706,6 +1996,33 @@ def _sql_sparql_docs_q(sparql: str) -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_sparql
 
     return sql_docs_sparql(sparql)
+
+
+def _sql_sparql_direct_q(sparql: str) -> str:
+    """Oracle for SPARQL over the documents-DIRECT quads
+    (_docs_direct_quads): the quads CTE mirrors the map_batches
+    construction exactly, then the independent SQL backend compiles
+    the same query over it."""
+    from k_gap_ray.sparql import sparql_to_sql
+
+    quads_cte = """WITH quads AS (
+  SELECT 'urn:kgap:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+         'urn:kgap:pred:abstract' AS pred, text AS obj,
+         lang AS obj_lang
+  FROM documents
+  UNION ALL
+  SELECT 'urn:kgap:doc:' || CAST(doc_id AS VARCHAR),
+         'urn:kgap:pred:fetched',
+         strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                  '%Y-%m-%dT%H:%M:%S'), ''
+  FROM documents
+  UNION ALL
+  SELECT 'urn:kgap:doc:' || CAST(doc_id AS VARCHAR),
+         'urn:kgap:pred:nchars', CAST(n_chars AS VARCHAR), ''
+  FROM documents
+)
+"""
+    return quads_cte + sparql_to_sql(sparql, quads_rel="quads")
 
 
 def _sql_docs_triangles() -> str:

@@ -13,9 +13,14 @@ backend for the driver gate and the cross-check tests.
 Supported subset (documented; out-of-subset input raises ValueError):
 
 - ``PREFIX pfx: <iri>`` declarations; terms ``?var``, ``<iri>``,
-  ``pfx:local``, ``"string"``, bare integers (compared AS STRINGS —
-  the quad object column is string-typed; zero-pad numeric literals
-  for range filters).
+  ``pfx:local``, ``"string"``, bare numbers, typed literals
+  ``"lex"^^dt``. A bare number or a numeric-xsd typed literal on
+  either side of a FILTER comparison makes it NUMERIC: variable
+  values coerce string→double with non-numeric values nulled (the
+  Arrow mirror of SQL ``TRY_CAST``; a null comparison drops the
+  row on both backends). Non-numeric datatypes (xsd:dateTime,
+  xsd:date, xsd:gYear, …) compare as strings — correct for
+  ISO-8601/zero-padded lexical forms.
 - ``SELECT [DISTINCT] ?a ?b | *`` over ``WHERE { tp . tp . FILTER }``
   basic graph patterns. Matching is over the quad table's rows (the
   union of named graphs); use DISTINCT for set-semantics results.
@@ -27,15 +32,25 @@ Supported subset (documented; out-of-subset input raises ValueError):
 - ``FILTER NOT EXISTS { tp . FILTER }`` anti-join groups (correlated
   on the shared variables; applied after OPTIONAL joins, like the
   other top-level filters — identically on both backends).
-- One ``(COUNT|MIN|MAX(?x) AS ?n)`` aggregate with ``GROUP BY`` (or
-  global); ?x must be a required-group variable (so COUNT == row
-  count and MIN/MAX never see nulls, identically on both backends;
-  MIN/MAX compare strings — the quad object column's type).
+- One ``(COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT(?x) AS ?n)`` aggregate
+  with ``GROUP BY`` (or global); ?x must be a required-group
+  variable (so COUNT == row count and the others never see nulls,
+  identically on both backends). MIN/MAX compare strings (the quad
+  object column's type); SUM/AVG coerce values numerically with the
+  TRY_CAST-mirror rule (non-numeric → skipped on both backends;
+  integer inputs keep SUM exact and AVG bit-identical);
+  GROUP_CONCAT concatenates the group's values in SORTED order
+  (SPARQL leaves it undefined — sorting makes both backends
+  deterministic) with an optional ``; SEPARATOR="s"``.
 - ``FILTER`` expressions: ``= != < <= > >=`` comparisons between
-  variables and literals (string collation on both backends),
-  ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``, ``REGEX(?v, "re")``
-  (RE2-compatible patterns — both Arrow and DuckDB use RE2-family
-  engines), ``&&``, ``||``, parentheses.
+  variables and literals (string collation, or numeric per the rule
+  above), ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``,
+  ``REGEX(?v, "re")`` (RE2-compatible patterns — both Arrow and
+  DuckDB use RE2-family engines), ``BOUND(?v)`` (true for matched
+  OPTIONAL rows), ``LANG(?v) = "tag"`` (?v must be bound at the
+  object position of exactly one non-path pattern; its scan also
+  projects ``obj_lang``), ``STRLEN(?v) op n`` (codepoint length on
+  both backends), ``!expr``, ``&&``, ``||``, parentheses.
 - ``a`` in the predicate position (the rdf:type shorthand; composes
   with paths).
 - Property paths in the predicate position: ``^step`` (inverse),
@@ -44,14 +59,22 @@ Supported subset (documented; out-of-subset input raises ValueError):
   ``(p1|p2|...)`` (alternative set — scans pred ∈ set), and
   ``<iri>+`` / ``(p1|p2)+`` (one-or-more — the transitive closure of
   the predicate(s)' edge set, computed semi-naively in Dataset ops on
-  the Ray backend and by a recursive CTE on the SQL backend). ``+``
-  and ``|`` need constant IRIs; ``^``/``/`` compose with variable
-  predicates too.
+  the Ray backend and by a recursive CTE on the SQL backend),
+  ``<iri>*`` (zero-or-more: the closure seeded with the zero-hop
+  identity over the graph's node set — all distinct subjects and
+  objects, graph-scoped under GRAPH) and ``<iri>?`` (zero-or-one:
+  identity ∪ the single-hop edges; set semantics like all path
+  relations). ``+``/``*``/``?`` and ``|`` need constant IRIs;
+  ``^``/``/`` compose with variable predicates too.
 - ``BIND(CONCAT(arg, ...) AS ?v)`` / ``BIND(term AS ?v)`` computed
   columns (M4), applied after the required group; argument variables
   must be required-group vars (never null, so Arrow's
   binary_join_element_wise and SQL ``||`` agree exactly). Bound vars
   are selectable, filterable, groupable and usable in CONSTRUCT.
+- ``BIND(IF(cond, then, else) AS ?v)``: cond is a full FILTER
+  expression, typically ``!BOUND(?opt)``; applied AFTER the OPTIONAL
+  joins on both backends (SQL ``CASE WHEN``), so then/else/cond may
+  reference optional vars; a null condition selects ``else``.
 - ``GRAPH term { tp . tp . FILTER }`` (top-level WHERE element):
   scopes each contained pattern to a named graph — a constant IRI
   filters the quad scan's ``graph`` column, a variable BINDS it (and
@@ -90,6 +113,19 @@ import pyarrow.compute as pc
 _SEP = "\x1f"  # composite join key separator (same caveat as dedup_quads)
 _INTERNAL = "__pp"  # reserved prefix: path-hop vars, hidden from SELECT *
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"  # `a`
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+# xsd datatypes whose typed literals compare NUMERICALLY in FILTER
+# (everything else — dateTime, date, gYear, string… — compares as the
+# lexical string; ISO-8601/zero-padded forms order correctly that way)
+_NUM_DATATYPES = frozenset(_XSD + n for n in (
+    "integer", "decimal", "double", "float", "long", "int", "short",
+    "byte", "nonNegativeInteger", "positiveInteger", "negativeInteger",
+    "nonPositiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+    "unsignedByte"))
+# numeric-literal grammar for string->double coercion: kept in sync
+# with what DuckDB's TRY_CAST(... AS DOUBLE) accepts for the values
+# this engine stores (plain ints/decimals/scientific; no inf/nan)
+_NUM_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
 
 
 
@@ -151,14 +187,58 @@ class SparqlQuery:
     # CONSTRUCT template (when non-empty this is a CONSTRUCT query:
     # select_vars/agg/order/limit are unused; result = DISTINCT triples)
     construct: list[Pattern] = field(default_factory=list)
-    # single aggregate: (fn, var, alias); COUNT only
+    # single aggregate: (fn, var, alias);
+    # fn ∈ COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT
     agg: tuple[str, str, str] | None = None
+    agg_sep: str = " "  # GROUP_CONCAT separator
     group_by: list[str] = field(default_factory=list)
+    # variables whose LANG(...) is referenced by any filter/bind: their
+    # object-position scan also projects obj_lang as __pplang_{var}
+    lang_vars: set = field(default_factory=set)
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int = 0
     # ASK form: result is a single boolean (any solution exists?)
     ask: bool = False
+
+
+def _expr_vars(e: tuple) -> set:
+    """All variable names referenced by a filter expression."""
+    tag = e[0]
+    if tag in ("or", "and"):
+        return _expr_vars(e[1]) | _expr_vars(e[2])
+    if tag == "not":
+        return _expr_vars(e[1])
+    if tag in ("in", "bound"):
+        return {e[1]}
+    if tag == "fn":
+        return {e[2]}
+    out = set()  # cmp: operands are Terms or (lang|strlen, var) tuples
+    for x in (e[2], e[3]):
+        if isinstance(x, tuple):
+            out.add(x[1])
+        elif x.kind == "var":
+            out.add(x.value)
+    return out
+
+
+def _expr_lang_vars(e: tuple) -> set:
+    """Vars appearing as LANG(?v) inside a filter expression."""
+    tag = e[0]
+    if tag in ("or", "and"):
+        return _expr_lang_vars(e[1]) | _expr_lang_vars(e[2])
+    if tag == "not":
+        return _expr_lang_vars(e[1])
+    if tag == "cmp":
+        return {x[1] for x in (e[2], e[3])
+                if isinstance(x, tuple) and x[0] == "lang"}
+    return set()
+
+
+def _lang_col(var: str) -> str:
+    """Internal column carrying obj_lang for a LANG()-referenced var
+    (the _INTERNAL prefix keeps it out of SELECT * on both backends)."""
+    return f"{_INTERNAL}lang_{var}"
 
 
 # ---------------------------------------------------------------------------
@@ -170,10 +250,10 @@ _TOKEN_RE = re.compile(
       |(?P<iri><[^<>\s]*>)
       |(?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       |(?P<str>"(?:[^"\\]|\\.)*")
-      |(?P<num>-?\d+)
+      |(?P<num>-?\d+(\.\d+)?)
       |(?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
       |(?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-      |(?P<op>&&|\|\||!=|<=|>=|[=<>{}().,;*/+^|])
+      |(?P<op>&&|\|\||!=|<=|>=|\^\^|[=<>{}().,;*/+^|!?])
     """,
     re.X,
 )
@@ -233,9 +313,20 @@ class _P:
                 raise ValueError(f"undeclared prefix {pfx!r}")
             return Term("iri", self.prefixes[pfx] + local)
         if k == "str":
-            return Term("lit", re.sub(r"\\(.)", r"\1", v[1:-1]))
+            val = re.sub(r"\\(.)", r"\1", v[1:-1])
+            if self.peek() == ("op", "^^"):  # typed literal "..."^^dt
+                self.next()
+                dt = self.term()
+                if dt.kind != "iri":
+                    raise ValueError("^^ needs an IRI datatype")
+                # numeric xsd types compare numerically; every other
+                # datatype keeps string comparison (ISO-8601 forms
+                # order correctly lexicographically)
+                return Term("num" if dt.value in _NUM_DATATYPES
+                            else "lit", val)
+            return Term("lit", val)
         if k == "num":
-            return Term("lit", v)
+            return Term("num", v)
         raise ValueError(f"bad term {v!r}")
 
     def triple_patterns(self) -> list[Pattern]:
@@ -270,13 +361,18 @@ class _P:
                 t = Term("iri", _RDF_TYPE)
             else:
                 t = self.term()
-                if t.kind == "lit":
+                if t.kind in ("lit", "num"):
                     raise ValueError("literal in predicate position")
-            if self.peek() == ("op", "+"):
+            nk, nv = self.peek()
+            if nk == "op" and nv in ("+", "*", "?"):
+                # one-or-more / zero-or-more / zero-or-one path
+                # modifier; */? add the zero-hop identity over the
+                # graph's node set (all subjects and objects)
                 if t.kind not in ("iri", "alt"):
-                    raise ValueError("'+' needs constant IRI predicate(s)")
+                    raise ValueError(
+                        f"{nv!r} needs constant IRI predicate(s)")
                 self.next()
-                t = Term("path+", t.value)
+                t = Term("path" + nv, t.value)
             steps.append((inv, t))
             if self.peek() == ("op", "/"):
                 self.next()
@@ -309,6 +405,15 @@ class _P:
             e = ("and", e, self.expr_prim())
         return e
 
+    def _fn_var_arg(self, name: str) -> str:
+        self.next()
+        self.expect_op("(")
+        var = self.term()
+        if var.kind != "var":
+            raise ValueError(f"{name} needs a variable argument")
+        self.expect_op(")")
+        return var.value
+
     def expr_prim(self) -> tuple:
         k, v = self.peek()
         if (k, v) == ("op", "("):
@@ -316,6 +421,25 @@ class _P:
             e = self.expr()
             self.expect_op(")")
             return e
+        if (k, v) == ("op", "!"):  # logical negation (e.g. !BOUND(?x))
+            self.next()
+            return ("not", self.expr_prim())
+        if k == "kw" and v.upper() == "BOUND":
+            return ("bound", self._fn_var_arg("BOUND"))
+        if k == "kw" and v.upper() in ("LANG", "STRLEN"):
+            # numeric-/string-valued functions usable as a comparison
+            # LHS: LANG(?v) op "tag" | STRLEN(?v) op number
+            name = v.upper()
+            left = (name.lower(), self._fn_var_arg(name))
+            ok, ov = self.next()
+            if ok != "op" or ov not in ("=", "!=", "<", "<=", ">", ">="):
+                raise ValueError(f"{name} needs a comparison, got {ov!r}")
+            right = self.term()
+            if name == "LANG" and right.kind != "lit":
+                raise ValueError("LANG compares against a string literal")
+            if name == "STRLEN" and right.kind != "num":
+                raise ValueError("STRLEN compares against a number")
+            return ("cmp", ov, left, right)
         if k == "kw" and v.upper() in ("STRSTARTS", "CONTAINS", "REGEX"):
             name = v.upper()
             self.next()
@@ -383,16 +507,32 @@ def parse_sparql(query: str) -> SparqlQuery:
             if k == "var":
                 vs.append(p.next()[1][1:])
             elif (k, v) == ("op", "("):
-                # (COUNT|MIN|MAX(?x) AS ?alias)
+                # (COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT(?x) AS ?alias);
+                # GROUP_CONCAT takes an optional `; SEPARATOR="s"` and
+                # concatenates the group's values in SORTED order on
+                # both backends (deterministic; SPARQL leaves the
+                # order undefined)
                 p.next()
                 fk, fv = p.next()
-                if fk != "kw" or fv.upper() not in ("COUNT", "MIN", "MAX"):
+                aggs = ("COUNT", "MIN", "MAX", "SUM", "AVG",
+                        "GROUP_CONCAT")
+                if fk != "kw" or fv.upper() not in aggs:
                     raise ValueError(
-                        "only COUNT/MIN/MAX aggregates are supported")
+                        f"only {'/'.join(aggs)} aggregates are supported")
                 p.expect_op("(")
                 t = p.term()
                 if t.kind != "var":
                     raise ValueError(f"{fv.upper()} needs a variable")
+                if fv.upper() == "GROUP_CONCAT" \
+                        and p.peek() == ("op", ";"):
+                    p.next()
+                    if not p.kw("SEPARATOR"):
+                        raise ValueError("expected SEPARATOR after ';'")
+                    p.expect_op("=")
+                    sk, sv = p.next()
+                    if sk != "str":
+                        raise ValueError("SEPARATOR needs a string")
+                    q.agg_sep = re.sub(r"\\(.)", r"\1", sv[1:-1])
                 p.expect_op(")")
                 if not p.kw("AS"):
                     raise ValueError("aggregate needs AS ?alias")
@@ -468,6 +608,20 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                         args.append(p.term())
                     p.expect_op(")")
                     expr = ("concat", args)
+                elif p.kw("IF"):
+                    # BIND(IF(cond, then, else) AS ?v) — cond is a
+                    # full filter expression (BOUND over OPTIONAL vars
+                    # is the canonical use); a null cond (comparison
+                    # on an unmatched optional var) selects `else`,
+                    # matching SQL CASE WHEN
+                    p.expect_op("(")
+                    cond = p.expr()
+                    p.expect_op(",")
+                    t_then = p.term()
+                    p.expect_op(",")
+                    t_else = p.term()
+                    p.expect_op(")")
+                    expr = ("if", cond, t_then, t_else)
                 else:
                     expr = ("term", p.term())
                 if not p.kw("AS"):
@@ -485,7 +639,7 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                 # filters inside the block are conjunctive, same as
                 # top-level (both backends apply them identically)
                 gterm = p.term()
-                if gterm.kind == "lit":
+                if gterm.kind in ("lit", "num"):
                     raise ValueError("GRAPH needs an IRI or variable")
                 p.expect_op("{")
                 while p.peek() != ("op", "}"):
@@ -495,11 +649,11 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                         p.expect_op(")")
                     else:
                         for pt in p.triple_patterns():
-                            if pt.p.kind == "path+" \
+                            if pt.p.kind.startswith("path") \
                                     and gterm.kind != "iri":
                                 raise ValueError(
-                                    "path '+' under GRAPH needs a "
-                                    "constant graph IRI")
+                                    "path modifiers under GRAPH need "
+                                    "a constant graph IRI")
                             q.patterns.append(
                                 Pattern(pt.s, pt.p, pt.o, gterm))
                     if p.peek() == ("op", "."):
@@ -592,14 +746,55 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
         for pat in pats:
             known.update(pat.vars())
     for v, expr in q.binds:
-        for t_ in (expr[1] if expr[0] == "concat" else [expr[1]]):
-            if t_.kind == "var" and t_.value not in required:
-                raise ValueError(
-                    f"BIND argument ?{t_.value} must be a required-group "
-                    "variable (nullable args are out of subset)")
+        if expr[0] == "if":
+            # IF binds run AFTER the OPTIONAL joins (BOUND over an
+            # optional var is their point), so any known var is fine
+            args = set()
+            for t_ in (expr[2], expr[3]):
+                if t_.kind == "var":
+                    args.add(t_.value)
+            args |= _expr_vars(expr[1])
+            for a in args:
+                if a not in known:
+                    raise ValueError(f"BIND IF argument ?{a} is unbound")
+        else:
+            for t_ in (expr[1] if expr[0] == "concat" else [expr[1]]):
+                if t_.kind == "var" and t_.value not in required:
+                    raise ValueError(
+                        f"BIND argument ?{t_.value} must be a "
+                        "required-group variable (nullable args are out "
+                        "of subset; use BIND(IF(...)) for optional vars)")
         if v in known:
             raise ValueError(f"BIND target ?{v} is already bound")
         known.add(v)
+    # LANG(?v) filters/conds: collect the vars, require each bound at
+    # the OBJECT position of exactly ONE non-path pattern anywhere in
+    # the query — that scan then projects obj_lang as __pplang_{v}
+    all_exprs = list(q.filters) \
+        + [e for _, f in q.optionals for e in f] \
+        + [e for _, f in q.unions for e in f] \
+        + [e for _, f in q.not_exists for e in f] \
+        + [b[1][1] for b in q.binds if b[1][0] == "if"]
+    q.lang_vars = set()
+    for e in all_exprs:
+        q.lang_vars |= _expr_lang_vars(e)
+    if q.lang_vars:
+        all_pats = list(q.patterns) \
+            + [pat for pats, _ in q.optionals for pat in pats] \
+            + [pat for pats, _ in q.unions for pat in pats] \
+            + [pat for pats, _ in q.not_exists for pat in pats]
+        for lv in sorted(q.lang_vars):
+            binders = [pat for pat in all_pats
+                       if pat.o.kind == "var" and pat.o.value == lv]
+            if len(binders) != 1:
+                raise ValueError(
+                    f"LANG(?{lv}) needs ?{lv} bound at the object "
+                    f"position of exactly one pattern (found "
+                    f"{len(binders)})")
+            if binders[0].p.kind.startswith("path"):
+                raise ValueError(
+                    f"LANG(?{lv}) over a property-path endpoint is "
+                    "out of subset (closures drop literal metadata)")
     for pats, _ in q.not_exists:
         ne_vars = set()
         for pat in pats:
@@ -652,7 +847,12 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
 # ---------------------------------------------------------------------------
 
 
-def _make_scan(pat: Pattern):
+def _make_scan(pat: Pattern, lang_vars: frozenset = frozenset()):
+    # object var referenced by LANG() → also project obj_lang under
+    # the internal __pplang_{var} name (validated single-binder)
+    lang_var = pat.o.value if pat.o.kind == "var" \
+        and pat.o.value in lang_vars else None
+
     def scan(t: pa.Table) -> pa.Table:
         mask = None
         seen: dict[str, str] = {}
@@ -677,7 +877,10 @@ def _make_scan(pat: Pattern):
             # empty projection would have zero rows regardless of
             # matches and flip ASK to a wrong False
             return pa.table({"__const": pa.nulls(t.num_rows, pa.string())})
-        return pa.table({v: t.column(col) for v, col in seen.items()})
+        out = {v: t.column(col) for v, col in seen.items()}
+        if lang_var is not None:
+            out[_lang_col(lang_var)] = t.column("obj_lang")
+        return pa.table(out)
 
     return scan
 
@@ -707,6 +910,93 @@ def _make_pair_scan(pat: Pattern):
     return scan
 
 
+def _pair_keyed(t: pa.Table) -> pa.Table:
+    return t.append_column("__k", pc.binary_join_element_wise(
+        t.column("__a"), t.column("__b"), _SEP))
+
+
+def _pair_distinct(ds):
+    """Distinct __a/__b pairs via ONE composite-key groupby (the key
+    determines both columns, so Min reconstructs them); materialized
+    and scrubbed so the pairs are join-safe."""
+    from ray.data.aggregate import Min
+
+    from k_gap_ray.dsutil import drop_empty_blocks
+
+    ded = (ds.groupby("__k").aggregate(
+        Min("__a", alias_name="__a"), Min("__b", alias_name="__b"))
+        .map_batches(lambda t: t.select(["__a", "__b", "__k"]),
+                     batch_format="pyarrow"))
+    return drop_empty_blocks(ded.materialize())
+
+
+def _edge_pairs(quads, pred: str, graph: str | None):
+    """Distinct keyed (__a, __b, __k) edge pairs of the pred relation
+    (several _SEP-joined IRIs = the UNION edge set of an alternative
+    step), optionally scoped to one named graph."""
+    preds = pred.split(_SEP)
+
+    def scan(t: pa.Table) -> pa.Table:
+        if len(preds) == 1:
+            m = pc.equal(t.column("pred"), preds[0])
+        else:
+            m = pc.is_in(t.column("pred"),
+                         value_set=pa.array(preds, pa.string()))
+        if graph is not None:
+            m = pc.and_(m, pc.equal(t.column("graph"), graph))
+        sel = t.filter(m)
+        return pa.table({"__a": sel.column("subj"),
+                         "__b": sel.column("obj")})
+
+    return _pair_distinct(
+        quads.map_batches(scan, batch_format="pyarrow")
+        .map_batches(_pair_keyed, batch_format="pyarrow"))
+
+
+def _identity_pairs(quads, graph: str | None):
+    """The zero-hop relation: (x, x) for every term in the graph
+    (distinct subjects ∪ objects, optionally graph-scoped) — the base
+    of the reflexive closures behind ``*`` and ``?`` path modifiers.
+    The SQL backend mirrors it with the same node-set subquery."""
+
+    def node_scan(t: pa.Table) -> pa.Table:
+        if graph is not None:
+            t = t.filter(pc.equal(t.column("graph"), graph))
+        both = pa.concat_tables([
+            pa.table({"__n": t.column("subj")}),
+            pa.table({"__n": t.column("obj")})])
+        nodes = both.column("__n")
+        return pa.table({"__a": nodes, "__b": nodes})
+
+    return _pair_distinct(
+        quads.map_batches(node_scan, batch_format="pyarrow")
+        .map_batches(_pair_keyed, batch_format="pyarrow"))
+
+
+def _path_star(quads, pred: str, graph: str | None = None):
+    """Zero-or-more: identity over the graph's node set ∪ the
+    transitive closure of the pred edge set."""
+    ident = _identity_pairs(quads, graph)
+    if ident.count() == 0:  # no quads at all (or none in the graph)
+        return None
+    clo = _path_plus(quads, pred, graph)
+    if clo is None:
+        return ident
+    return _pair_distinct(ident.union(clo))
+
+
+def _path_opt(quads, pred: str, graph: str | None = None):
+    """Zero-or-one: identity over the graph's node set ∪ the single-hop
+    pred edges (set semantics, same as the SQL UNION mirror)."""
+    ident = _identity_pairs(quads, graph)
+    if ident.count() == 0:
+        return None
+    edges = _edge_pairs(quads, pred, graph)
+    if edges.count() == 0:
+        return ident
+    return _pair_distinct(ident.union(edges))
+
+
 def _path_plus(quads, pred: str, graph: str | None = None):
     """Transitive closure (one-or-more hops) of the ``pred`` edge
     relation, as a Dataset with columns __a/__b/__k — the scan
@@ -725,37 +1015,13 @@ def _path_plus(quads, pred: str, graph: str | None = None):
     (relational.dereference) is the cheaper scale path — same
     semantics, documented trade-off. The SQL oracle closes the same
     relation with a recursive CTE (see _group_sql)."""
-    from ray.data.aggregate import Min
-
     from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
 
     cols = ["__a", "__b", "__k"]
-    preds = pred.split(_SEP)
+    keyed = _pair_keyed
+    distinct = _pair_distinct
 
-    def scan(t: pa.Table) -> pa.Table:
-        if len(preds) == 1:
-            m = pc.equal(t.column("pred"), preds[0])
-        else:
-            m = pc.is_in(t.column("pred"),
-                         value_set=pa.array(preds, pa.string()))
-        if graph is not None:
-            m = pc.and_(m, pc.equal(t.column("graph"), graph))
-        sel = t.filter(m)
-        return pa.table({"__a": sel.column("subj"),
-                         "__b": sel.column("obj")})
-
-    def keyed(t: pa.Table) -> pa.Table:
-        return t.append_column("__k", pc.binary_join_element_wise(
-            t.column("__a"), t.column("__b"), _SEP))
-
-    def distinct(ds):
-        ded = (ds.groupby("__k").aggregate(
-            Min("__a", alias_name="__a"), Min("__b", alias_name="__b"))
-            .map_batches(lambda t: t.select(cols), batch_format="pyarrow"))
-        return drop_empty_blocks(ded.materialize())
-
-    edges = distinct(quads.map_batches(scan, batch_format="pyarrow")
-                     .map_batches(keyed, batch_format="pyarrow"))
+    edges = _edge_pairs(quads, pred, graph)
     if edges.count() == 0:  # predicate absent: empty closure, and an
         # all-empty side would crash the hash join below
         return None  # caller synthesizes the typed empty scan —
@@ -795,12 +1061,25 @@ def _path_plus(quads, pred: str, graph: str | None = None):
         delta = new
 
 
+def _numeric_col(col):
+    """String column → float64 with non-numeric values nulled — the
+    Arrow mirror of DuckDB's TRY_CAST(col AS DOUBLE): a failed parse
+    yields null, a null comparison drops the row on both backends."""
+    ok = pc.match_substring_regex(col, _NUM_RE)
+    return pc.cast(pc.if_else(ok, col, pa.scalar(None, pa.string())),
+                   pa.float64())
+
+
 def _eval(e: tuple, t: pa.Table):
     tag = e[0]
     if tag == "or":
         return pc.or_(_eval(e[1], t), _eval(e[2], t))
     if tag == "and":
         return pc.and_(_eval(e[1], t), _eval(e[2], t))
+    if tag == "not":  # null stays null (row dropped), matching SQL NOT
+        return pc.invert(_eval(e[1], t))
+    if tag == "bound":
+        return pc.is_valid(t.column(e[1]))
     if tag == "in":  # VALUES inline data: membership mask
         _, var, vals = e
         return pc.is_in(t.column(var), value_set=pa.array(vals, pa.string()))
@@ -813,11 +1092,29 @@ def _eval(e: tuple, t: pa.Table):
             return pc.match_substring_regex(col, lit)
         return pc.match_substring(col, lit)  # CONTAINS, literal substring
     _, op, left, right = e
-    lv = t.column(left.value) if left.kind == "var" else left.value
-    rv = t.column(right.value) if right.kind == "var" else right.value
+    # a numeric literal (or STRLEN) on either side switches the
+    # comparison to numeric: var strings coerce via _numeric_col
+    numeric = any(
+        (isinstance(x, tuple) and x[0] == "strlen")
+        or (not isinstance(x, tuple) and x.kind == "num")
+        for x in (left, right))
+
+    def operand(x):
+        if isinstance(x, tuple):
+            if x[0] == "lang":
+                return t.column(_lang_col(x[1]))
+            return pc.cast(pc.utf8_length(t.column(x[1])),
+                           pa.float64())  # strlen (codepoints)
+        if x.kind == "var":
+            col = t.column(x.value)
+            return _numeric_col(col) if numeric else col
+        if x.kind == "num":
+            return float(x.value)
+        return x.value
+
     ops = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
            "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
-    return ops[op](lv, rv)
+    return ops[op](operand(left), operand(right))
 
 
 def _composite_join(left, right, shared: list[str],
@@ -884,7 +1181,8 @@ def _empty_plan(all_vars: list[str]):
         {v: pa.array([], pa.string()) for v in sorted(all_vars)}))
 
 
-def _build_group(quads, patterns: list[Pattern], filters: list[tuple]):
+def _build_group(quads, patterns: list[Pattern], filters: list[tuple],
+                 lang_vars: frozenset = frozenset()):
     """Join a basic graph pattern's scans; returns (plan, bound vars).
 
     Any scan with ZERO matches short-circuits the whole group to a
@@ -901,15 +1199,18 @@ def _build_group(quads, patterns: list[Pattern], filters: list[tuple]):
         # crashes the per-partition pyarrow join (observed with the
         # many-tiny-block closure scans behind path+ patterns); the
         # scrub is ref-iteration only on an already-materialized ds.
-        if pat.p.kind == "path+":
-            clo = _path_plus(quads, pat.p.value,
-                             graph=pat.g.value if pat.g else None)
+        if pat.p.kind.startswith("path"):
+            builder = {"path+": _path_plus, "path*": _path_star,
+                       "path?": _path_opt}[pat.p.kind]
+            clo = builder(quads, pat.p.value,
+                          graph=pat.g.value if pat.g else None)
             ds = None if clo is None else \
                 (clo.map_batches(_make_pair_scan(pat),
                                  batch_format="pyarrow")
                  .materialize())
         else:
-            ds = quads.map_batches(_make_scan(pat), batch_format="pyarrow",
+            ds = quads.map_batches(_make_scan(pat, lang_vars),
+                                   batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()
         if ds is None or ds.count() == 0:
             all_vars = {v for pt in patterns for v in pt.vars()}
@@ -952,6 +1253,15 @@ def _require_graph_column(quads, q: SparqlQuery) -> None:
                 f"Dataset (has: {names})")
 
 
+def _require_lang_column(quads, q: SparqlQuery) -> None:
+    """LANG()-using queries need an ``obj_lang`` column on the input
+    quad Dataset — fail with a contract ValueError up front."""
+    if q.lang_vars and "obj_lang" not in quads.schema().names:
+        raise ValueError(
+            "LANG() needs an 'obj_lang' column on the quads Dataset "
+            f"(has: {quads.schema().names})")
+
+
 def _solution_plan(quads, q: SparqlQuery):
     """Build the solution-sequence plan (pattern joins, UNION,
     OPTIONAL, filters, NOT EXISTS anti-joins) shared by SELECT and
@@ -968,7 +1278,8 @@ def _solution_plan(quads, q: SparqlQuery):
                         if not v.startswith(_INTERNAL)})
         branches = []
         for pats, flts in q.unions:
-            b, _, b_empty = _build_group(quads, pats, flts)
+            b, _, b_empty = _build_group(quads, pats, flts,
+                                         frozenset(q.lang_vars))
             if not b_empty:
                 branches.append(b.map_batches(
                     lambda t, o=tuple(order): t.select(list(o)),
@@ -978,9 +1289,14 @@ def _solution_plan(quads, q: SparqlQuery):
             else branches[0].union(*branches[1:])
         bound = list(order)
     else:
-        plan, bound, plan_empty = _build_group(quads, q.patterns, [])
-    if q.binds and not plan_empty:
-        binds = list(q.binds)
+        plan, bound, plan_empty = _build_group(quads, q.patterns, [],
+                                               frozenset(q.lang_vars))
+    # IF binds run after the OPTIONAL joins (they reference optional
+    # vars via BOUND); concat/term binds keep their pre-OPTIONAL slot
+    pre_binds = [b for b in q.binds if b[1][0] != "if"]
+    post_binds = [b for b in q.binds if b[1][0] == "if"]
+    if pre_binds and not plan_empty:
+        binds = list(pre_binds)
 
         def apply_binds(t: pa.Table) -> pa.Table:
             for v, expr in binds:
@@ -998,10 +1314,11 @@ def _solution_plan(quads, q: SparqlQuery):
             return t
 
         plan = plan.map_batches(apply_binds, batch_format="pyarrow")
-    if q.binds:
-        bound = bound + [v for v, _ in q.binds]
+    if pre_binds:
+        bound = bound + [v for v, _ in pre_binds]
     for pats, flts in q.optionals:
-        sub, sub_bound, sub_empty = _build_group(quads, pats, flts)
+        sub, sub_bound, sub_empty = _build_group(quads, pats, flts,
+                                                 frozenset(q.lang_vars))
         new = [v for v in sub_bound if v not in bound]
         if plan_empty:
             bound = bound + new  # still zero rows; columns moot
@@ -1020,6 +1337,30 @@ def _solution_plan(quads, q: SparqlQuery):
             continue
         plan, bound = _join_plans(plan, bound, sub, sub_bound,
                                   join_type="left_outer")
+    if post_binds:
+        if not plan_empty:
+            pb = list(post_binds)
+
+            def apply_if_binds(t: pa.Table) -> pa.Table:
+                for v, (_, cond, tt, te) in pb:
+                    # null cond (comparison on an unmatched optional
+                    # var) selects `else`, matching SQL CASE WHEN
+                    mask = pc.fill_null(_eval(cond, t), False)
+
+                    def val(x):
+                        return t.column(x.value) if x.kind == "var" \
+                            else pa.scalar(x.value, pa.string())
+
+                    col = pc.if_else(mask, val(tt), val(te))
+                    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+                        col = pa.array([col.as_py()] * t.num_rows,
+                                       pa.string())
+                    t = t.append_column(v, col)
+                return t
+
+            plan = plan.map_batches(apply_if_binds,
+                                    batch_format="pyarrow")
+        bound = bound + [v for v, _ in post_binds]
     # top-level filters run after OPTIONAL joins: a comparison on an
     # unmatched (null) optional var is null → dropped, matching SQL
     if q.filters and not plan_empty:
@@ -1038,7 +1379,8 @@ def _solution_plan(quads, q: SparqlQuery):
         # left-outer, then null-marker rows survive.
         if plan_empty:
             break  # nothing to anti-filter
-        sub, sub_bound, sub_empty = _build_group(quads, pats, flts)
+        sub, sub_bound, sub_empty = _build_group(quads, pats, flts,
+                                                 frozenset(q.lang_vars))
         if sub_empty:
             continue  # no matches exist: every plan row survives
         shared = [v for v in bound if v in sub_bound]
@@ -1088,6 +1430,7 @@ def sparql_select(quads, query: str | SparqlQuery):
     # empty-schema blocks (dedup_quads output is a common input here)
     quads = drop_empty_blocks(quads.materialize())
     _require_graph_column(quads, q)
+    _require_lang_column(quads, q)
     plan, bound = _solution_plan(quads, q)
 
     if q.agg is not None:
@@ -1098,6 +1441,43 @@ def sparql_select(quads, query: str | SparqlQuery):
                 return pa.table({alias: pa.array([n], pa.int64())})
             plan = (plan.groupby(q.group_by).count()
                     .rename_columns({"count()": alias}))
+        elif fn in ("SUM", "AVG"):
+            # numeric aggregate over string-stored values: coerce via
+            # the TRY_CAST mirror (_numeric_col) — non-numeric values
+            # become null and are skipped on BOTH backends. Integer
+            # inputs keep SUM exact and AVG bit-identical (one final
+            # division of exact sum by exact count on each side).
+            from ray.data.aggregate import Mean, Sum
+
+            plan = plan.map_batches(
+                lambda t, a=avar: t.append_column(
+                    "__pnum", _numeric_col(t.column(a))),
+                batch_format="pyarrow")
+            if not q.group_by:
+                val = plan.sum("__pnum") if fn == "SUM" \
+                    else plan.mean("__pnum")
+                return pa.table({alias: pa.array([val], pa.float64())})
+            agg_cls = Sum if fn == "SUM" else Mean
+            plan = plan.groupby(q.group_by).aggregate(
+                agg_cls("__pnum", alias_name=alias))
+        elif fn == "GROUP_CONCAT":
+            # values concatenated in SORTED order (deterministic on
+            # both backends; SQL mirror: string_agg(... ORDER BY ...))
+            sep = q.agg_sep
+            gb = list(q.group_by)
+
+            def concat_group(t: pa.Table) -> pa.Table:
+                vals = sorted(t.column(avar).to_pylist())
+                row = {g: [t.column(g)[0].as_py()] for g in gb}
+                row[alias] = [sep.join(vals)]
+                return pa.table(row)
+
+            plan = plan.groupby(gb or None).map_groups(
+                concat_group, batch_format="pyarrow")
+            if not gb:  # global: a single one-row result
+                return pa.Table.from_pylist(
+                    plan.take_all(),
+                    schema=pa.schema([(alias, pa.string())]))
         else:  # MIN/MAX: string collation, same on both backends
             from ray.data.aggregate import Max, Min
 
@@ -1121,12 +1501,16 @@ def sparql_select(quads, query: str | SparqlQuery):
         plan = plan.sort(keys, descending=desc)
     if q.limit is not None:
         head = plan.limit(q.offset + q.limit).take_all()
-        # only COUNT aliases are integer-typed; MIN/MAX stay strings
-        alias = q.agg[2] if q.agg is not None and q.agg[0] == "COUNT" \
-            else None
+        # COUNT aliases are int64, SUM/AVG float64; everything else
+        # (MIN/MAX/GROUP_CONCAT and plain vars) stays string
+        atype = None
+        if q.agg is not None:
+            atype = {"COUNT": pa.int64(), "SUM": pa.float64(),
+                     "AVG": pa.float64()}.get(q.agg[0])
+        alias = q.agg[2] if atype is not None else None
         return pa.Table.from_pylist(
             head[q.offset:], schema=pa.schema(
-                [(v, pa.int64() if v == alias else pa.string())
+                [(v, atype if v == alias else pa.string())
                  for v in out_vars]))
     return plan
 
@@ -1143,6 +1527,7 @@ def sparql_ask(quads, query: str | SparqlQuery) -> bool:
         raise ValueError("sparql_ask needs an ASK query")
     quads = drop_empty_blocks(quads.materialize())
     _require_graph_column(quads, q)
+    _require_lang_column(quads, q)
     plan, _ = _solution_plan(quads, q)
     return plan.limit(1).count() > 0
 
@@ -1176,6 +1561,7 @@ def sparql_construct(quads, query: str | SparqlQuery):
         raise ValueError("sparql_construct needs a CONSTRUCT query")
     quads = drop_empty_blocks(quads.materialize())
     _require_graph_column(quads, q)
+    _require_lang_column(quads, q)
     plan, _ = _solution_plan(quads, q)
     templates = list(q.construct)
 
@@ -1240,34 +1626,61 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
             return f"regexp_matches({var_bind[var]}, {_sql_str(lit)})"
         fn = "starts_with" if name == "STRSTARTS" else "contains"
         return f"{fn}({var_bind[var]}, {_sql_str(lit)})"
+    if tag == "not":
+        return f"NOT ({_expr_sql(e[1], var_bind)})"
+    if tag == "bound":
+        return f"{var_bind[e[1]]} IS NOT NULL"
     _, op, left, right = e
     sop = {"=": "=", "!=": "<>", "<": "<", "<=": "<=",
            ">": ">", ">=": ">="}[op]
+    # a numeric literal (or STRLEN) on either side switches the
+    # comparison numeric: var refs wrap in TRY_CAST — the SQL mirror
+    # of the engine's _numeric_col coercion (failed parse → NULL →
+    # row dropped on both backends)
+    numeric = any(
+        (isinstance(x, tuple) and x[0] == "strlen")
+        or (not isinstance(x, tuple) and x.kind == "num")
+        for x in (left, right))
 
-    def ref(t: Term) -> str:
-        return var_bind[t.value] if t.kind == "var" else _sql_str(t.value)
+    def ref(x) -> str:
+        if isinstance(x, tuple):
+            if x[0] == "lang":
+                return var_bind[_lang_col(x[1])]
+            return f"LENGTH({var_bind[x[1]]})"  # strlen (characters)
+        if x.kind == "var":
+            return f"TRY_CAST({var_bind[x.value]} AS DOUBLE)" \
+                if numeric else var_bind[x.value]
+        if x.kind == "num":
+            return x.value
+        return _sql_str(x.value)
 
     return f"{ref(left)} {sop} {ref(right)}"
 
 
 def _group_sql(patterns: list[Pattern], filters: list[tuple],
-               quads_rel: str) -> tuple[str, list[str]]:
+               quads_rel: str,
+               lang_vars: frozenset = frozenset()) -> tuple[str, list[str]]:
     """One basic graph pattern -> derived-table SQL selecting its
-    variables as columns; returns (sql, vars in first-seen order)."""
+    variables as columns (plus ``__pplang_{v}`` obj_lang projections
+    for LANG()-referenced vars bound at an object position here);
+    returns (sql, vars in first-seen order)."""
     var_bind: dict[str, str] = {}
     conds: list[str] = []
     for i, pat in enumerate(patterns):
+        if pat.o.kind == "var" and pat.o.value in lang_vars \
+                and not pat.p.kind.startswith("path"):
+            var_bind[_lang_col(pat.o.value)] = f"t{i}.obj_lang"
         for term, col in pat.positions():
             ref = f"t{i}.{col}"
-            if pat.p.kind == "path+" and col in ("pred", "graph"):
+            if pat.p.kind.startswith("path") and col in ("pred", "graph"):
                 continue  # closure derived table already restricted
-                # (a var graph with path+ is rejected at parse)
+                # (a var graph with a path modifier is rejected at parse)
             if term.kind == "var":
                 if term.value in var_bind:
                     conds.append(f"{var_bind[term.value]} = {ref}")
                 else:
                     var_bind[term.value] = ref
-            elif term.kind == "path+":
+            elif term.kind.startswith("path"):
                 continue  # unreachable (covered above); kept explicit
             elif term.kind == "alt":
                 in_list = ", ".join(_sql_str(p)
@@ -1286,13 +1699,15 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
         sel = "SELECT " + ", ".join(f"{var_bind[v]} AS {v}" for v in out)
 
     def rel(i: int, pat: Pattern) -> str:
-        if pat.p.kind != "path+":
+        if not pat.p.kind.startswith("path"):
             return f"{quads_rel} t{i}"
-        # one-or-more property path: the pattern's relation is the
-        # transitive closure of the pred edge set (several preds for
-        # an (p1|p2)+ alternative step), computed by a recursive CTE
-        # (UNION = set semantics, terminates on cycles) — the
-        # independent oracle for _path_plus's semi-naive rounds
+        # property-path relation: `+` is the transitive closure of the
+        # pred edge set (several preds for an (p1|p2)+ alternative
+        # step) via a recursive CTE (UNION = set semantics, terminates
+        # on cycles); `*` seeds the same recursion with the zero-hop
+        # identity over the graph's node set; `?` is identity UNION
+        # the single-hop edges — the independent oracles for
+        # _path_plus/_path_star/_path_opt
         preds = pat.p.value.split(_SEP)
         if len(preds) == 1:
             cond = f"pred = {_sql_str(preds[0])}"
@@ -1303,8 +1718,20 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
             else f" AND graph = {_sql_str(pat.g.value)}"
         gq = "" if pat.g is None \
             else f" AND q.graph = {_sql_str(pat.g.value)}"
+        gnode = "" if pat.g is None \
+            else f" WHERE graph = {_sql_str(pat.g.value)}"
+        nodes = (f"(SELECT subj AS n FROM {quads_rel}{gnode} UNION "
+                 f"SELECT obj FROM {quads_rel}{gnode})")
+        if pat.p.kind == "path?":
+            return (f"(SELECT n AS subj, '' AS pred, n AS obj "
+                    f"FROM {nodes} UNION "
+                    f"SELECT subj, '', obj FROM {quads_rel} "
+                    f"WHERE {cond}{gbase}) t{i}")
+        base = (f"SELECT n, n FROM {nodes}" if pat.p.kind == "path*"
+                else f"SELECT subj, obj FROM {quads_rel} "
+                     f"WHERE {cond}{gbase}")
         return (f"(WITH RECURSIVE __cl{i}(subj, obj) AS ("
-                f"SELECT subj, obj FROM {quads_rel} WHERE {cond}{gbase}"
+                f"{base}"
                 f" UNION "
                 f"SELECT c.subj, q.obj FROM __cl{i} c JOIN {quads_rel} q"
                 f" ON q.{cond}{gq} AND c.obj = q.subj)"
@@ -1325,15 +1752,19 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
                         if not v.startswith(_INTERNAL)})
         parts = []
         for i, (pats, flts) in enumerate(q.unions):
-            g_sql, _ = _group_sql(pats, flts, quads_rel)
+            g_sql, _ = _group_sql(pats, flts, quads_rel,
+                                  frozenset(q.lang_vars))
             parts.append("SELECT " + ", ".join(order)
                          + f" FROM ({g_sql}) u{i}")
         base_sql, base_vars = " UNION ALL ".join(parts), order
     else:
-        base_sql, base_vars = _group_sql(q.patterns, [], quads_rel)
+        base_sql, base_vars = _group_sql(q.patterns, [], quads_rel,
+                                         frozenset(q.lang_vars))
     outer_bind = {v: f"r.{v}" for v in base_vars}
     from_sql = f"({base_sql}) r"
     for v, expr in q.binds:
+        if expr[0] == "if":
+            continue  # IF binds reference OPTIONAL vars: after joins
         # args are required vars (validated) -> never NULL, so ||
         # concatenation matches Arrow's binary_join_element_wise
         terms = expr[1] if expr[0] == "concat" else [expr[1]]
@@ -1341,7 +1772,8 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
                 for x in terms]
         outer_bind[v] = "(" + " || ".join(refs) + ")"
     for i, (pats, flts) in enumerate(q.optionals):
-        g_sql, g_vars = _group_sql(pats, flts, quads_rel)
+        g_sql, g_vars = _group_sql(pats, flts, quads_rel,
+                                   frozenset(q.lang_vars))
         shared = [v for v in outer_bind if v in g_vars]
         if not shared:
             raise ValueError(
@@ -1350,9 +1782,24 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
         from_sql += f"\nLEFT JOIN ({g_sql}) o{i} ON {on}"
         for v in g_vars:
             outer_bind.setdefault(v, f"o{i}.{v}")
+    for v, expr in q.binds:
+        if expr[0] != "if":
+            continue
+        # CASE WHEN: a NULL condition (comparison on an unmatched
+        # optional var) selects ELSE, matching the engine's
+        # fill_null(False) on the IF mask
+        _, cond, tt, te = expr
+
+        def _ref(x: Term) -> str:
+            return outer_bind[x.value] if x.kind == "var" \
+                else _sql_str(x.value)
+
+        outer_bind[v] = (f"(CASE WHEN {_expr_sql(cond, outer_bind)} "
+                         f"THEN {_ref(tt)} ELSE {_ref(te)} END)")
     conds = [_expr_sql(e, outer_bind) for e in q.filters]
     for i, (pats, flts) in enumerate(q.not_exists):
-        g_sql, g_vars = _group_sql(pats, flts, quads_rel)
+        g_sql, g_vars = _group_sql(pats, flts, quads_rel,
+                                   frozenset(q.lang_vars))
         shared = [v for v in outer_bind if v in g_vars]
         on = " AND ".join(f"nx{i}.{v} = {outer_bind[v]}" for v in shared)
         conds.append(f"NOT EXISTS (SELECT 1 FROM ({g_sql}) nx{i} "
@@ -1406,7 +1853,17 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
     if q.agg is not None:
         fn, avar, alias = q.agg
         sel_items = [f"{outer_bind[v]} AS {v}" for v in q.group_by]
-        sel_items.append(f"{fn}({outer_bind[avar]}) AS {alias}")
+        aref = outer_bind[avar]
+        if fn in ("SUM", "AVG"):
+            # TRY_CAST mirrors the engine's _numeric_col coercion
+            sel_items.append(
+                f"{fn}(TRY_CAST({aref} AS DOUBLE)) AS {alias}")
+        elif fn == "GROUP_CONCAT":
+            # sorted concatenation — deterministic on both backends
+            sel_items.append(f"string_agg({aref}, {_sql_str(q.agg_sep)} "
+                             f"ORDER BY {aref}) AS {alias}")
+        else:
+            sel_items.append(f"{fn}({aref}) AS {alias}")
         sql = "SELECT " + ", ".join(sel_items) + "\nFROM " + from_sql
         if conds:
             sql += "\nWHERE " + " AND ".join(conds)

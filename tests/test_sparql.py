@@ -21,11 +21,15 @@ def _hash_df(df):
 
 
 QUADS = pa.table({
-    "subj": ["e:a", "e:a", "e:b", "e:b", "e:c", "e:a", "e:c", "e:d"],
+    "subj": ["e:a", "e:a", "e:b", "e:b", "e:c", "e:a", "e:c", "e:d",
+             "e:d"],
     "pred": ["p:loc", "p:knows", "p:loc", "p:knows", "p:loc", "p:knows",
-             "p:emp", "p:knows"],
-    "obj": ["l:bay", "e:b", "l:shelf", "e:c", "l:bay", "e:c", "42", "e:d"],
-    "graph": ["g1"] * 4 + ["g2"] * 4,
+             "p:emp", "p:knows", "p:emp"],
+    "obj": ["l:bay", "e:b", "l:shelf", "e:c", "l:bay", "e:c", "42",
+            "e:d", "7"],
+    "graph": ["g1"] * 4 + ["g2"] * 5,
+    # language tags for the literal objects (LANG() test surface)
+    "obj_lang": ["en", "", "fr", "", "en", "", "", "", ""],
 })
 
 CROSS_QUERIES = [
@@ -163,6 +167,78 @@ CROSS_QUERIES = [
     # GRAPH block with an inner filter + pattern outside the block
     'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:knows ?y .'
     ' GRAPH <g1> { ?x p:loc ?l . FILTER (CONTAINS(?l, "bay")) } }',
+    # --- typed-literal / numeric comparisons (engine: _numeric_col;
+    # SQL: TRY_CAST) ---
+    # numeric range filter over string-stored integers
+    'PREFIX p: <p:> SELECT ?x ?e WHERE { ?x p:emp ?e .'
+    ' FILTER (?e > 10 && ?e <= 42) }',
+    # numeric equality + typed xsd:integer literal form
+    'PREFIX p: <p:> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>'
+    ' SELECT ?x WHERE { ?x p:emp ?e . FILTER (?e = "7"^^xsd:integer) }',
+    # non-numeric values null out of a numeric comparison (location
+    # strings never match): both backends drop every row
+    'PREFIX p: <p:> SELECT ?x WHERE { ?x p:loc ?l . FILTER (?l < 99) }',
+    # typed non-numeric literal (dateTime-style) compares as string
+    'PREFIX p: <p:> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>'
+    ' SELECT ?x ?l WHERE { ?x p:loc ?l .'
+    ' FILTER (?l >= "l:bay"^^xsd:string) }',
+    # --- LANG / STRLEN / BOUND / ! ---
+    # LANG() equality over the literal objects
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:loc ?l .'
+    ' FILTER (LANG(?l) = "en") }',
+    # LANG() != inside an OR with a plain comparison
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:loc ?l .'
+    ' FILTER (LANG(?l) != "en" || ?l = "l:bay") }',
+    # STRLEN threshold (characters on both backends)
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:loc ?l .'
+    ' FILTER (STRLEN(?l) > 5) }',
+    # BOUND over an optional var keeps only matched rows
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:knows ?y .'
+    ' OPTIONAL { ?x p:loc ?l . } FILTER (BOUND(?l)) }',
+    # !BOUND keeps only the unmatched rows
+    'PREFIX p: <p:> SELECT ?x WHERE { ?x p:knows ?y .'
+    ' OPTIONAL { ?x p:emp ?e . } FILTER (!BOUND(?e)) }',
+    # --- BIND(IF(...)) after OPTIONAL ---
+    'PREFIX p: <p:> SELECT ?x ?has WHERE { ?x p:knows ?y .'
+    ' OPTIONAL { ?x p:emp ?e . }'
+    ' BIND(IF(!BOUND(?e), "no-emp", ?e) AS ?has) }',
+    # IF with a numeric condition on an optional var (null → else)
+    'PREFIX p: <p:> SELECT ?x ?big WHERE { ?x p:knows ?y .'
+    ' OPTIONAL { ?x p:emp ?e . }'
+    ' BIND(IF(?e > 10, "big", "small") AS ?big) }',
+    # --- SUM / AVG / GROUP_CONCAT aggregates ---
+    # grouped SUM of numeric strings
+    'PREFIX p: <p:> SELECT ?x (SUM(?e) AS ?total) WHERE '
+    '{ ?x p:emp ?e . } GROUP BY ?x',
+    # global SUM
+    'PREFIX p: <p:> SELECT (SUM(?e) AS ?total) WHERE { ?x p:emp ?e . }',
+    # grouped AVG over a join
+    'PREFIX p: <p:> SELECT ?l (AVG(?e) AS ?m) WHERE '
+    '{ ?x p:emp ?e . ?x p:loc ?l . } GROUP BY ?l',
+    # grouped GROUP_CONCAT (sorted, custom separator)
+    'PREFIX p: <p:> SELECT ?x (GROUP_CONCAT(?y; SEPARATOR=",") AS ?ys)'
+    ' WHERE { ?x p:knows ?y . } GROUP BY ?x',
+    # global GROUP_CONCAT with the default separator
+    'PREFIX p: <p:> SELECT (GROUP_CONCAT(?l) AS ?locs) WHERE '
+    '{ ?x p:loc ?l . }',
+    # --- property-path * and ? ---
+    # zero-or-more: identity over the node set ∪ transitive closure
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE { ?x p:knows* ?y . }',
+    # zero-or-one: identity ∪ single hop
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE { ?x p:knows? ?y . }',
+    # * with a constant endpoint (includes the zero-hop pair)
+    'PREFIX p: <p:> SELECT DISTINCT ?y WHERE { "e:b" p:knows* ?y . }',
+    # * over an absent predicate degrades to pure identity
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE { ?x p:nope* ?y . }',
+    # ? inside a sequence path joined with a plain pattern
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?l WHERE '
+    '{ ?x p:knows?/p:loc ?l . }',
+    # graph-scoped * (g2's knows edges and node set only)
+    'PREFIX p: <p:> SELECT DISTINCT ?x ?y WHERE '
+    '{ GRAPH <g2> { ?x p:knows* ?y . } }',
+    # * closure feeding a grouped COUNT
+    'PREFIX p: <p:> SELECT ?y (COUNT(?x) AS ?n) WHERE '
+    '{ ?x p:knows* ?y . } GROUP BY ?y',
 ]
 
 
