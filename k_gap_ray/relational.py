@@ -427,13 +427,20 @@ def q_left_join_orders(sf_dir: str):
     zero-order customers included (docs/components/sembench.md:176-177)."""
     from ray.data.aggregate import Count
 
+    from k_gap_ray.dsutil import join_datasets
+
     cust = _read(sf_dir, "customer", ["c_custkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
-    # pre-aggregate the fact side, then left-join the (small) result
+    # pre-aggregate the fact side, then left-join the (small) result;
+    # join_datasets sizes num_partitions from ray.cluster_resources()
+    # (a hardcoded count under-parallelizes at any other cluster size)
+    # and scrubs the groupby-descended right side (zero-row
+    # empty-schema blocks crash hash-join partitions, BENCH/NOTES.md)
     per_cust = orders.groupby("o_custkey").aggregate(
         Count(alias_name="n_orders"))
-    joined = cust.join(per_cust, join_type="left_outer", num_partitions=8,
-                       on=("c_custkey",), right_on=("o_custkey",))
+    joined = join_datasets(cust, per_cust, on="c_custkey",
+                           right_on="o_custkey", join_type="left_outer",
+                           scrub_left=False, scrub_right=True)
     return joined.map_batches(
         lambda t: pa.table({
             "c_custkey": t.column("c_custkey"),
@@ -488,38 +495,30 @@ def q_full_outer_users(sf_dir: str):
 
 def q_anti_join(sf_dir: str):
     """J3 anti join (FILTER NOT EXISTS): customers with no high-value
-    order (docs/components/jupyter.md:556-566). Broadcast key-set
-    filter — the Bloom-filter/semi-join pattern at scale."""
-    import ray
+    order (docs/components/jupyter.md:556-566). Bloom-pre-filtered
+    exact anti join (functions/bloom.py): the bitmap is the only
+    broadcast (fixed size, not O(matching keys)) and the exact check
+    is a shuffle marker join — no driver-side key set, result stays a
+    Dataset."""
+    from k_gap_ray.functions.bloom import bloom_semi_join
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     hi = orders.map_batches(
-        lambda t: t.filter(pc.greater(t.column("o_totalprice"),
-                                      pa.scalar(150000.0))),
+        lambda t: pa.table({"o_custkey": t.filter(
+            pc.greater(t.column("o_totalprice"),
+                       pa.scalar(150000.0))).column("o_custkey")}),
         batch_format="pyarrow")
-    # distinct via groupby (Dataset.unique crashes on multi-block data
-    # in Ray 2.49); broadcast the key set once as an Arrow array
-    key_rows = (hi.select_columns(["o_custkey"])
-                .groupby("o_custkey").count().take_all())
-    keys_ref = ray.put(pa.array(sorted(r["o_custkey"] for r in key_rows),
-                                pa.int64()))
-
-    def anti(t: pa.Table) -> pa.Table:
-        import ray as _r
-
-        keys = _r.get(keys_ref)
-        return t.filter(pc.invert(pc.is_in(t.column("c_custkey"),
-                                           value_set=keys)))
-
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    out = cust.map_batches(anti, batch_format="pyarrow")
-    # collect into a TYPED table: Ray's Dataset.to_pandas drops the
-    # schema of a fully-empty result, and at tiny scale factors every
-    # customer has a high-value order (legitimately 0 rows)
-    return pa.Table.from_pylist(
-        out.take_all(),
-        schema=pa.schema([("c_custkey", pa.int64()),
-                          ("c_name", pa.string())]))
+    out = bloom_semi_join(cust, hi, on="c_custkey", right_on="o_custkey",
+                          anti=True).materialize()
+    if out.count() == 0:
+        # typed empty: Ray's Dataset.to_pandas drops the schema of a
+        # fully-empty result, and at tiny scale factors every customer
+        # has a high-value order (legitimately 0 rows)
+        return pa.Table.from_pylist(
+            [], schema=pa.schema([("c_custkey", pa.int64()),
+                                  ("c_name", pa.string())]))
+    return out
 
 
 def q_semi_join(sf_dir: str):
@@ -619,33 +618,97 @@ def q_union_priorities(sf_dir: str):
 # Dereference loop (J5) — frontier expansion over the adjacency table
 # ---------------------------------------------------------------------------
 
-def dereference(triples_ds, seeds: list[str], depth: int = 2):
+def dereference(triples_ds, seeds: list[str], depth: int = 2,
+                driver_cap: int = 100_000):
     """Iterative frontier expansion with cycle-safety (visited set) —
     recursive URI dereferencing, docs/advanced-topics.md:226-285.
 
-    Broadcast the (small) frontier per round and filter the big triple
-    table inside map_batches — no shuffle join."""
+    Two modes, switched by an EXPLICIT driver-state cap (the
+    canonicalize.py pattern): while ``len(visited) + next-frontier
+    distinct count <= driver_cap`` the frontier is a broadcast Arrow
+    array and the hop is one streaming ``is_in`` filter (no shuffle —
+    the right shape for seed expansions). The next frontier's size is
+    learned from a distributed groupby-distinct COUNT *before*
+    anything is pulled to the driver, so a high-fanout hub can never
+    explode driver memory: crossing the cap spills permanently to
+    DATASET mode, where frontier/visited stay Datasets and each round
+    is a Bloom semi-join (functions/bloom.py — streaming pre-filter +
+    exact marker join) with the driver holding only row counts."""
     import ray
+    import ray.data as rd
 
+    from k_gap_ray.dsutil import drop_empty_blocks
+    from k_gap_ray.functions.bloom import bloom_semi_join
+
+    def _distinct_objs(hop):
+        # groupby-distinct (Dataset.unique crashes on multi-block data
+        # in Ray 2.49); scrubbed — groupby output feeds a later join
+        return drop_empty_blocks(
+            hop.map_batches(lambda t: pa.table({"node": t.column("obj")}),
+                            batch_format="pyarrow")
+            .groupby("node").count().select_columns(["node"])
+            .materialize())
+
+    collected = []
     visited: set[str] = set()
     frontier = set(seeds)
-    collected = []
-    for _ in range(depth):
-        frontier_new = frontier - visited
-        if not frontier_new:
+    rounds_left = depth
+    spill = None  # (frontier_ds, visited_ds) once driver_cap is hit
+    while rounds_left > 0:
+        new = frontier - visited
+        if not new:
             break
-        visited |= frontier_new
-        ref = ray.put(pa.array(sorted(frontier_new), pa.string()))
+        visited |= new
+        ref = ray.put(pa.array(sorted(new), pa.string()))
 
-        def expand(t: pa.Table) -> pa.Table:
+        def expand(t: pa.Table, _ref=ref) -> pa.Table:
             import ray as _r
 
-            fr = _r.get(ref)
+            fr = _r.get(_ref)
             return t.filter(pc.is_in(t.column("subj"), value_set=fr))
 
-        hop = triples_ds.map_batches(expand, batch_format="pyarrow").materialize()
+        hop = triples_ds.map_batches(expand,
+                                     batch_format="pyarrow").materialize()
+        rounds_left -= 1
+        n_hop = hop.count()
+        if n_hop == 0:
+            break
         collected.append(hop)
-        frontier = {r["obj"] for r in hop.select_columns(["obj"]).take_all()}
+        if rounds_left == 0:
+            break
+        if n_hop + len(visited) <= driver_cap:
+            # the hop row count bounds its distinct-object count: pull
+            # raw objects and dedup on the driver, no shuffle needed
+            frontier = {r["obj"]
+                        for r in hop.select_columns(["obj"]).take_all()}
+            continue
+        objs = _distinct_objs(hop)
+        if objs.count() + len(visited) > driver_cap:
+            spill = (objs, rd.from_arrow(pa.table(
+                {"node": pa.array(sorted(visited), pa.string())})))
+            break
+        frontier = {r["node"] for r in objs.take_all()}
+
+    if spill is not None:
+        frontier_ds, visited_ds = spill
+        while rounds_left > 0:
+            # unvisited frontier nodes only (cycle guard)
+            frontier_ds = drop_empty_blocks(
+                bloom_semi_join(frontier_ds, visited_ds,
+                                on="node", anti=True).materialize())
+            if frontier_ds.count() == 0:
+                break
+            visited_ds = visited_ds.union(frontier_ds)
+            hop = bloom_semi_join(triples_ds, frontier_ds,
+                                  on="subj", right_on="node").materialize()
+            rounds_left -= 1
+            if hop.count() == 0:
+                break
+            collected.append(hop)
+            if rounds_left == 0:
+                break
+            frontier_ds = _distinct_objs(hop)
+
     if not collected:
         return None
     out = collected[0]

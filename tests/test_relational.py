@@ -71,6 +71,18 @@ def test_dereference_loop(ray_session):
     # depth 3 from a: hop1 a->b, hop2 b->{c,d}, hop3 c->a (cycle-safe)
     assert rows == {("a", "b"), ("b", "c"), ("b", "d"), ("c", "a")}
 
+    # driver_cap=1 forces the spill-to-Dataset mode (frontier/visited
+    # as Datasets, Bloom semi-joins per round) after the first hop —
+    # must produce exactly the driver-mode result, cycle guard intact
+    out2 = dereference(triples, ["a"], depth=3, driver_cap=1)
+    rows2 = {(r["subj"], r["obj"]) for r in out2.take_all()}
+    assert rows2 == rows
+
+    # cap crossed mid-walk with depth exhausting in Dataset mode
+    out3 = dereference(triples, ["a"], depth=2, driver_cap=1)
+    rows3 = {(r["subj"], r["obj"]) for r in out3.take_all()}
+    assert rows3 == {("a", "b"), ("b", "c"), ("b", "d")}
+
 
 def test_annotate_actor_pool_parity(ray_session, pages_table):
     """compute='actors' must produce exactly the tasks-path output."""
