@@ -26,7 +26,6 @@ contract (codepoints) holds for any input.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -313,24 +312,28 @@ def repetition_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 class BpeishTokenCounter:
-    """Token counting with a BPE-ish compiled regex (actor-pool stage:
-    the pattern — a stand-in for a real tokenizer load — is compiled
-    once per actor). Pattern == oracle's regexp_extract_all pattern."""
+    """Token counting with a BPE-ish regex (actor-pool stage: the
+    pattern — a stand-in for a real tokenizer load — is staged once per
+    actor). Arrow RE2 kernel, zero pandas conversion; the pattern's
+    alternatives cover disjoint character classes so RE2
+    leftmost-longest == Python leftmost-first == the oracle's
+    regexp_extract_all pattern."""
 
     def __init__(self) -> None:
-        import re
+        self.pat = BPE_PATTERN
 
-        self.pat = re.compile(BPE_PATTERN)
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        df["n_bpe_tokens"] = (df["text"].fillna("").str.count(self.pat)
-                              .astype("int64"))
-        return df[["doc_id", "n_bpe_tokens"]]
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"), pattern=self.pat)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bpe_tokens": pc.fill_null(n.cast(pa.int64()), 0),
+        })
 
 
 def bpe_token_counts(ds, concurrency=(1, 4)):
-    return ds.map_batches(BpeishTokenCounter, batch_format="pandas",
-                          batch_size=1024, concurrency=concurrency)
+    return ds.map_batches(BpeishTokenCounter, batch_format="pyarrow",
+                          batch_size=1024, concurrency=concurrency,
+                          zero_copy_batch=True)
 
 
 def lang_id(ds):

@@ -29,18 +29,24 @@ def construct_remap(triples_ds, pred_map: dict[str, str],
     """CONSTRUCT-style vocabulary rewrite: pred -> pred_map[pred].
 
     The map is tiny (a vocabulary) -> shipped in the closure, applied
-    with a vectorized pandas dict-map per batch; no shuffle."""
+    as an Arrow index_in/take lookup per batch (zero pandas
+    conversion); no shuffle."""
+    keys = pa.array(sorted(pred_map), pa.string())
+    vals = pa.array([pred_map[k] for k in sorted(pred_map)], pa.string())
 
-    def remap(df: pd.DataFrame) -> pd.DataFrame:
-        new = df["pred"].map(pred_map)
+    def remap(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("pred"), value_set=keys)
         if drop_unmapped:
-            df = df[new.notna()].copy()
-            df["pred"] = new[new.notna()]
+            t = t.filter(pc.is_valid(idx))
+            idx = idx.filter(pc.is_valid(idx))
+            new = pc.take(vals, idx)
         else:
-            df["pred"] = new.fillna(df["pred"])
-        return df
+            new = pc.if_else(pc.is_valid(idx), pc.take(vals, idx),
+                             t.column("pred"))
+        return t.set_column(t.schema.get_field_index("pred"), "pred", new)
 
-    return triples_ds.map_batches(remap, batch_format="pandas")
+    return triples_ds.map_batches(remap, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
 
 # --- shape validation -------------------------------------------------------
