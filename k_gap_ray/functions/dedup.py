@@ -373,21 +373,41 @@ def ngram_prefix_bands(docs_ds, threshold: float = 0.75, shingle_k: int = 4,
     all-Dataset scale path, two extra shuffles.
     """
     num, den = float(threshold).as_integer_ratio()
-    exploded = _explode_doc_shingles(docs_ds, shingle_k, id_col)
-    df = (exploded.groupby("shingle").count()
-          .rename_columns({"count()": "df"}))
+    exploded = _explode_doc_shingles(docs_ds, shingle_k, id_col).materialize()
+    n_exploded = exploded.count()
 
     from k_gap_ray.dsutil import drop_empty_blocks
 
-    df = drop_empty_blocks(df.materialize())
-    if df.count() <= broadcast_cap:
+    ref = None
+    if n_exploded <= broadcast_cap:
+        # The whole distinct-(shingle, doc) stream is no bigger than
+        # the broadcast cap, so the df histogram (strictly smaller)
+        # merges on the driver in one np.unique over the pulled
+        # shingle column — skipping the distributed aggregate, whose
+        # fixed cost dominates at benchmark scale (measured 5.8s for
+        # 256k slim rows vs ~30ms for the driver merge).
         import ray
 
-        dft = pa.concat_tables(ray.get(df.to_arrow_refs()))
-        hashes = dft.column("shingle").to_numpy(zero_copy_only=False)
-        counts = dft.column("df").to_numpy(zero_copy_only=False)
-        o = np.argsort(hashes)
-        ref = ray.put((hashes[o], counts[o]))
+        parts = ray.get(exploded.select_columns(["shingle"])
+                        .to_arrow_refs())
+        flat = (pa.concat_tables(parts).column("shingle")
+                .to_numpy(zero_copy_only=False))
+        hs, cs = np.unique(flat, return_counts=True)  # sorted by hash
+        ref = ray.put((hs, cs.astype(np.int64)))
+    else:
+        df = (exploded.groupby("shingle").count()
+              .rename_columns({"count()": "df"}))
+        df = drop_empty_blocks(df.materialize())
+        if df.count() <= broadcast_cap:
+            import ray
+
+            dft = pa.concat_tables(ray.get(df.to_arrow_refs()))
+            hashes = dft.column("shingle").to_numpy(zero_copy_only=False)
+            counts = dft.column("df").to_numpy(zero_copy_only=False)
+            o = np.argsort(hashes)
+            ref = ray.put((hashes[o], counts[o]))
+
+    if ref is not None:
 
         def cut_local(t: pa.Table) -> pa.Table:
             import ray as _r

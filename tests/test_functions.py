@@ -240,6 +240,16 @@ def test_ngram_jaccard_equal_bruteforce(docs_ds):
                     docs_ds, threshold=0.5, shingle_k=2,
                     broadcast_cap=0).take_all()}
     assert got_join == truth
+    # middle path: exploded stream over the cap but the df histogram
+    # under it -> distributed groupby + broadcast (not driver merge)
+    n_distinct = len(set().union(*sh.values()))
+    n_exploded = sum(len(s) for s in sh.values())
+    assert n_distinct < n_exploded  # fixture shares shingles across docs
+    got_mid = {(r["doc_id_a"], r["doc_id_b"]): (r["n_common"], r["n_union"])
+               for r in ngram_jaccard_pairs(
+                   docs_ds, threshold=0.5, shingle_k=2,
+                   broadcast_cap=n_distinct).take_all()}
+    assert got_mid == truth
     # the shipped config (k=4, t=0.75) is exact too
     sh4 = {r["doc_id"]: _word_shingles(r["text"], 4) for r in rows}
     truth4 = set()
