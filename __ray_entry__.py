@@ -1319,6 +1319,54 @@ def _kg_docs_entities(sf_dir: str):
     return kg_entities_from_docs(None, res=_docs_kg_run(sf_dir))
 
 
+DOCS_SHACL_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix kp: <urn:kgap:pred:> .
+
+<urn:kgap:shape:Employer> a sh:NodeShape ;
+  sh:targetSubjectsOf kp:employs ;
+  sh:property [
+    sh:path kp:employs ;
+    sh:datatype xsd:integer ;
+    sh:pattern "^[0-9]+$" ;
+    sh:maxCount 3 ;
+  ] ;
+  sh:property [
+    sh:path kp:locatedIn ;
+    sh:nodeKind sh:IRI ;
+    sh:minCount 1 ;
+  ] ;
+  sh:property [
+    sh:path kp:foundedIn ;
+    sh:minCount 1 ;
+    sh:datatype xsd:integer ;
+  ] .
+"""
+
+
+def _shacl_docs(sf_dir: str):
+    """M9 SHACL validation over the docs-derived quads: the shape TTL
+    is parsed by the repo's Turtle reader (the reference's per-feed
+    SHAPE file idiom, ldes-consumer/app.py:344) and validated natively
+    on Ray Data (ops/shacl.py); the oracle compiles the SAME shapes to
+    SQL over the quads reconstruction (docs_kg.py:sql_docs_shacl).
+    foundedIn is typed xsd:gYear in the KG, so its xsd:integer
+    constraint guarantees datatype violations alongside the
+    minCount/maxCount ones."""
+    import pyarrow as _pa
+
+    from k_gap_ray.ops.shacl import parse_shacl_text, shacl_validate
+
+    viol = shacl_validate(_docs_quads(sf_dir),
+                          parse_shacl_text(DOCS_SHACL_TTL))
+    return _pa.Table.from_pylist(
+        viol.take_all(),
+        schema=_pa.schema([("focus", _pa.string()), ("path", _pa.string()),
+                           ("component", _pa.string()),
+                           ("n", _pa.int64())]))
+
+
 def _kg_report(sf_dir: str):
     """A7 dataset-statistics bundle over the constructed graph
     (sembench report-step analogue, docs/components/sembench.md:229-253)."""
@@ -1450,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
+        "q_shacl_docs": _shacl_docs,
         # --- embeddings: similarity search + near-dup ---
         "q_knn_top10": _knn,
         "q_knn_quantized": _knn_quantized,
@@ -1937,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_docs_triples": _sql_docs_kg(),
         "kg_docs_entities": _sql_docs_entities(),
         "kg_docs_mention_counts": _sql_docs_mention_counts(),
+        "q_shacl_docs": _sql_shacl_docs(),
         "q_sparql_docs": _sql_sparql_docs(),
         "q_sparql_docs_agg": _sql_sparql_docs_agg(),
         "q_sparql_docs_union": _sql_sparql_docs_q(DOCS_SPARQL_UNION),
@@ -1984,6 +2034,12 @@ def _sql_docs_mention_counts() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_mention_counts
 
     return sql_docs_mention_counts()
+
+
+def _sql_shacl_docs() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_shacl
+
+    return sql_docs_shacl(DOCS_SHACL_TTL)
 
 
 def _sql_sparql_docs() -> str:

@@ -362,6 +362,18 @@ def sql_docs_bfs(edge_pred: str, seed_pred: str, max_depth: int = 32,
             + sql_bfs_depths(edges, seeds, max_depth=max_depth, lead=","))
 
 
+def sql_docs_shacl(shape_ttl: str, docs_table: str = "documents") -> str:
+    """DuckDB oracle for SHACL validation over the docs-derived quads:
+    the shared KG-reconstruction CTEs feed ``quads``, and the shape is
+    compiled by the independent SQL backend (ops/shacl.py:shacl_to_sql
+    — LEFT-JOIN formulation vs the Ray union+Sum plan)."""
+    from k_gap_ray.ops.shacl import parse_shacl_text, shacl_to_sql
+
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + shacl_to_sql(parse_shacl_text(shape_ttl), quads_rel="quads",
+                           lead=","))
+
+
 def sql_docs_construct(sparql: str, docs_table: str = "documents") -> str:
     """DuckDB oracle for a SPARQL CONSTRUCT run over the docs-derived
     canonical quad set (same CTE plumbing as :func:`sql_docs_sparql`,

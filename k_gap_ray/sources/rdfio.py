@@ -106,10 +106,16 @@ _TTL_TOKEN = re.compile(
 
 
 def parse_turtle_text(text: str) -> tuple[list[dict], int]:
-    """Parse one Turtle document -> (triple rows, n_skipped_tokens)."""
+    """Parse one Turtle document -> (triple rows, n_skipped_tokens).
+
+    Blank nodes: ``_:label`` and anonymous ``[ ... ]`` property lists
+    (nested ok) are supported — SHACL shape files lean on the
+    bracketed idiom for sh:property (ops/shacl.py)."""
     prefixes: dict[str, str] = {}
     rows: list[dict] = []
     skipped = 0
+    bn_counter = 0
+    bn_stack: list[tuple] = []  # (subj, pred) saved across [ ... ]
 
     tokens: list[tuple[str, tuple]] = []
     for m in _TTL_TOKEN.finditer(text):
@@ -141,6 +147,8 @@ def parse_turtle_text(text: str) -> tuple[list[dict], int]:
         if kind == "iri":
             return args[0]
         if kind == "pname":
+            if args[0] == "_":  # labeled blank node, not a prefix
+                return "_:" + args[1]
             base = prefixes.get(args[0])
             return None if base is None else base + args[1]
         return None
@@ -163,6 +171,47 @@ def parse_turtle_text(text: str) -> tuple[list[dict], int]:
             graph = ""
             subj = pred = None
             i += 1
+            continue
+        # anonymous blank node [ ... ]
+        if kind == "punct" and args[0] == "[":
+            bn_counter += 1
+            node = f"_:anon{bn_counter}"
+            if subj is None:
+                # subject-position bracket: parse its property list,
+                # then resume the outer statement with it as subject
+                bn_stack.append((node, None))
+                subj = node
+            elif pred is not None:
+                rows.append({
+                    "subj": subj, "pred": pred, "obj": node,
+                    "obj_is_literal": False, "obj_datatype": "",
+                    "obj_lang": "", "graph": graph, "url": "",
+                })
+                bn_stack.append((subj, pred))
+                subj, pred = node, None
+            else:
+                skipped += 1  # '[' in predicate position: malformed
+            i += 1
+            continue
+        if kind == "punct" and args[0] == "]":
+            subj, pred = bn_stack.pop() if bn_stack else (None, None)
+            i += 1
+            # statement continuation after the bracketed node (only
+            # when it sat in object position, i.e. pred was saved)
+            if pred is not None and i < n and tokens[i][0] == "punct":
+                p = tokens[i][1][0]
+                if p == ".":
+                    subj = pred = None
+                    i += 1
+                elif p == ";":
+                    pred = None
+                    i += 1
+                elif p == ",":
+                    i += 1
+            elif pred is None and i < n and tokens[i] == ("punct", (".",)):
+                # bare [ ... ] . statement: consume the terminator
+                subj = None
+                i += 1
             continue
         # prefix declaration: @prefix p: <iri> .   /   PREFIX p: <iri>
         if kind == "kw" and args[0].lower() in ("@prefix", "prefix"):

@@ -121,6 +121,35 @@ def test_turtle_parse_and_roundtrip(ray_session, tmp_path):
     assert {key(r) for r in back.take_all()} == {key(r) for r in ds.take_all()}
 
 
+def test_turtle_blank_nodes():
+    """Labeled _:b and anonymous [ ... ] blank nodes (incl. nesting
+    and ',' continuation after ']') — the SHACL sh:property idiom."""
+    from k_gap_ray.sources.rdfio import parse_turtle_text
+
+    ttl = (
+        '@prefix ex: <http://example.org/> .\n'
+        '_:b1 ex:p ex:q .\n'
+        'ex:a ex:knows [ ex:name "bob" ; ex:likes [ ex:id 1 ] ], ex:c .\n'
+        '[ ex:root "top" ] ex:points ex:d .\n'
+    )
+    rows, skipped = parse_turtle_text(ttl)
+    assert skipped == 0
+    def one(pred):
+        return [r for r in rows if r["pred"].rsplit("/", 1)[-1] == pred]
+
+    assert one("p")[0]["subj"] == "_:b1"
+    inner = one("name")[0]["subj"]
+    assert inner.startswith("_:")
+    knows_objs = {r["obj"] for r in one("knows")}
+    # ',' continuation after the bracketed object stays on ex:a
+    assert knows_objs == {inner, "http://example.org/c"}
+    assert all(r["subj"] == "http://example.org/a" for r in one("knows"))
+    assert one("likes")[0]["subj"] == inner
+    assert one("id")[0]["subj"] == one("likes")[0]["obj"]  # nested bnode
+    # subject-position bracket: the bnode carries both triples
+    assert one("root")[0]["subj"] == one("points")[0]["subj"]
+
+
 def test_query_catalog_and_export(ray_session, tmp_path):
     """S3/S7: named template -> ${var} substitution -> DataFrame ->
     export by extension; Excel edge works even without openpyxl via
