@@ -1424,6 +1424,28 @@ def _media_features(sf_dir: str):
     return decode_stage(media, mode="stat")
 
 
+def _media_png(sf_dir: str):
+    """REAL PNG decode path: documents -> deterministic synthesized
+    PNGs (functions/multimodal.docs_as_png) -> actor-pool
+    decode_stage(mode='real') -> decoded geometry. The engine
+    round-trips actual zlib/chunk/filter bytes (functions/png.py, a
+    pure-stdlib codec); the oracle predicts width/height from doc_id
+    by the same integer functions — a decoder bug surfaces as a
+    dimension (or crash) mismatch."""
+    import pyarrow as _pa
+
+    from k_gap_ray.functions.multimodal import decode_stage, docs_as_png
+
+    feats = decode_stage(docs_as_png(_docs(sf_dir, ["doc_id"])),
+                         mode="real")
+    return feats.map_batches(
+        lambda t: _pa.table({
+            "media_id": t.column("media_id"),
+            "width": t.column("width").cast(_pa.int64()),
+            "height": t.column("height").cast(_pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _rdf_turtle(sf_dir: str):
     """S2 Turtle bulk-load parity: the nation table rendered as a
     Turtle document (prefixes, 'a', ';'-continuation), parsed back by
@@ -1530,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_redact": _doc_redact,
         "q_deref_reachable": _deref_reachable,
         "q_media_features": _media_features,
+        "q_media_png": _media_png,
         # --- relational operator surface (SURVEY.md 2.4-2.7) ---
         "q_agg_pricing": rel.q_agg_pricing,
         "q_filter_bind": rel.q_filter_bind,
@@ -2376,6 +2399,14 @@ def _text_analysis_oracles() -> dict[str, str]:
         "q_doc_clean_corpus": clean_corpus,
         "q_rdf_turtle": turtle,
         "q_media_features": media,
+        # geometry functions mirror functions/multimodal.docs_as_png;
+        # the engine side derives them by actually decoding the PNGs
+        "q_media_png": """
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 29 AS width,
+                   4 + (doc_id // 7) % 17 AS height
+            FROM documents
+        """,
         "q_doc_langid": langid,
         "q_doc_quality": quality,
         "q_doc_bpe_tokens": bpe,

@@ -80,6 +80,33 @@ def docs_as_media(docs_ds):
                                zero_copy_batch=True)
 
 
+def docs_as_png(docs_ds):
+    """documents -> MEDIA table of real PNG payloads with
+    deterministic geometry and content per doc_id (width 4+id%29,
+    height 4+(id//7)%17, row r filled with (id+r)%256), so a SQL
+    oracle can predict the DECODED width/height from the documents
+    table while the engine actually round-trips zlib+chunk+filter
+    bytes (functions/png.py)."""
+    from k_gap_ray.functions.png import encode_png
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid in t.column("doc_id").to_pylist():
+            w = 4 + mid % 29
+            h = 4 + (mid // 7) % 17
+            px = ((mid + np.arange(h, dtype=np.int64)) % 256)[:, None] \
+                * np.ones((1, w), np.int64)
+            rows.append({
+                "media_id": mid,
+                "payload": encode_png(px.astype(np.uint8)),
+                "mime": "image/png",
+                "source_url": f"urn:png:{mid}",
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA)
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
 def synth_media(n: int, seed: int = 7) -> pa.Table:
     """Deterministic fake media table for plumbing tests."""
     rows = []
@@ -110,9 +137,22 @@ class MediaDecoder:
         self.mode = mode
 
     def _decode_real(self, payload: bytes, mime: str):
+        """Real decode for image/png via the repo's pure-stdlib codec
+        (functions/png.py — zlib chunks, all five predictor filters);
+        other codecs still need PIL/ffmpeg, absent in this container,
+        and keep the explicit library slot."""
+        if mime == "image/png":
+            from k_gap_ray.functions.png import decode_png
+
+            w, h, _c, px = decode_png(payload)
+            gray = px.astype(np.float32).mean(axis=2)
+            hist, _ = np.histogram(gray, bins=self.FEATURE_DIM,
+                                   range=(0.0, 256.0))
+            feat = hist.astype(np.float32) / max(1, gray.size)
+            return w, h, feat
         raise NotImplementedError(
-            "real decode requires PIL/ffmpeg, not available in this "
-            "container — slot the library call here")
+            f"real decode of {mime} requires PIL/ffmpeg, not available "
+            "in this container — slot the library call here")
 
     def _decode_fake(self, payload: bytes, mime: str):
         """Deterministic pseudo-decode: dims + features from the bytes."""
