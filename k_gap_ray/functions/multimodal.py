@@ -217,15 +217,22 @@ class MediaDecoder:
 
 
 def decode_stage(media_ds, mode: str = "fake", concurrency=(1, 4),
-                 batch_size: int = 64, num_cpus: float = 1):
-    """Binary payloads -> features; small batches by design (wide rows)."""
+                 batch_size: int = 64, num_cpus: float = 1,
+                 ray_remote_args: dict | None = None):
+    """Binary payloads -> features; small batches by design (wide
+    rows). ``ray_remote_args`` (X5): per-stage runtime_env (container
+    image / pip deps for a real codec), num_gpus, memory, resources —
+    forwarded verbatim, mirroring the reference's per-component image
+    selection (ldes-consumer/app.py:610-611)."""
+    extra = dict(ray_remote_args or {})
     return media_ds.map_batches(
         MediaDecoder,
         fn_constructor_kwargs={"mode": mode},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=num_cpus,
+        concurrency=extra.pop("concurrency", concurrency),
+        num_cpus=extra.pop("num_cpus", num_cpus),
+        **extra,
     )
 
 
@@ -280,13 +287,13 @@ class MediaResizer:
 
 def resize_stage(media_ds, target_w: int = 224, target_h: int = 224,
                  mode: str = "fake", concurrency=(1, 4),
-                 batch_size: int = 64):
+                 batch_size: int = 64, ray_remote_args: dict | None = None):
     return media_ds.map_batches(
         MediaResizer,
         fn_constructor_kwargs={"target_w": target_w, "target_h": target_h,
                                "mode": mode},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency, **(ray_remote_args or {}))
 
 
 class FrameSampler:
@@ -329,9 +336,10 @@ class FrameSampler:
 
 
 def frame_sample_stage(media_ds, n_frames: int = 4, mode: str = "fake",
-                       concurrency=(1, 4), batch_size: int = 32):
+                       concurrency=(1, 4), batch_size: int = 32,
+                       ray_remote_args: dict | None = None):
     return media_ds.map_batches(
         FrameSampler,
         fn_constructor_kwargs={"n_frames": n_frames, "mode": mode},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency, **(ray_remote_args or {}))

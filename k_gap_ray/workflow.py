@@ -99,6 +99,25 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
     for raw in steps:
         step = _subst(dict(raw), params)
         op = step.pop("op")
+        # X5: per-step scheduling/runtime overrides — runtime_env
+        # (container image / pip deps), num_cpus, num_gpus, memory,
+        # resources — the reference's per-component image selection
+        # (ldes-consumer/app.py:610-611) as a spec block:
+        #     - op: decode_media
+        #       runtime: {num_cpus: 2, runtime_env: {image_uri: ...}}
+        # Applied to ops that run user/model code on workers; any
+        # other op with a runtime block is a loud config error.
+        runtime = step.pop("runtime", None)
+        if runtime is not None:
+            if op == "map_batches":
+                step.update(runtime)
+            elif op in ("decode_media", "resize_media", "frame_sample",
+                        "annotate"):
+                step["ray_remote_args"] = dict(runtime)
+            else:
+                raise ValueError(
+                    f"workflow op {op!r} does not run per-stage worker "
+                    "code; 'runtime' overrides are not applicable")
         if op == "read_parquet":
             ds = rd.read_parquet(step.pop("path"), **step)
         elif op == "read_ntriples":
@@ -239,12 +258,24 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
             from k_gap_ray.ops.transform import construct_remap
 
             ds = construct_remap(ds, step.pop("pred_map"), **step)
+        elif op == "annotate":
+            from k_gap_ray.ops.annotate import annotate_stage
+
+            ds = annotate_stage(ds, **step)
         elif op == "validate_shapes":
             from k_gap_ray.ops.transform import ShapeRule, validate_shapes
 
             rules = [r if isinstance(r, ShapeRule) else ShapeRule(**r)
                      for r in step.pop("rules")]
             ds = validate_shapes(ds, rules)
+        elif op == "shacl_validate":
+            from k_gap_ray.ops.shacl import parse_shacl, parse_shacl_text, \
+                shacl_validate
+
+            shapes = (parse_shacl(step.pop("shape_file"))
+                      if "shape_file" in step
+                      else parse_shacl_text(step.pop("shapes_ttl")))
+            ds = shacl_validate(ds, shapes)
         elif op == "write_parquet":
             ds.write_parquet(step.pop("path"), **step)
         elif op == "write_csv":

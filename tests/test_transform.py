@@ -238,6 +238,85 @@ def test_workflow_new_ops(ray_session, sf_dir):
     assert est.column("n_est")[0].as_py() > 0
 
 
+def test_workflow_runtime_overrides(ray_session, tmp_path, sf_dir):
+    """X5: per-step 'runtime' blocks (the reference's per-component
+    image/resources selection, ldes-consumer/app.py:610-611) reach the
+    underlying Ray call; non-worker ops reject them loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from k_gap_ray.functions.multimodal import synth_media
+    from k_gap_ray.workflow import run_workflow
+
+    path = str(tmp_path / "media.parquet")
+    pq.write_table(synth_media(6), path)
+    out = run_workflow([
+        {"op": "read_parquet", "path": path},
+        # scheduling override on an actor-pool media stage
+        {"op": "decode_media", "mode": "stat",
+         "runtime": {"num_cpus": 0.5, "memory": 64 * 1024 * 1024}},
+    ])
+    assert out.count() == 6
+
+    # generic user map_batches: runtime merges into the Ray call
+    out2 = run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/nation.parquet",
+         "columns": ["n_nationkey"]},
+        {"op": "map_batches",
+         "fn": lambda t: pa.table(
+             {"k": pa.compute.add(t.column("n_nationkey"), 1)}),
+         "runtime": {"num_cpus": 0.5}},
+    ])
+    assert out2.count() == 25
+
+    # annotate model stage takes runtime via its ray_remote_args hook
+    from k_gap_ray.synth import gen_pages
+
+    pages = __import__("ray").data.from_arrow(
+        gen_pages(20).select(["url", "text"]))
+    out3 = run_workflow(
+        [{"op": "annotate", "runtime": {"num_cpus": 0.5}}], dataset=pages)
+    assert out3.count() > 0
+
+    # a shuffle op runs no per-stage worker code: loud config error
+    with pytest.raises(ValueError, match="runtime"):
+        run_workflow([
+            {"op": "read_parquet", "path": f"{sf_dir}/nation.parquet"},
+            {"op": "limit", "n": 3, "runtime": {"num_cpus": 1}},
+        ])
+
+
+def test_workflow_shacl_step(ray_session):
+    """X1 + M9: declarative SHACL validation step over a quads
+    Dataset, shapes inline or from a file."""
+    import ray.data as rd
+
+    from k_gap_ray.workflow import run_workflow
+
+    quads = rd.from_items([
+        {"subj": "a", "pred": "urn:p:employs", "obj": "12",
+         "obj_is_literal": True,
+         "obj_datatype": "http://www.w3.org/2001/XMLSchema#integer",
+         "obj_lang": "", "graph": "", "url": ""},
+        {"subj": "b", "pred": "urn:p:employs", "obj": "x",
+         "obj_is_literal": True,
+         "obj_datatype": "http://www.w3.org/2001/XMLSchema#string",
+         "obj_lang": "", "graph": "", "url": ""},
+    ])
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+<urn:s> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:employs> ;
+  sh:property [ sh:path <urn:p:employs> ; sh:datatype xsd:integer ] .
+"""
+    out = run_workflow([{"op": "shacl_validate", "shapes_ttl": ttl}],
+                       dataset=quads)
+    rows = out.take_all()
+    assert {(r["focus"], r["component"]) for r in rows} == {
+        ("b", "datatype")}
+
+
 def test_workflow_media_chain(ray_session, tmp_path):
     """X1 media chain: synth media written to parquet, then a
     declarative read -> resize -> decode workflow."""
