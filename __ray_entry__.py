@@ -1141,6 +1141,82 @@ def _sparql_docs_bound(sf_dir: str):
         schema=_pa.schema([("a", _pa.string()), ("emp2", _pa.string())]))
 
 
+DOCS_SPARQL_MINUS = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?a ?loc WHERE {
+  ?a kp:locatedIn ?loc .
+  MINUS { ?a kp:employs ?n . FILTER (?n > 4500) }
+}
+"""
+
+
+def _sparql_docs_minus(sf_dir: str):
+    """MINUS with a numeric filter inside the group (located entities
+    with no large employs value): the engine routes it through the
+    NOT EXISTS shared-var anti-join — our dedup-to-shared-tuples plan
+    IS the MINUS-compatible one — with the spec's no-shared-var no-op
+    rule. Cross-backend tested incl. the no-op case
+    (tests/test_sparql.py). Non-empty at every tier (the entity graph
+    saturates, so an unfiltered MINUS would legitimately drop all)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_MINUS)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("loc", _pa.string())]))
+
+
+DOCS_SPARQL_EXISTS = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?a ?b WHERE {
+  ?a kp:collaboratesWith ?b .
+  FILTER EXISTS { ?b kp:funds ?v . }
+}
+"""
+
+
+def _sparql_docs_exists(sf_dir: str):
+    """FILTER EXISTS (collaborators whose partner funds something):
+    the semi-join twin of NOT EXISTS — matched-marker rows survive."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_EXISTS)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("b", _pa.string())]))
+
+
+DOCS_SPARQL_VALUES = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?a ?b WHERE {
+  ?a kp:collaboratesWith ?b .
+  VALUES (?a ?b) {
+    ("urn:kgap:entity:marine-institute" "urn:kgap:entity:ocean-observatory")
+    ("urn:kgap:entity:doctor-okafor" "urn:kgap:entity:marine-institute")
+    ("urn:kgap:entity:rv-belgica" "urn:kgap:entity:flanders-bay")
+    ("urn:kgap:entity:marine-institute" "urn:kgap:entity:no-such-entity")
+  }
+}
+"""
+
+
+def _sparql_docs_values(sf_dir: str):
+    """Multi-variable VALUES: composite-tuple membership (is_in over a
+    joined key on the Ray side, OR-of-ANDs on the SQL side)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_VALUES)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("b", _pa.string())]))
+
+
 DOCS_SPARQL_STAR = """
 PREFIX kp: <urn:kgap:pred:>
 SELECT DISTINCT ?x ?y WHERE { ?x kp:funds* ?y . }
@@ -1512,6 +1588,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_avg": _sparql_docs_avg,
         "q_sparql_docs_groupconcat": _sparql_docs_groupconcat,
         "q_sparql_docs_bound": _sparql_docs_bound,
+        "q_sparql_docs_minus": _sparql_docs_minus,
+        "q_sparql_docs_exists": _sparql_docs_exists,
+        "q_sparql_docs_values": _sparql_docs_values,
         "q_sparql_docs_star": _sparql_docs_star,
         "q_sparql_docs_optpath": _sparql_docs_optpath,
         "q_sparql_docs_lang": _sparql_docs_lang,
@@ -2027,6 +2106,9 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_groupconcat":
             _sql_sparql_docs_q(DOCS_SPARQL_GROUPCONCAT),
         "q_sparql_docs_bound": _sql_sparql_docs_q(DOCS_SPARQL_BOUND),
+        "q_sparql_docs_minus": _sql_sparql_docs_q(DOCS_SPARQL_MINUS),
+        "q_sparql_docs_exists": _sql_sparql_docs_q(DOCS_SPARQL_EXISTS),
+        "q_sparql_docs_values": _sql_sparql_docs_q(DOCS_SPARQL_VALUES),
         "q_sparql_docs_star": _sql_sparql_docs_q(DOCS_SPARQL_STAR),
         "q_sparql_docs_optpath": _sql_sparql_docs_q(DOCS_SPARQL_OPTPATH),
         "q_sparql_docs_lang": _sql_sparql_direct_q(DOCS_SPARQL_LANG),

@@ -184,6 +184,14 @@ class SparqlQuery:
     # FILTER NOT EXISTS groups (anti-joined on their shared variables)
     not_exists: list[tuple[list[Pattern], list[tuple]]] = \
         field(default_factory=list)
+    # MINUS groups: same dedup-to-shared-vars anti-join (our NOT
+    # EXISTS plan IS the MINUS-compatible one), except a group sharing
+    # NO variable removes nothing (SPARQL spec) instead of erroring
+    minus: list[tuple[list[Pattern], list[tuple]]] = \
+        field(default_factory=list)
+    # FILTER EXISTS groups (semi-joined on their shared variables)
+    exists: list[tuple[list[Pattern], list[tuple]]] = \
+        field(default_factory=list)
     # CONSTRUCT template (when non-empty this is a CONSTRUCT query:
     # select_vars/agg/order/limit are unused; result = DISTINCT triples)
     construct: list[Pattern] = field(default_factory=list)
@@ -593,10 +601,14 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                     if not p.kw("EXISTS"):
                         raise ValueError("expected EXISTS after FILTER NOT")
                     q.not_exists.append(parse_plain_group())
+                elif p.kw("EXISTS"):
+                    q.exists.append(parse_plain_group())
                 else:
                     p.expect_op("(")
                     q.filters.append(p.expr())
                     p.expect_op(")")
+            elif p.kw("MINUS"):
+                q.minus.append(parse_plain_group())
             elif p.kw("BIND"):
                 # BIND(CONCAT(arg, ...) AS ?v) | BIND(term AS ?v)
                 p.expect_op("(")
@@ -660,21 +672,55 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                         p.next()
                 p.next()  # }
             elif p.kw("VALUES"):
-                # single-variable inline-data form: VALUES ?x { v v }
-                var = p.term()
-                if var.kind != "var":
-                    raise ValueError("VALUES needs a variable")
-                p.expect_op("{")
-                vals: list[str] = []
-                while p.peek() != ("op", "}"):
-                    t_ = p.term()
-                    if t_.kind == "var":
-                        raise ValueError("VALUES data must be constants")
-                    vals.append(t_.value)
-                p.next()  # }
-                if not vals:
-                    raise ValueError("VALUES needs at least one value")
-                q.filters.append(("in", var.value, vals))
+                if p.peek() == ("op", "("):
+                    # multi-variable form:
+                    # VALUES (?x ?y) { (a b) (c d) ... }
+                    p.next()
+                    tvars: list[str] = []
+                    while p.peek() != ("op", ")"):
+                        tv = p.term()
+                        if tv.kind != "var":
+                            raise ValueError("VALUES needs variables")
+                        tvars.append(tv.value)
+                    p.next()  # )
+                    if not tvars:
+                        raise ValueError("VALUES needs a variable")
+                    p.expect_op("{")
+                    rows: list[tuple[str, ...]] = []
+                    while p.peek() != ("op", "}"):
+                        p.expect_op("(")
+                        row: list[str] = []
+                        while p.peek() != ("op", ")"):
+                            t_ = p.term()
+                            if t_.kind == "var":
+                                raise ValueError(
+                                    "VALUES data must be constants")
+                            row.append(t_.value)
+                        p.next()  # )
+                        if len(row) != len(tvars):
+                            raise ValueError(
+                                "VALUES row arity != variable count")
+                        rows.append(tuple(row))
+                    p.next()  # }
+                    if not rows:
+                        raise ValueError("VALUES needs at least one row")
+                    q.filters.append(("in_tuple", tvars, rows))
+                else:
+                    # single-variable inline-data form: VALUES ?x { v v }
+                    var = p.term()
+                    if var.kind != "var":
+                        raise ValueError("VALUES needs a variable")
+                    p.expect_op("{")
+                    vals: list[str] = []
+                    while p.peek() != ("op", "}"):
+                        t_ = p.term()
+                        if t_.kind == "var":
+                            raise ValueError("VALUES data must be constants")
+                        vals.append(t_.value)
+                    p.next()  # }
+                    if not vals:
+                        raise ValueError("VALUES needs at least one value")
+                    q.filters.append(("in", var.value, vals))
             else:
                 q.patterns.extend(p.triple_patterns())
             if p.peek() == ("op", "."):
@@ -774,6 +820,8 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
         + [e for _, f in q.optionals for e in f] \
         + [e for _, f in q.unions for e in f] \
         + [e for _, f in q.not_exists for e in f] \
+        + [e for _, f in q.minus for e in f] \
+        + [e for _, f in q.exists for e in f] \
         + [b[1][1] for b in q.binds if b[1][0] == "if"]
     q.lang_vars = set()
     for e in all_exprs:
@@ -782,7 +830,9 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
         all_pats = list(q.patterns) \
             + [pat for pats, _ in q.optionals for pat in pats] \
             + [pat for pats, _ in q.unions for pat in pats] \
-            + [pat for pats, _ in q.not_exists for pat in pats]
+            + [pat for pats, _ in q.not_exists for pat in pats] \
+            + [pat for pats, _ in q.minus for pat in pats] \
+            + [pat for pats, _ in q.exists for pat in pats]
         for lv in sorted(q.lang_vars):
             binders = [pat for pat in all_pats
                        if pat.o.kind == "var" and pat.o.value == lv]
@@ -795,14 +845,19 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                 raise ValueError(
                     f"LANG(?{lv}) over a property-path endpoint is "
                     "out of subset (closures drop literal metadata)")
-    for pats, _ in q.not_exists:
-        ne_vars = set()
-        for pat in pats:
-            ne_vars.update(pat.vars())
-        if not (ne_vars & known):
-            raise ValueError(
-                "FILTER NOT EXISTS group shares no variable with the "
-                "outer pattern (uncorrelated anti-join is out of subset)")
+    for label, groups in (("FILTER NOT EXISTS", q.not_exists),
+                          ("FILTER EXISTS", q.exists)):
+        for pats, _ in groups:
+            ne_vars = set()
+            for pat in pats:
+                ne_vars.update(pat.vars())
+            if not (ne_vars & known):
+                raise ValueError(
+                    f"{label} group shares no variable with the outer "
+                    "pattern (uncorrelated semi/anti-join is out of "
+                    "subset)")
+    # MINUS with no shared variable is legal and removes nothing (the
+    # spec's compatibility rule) — handled as a no-op at build time
     for v in q.select_vars or []:
         if v not in known:
             raise ValueError(f"SELECT variable ?{v} is not bound")
@@ -1083,6 +1138,13 @@ def _eval(e: tuple, t: pa.Table):
     if tag == "in":  # VALUES inline data: membership mask
         _, var, vals = e
         return pc.is_in(t.column(var), value_set=pa.array(vals, pa.string()))
+    if tag == "in_tuple":  # multi-var VALUES: composite-key membership
+        _, tvars, rows = e
+        sep = "\x1f"
+        key = pc.binary_join_element_wise(
+            *[t.column(v) for v in tvars], sep)
+        return pc.is_in(key, value_set=pa.array(
+            [sep.join(r) for r in rows], pa.string()))
     if tag == "fn":
         _, name, var, lit = e
         col = t.column(var)
@@ -1244,7 +1306,8 @@ def _require_graph_column(quads, q: SparqlQuery) -> None:
     Arrow KeyError."""
     groups = [q.patterns, q.construct] \
         + [p for p, _ in q.optionals] + [p for p, _ in q.unions] \
-        + [p for p, _ in q.not_exists]
+        + [p for p, _ in q.not_exists] + [p for p, _ in q.minus] \
+        + [p for p, _ in q.exists]
     if any(pat.g is not None for pats in groups for pat in pats):
         names = quads.schema().names
         if "graph" not in names:
@@ -1365,25 +1428,35 @@ def _solution_plan(quads, q: SparqlQuery):
     # unmatched (null) optional var is null → dropped, matching SQL
     if q.filters and not plan_empty:
         plan = _apply_filters(plan, q.filters)
-        if q.not_exists:
+        if q.not_exists or q.minus or q.exists:
             # a filter-emptied plan would crash the marker joins below
             plan = plan.materialize()
             if plan.count() == 0:
                 plan_empty = True
             else:
                 plan = drop_empty_blocks(plan)
-    for pats, flts in q.not_exists:
-        # correlated anti-join: rows with a match in the group drop.
-        # The sub-plan is deduped to the DISTINCT shared-var tuples
-        # (EXISTS semantics — no row multiplication), marker-joined
-        # left-outer, then null-marker rows survive.
+    semi_groups = ([("ne", g) for g in q.not_exists]
+                   + [("minus", g) for g in q.minus]
+                   + [("exists", g) for g in q.exists])
+    first_semi_done = False
+    for kind, (pats, flts) in semi_groups:
+        # correlated semi/anti-join: the sub-plan is deduped to the
+        # DISTINCT shared-var tuples (EXISTS semantics — no row
+        # multiplication), marker-joined left-outer; null-marker rows
+        # survive an anti-join (NOT EXISTS / MINUS), matched-marker
+        # rows survive a semi-join (EXISTS).
         if plan_empty:
-            break  # nothing to anti-filter
+            break  # nothing to filter
         sub, sub_bound, sub_empty = _build_group(quads, pats, flts,
                                                  frozenset(q.lang_vars))
-        if sub_empty:
-            continue  # no matches exist: every plan row survives
         shared = [v for v in bound if v in sub_bound]
+        if kind == "minus" and not shared:
+            continue  # MINUS sharing no variable removes nothing (spec)
+        if sub_empty:
+            if kind == "exists":
+                plan = plan.limit(0)  # semi-join vs nothing: empty
+                plan_empty = True
+            continue  # anti-join vs nothing: every plan row survives
         marker = (sub.map_batches(
             lambda t, s=tuple(shared): t.select(list(s)),
             batch_format="pyarrow")
@@ -1396,9 +1469,22 @@ def _solution_plan(quads, q: SparqlQuery):
         # the marker descends from a sort-based groupby -> can carry
         # empty-SCHEMA zero-row blocks that crash the hash join; scrub
         marker = marker.materialize()
-        if marker.count() == 0:  # sub-plan filtered to nothing: every
-            continue              # plan row survives, skip the join
+        if marker.count() == 0:  # sub-plan filtered to nothing
+            if kind == "exists":
+                plan = plan.limit(0)
+                plan_empty = True
+            continue
         marker = drop_empty_blocks(marker)
+        if first_semi_done:
+            # the plan now descends from a previous marker join +
+            # filter: scrub its zero-row empty-schema blocks (and
+            # catch a fully-emptied plan) before the next hash join
+            plan = plan.materialize()
+            if plan.count() == 0:
+                plan_empty = True
+                break
+            plan = drop_empty_blocks(plan)
+        first_semi_done = True
         if len(shared) == 1:
             from k_gap_ray.dsutil import join_datasets
             plan = join_datasets(plan, marker, on=shared[0],
@@ -1407,8 +1493,11 @@ def _solution_plan(quads, q: SparqlQuery):
         else:
             plan = _composite_join(plan, marker, shared,
                                    join_type="left_outer")
+        keep_null = kind != "exists"
         plan = plan.map_batches(
-            lambda t: t.filter(pc.is_null(t.column("__ne")))
+            lambda t, kn=keep_null: t.filter(
+                pc.is_null(t.column("__ne")) if kn
+                else pc.is_valid(t.column("__ne")))
             .drop_columns(["__ne"]),
             batch_format="pyarrow")
     return plan, bound
@@ -1620,6 +1709,12 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
         _, var, vals = e
         return (f"{var_bind[var]} IN ("
                 + ", ".join(_sql_str(v) for v in vals) + ")")
+    if tag == "in_tuple":  # multi-var VALUES: OR of per-row ANDs
+        _, tvars, rows = e
+        ors = ["(" + " AND ".join(
+            f"{var_bind[v]} = {_sql_str(x)}" for v, x in zip(tvars, row))
+            + ")" for row in rows]
+        return "(" + " OR ".join(ors) + ")"
     if tag == "fn":
         _, name, var, lit = e
         if name == "REGEX":
@@ -1797,12 +1892,17 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
         outer_bind[v] = (f"(CASE WHEN {_expr_sql(cond, outer_bind)} "
                          f"THEN {_ref(tt)} ELSE {_ref(te)} END)")
     conds = [_expr_sql(e, outer_bind) for e in q.filters]
-    for i, (pats, flts) in enumerate(q.not_exists):
+    semi_groups = ([("NOT EXISTS", g) for g in q.not_exists]
+                   + [("NOT EXISTS", g) for g in q.minus]
+                   + [("EXISTS", g) for g in q.exists])
+    for i, (sql_kw, (pats, flts)) in enumerate(semi_groups):
         g_sql, g_vars = _group_sql(pats, flts, quads_rel,
                                    frozenset(q.lang_vars))
         shared = [v for v in outer_bind if v in g_vars]
+        if not shared:
+            continue  # MINUS sharing no variable removes nothing
         on = " AND ".join(f"nx{i}.{v} = {outer_bind[v]}" for v in shared)
-        conds.append(f"NOT EXISTS (SELECT 1 FROM ({g_sql}) nx{i} "
+        conds.append(f"{sql_kw} (SELECT 1 FROM ({g_sql}) nx{i} "
                      f"WHERE {on})")
     return from_sql, outer_bind, conds
 

@@ -90,6 +90,36 @@ CROSS_QUERIES = [
     # knows-pairs that are not mutual
     'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
     ' FILTER NOT EXISTS { ?y p:knows ?x . } }',
+    # MINUS: same anti-join shape as NOT EXISTS when vars are shared
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' MINUS { ?x p:loc ?l . } }',
+    # MINUS sharing NO variable removes nothing (spec compatibility
+    # rule) — both backends must keep every row
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' MINUS { ?a p:emp ?v . } }',
+    # MINUS with a filter inside the group
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' MINUS { ?y p:loc ?l . FILTER (CONTAINS(?l, "shelf")) } }',
+    # FILTER EXISTS: the semi-join twin
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' FILTER EXISTS { ?x p:loc ?l . } }',
+    # EXISTS on two shared vars: mutual knows-pairs only
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' FILTER EXISTS { ?y p:knows ?x . } }',
+    # EXISTS whose group matches nothing: empty result on both sides
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' FILTER EXISTS { ?x p:loc "l:nowhere" . } }',
+    # EXISTS + NOT EXISTS combined on one plan
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' FILTER EXISTS { ?x p:loc ?l . }'
+    ' FILTER NOT EXISTS { ?x p:emp ?v . } }',
+    # multi-variable VALUES: composite-tuple membership
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y .'
+    ' VALUES (?x ?y) { ("e:a" "e:b") ("e:d" "e:d") ("e:a" "e:zzz") } }',
+    # multi-var VALUES over required + OPTIONAL var (null never matches)
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:knows ?y .'
+    ' OPTIONAL { ?x p:loc ?l . }'
+    ' VALUES (?x ?l) { ("e:a" "l:bay") ("e:d" "l:bay") } }',
     # REGEX filter (RE2 dialect on both backends)
     'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:loc ?l .'
     ' FILTER (REGEX(?l, "^l:(bay|shelf)$")) }',
