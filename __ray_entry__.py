@@ -1610,28 +1610,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_dedup_survivors": _emb_dedup_survivors,
         "q_emb_centroids": _emb_centroids,
         # --- compositions / graph / formats unchecked in r2 ---
-        "q_doc_clean_corpus": _doc_clean_corpus,
-        "q_pagerank": _pagerank,
+        # positions 36-50 fill the rest of the 50-query driver window:
+        # round-3 additions + never-driver-verified queries lead; the
+        # eight demoted just below (51-58) were judge-re-verified via
+        # tools/check_oracle.py in round 2, so they lose least by
+        # sitting first past the window
         "q_triangles": _triangles,
         "q_bfs_depths": _bfs_depths,
         "q_rdf_turtle": _rdf_turtle,
         "q_workflow_lang_en": _workflow_lang_en,
-        "q_doc_dup_clusters": _doc_dup_clusters,
         "q_doc_neardup_dedup": _doc_neardup_dedup,
-        "q_doc_hash_sample": _doc_hash_sample,
-        "q_doc_vocab": _doc_vocab,
         "q_doc_mixture": _doc_mixture,
         "q_doc_decontam": _doc_decontam,
-        "q_doc_repetition": _doc_repetition,
-        "q_doc_packing": _doc_packing,
         "q_doc_dup_spans": _doc_dup_spans,
         "q_doc_len_hist": _doc_len_hist,
         "q_part_fuzzy_pairs": _part_fuzzy_pairs,
-        "q_doc_search": _doc_search,
         "q_doc_redact": _doc_redact,
         "q_deref_reachable": _deref_reachable,
         "q_media_features": _media_features,
         "q_media_png": _media_png,
+        "q_events_asof_value": rel.q_events_asof_value,
+        # --- judge-re-verified in r2 (first past the window) ---
+        "q_doc_clean_corpus": _doc_clean_corpus,
+        "q_pagerank": _pagerank,
+        "q_doc_dup_clusters": _doc_dup_clusters,
+        "q_doc_hash_sample": _doc_hash_sample,
+        "q_doc_vocab": _doc_vocab,
+        "q_doc_repetition": _doc_repetition,
+        "q_doc_packing": _doc_packing,
+        "q_doc_search": _doc_search,
         # --- relational operator surface (SURVEY.md 2.4-2.7) ---
         "q_agg_pricing": rel.q_agg_pricing,
         "q_filter_bind": rel.q_filter_bind,
@@ -1795,6 +1802,21 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY c.ts DESC, c.event_id DESC
                     LIMIT 1), -1) AS click_event_id
             FROM events e WHERE e.event_type = 'error'
+        """,
+        # the generic asof_join operator vs DuckDB's native ASOF LEFT
+        # JOIN; right side deduped to one row per (user, ts) on both
+        # backends (the operator's uniqueness contract)
+        "q_events_asof_value": """
+            WITH clicks AS (
+              SELECT user_id, ts, max(value) AS value
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            purch AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.value AS click_value, c.ts AS click_ts
+            FROM purch p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "q_events_user_running": """
             SELECT event_id,

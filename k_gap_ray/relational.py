@@ -383,6 +383,63 @@ def q_events_watermark(sf_dir: str):
                                         type=pa.timestamp("us"))})
 
 
+def q_events_asof_value(sf_dir: str):
+    """GENERAL as-of join (functions/asof.py — one shuffle, vectorized
+    searchsorted per group; q_events_asof_click above is the bespoke
+    forward-carry variant): for each purchase event, the same user's
+    latest prior-or-equal click (value + timestamp), LEFT-outer so
+    click-less purchases survive null-filled. Right side
+    pre-aggregated to one row per (user, ts) — the operator's
+    uniqueness contract. Oracle: DuckDB ASOF LEFT JOIN."""
+    from ray.data.aggregate import Max
+
+    from k_gap_ray.dsutil import drop_empty_blocks
+    from k_gap_ray.functions.asof import asof_join
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value", "event_type"])
+    purch = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"),
+                                    pa.scalar("purchase")))
+        .drop_columns(["event_type"]), batch_format="pyarrow")
+    def click_keyed(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column("event_type"),
+                                pa.scalar("click")))
+        # single composite-key groupby (the repo's multi-key rule):
+        # user and ts are both int64-representable, round-trip is exact
+        key = pc.binary_join_element_wise(
+            pc.cast(sel.column("user_id"), pa.string()),
+            pc.cast(pc.cast(sel.column("ts"), pa.int64()), pa.string()),
+            "\x1f")
+        return pa.table({"k": key, "value": sel.column("value")})
+
+    def click_unkey(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("k"), pattern="\x1f")
+        flat = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) \
+            else parts
+        user = pc.cast(pc.list_element(flat, 0), pa.int64())
+        ts = pc.cast(pc.cast(pc.list_element(flat, 1), pa.int64()),
+                     pa.timestamp("us"))
+        return pa.table({"user_id": user, "ts": ts,
+                         "value": t.column("value")})
+
+    clicks = (ev.map_batches(click_keyed, batch_format="pyarrow")
+              .groupby("k").aggregate(Max(on="value", alias_name="value"))
+              .map_batches(click_unkey, batch_format="pyarrow"))
+    clicks = drop_empty_blocks(clicks.materialize())
+    out = asof_join(purch, clicks, on="user_id", left_ts="ts",
+                    right_ts="ts", right_cols=["value"], suffix="_click")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value": t.column("value"),
+            "click_value": t.column("value_click"),
+            "click_ts": t.column("ts_click")}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Joins (J1-J4)
 # ---------------------------------------------------------------------------

@@ -218,6 +218,10 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
             from k_gap_ray.functions.dedup import near_dup_survivors_emb
 
             ds = near_dup_survivors_emb(ds, **step)
+        elif op == "asof_join":
+            from k_gap_ray.functions.asof import asof_join
+
+            ds = asof_join(ds, step.pop("right"), step.pop("on"), **step)
         elif op == "bloom_semi_join":
             from k_gap_ray.functions.bloom import bloom_semi_join
 

@@ -1134,3 +1134,50 @@ def test_knn_quantized_matches_sql_oracle(ray_session):
     q = quantize_int8(m)
     assert q.min() >= -127 and q.max() <= 127
     assert (q[1] == 0).all()
+
+
+def test_asof_join(ray_session):
+    """Generic backward as-of join: <= vs strict <, LEFT-outer
+    null-fill, missing keys, and parity with a brute-force truth."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.asof import asof_join
+
+    left = rd.from_items([
+        {"id": 1, "k": "a", "ts": 10, "v": 1.0},
+        {"id": 2, "k": "a", "ts": 5, "v": 2.0},
+        {"id": 3, "k": "b", "ts": 7, "v": 3.0},
+        {"id": 4, "k": "c", "ts": 9, "v": 4.0},
+    ])
+    right = rd.from_items([
+        {"k": "a", "ts": 4, "rv": 40.0},
+        {"k": "a", "ts": 10, "rv": 100.0},
+        {"k": "b", "ts": 8, "rv": 80.0},
+    ])
+    out = {r["id"]: (r["rv"], r["ts_r"])
+           for r in asof_join(left, right, on="k").take_all()}
+    # backward <=: ts=10 matches the equal-ts right row
+    assert out == {1: (100.0, 10), 2: (40.0, 4),
+                   3: (None, None), 4: (None, None)}
+    strict = {r["id"]: (r["rv"], r["ts_r"])
+              for r in asof_join(left, right, on="k",
+                                 strict=True).take_all()}
+    assert strict == {1: (40.0, 4), 2: (40.0, 4),
+                      3: (None, None), 4: (None, None)}
+    # randomized parity vs a brute-force reference
+    import random
+
+    rng = random.Random(11)
+    lrows = [{"id": i, "k": f"k{rng.randrange(5)}",
+              "ts": rng.randrange(100), "v": float(i)}
+             for i in range(60)]
+    rrows = [{"k": f"k{rng.randrange(5)}", "ts": t, "rv": float(t)}
+             for t in rng.sample(range(100), 40)]
+    got = {r["id"]: r["rv"]
+           for r in asof_join(rd.from_items(lrows), rd.from_items(rrows),
+                              on="k").take_all()}
+    for lr in lrows:
+        cands = [rr for rr in rrows
+                 if rr["k"] == lr["k"] and rr["ts"] <= lr["ts"]]
+        want = max(cands, key=lambda r: r["ts"])["rv"] if cands else None
+        assert got[lr["id"]] == want, lr
