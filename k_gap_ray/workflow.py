@@ -218,6 +218,18 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
             from k_gap_ray.functions.dedup import near_dup_survivors_emb
 
             ds = near_dup_survivors_emb(ds, **step)
+        elif op == "parse_urls":
+            from k_gap_ray.functions.urlstats import parse_urls
+
+            ds = parse_urls(ds, **step)
+        elif op == "normalize_urls":
+            from k_gap_ray.functions.urlstats import normalize_urls
+
+            ds = normalize_urls(ds, **step)
+        elif op == "domain_stats":
+            from k_gap_ray.functions.urlstats import domain_stats
+
+            ds = domain_stats(ds, **step)
         elif op == "asof_join":
             from k_gap_ray.functions.asof import asof_join
 
