@@ -1585,6 +1585,15 @@ def _domain_stats(sf_dir: str):
                         chars_col="n_chars")
 
 
+def _doc_splits(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment
+    (ops/transform.assign_splits): one multiplicative-hash bucket per
+    doc, disjoint+exhaustive by construction, SQL CASE oracle."""
+    from k_gap_ray.ops.transform import assign_splits
+
+    return assign_splits(_docs(sf_dir, ["doc_id"]), "doc_id")
+
+
 def _url_normalize(sf_dir: str):
     """Canonical URL form for exact dedup (lowercase scheme/host, drop
     fragment, strip one trailing slash from non-root paths)."""
@@ -1705,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the 50-entry window: locally twice-green or
         #     judge-re-verified in r2 ---
         "q_url_normalize": _url_normalize,
+        "q_doc_splits": _doc_splits,
         "q_doc_mixture": _doc_mixture,
         "q_doc_len_hist": _doc_len_hist,
         "q_doc_clean_corpus": _doc_clean_corpus,
@@ -2631,6 +2641,15 @@ def _text_analysis_oracles() -> dict[str, str]:
                         WHEN 2 THEN '/p1/p2' ELSE '/p1/p2/p3' END)
                    || (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '?a=1'
                         ELSE '?a=1&b=2' END) AS url_norm
+            FROM documents
+        """,
+        "q_doc_splits": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296
+                             % 100 < 80 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296
+                             % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
             FROM documents
         """,
         "q_doc_langid": langid,

@@ -162,6 +162,40 @@ def hash_sample(ds, id_col: str, keep_pct: int, modulus: int = 100,
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def assign_splits(ds, id_col: str,
+                  splits: list[tuple[str, int]] | None = None,
+                  modulus: int = 100, mult: int = 2654435761,
+                  out_col: str = "split"):
+    """Deterministic train/val/test assignment: a ``split`` label per
+    row from cumulative hash-bucket thresholds (``splits`` = ordered
+    (name, pct) summing to ``modulus``; default 80/10/10).
+
+    Same layout- and cluster-size-invariant multiplicative hash as
+    :func:`hash_sample`, so (a) a resumed shard re-labels identically,
+    (b) membership is disjoint and exhaustive BY CONSTRUCTION (one
+    bucket, threshold intervals), and (c) the whole assignment is one
+    SQL CASE — value-verifiable. Filter per split downstream
+    (``ds.filter(expr="split = 'train'")``) or write partitioned by
+    the label."""
+    import numpy as np
+
+    splits = splits or [("train", 80), ("val", 10), ("test", 10)]
+    if sum(p for _, p in splits) != modulus:
+        raise ValueError(f"split pcts must sum to {modulus}")
+    names = np.array([n for n, _ in splits], dtype=object)
+    bounds = np.cumsum([p for _, p in splits])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = (ids * mult) % (1 << 32) % modulus
+        lab = names[np.searchsorted(bounds, h, side="right")]
+        return t.append_column(out_col,
+                               pa.array(lab.tolist(), pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def mixture_sample(ds, group_col: str, rates: dict, id_col: str,
                    default_pct: int = 0, modulus: int = 100,
                    mult: int = 2654435761):

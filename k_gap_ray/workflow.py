@@ -156,6 +156,14 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
 
             ds = grouped_topk(ds, step.pop("key"), step.pop("value"),
                               step.pop("k"), step.pop("tiebreak"))
+        elif op == "assign_splits":
+            from k_gap_ray.ops.transform import assign_splits
+
+            splits = step.pop("splits", None)
+            if splits is not None:
+                splits = [tuple(s) for s in splits]
+            ds = assign_splits(ds, step.pop("id_col"), splits=splits,
+                               **step)
         elif op == "hash_sample":
             from k_gap_ray.ops.transform import hash_sample
 

@@ -507,3 +507,32 @@ def test_workflow_sparql_ask_step(ray_session):
         {"op": "sparql", "query": "ASK { <a> <p> <b> . }"},
     ], dataset=quads)
     assert out.take_all() == [{"ask": True}]
+
+
+def test_assign_splits(ray_session, sf_dir):
+    """80/10/10 split labels: disjoint+exhaustive, deterministic
+    across layouts, hash-sample-consistent, bad pcts rejected."""
+    import pytest
+    import ray.data as rd
+
+    from k_gap_ray.ops.transform import assign_splits, hash_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    out = {r["doc_id"]: r["split"]
+           for r in assign_splits(docs, "doc_id").take_all()}
+    n = len(out)
+    assert n == docs.count()  # every row labeled exactly once
+    frac_train = sum(1 for s in out.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9
+    # block layout must not change the assignment
+    out2 = {r["doc_id"]: r["split"]
+            for r in assign_splits(docs.repartition(7),
+                                   "doc_id").take_all()}
+    assert out2 == out
+    # the train bucket IS hash_sample(keep_pct=80)'s selection
+    kept = {r["doc_id"]
+            for r in hash_sample(docs, "doc_id", 80).take_all()}
+    assert kept == {d for d, s in out.items() if s == "train"}
+    with pytest.raises(ValueError, match="sum"):
+        assign_splits(docs, "doc_id", splits=[("a", 50), ("b", 20)])
