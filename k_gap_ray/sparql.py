@@ -195,9 +195,11 @@ class SparqlQuery:
     # CONSTRUCT template (when non-empty this is a CONSTRUCT query:
     # select_vars/agg/order/limit are unused; result = DISTINCT triples)
     construct: list[Pattern] = field(default_factory=list)
-    # single aggregate: (fn, var, alias);
-    # fn ∈ COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT
-    agg: tuple[str, str, str] | None = None
+    # aggregates: (fn, var, alias) per SELECT item;
+    # fn ∈ COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT — any number of the
+    # first five combine in one grouped pass; GROUP_CONCAT (the
+    # map_groups path) must be the only aggregate
+    aggs: list[tuple[str, str, str]] = field(default_factory=list)
     agg_sep: str = " "  # GROUP_CONCAT separator
     group_by: list[str] = field(default_factory=list)
     # variables whose LANG(...) is referenced by any filter/bind: their
@@ -548,12 +550,10 @@ def parse_sparql(query: str) -> SparqlQuery:
                 if ak != "var":
                     raise ValueError("aggregate alias must be a variable")
                 p.expect_op(")")
-                if q.agg is not None:
-                    raise ValueError("only one aggregate is supported")
-                q.agg = (fv.upper(), t.value, av[1:])
+                q.aggs.append((fv.upper(), t.value, av[1:]))
             else:
                 break
-        if not vs and q.agg is None:
+        if not vs and not q.aggs:
             raise ValueError("SELECT needs variables or *")
         q.select_vars = vs
     return _parse_where_and_modifiers(p, q)
@@ -861,18 +861,26 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
     for v in q.select_vars or []:
         if v not in known:
             raise ValueError(f"SELECT variable ?{v} is not bound")
-    if q.agg is not None:
+    if q.aggs:
         if q.distinct:
             raise ValueError("DISTINCT with aggregates is not supported")
-        _, avar, alias = q.agg
-        if avar not in required:
+        if any(fn == "GROUP_CONCAT" for fn, _, _ in q.aggs) \
+                and len(q.aggs) > 1:
             raise ValueError(
-                f"COUNT(?{avar}) must count a required (non-OPTIONAL) "
-                "variable — null-skipping counts are out of subset")
+                "GROUP_CONCAT cannot combine with other aggregates")
+        aliases = [alias for _, _, alias in q.aggs]
+        if len(set(aliases)) != len(aliases):
+            raise ValueError("duplicate aggregate alias")
+        for fn, avar, _alias in q.aggs:
+            if avar not in required:
+                raise ValueError(
+                    f"{fn}(?{avar}) must aggregate a required "
+                    "(non-OPTIONAL) variable — null-skipping "
+                    "aggregates are out of subset")
         if set(q.select_vars or []) != set(q.group_by):
             raise ValueError(
                 "aggregate SELECT must project exactly the GROUP BY vars")
-        out = set(q.group_by) | {alias}
+        out = set(q.group_by) | set(aliases)
     elif q.group_by:
         raise ValueError("GROUP BY requires an aggregate in SELECT")
     else:
@@ -880,11 +888,11 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
     for v, _ in q.order_by:
         if v not in out:
             raise ValueError(f"ORDER BY ?{v} must be a selected variable")
-    if q.ask and (q.agg is not None or q.order_by
+    if q.ask and (q.aggs or q.order_by
                   or q.limit is not None or q.distinct):
         raise ValueError("ASK takes no solution modifiers")
     if q.construct:
-        if q.agg is not None or q.order_by or q.limit is not None \
+        if q.aggs or q.order_by or q.limit is not None \
                 or q.distinct:
             raise ValueError("CONSTRUCT takes no solution modifiers in "
                              "this subset (the result is already a "
@@ -1522,36 +1530,12 @@ def sparql_select(quads, query: str | SparqlQuery):
     _require_lang_column(quads, q)
     plan, bound = _solution_plan(quads, q)
 
-    if q.agg is not None:
-        fn, avar, alias = q.agg  # aggregate over a REQUIRED var
-        if fn == "COUNT":  # required var -> COUNT == row count
-            if not q.group_by:
-                n = plan.count()
-                return pa.table({alias: pa.array([n], pa.int64())})
-            plan = (plan.groupby(q.group_by).count()
-                    .rename_columns({"count()": alias}))
-        elif fn in ("SUM", "AVG"):
-            # numeric aggregate over string-stored values: coerce via
-            # the TRY_CAST mirror (_numeric_col) — non-numeric values
-            # become null and are skipped on BOTH backends. Integer
-            # inputs keep SUM exact and AVG bit-identical (one final
-            # division of exact sum by exact count on each side).
-            from ray.data.aggregate import Mean, Sum
-
-            plan = plan.map_batches(
-                lambda t, a=avar: t.append_column(
-                    "__pnum", _numeric_col(t.column(a))),
-                batch_format="pyarrow")
-            if not q.group_by:
-                val = plan.sum("__pnum") if fn == "SUM" \
-                    else plan.mean("__pnum")
-                return pa.table({alias: pa.array([val], pa.float64())})
-            agg_cls = Sum if fn == "SUM" else Mean
-            plan = plan.groupby(q.group_by).aggregate(
-                agg_cls("__pnum", alias_name=alias))
-        elif fn == "GROUP_CONCAT":
+    if q.aggs:
+        if q.aggs[0][0] == "GROUP_CONCAT":
             # values concatenated in SORTED order (deterministic on
-            # both backends; SQL mirror: string_agg(... ORDER BY ...))
+            # both backends; SQL mirror: string_agg(... ORDER BY ...));
+            # validated as the ONLY aggregate (map_groups path)
+            _, avar, alias = q.aggs[0]
             sep = q.agg_sep
             gb = list(q.group_by)
 
@@ -1567,16 +1551,61 @@ def sparql_select(quads, query: str | SparqlQuery):
                 return pa.Table.from_pylist(
                     plan.take_all(),
                     schema=pa.schema([(alias, pa.string())]))
-        else:  # MIN/MAX: string collation, same on both backends
-            from ray.data.aggregate import Max, Min
+        else:
+            # any mix of COUNT/SUM/AVG/MIN/MAX in ONE grouped pass.
+            # SUM/AVG coerce string-stored values via the TRY_CAST
+            # mirror (_numeric_col) — non-numeric become null and are
+            # skipped on BOTH backends; integer inputs keep SUM exact
+            # and AVG bit-identical (exact sum / exact count per side).
+            from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-            agg_cls = Min if fn == "MIN" else Max
+            num_vars = sorted({avar for fn, avar, _ in q.aggs
+                               if fn in ("SUM", "AVG")})
+            if num_vars:
+                plan = plan.map_batches(
+                    lambda t, nv=tuple(num_vars): pa.table(
+                        {**{c: t.column(c) for c in t.column_names},
+                         **{f"__pnum_{a}": _numeric_col(t.column(a))
+                            for a in nv}}),
+                    batch_format="pyarrow")
+            agg_objs = []
+            for fn, avar, alias in q.aggs:
+                if fn == "COUNT":
+                    # required var -> COUNT == row count; on=avar
+                    # because Ray 2.49's no-column Count() returns 0
+                    # in a GLOBAL Dataset.aggregate (grouped is fine)
+                    agg_objs.append(Count(on=avar, alias_name=alias))
+                elif fn == "SUM":
+                    agg_objs.append(Sum(f"__pnum_{avar}",
+                                        alias_name=alias))
+                elif fn == "AVG":
+                    agg_objs.append(Mean(f"__pnum_{avar}",
+                                         alias_name=alias))
+                else:  # MIN/MAX: string collation, same on both sides
+                    cls = Min if fn == "MIN" else Max
+                    agg_objs.append(cls(avar, alias_name=alias))
             if not q.group_by:
-                val = plan.min(avar) if fn == "MIN" else plan.max(avar)
-                return pa.table({alias: pa.array([val], pa.string())})
-            plan = plan.groupby(q.group_by).aggregate(
-                agg_cls(avar, alias_name=alias))
-        out_vars = list(q.group_by) + [alias]
+                plan = plan.materialize()
+                if plan.count() == 0:
+                    # global aggregates over no rows: COUNT=0, others
+                    # null — the SQL result shape
+                    return pa.table({
+                        alias: pa.array(
+                            [0 if fn == "COUNT" else None],
+                            pa.int64() if fn == "COUNT" else (
+                                pa.float64() if fn in ("SUM", "AVG")
+                                else pa.string()))
+                        for fn, _, alias in q.aggs})
+                row = plan.aggregate(*agg_objs)
+                return pa.table({
+                    alias: pa.array(
+                        [row[alias]],
+                        pa.int64() if fn == "COUNT" else (
+                            pa.float64() if fn in ("SUM", "AVG")
+                            else pa.string()))
+                    for fn, _, alias in q.aggs})
+            plan = plan.groupby(q.group_by).aggregate(*agg_objs)
+        out_vars = list(q.group_by) + [a for _, _, a in q.aggs]
     else:
         out_vars = q.select_vars or [v for v in bound
                                      if not v.startswith(_INTERNAL)]
@@ -1592,14 +1621,12 @@ def sparql_select(quads, query: str | SparqlQuery):
         head = plan.limit(q.offset + q.limit).take_all()
         # COUNT aliases are int64, SUM/AVG float64; everything else
         # (MIN/MAX/GROUP_CONCAT and plain vars) stays string
-        atype = None
-        if q.agg is not None:
-            atype = {"COUNT": pa.int64(), "SUM": pa.float64(),
-                     "AVG": pa.float64()}.get(q.agg[0])
-        alias = q.agg[2] if atype is not None else None
+        atypes = {alias: {"COUNT": pa.int64(), "SUM": pa.float64(),
+                          "AVG": pa.float64()}.get(fn)
+                  for fn, _, alias in q.aggs}
         return pa.Table.from_pylist(
             head[q.offset:], schema=pa.schema(
-                [(v, atype if v == alias else pa.string())
+                [(v, atypes.get(v) or pa.string())
                  for v in out_vars]))
     return plan
 
@@ -1950,20 +1977,24 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
         raise ValueError("use sparql_construct_to_sql for CONSTRUCT")
     from_sql, outer_bind, conds = _solution_sql_parts(q, quads_rel)
 
-    if q.agg is not None:
-        fn, avar, alias = q.agg
+    if q.aggs:
         sel_items = [f"{outer_bind[v]} AS {v}" for v in q.group_by]
-        aref = outer_bind[avar]
-        if fn in ("SUM", "AVG"):
-            # TRY_CAST mirrors the engine's _numeric_col coercion
-            sel_items.append(
-                f"{fn}(TRY_CAST({aref} AS DOUBLE)) AS {alias}")
-        elif fn == "GROUP_CONCAT":
-            # sorted concatenation — deterministic on both backends
-            sel_items.append(f"string_agg({aref}, {_sql_str(q.agg_sep)} "
-                             f"ORDER BY {aref}) AS {alias}")
-        else:
-            sel_items.append(f"{fn}({aref}) AS {alias}")
+        for fn, avar, alias in q.aggs:
+            aref = outer_bind[avar]
+            if fn in ("SUM", "AVG"):
+                # TRY_CAST mirrors the engine's _numeric_col coercion
+                sel_items.append(
+                    f"{fn}(TRY_CAST({aref} AS DOUBLE)) AS {alias}")
+            elif fn == "GROUP_CONCAT":
+                # sorted concatenation — deterministic on both backends
+                sel_items.append(
+                    f"string_agg({aref}, {_sql_str(q.agg_sep)} "
+                    f"ORDER BY {aref}) AS {alias}")
+            elif fn == "COUNT":
+                # required var: COUNT(?v) == COUNT(*) on both backends
+                sel_items.append(f"COUNT(*) AS {alias}")
+            else:
+                sel_items.append(f"{fn}({aref}) AS {alias}")
         sql = "SELECT " + ", ".join(sel_items) + "\nFROM " + from_sql
         if conds:
             sql += "\nWHERE " + " AND ".join(conds)

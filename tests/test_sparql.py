@@ -236,6 +236,20 @@ CROSS_QUERIES = [
     'PREFIX p: <p:> SELECT ?x ?big WHERE { ?x p:knows ?y .'
     ' OPTIONAL { ?x p:emp ?e . }'
     ' BIND(IF(?e > 10, "big", "small") AS ?big) }',
+    # --- multiple aggregates in one grouped pass ---
+    'PREFIX p: <p:> SELECT ?x (COUNT(?y) AS ?n) (MIN(?y) AS ?lo) '
+    '(MAX(?y) AS ?hi) WHERE { ?x p:knows ?y . } GROUP BY ?x',
+    # mixed numeric + string aggregates over a join
+    'PREFIX p: <p:> SELECT ?l (SUM(?e) AS ?total) (AVG(?e) AS ?m) '
+    '(COUNT(?x) AS ?n) WHERE { ?x p:loc ?l . ?x p:emp ?e . } '
+    'GROUP BY ?l',
+    # global multi-aggregate (single-row result)
+    'PREFIX p: <p:> SELECT (COUNT(?e) AS ?n) (SUM(?e) AS ?total) '
+    '(MAX(?e) AS ?hi) WHERE { ?x p:emp ?e . }',
+    # multi-aggregate ordered by one alias with LIMIT (typed edge)
+    'PREFIX p: <p:> SELECT ?x (COUNT(?y) AS ?n) (MAX(?y) AS ?hi) '
+    'WHERE { ?x p:knows ?y . } GROUP BY ?x ORDER BY DESC(?n) ?x '
+    'LIMIT 2',
     # --- SUM / AVG / GROUP_CONCAT aggregates ---
     # grouped SUM of numeric strings
     'PREFIX p: <p:> SELECT ?x (SUM(?e) AS ?total) WHERE '
