@@ -202,6 +202,10 @@ class SparqlQuery:
     aggs: list[tuple[str, str, str]] = field(default_factory=list)
     agg_sep: str = " "  # GROUP_CONCAT separator
     group_by: list[str] = field(default_factory=list)
+    # HAVING expressions, applied after the grouped aggregation;
+    # each comparison needs a numeric literal on one side (aggregate
+    # aliases compare numerically on both backends)
+    having: list[tuple] = field(default_factory=list)
     # variables whose LANG(...) is referenced by any filter/bind: their
     # object-position scan also projects obj_lang as __pplang_{var}
     lang_vars: set = field(default_factory=set)
@@ -733,6 +737,10 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
             q.group_by.append(p.next()[1][1:])
         if not q.group_by:
             raise ValueError("GROUP BY needs at least one variable")
+    while p.kw("HAVING"):
+        p.expect_op("(")
+        q.having.append(p.expr())
+        p.expect_op(")")
     if p.kw("ORDER"):
         if not p.kw("BY"):
             raise ValueError("expected BY after ORDER")
@@ -881,6 +889,38 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
             raise ValueError(
                 "aggregate SELECT must project exactly the GROUP BY vars")
         out = set(q.group_by) | set(aliases)
+        if q.having:
+            if not q.group_by:
+                raise ValueError("HAVING requires GROUP BY")
+
+            def _hvars(e) -> set:
+                tag = e[0]
+                if tag in ("or", "and"):
+                    return _hvars(e[1]) | _hvars(e[2])
+                if tag == "not":
+                    return _hvars(e[1])
+                if tag == "cmp":
+                    if not any(not isinstance(x, tuple) and x.kind == "num"
+                               for x in (e[2], e[3])):
+                        raise ValueError(
+                            "HAVING comparisons need a numeric literal "
+                            "on one side (aggregate aliases compare "
+                            "numerically)")
+                    return {x.value for x in (e[2], e[3])
+                            if not isinstance(x, tuple)
+                            and x.kind == "var"}
+                raise ValueError(
+                    "HAVING supports comparisons combined with "
+                    "&&/||/! in this subset")
+
+            for e in q.having:
+                for v in _hvars(e):
+                    if v not in out:
+                        raise ValueError(
+                            f"HAVING variable ?{v} must be a GROUP BY "
+                            "variable or an aggregate alias")
+    elif q.having:
+        raise ValueError("HAVING requires aggregates in SELECT")
     elif q.group_by:
         raise ValueError("GROUP BY requires an aggregate in SELECT")
     else:
@@ -1127,7 +1167,11 @@ def _path_plus(quads, pred: str, graph: str | None = None):
 def _numeric_col(col):
     """String column → float64 with non-numeric values nulled — the
     Arrow mirror of DuckDB's TRY_CAST(col AS DOUBLE): a failed parse
-    yields null, a null comparison drops the row on both backends."""
+    yields null, a null comparison drops the row on both backends.
+    Already-numeric columns (aggregate aliases in HAVING) just cast."""
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return pc.cast(col, pa.float64())
     ok = pc.match_substring_regex(col, _NUM_RE)
     return pc.cast(pc.if_else(ok, col, pa.scalar(None, pa.string())),
                    pa.float64())
@@ -1605,6 +1649,11 @@ def sparql_select(quads, query: str | SparqlQuery):
                             else pa.string()))
                     for fn, _, alias in q.aggs})
             plan = plan.groupby(q.group_by).aggregate(*agg_objs)
+        if q.having:
+            # post-aggregation filter: aggregate aliases are numeric
+            # columns, coerced by the same _numeric_col/TRY_CAST
+            # mirror as ordinary filters
+            plan = _apply_filters(plan, q.having)
         out_vars = list(q.group_by) + [a for _, _, a in q.aggs]
     else:
         out_vars = q.select_vars or [v for v in bound
@@ -2001,6 +2050,13 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
         if q.group_by:
             sql += "\nGROUP BY " + ", ".join(
                 outer_bind[v] for v in q.group_by)
+        if q.having:
+            # aliases are referencable in DuckDB HAVING; group vars
+            # resolve to their scan bindings
+            hb = {**{v: outer_bind[v] for v in q.group_by},
+                  **{a: a for _, _, a in q.aggs}}
+            sql += "\nHAVING " + " AND ".join(
+                _expr_sql(e, hb) for e in q.having)
     else:
         out_vars = q.select_vars or [v for v in outer_bind
                                      if not v.startswith(_INTERNAL)]

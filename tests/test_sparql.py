@@ -250,6 +250,16 @@ CROSS_QUERIES = [
     'PREFIX p: <p:> SELECT ?x (COUNT(?y) AS ?n) (MAX(?y) AS ?hi) '
     'WHERE { ?x p:knows ?y . } GROUP BY ?x ORDER BY DESC(?n) ?x '
     'LIMIT 2',
+    # --- HAVING over aggregate aliases ---
+    'PREFIX p: <p:> SELECT ?x (COUNT(?y) AS ?n) WHERE '
+    '{ ?x p:knows ?y . } GROUP BY ?x HAVING (?n >= 2)',
+    # HAVING over a SUM alias with && of two aliases
+    'PREFIX p: <p:> SELECT ?x (SUM(?e) AS ?total) (COUNT(?e) AS ?n) '
+    'WHERE { ?x p:emp ?e . } GROUP BY ?x '
+    'HAVING (?total > 5 && ?n >= 1)',
+    # HAVING that filters everything out (empty result both sides)
+    'PREFIX p: <p:> SELECT ?x (COUNT(?y) AS ?n) WHERE '
+    '{ ?x p:knows ?y . } GROUP BY ?x HAVING (?n > 99)',
     # --- SUM / AVG / GROUP_CONCAT aggregates ---
     # grouped SUM of numeric strings
     'PREFIX p: <p:> SELECT ?x (SUM(?e) AS ?total) WHERE '
