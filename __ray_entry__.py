@@ -1568,6 +1568,42 @@ def _media_png(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _media_wav(sf_dir: str):
+    """REAL WAV decode path: documents -> deterministic synthesized
+    RIFF PCM files (functions/multimodal.docs_as_wav) -> per-batch
+    decode (functions/wav.py, pure-stdlib RIFF/fmt/data parser) ->
+    decoded channel count, frame count AND the full PCM sample sum.
+    The oracle predicts all three from doc_id by the same integer
+    functions (lateral generate_series), so a byte-level decode bug
+    surfaces as a sum (or crash) mismatch — stronger than geometry
+    alone because every sample participates."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from k_gap_ray.functions.multimodal import docs_as_wav
+    from k_gap_ray.functions.wav import decode_wav
+
+    media = docs_as_wav(_docs(sf_dir, ["doc_id"]))
+
+    def f(t: "_pa.Table") -> "_pa.Table":
+        ids, chs, nfr, ssum = [], [], [], []
+        for mid, payload in zip(t.column("media_id").to_pylist(),
+                                t.column("payload").to_pylist()):
+            _sr, c, frames = decode_wav(payload)
+            ids.append(mid)
+            chs.append(c)
+            nfr.append(frames.shape[0])
+            ssum.append(int(frames.astype(_np.int64).sum()))
+        return _pa.table({
+            "media_id": _pa.array(ids, _pa.int64()),
+            "channels": _pa.array(chs, _pa.int64()),
+            "n_frames": _pa.array(nfr, _pa.int64()),
+            "sample_sum": _pa.array(ssum, _pa.int64()),
+        })
+
+    return media.map_batches(f, batch_format="pyarrow")
+
+
 def _docs_urls(sf_dir: str):
     """documents -> deterministic synthesized crawl URLs: every
     component (scheme, www/cdn subdomains, host, tld, path depth,
@@ -1754,11 +1790,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_redact": _doc_redact,
         "q_media_features": _media_features,
         "q_media_png": _media_png,
+        "q_media_wav": _media_wav,
         "q_events_asof_value": rel.q_events_asof_value,
         "q_url_features": _url_features,
-        "q_domain_stats": _domain_stats,
         # --- past the 50-entry window: locally twice-green or
         #     judge-re-verified in r2 ---
+        "q_domain_stats": _domain_stats,
         "q_url_normalize": _url_normalize,
         "q_triangles": _triangles,
         "q_deref_reachable": _deref_reachable,
@@ -2646,6 +2683,22 @@ def _text_analysis_oracles() -> dict[str, str]:
                    4 + doc_id % 29 AS width,
                    4 + (doc_id // 7) % 17 AS height
             FROM documents
+        """,
+        # audio parameters and PCM samples mirror
+        # functions/multimodal.docs_as_wav; the engine side derives
+        # them by actually decoding the RIFF bytes (functions/wav.py)
+        "q_media_wav": """
+            SELECT d.doc_id AS media_id,
+                   1 + d.doc_id % 2 AS channels,
+                   64 + d.doc_id % 193 AS n_frames,
+                   CAST(sum(((d.doc_id * 31 + g.i * 7 + c.ch * 11)
+                             % 4001) - 2000) AS BIGINT) AS sample_sum
+            FROM documents d,
+                 generate_series(0, 256) AS g(i),
+                 generate_series(0, 1) AS c(ch)
+            WHERE g.i < 64 + d.doc_id % 193
+              AND c.ch < 1 + d.doc_id % 2
+            GROUP BY 1, 2, 3
         """,
         # URL components mirror __ray_entry__._docs_urls generation;
         # the engine side derives them by actually PARSING the

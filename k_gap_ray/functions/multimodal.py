@@ -107,6 +107,36 @@ def docs_as_png(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
+def docs_as_wav(docs_ds):
+    """documents -> MEDIA table of real WAV payloads with
+    deterministic audio parameters per doc_id (channels 1+id%2,
+    n_frames 64+id%193, sample_rate 8000+1000*(id%3), sample[i,ch] =
+    ((id*31 + i*7 + ch*11) % 4001) - 2000), so a SQL oracle can
+    predict the DECODED channel count, frame count and sample sum
+    from the documents table while the engine actually round-trips
+    RIFF/fmt/data bytes (functions/wav.py)."""
+    from k_gap_ray.functions.wav import encode_wav
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid in t.column("doc_id").to_pylist():
+            c = 1 + mid % 2
+            n = 64 + mid % 193
+            i = np.arange(n, dtype=np.int64)[:, None]
+            ch = np.arange(c, dtype=np.int64)[None, :]
+            frames = ((mid * 31 + i * 7 + ch * 11) % 4001) - 2000
+            rows.append({
+                "media_id": mid,
+                "payload": encode_wav(frames.astype(np.int16),
+                                      8000 + 1000 * (mid % 3)),
+                "mime": "audio/wav",
+                "source_url": f"urn:wav:{mid}",
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA)
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
 def synth_media(n: int, seed: int = 7) -> pa.Table:
     """Deterministic fake media table for plumbing tests."""
     rows = []
@@ -137,8 +167,9 @@ class MediaDecoder:
         self.mode = mode
 
     def _decode_real(self, payload: bytes, mime: str):
-        """Real decode for image/png via the repo's pure-stdlib codec
-        (functions/png.py — zlib chunks, all five predictor filters);
+        """Real decode for image/png and audio/wav via the repo's
+        pure-stdlib codecs (functions/png.py — zlib chunks, all five
+        predictor filters; functions/wav.py — RIFF PCM 8/16-bit);
         other codecs still need PIL/ffmpeg, absent in this container,
         and keep the explicit library slot."""
         if mime == "image/png":
@@ -150,6 +181,17 @@ class MediaDecoder:
                                    range=(0.0, 256.0))
             feat = hist.astype(np.float32) / max(1, gray.size)
             return w, h, feat
+        if mime == "audio/wav":
+            from k_gap_ray.functions.wav import decode_wav
+
+            _sr, channels, frames = decode_wav(payload)
+            # width=channels, height=n_frames: the audio analogue of
+            # image geometry; feature = amplitude histogram
+            hist, _ = np.histogram(frames.astype(np.float32),
+                                   bins=self.FEATURE_DIM,
+                                   range=(-32768.0, 32768.0))
+            feat = hist.astype(np.float32) / max(1, frames.size)
+            return channels, frames.shape[0], feat
         raise NotImplementedError(
             f"real decode of {mime} requires PIL/ffmpeg, not available "
             "in this container — slot the library call here")
