@@ -1604,6 +1604,42 @@ def _media_wav(sf_dir: str):
     return media.map_batches(f, batch_format="pyarrow")
 
 
+def _doc_line_dedup(sf_dir: str):
+    """CCNet-style line-level boilerplate removal
+    (functions/lines.strip_boilerplate). The corpus has no newlines,
+    so the query first derives a deterministic multi-line view: body =
+    the text re-wrapped at every 8th word (one RE2 pass), plus an
+    injected 'subscribe...' header for doc_id % 3 == 0 docs and a
+    'copyright...' footer for doc_id % 4 == 0 docs — boilerplate BY
+    CONSTRUCTION, present in ~1/3 / ~1/4 of documents. Lines in >= 2
+    distinct docs (the injected ones, plus bodies of exact-duplicate
+    docs) are stripped everywhere; the oracle recomputes the same
+    lines with string_split + 8-word regrouping in SQL."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from k_gap_ray.functions.lines import strip_boilerplate
+
+    def f(t: "_pa.Table") -> "_pa.Table":
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        body = _pc.replace_substring_regex(
+            t.column("text"), pattern=r"(\S+(?: \S+){7}) ",
+            replacement="\\1\n")
+        prefix = _np.where(ids % 3 == 0,
+                           "subscribe to our newsletter\n", "")
+        suffix = _np.where(ids % 4 == 0,
+                           "\ncopyright example corp", "")
+        text = _pc.binary_join_element_wise(
+            _pa.array(prefix, _pa.string()), body,
+            _pa.array(suffix, _pa.string()), "")
+        return _pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    multi = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+    return strip_boilerplate(multi, min_docs=2)
+
+
 def _docs_urls(sf_dir: str):
     """documents -> deterministic synthesized crawl URLs: every
     component (scheme, www/cdn subdomains, host, tld, path depth,
@@ -1791,10 +1827,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_features": _media_features,
         "q_media_png": _media_png,
         "q_media_wav": _media_wav,
+        "q_doc_line_dedup": _doc_line_dedup,
         "q_events_asof_value": rel.q_events_asof_value,
-        "q_url_features": _url_features,
         # --- past the 50-entry window: locally twice-green or
         #     judge-re-verified in r2 ---
+        "q_url_features": _url_features,
         "q_domain_stats": _domain_stats,
         "q_url_normalize": _url_normalize,
         "q_triangles": _triangles,
@@ -2683,6 +2720,41 @@ def _text_analysis_oracles() -> dict[str, str]:
                    4 + doc_id % 29 AS width,
                    4 + (doc_id // 7) % 17 AS height
             FROM documents
+        """,
+        # lines mirror __ray_entry__._doc_line_dedup's multi-line
+        # view (8-word wrap + injected header/footer); the engine side
+        # computes doc frequencies and strips via functions/lines.py
+        "q_doc_line_dedup": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       unnest(generate_series(
+                           1, len(string_split(text, ' ')))) AS wi
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, (wi - 1) // 8 AS line_no,
+                       string_agg(word, ' ' ORDER BY wi) AS line
+                FROM w GROUP BY 1, 2
+                UNION ALL
+                SELECT doc_id, -1, 'subscribe to our newsletter'
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, 1000000, 'copyright example corp'
+                FROM documents WHERE doc_id % 4 = 0
+            ), df AS (
+                SELECT line, count(DISTINCT doc_id) AS nd
+                FROM lines GROUP BY 1
+            )
+            SELECT l.doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN d.nd < 2 THEN l.line END,
+                       chr(10) ORDER BY l.line_no), '') AS text_clean,
+                   CAST(count(*) FILTER (WHERE d.nd < 2)
+                        AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE d.nd >= 2)
+                        AS BIGINT) AS n_dropped
+            FROM lines l JOIN df d USING (line)
+            GROUP BY 1
         """,
         # audio parameters and PCM samples mirror
         # functions/multimodal.docs_as_wav; the engine side derives
