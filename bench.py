@@ -184,6 +184,11 @@ def run_bench() -> dict:
         rd.read_parquet(f"{d}/embeddings.parquet",
                         columns=["label", "embedding"])))
 
+    import __ray_entry__ as em
+
+    timed("q_doc_line_dedup", em.queries()["q_doc_line_dedup"])
+    timed("q_media_wav", em.queries()["q_media_wav"])
+
     ray.shutdown()
     return result()
 
