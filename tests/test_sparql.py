@@ -293,6 +293,18 @@ CROSS_QUERIES = [
     # * closure feeding a grouped COUNT
     'PREFIX p: <p:> SELECT ?y (COUNT(?x) AS ?n) WHERE '
     '{ ?x p:knows* ?y . } GROUP BY ?y',
+    # COUNT(DISTINCT ?s) — the reference's idiom verbatim
+    # (docs/components/sembench.md:242), global over a full wildcard
+    'SELECT (COUNT(DISTINCT ?s) as ?count) WHERE { ?s ?p ?o . }',
+    # grouped distinct count (e:a knows two people under p:knows)
+    'SELECT ?p (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o . } '
+    'GROUP BY ?p',
+    # distinct count + HAVING over the alias + ORDER BY
+    'SELECT ?p (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o . } '
+    'GROUP BY ?p HAVING (?n >= 2) ORDER BY ?n ?p',
+    # distinct count over a join (duplication from the closure)
+    'PREFIX p: <p:> SELECT (COUNT(DISTINCT ?y) AS ?n) WHERE '
+    '{ ?x p:knows+ ?y . }',
 ]
 
 
@@ -332,6 +344,13 @@ def test_parse_rejects_out_of_subset():
             parse_sparql(q)
     # ASK itself is in-subset now (bare block, no WHERE keyword)
     assert parse_sparql("ASK { ?s ?p ?o }").ask
+    # DISTINCT only inside COUNT; COUNT(DISTINCT) is a sole aggregate
+    with pytest.raises(ValueError, match="only supported inside COUNT"):
+        parse_sparql("SELECT (SUM(DISTINCT ?o) AS ?t) WHERE "
+                     "{ ?s ?p ?o . }")
+    with pytest.raises(ValueError, match="cannot combine"):
+        parse_sparql("SELECT (COUNT(DISTINCT ?s) AS ?n) (MAX(?s) AS ?m)"
+                     " WHERE { ?s ?p ?o . }")
 
 
 def test_cartesian_product_rejected(ray_session):
