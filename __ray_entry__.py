@@ -1840,13 +1840,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_dup_spans": _doc_dup_spans,
         "q_part_fuzzy_pairs": _part_fuzzy_pairs,
         "q_doc_redact": _doc_redact,
-        "q_media_features": _media_features,
+        "q_events_range_join": rel.q_events_range_join,
         "q_media_png": _media_png,
         "q_media_wav": _media_wav,
         "q_doc_line_dedup": _doc_line_dedup,
         # --- past the 50-entry window: locally twice-green or
         #     judge-re-verified in r2 (asof/url/domain demoted when
-        #     the countdistinct/wav/line-dedup additions joined) ---
+        #     the countdistinct/wav/line-dedup additions joined;
+        #     media_features demoted for the range join — png+wav keep
+        #     the media decode path in-window) ---
+        "q_media_features": _media_features,
         "q_events_asof_value": rel.q_events_asof_value,
         "q_url_features": _url_features,
         "q_domain_stats": _domain_stats,
@@ -2042,6 +2045,24 @@ def oracle_sql() -> dict[str, str]:
                    c.value AS click_value, c.ts AS click_ts
             FROM purch p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # the generic range_join operator (interval containment,
+        # start <= ts < end, INNER, one row per pair) vs a plain
+        # DuckDB theta join; window bounds are int64 epoch-micros on
+        # both backends so the hash compares exact integers
+        "q_events_range_join": """
+            WITH wins AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) AS BIGINT) AS win_start,
+                     CAST(epoch_us(ts) AS BIGINT) + 7200000000
+                         AS win_end
+              FROM events WHERE value > 95)
+            SELECT e.user_id, e.ts, e.event_type, e.value,
+                   w.win_start, w.win_end
+            FROM events e
+            JOIN wins w ON e.user_id = w.user_id
+              AND CAST(epoch_us(e.ts) AS BIGINT) >= w.win_start
+              AND CAST(epoch_us(e.ts) AS BIGINT) < w.win_end
         """,
         "q_events_user_running": """
             SELECT event_id,

@@ -440,6 +440,33 @@ def q_events_asof_value(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_range_join(sf_dir: str):
+    """GENERAL range (interval) join (functions/rangejoin.py — interval
+    replication into granularity buckets, one composite-key shuffle,
+    vectorized searchsorted prefix + end-mask per group): every event
+    that falls inside the 2-hour window opened by a same-user
+    high-value (value > 95) event, one row per (event, window) pair.
+    Window bounds returned as int64 epoch-microseconds so both
+    backends compare exact integers. Oracle: DuckDB inner join with a
+    BETWEEN-style ON clause."""
+    from k_gap_ray.functions.rangejoin import range_join
+
+    two_h = 2 * 3600 * 1_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.greater(t.column("value"), pa.scalar(95.0)))
+        s = pc.cast(sel.column("ts"), pa.int64())
+        return pa.table({"user_id": sel.column("user_id"),
+                         "win_start": s,
+                         "win_end": pc.add(s, pa.scalar(two_h))})
+
+    wins = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(windows, batch_format="pyarrow")
+    return range_join(ev, wins, on="user_id", point_ts="ts",
+                      right_cols=[], granularity_us=two_h)
+
+
 # ---------------------------------------------------------------------------
 # Joins (J1-J4)
 # ---------------------------------------------------------------------------

@@ -1181,3 +1181,60 @@ def test_asof_join(ray_session):
                  if rr["k"] == lr["k"] and rr["ts"] <= lr["ts"]]
         want = max(cands, key=lambda r: r["ts"])["rv"] if cands else None
         assert got[lr["id"]] == want, lr
+
+
+def test_range_join(ray_session):
+    """Generic interval-containment join: inclusive start / exclusive
+    end, one row per (point, window) pair even when a window spans
+    several granularity buckets, the max_span guard, and randomized
+    parity with a brute-force truth."""
+    import random
+
+    import pytest
+    import ray.data as rd
+
+    from k_gap_ray.functions.rangejoin import range_join
+
+    points = rd.from_items([
+        {"id": 1, "k": "a", "ts": 10},
+        {"id": 2, "k": "a", "ts": 20},   # == win_end -> excluded
+        {"id": 3, "k": "a", "ts": 5},    # == win_start -> included
+        {"id": 4, "k": "b", "ts": 10},   # wrong key
+        {"id": 5, "k": "a", "ts": 35},   # inside the long window only
+    ])
+    wins = rd.from_items([
+        {"k": "a", "win_start": 5, "win_end": 20, "tag": "short"},
+        # spans buckets [0..4] at granularity 10
+        {"k": "a", "win_start": 0, "win_end": 41, "tag": "long"},
+    ])
+    got = sorted((r["id"], r["tag"], r["win_start"], r["win_end"])
+                 for r in range_join(points, wins, on="k",
+                                     granularity_us=10).take_all())
+    assert got == [(1, "long", 0, 41), (1, "short", 5, 20),
+                   (2, "long", 0, 41), (3, "long", 0, 41),
+                   (3, "short", 5, 20), (5, "long", 0, 41)]
+
+    # a window wider than max_span buckets must raise, not explode
+    wide = rd.from_items([{"k": "a", "win_start": 0, "win_end": 10_000}])
+    with pytest.raises(Exception, match="max_span"):
+        range_join(points, wide, on="k", granularity_us=10,
+                   max_span=4).materialize()
+
+    # randomized parity vs a brute-force reference (pair-exact,
+    # including duplicate pairs -> compare as sorted multisets)
+    rng = random.Random(13)
+    prows = [{"id": i, "k": f"k{rng.randrange(4)}",
+              "ts": rng.randrange(200)} for i in range(80)]
+    wrows = []
+    for j in range(30):
+        s = rng.randrange(200)
+        wrows.append({"k": f"k{rng.randrange(4)}", "win_start": s,
+                      "win_end": s + rng.randrange(1, 60), "wid": j})
+    got = sorted((r["id"], r["wid"])
+                 for r in range_join(rd.from_items(prows),
+                                     rd.from_items(wrows), on="k",
+                                     granularity_us=25).take_all())
+    want = sorted((p["id"], w["wid"]) for p in prows for w in wrows
+                  if p["k"] == w["k"]
+                  and w["win_start"] <= p["ts"] < w["win_end"])
+    assert got == want
