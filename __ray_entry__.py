@@ -626,31 +626,47 @@ def _knn_quantized(sf_dir: str):
 
 
 def _knn_lsh(sf_dir: str):
+    """LSH ANN top-10: fixed-point hyperplane signatures over
+    int8-quantized vectors, Hamming-radius-1 multi-probe, exact
+    integer scoring inside the probed buckets — every step is
+    integer-exact, so the DuckDB mirror (sql_knn_lsh) recomputes the
+    identical result and the gate is a full value-hash check."""
     import numpy as np
+    import pyarrow as _pa
     import ray.data as rd
 
     from k_gap_ray.functions.similarity import knn_lsh
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    q = [r for r in ds.take(1)][0]["embedding"]
-    return knn_lsh(ds, np.asarray(q, dtype=np.float64), k=10, exclude_ids={0})
+    qrow = ds.map_batches(
+        lambda t: t.filter(_pa.compute.equal(t.column("vec_id"),
+                                             _pa.scalar(0))),
+        batch_format="pyarrow").take_all()
+    q = np.asarray(qrow[0]["embedding"], np.float64)
+    return knn_lsh(ds, q, k=10, radius=1, exclude_ids={0})
 
 
 def _knn_ivf(sf_dir: str):
     """IVF ANN query over a persisted centroid-partitioned index
-    (built once per sf tier under /tmp): rows-only at the gate —
-    approximate by design; recall vs the exact top-10 is pinned in
-    tests/test_functions.py::test_ivf_index_build_and_query."""
+    (built once per sf tier under /tmp) using the DETERMINISTIC int8
+    quantizer (centroids = vectors with vec_id < 8, max-inner-product
+    assignment): the query reads only its n_probe partitions, and the
+    DuckDB mirror (sql_knn_ivf) recomputes assignment + probe + top-k
+    in exact integer arithmetic — full value-hash at the gate. The
+    k-means trainer (build_ivf_index) remains the scale path, pinned
+    by tests/test_functions.py::test_ivf_index_build_and_query."""
     import numpy as np
+    import pyarrow as _pa
     import ray.data as rd
 
-    from k_gap_ray.functions.similarity import build_ivf_index, knn_ivf
+    from k_gap_ray.functions.similarity import (build_ivf_index_int8,
+                                                knn_ivf_int8)
 
-    idx_dir = f"/tmp/kgap_ivf/sf{_sf_of(sf_dir)}"
+    idx_dir = f"/tmp/kgap_ivf8/sf{_sf_of(sf_dir)}"
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    if not os.path.exists(f"{idx_dir}/centroids.npy"):
+    if not os.path.exists(f"{idx_dir}/centroids_int8.npz"):
         # build into a fresh temp dir, publish with one atomic rename:
         # a crash mid-build must never leave partial partition files
         # that a rebuild would APPEND to (write_parquet doesn't clear
@@ -661,15 +677,18 @@ def _knn_ivf(sf_dir: str):
         _sh.rmtree(idx_dir, ignore_errors=True)  # stale partial build
         _sh.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
-        C = build_ivf_index(ds, tmp, n_centroids=8)
-        np.save(f"{tmp}/centroids.npy", C)
+        build_ivf_index_int8(ds, tmp, n_centroids=8)
         os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
         try:
             os.rename(tmp, idx_dir)
         except OSError:
             _sh.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
-    q = np.asarray([r for r in ds.take(1)][0]["embedding"], np.float64)
-    return knn_ivf(idx_dir, q, k=10, n_probe=4, exclude_ids={0})
+    qrow = ds.map_batches(
+        lambda t: t.filter(_pa.compute.equal(t.column("vec_id"),
+                                             _pa.scalar(0))),
+        batch_format="pyarrow").take_all()
+    q = np.asarray(qrow[0]["embedding"], np.float64)
+    return knn_ivf_int8(idx_dir, q, k=10, n_probe=4, exclude_ids={0})
 
 
 def _doc_lang_stats(sf_dir: str):
@@ -2388,11 +2407,29 @@ def oracle_sql() -> dict[str, str]:
             _sql_sparql_direct_q(DOCS_SPARQL_DATETIME),
         "q_triangles": _sql_docs_triangles(),
         "q_bfs_depths": _sql_docs_bfs(),
-        # q_knn_lsh (approximate by design; recall pinned in pytest
-        # against the exact result) and kg_* (computed over the
-        # synthesized pages corpus, not the driver's tables) remain
-        # rows-only.
+        # ANN mirrors: the LSH signature and the IVF assignment are
+        # exact integer arithmetic on both engines (fixed-point
+        # planes / int8 quantization), so both are full value-hash
+        # oracles. dim=64 is the testdata embedding width at every
+        # tier (TESTDATA.md); the plane literals are generated from
+        # the same cached matrix the engine uses.
+        "q_knn_lsh": _sql_knn_lsh(),
+        "q_knn_ivf": _sql_knn_ivf(),
+        # kg_* (computed over the synthesized pages corpus, not the
+        # driver's tables) remain rows-only.
     }
+
+
+def _sql_knn_lsh() -> str:
+    from k_gap_ray.functions.similarity import sql_knn_lsh
+
+    return sql_knn_lsh(dim=64, query_vec_id=0, k=10, radius=1)
+
+
+def _sql_knn_ivf() -> str:
+    from k_gap_ray.functions.similarity import sql_knn_ivf
+
+    return sql_knn_ivf(n_centroids=8, n_probe=4, query_vec_id=0, k=10)
 
 
 def _sql_docs_kg() -> str:

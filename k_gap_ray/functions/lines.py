@@ -96,7 +96,15 @@ def boilerplate_lines(docs_ds, min_docs: int = 2, id_col: str = "doc_id",
 
     agg = drop_empty_blocks(
         partial.groupby("line").sum("n").materialize())
-    hot = agg.filter(lambda r: r["sum(n)"] >= min_docs)
+    # the aggregated histogram is > broadcast_cap rows on this branch:
+    # filter with a vectorized Arrow kernel (a per-row Python predicate
+    # here would be the hot loop), and ship only the surviving `line`
+    # column to the driver
+    hot = agg.map_batches(
+        lambda t: pa.table({"line": t.filter(
+            pc.greater_equal(t.column("sum(n)"),
+                             pa.scalar(min_docs))).column("line")}),
+        batch_format="pyarrow", zero_copy_batch=True)
     return sorted(r["line"] for r in hot.take_all())
 
 

@@ -82,49 +82,67 @@ def knn_by_id(sf_dir: str, query_vec_id: int = 0, k: int = 10):
 
 
 N_PLANES = 8
+_PLANE_SEED = 4242
+_PLANE_SCALE = 1_000_000
+_PLANE_CACHE: dict[int, np.ndarray] = {}
 
 
-def _signature(embs: np.ndarray) -> np.ndarray:
-    planes = np.random.RandomState(4242).randn(embs.shape[1], N_PLANES)
-    return ((embs @ planes) >= 0).astype(np.uint8)
+def _planes_fx(dim: int) -> np.ndarray:
+    """Fixed-point random hyperplanes, cached per dim (regenerating a
+    Gaussian matrix per batch was a measured hot spot — the dedup
+    module's _PLANE_CACHE pattern). Integer entries so the sign-dot
+    signature is EXACT integer arithmetic on both engines: a sign dot
+    of int8-quantized vectors (|x| <= 127) against these planes
+    (|p| <= ~6e6) over dim <= 4096 stays far below 2^53, so DuckDB's
+    double-accumulated list_inner_product reproduces it bit-for-bit."""
+    P = _PLANE_CACHE.get(dim)
+    if P is None:
+        raw = np.random.RandomState(_PLANE_SEED).randn(dim, N_PLANES)
+        P = np.round(raw * _PLANE_SCALE).astype(np.int64)
+        _PLANE_CACHE[dim] = P
+    return P
+
+
+def _signature_bucket(embs: np.ndarray) -> np.ndarray:
+    """int64 packed LSH bucket per row: bit j of the bucket is
+    sign(dot(quantize_int8(v), plane_j)) — deterministic, exact, and
+    SQL-mirrorable (sql_knn_lsh below builds the same expression)."""
+    q8 = quantize_int8(embs)
+    bits = (q8 @ _planes_fx(embs.shape[1])) >= 0
+    return bits @ (1 << np.arange(N_PLANES, dtype=np.int64))
 
 
 def build_lsh_buckets(emb_ds):
-    """embedding -> (bucket:string, vec_id, embedding): the ANN index
-    as a Dataset, groupable/partitionable by bucket."""
+    """embedding -> (bucket:int64, vec_id, embedding): the ANN index
+    as a Dataset, groupable/partitionable by bucket (packed-bit int64
+    keys, not per-row joined strings)."""
 
     def f(t: pa.Table) -> pa.Table:
         ids, embs = _batch_matrix(t)
         if not ids:
-            return pa.table({"bucket": pa.array([], pa.string()),
+            return pa.table({"bucket": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "embedding": t.column("embedding")})
-        sig = _signature(embs)
-        buckets = ["".join(map(str, row)) for row in sig]
-        return pa.table({"bucket": pa.array(buckets, pa.string()),
+        buckets = _signature_bucket(embs)
+        return pa.table({"bucket": pa.array(buckets, pa.int64()),
                          "vec_id": pa.array(ids, pa.int64()),
                          "embedding": t.column("embedding")})
 
     return emb_ds.map_batches(f, batch_format="pyarrow")
 
 
-def _probe_buckets(query_vec: np.ndarray, radius: int) -> list[str]:
+def _probe_buckets(query_vec: np.ndarray, radius: int) -> list[int]:
     """Bucket ids to scan: the query's signature + all signatures
     within `radius` bit flips (multi-probe)."""
-    qsig = _signature(np.asarray(query_vec, np.float64)[None, :])[0]
-    want = {"".join(map(str, qsig))}
+    qb = int(_signature_bucket(np.asarray(query_vec, np.float64)[None, :])[0])
+    want = {qb}
     if radius >= 1:
         for i in range(N_PLANES):
-            flipped = qsig.copy()
-            flipped[i] ^= 1
-            want.add("".join(map(str, flipped)))
+            want.add(qb ^ (1 << i))
     if radius >= 2:
         for i in range(N_PLANES):
             for j in range(i + 1, N_PLANES):
-                flipped = qsig.copy()
-                flipped[i] ^= 1
-                flipped[j] ^= 1
-                want.add("".join(map(str, flipped)))
+                want.add(qb ^ (1 << i) ^ (1 << j))
     return sorted(want)
 
 
@@ -245,20 +263,201 @@ def knn_ivf(index_dir: str, query_vec: np.ndarray, k: int = 10,
     return knn_bruteforce(cand, q, k=k, exclude_ids=exclude_ids)
 
 
+def _ivf8_centroids(emb_ds, n_centroids: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic coarse quantizer: the int8-quantized vectors of
+    vec_id < n_centroids (seedless, SQL-recomputable — the k-means
+    trainer above stays the scale path when verifiability isn't
+    needed). Returns (cids sorted asc, C8 rows aligned to cids)."""
+    rows = emb_ds.map_batches(
+        lambda t, n=n_centroids: t.filter(
+            pa.compute.less(t.column("vec_id"), pa.scalar(n))),
+        batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    if not rows:
+        raise ValueError("ivf_int8: no vectors with vec_id < n_centroids")
+    cids = np.array([r["vec_id"] for r in rows], np.int64)
+    C8 = quantize_int8(np.array([r["embedding"] for r in rows], np.float64))
+    return cids, C8
+
+
+def build_ivf_index_int8(emb_ds, index_dir: str, n_centroids: int = 8):
+    """IVF index with the deterministic int8 quantizer: every vector
+    is assigned to the centroid maximizing the EXACT integer inner
+    product (ties -> smallest centroid id), persisted as
+    centroid-partitioned Parquet. Same pruned-read query shape as the
+    k-means index; additionally value-hash verifiable (sql_knn_ivf)."""
+    import ray
+
+    cids, C8 = _ivf8_centroids(emb_ds, n_centroids)
+    ref = ray.put((cids, C8))
+
+    def assign(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ids, embs = _batch_matrix(t)
+        if not ids:
+            return pa.table({"centroid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": t.column("embedding")})
+        ks, C = _r.get(ref)
+        S = quantize_int8(embs) @ C.T  # exact integer-valued doubles
+        # argmax picks the FIRST maximal column; rows of C are sorted
+        # by cid asc, so ties resolve to the smallest centroid id —
+        # the same rule as the oracle's ROW_NUMBER(ORDER BY ip DESC,
+        # cid ASC)
+        a = ks[np.argmax(S, axis=1)]
+        return pa.table({"centroid": pa.array(a, pa.int64()),
+                         "vec_id": pa.array(ids, pa.int64()),
+                         "embedding": t.column("embedding")})
+
+    emb_ds.map_batches(assign, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+        .write_parquet(index_dir, partition_cols=["centroid"])
+    np.savez(f"{index_dir}/centroids_int8.npz", cids=cids, C8=C8)
+    return cids, C8
+
+
+def knn_ivf_int8(index_dir: str, query_vec: np.ndarray, k: int = 10,
+                 n_probe: int = 4, exclude_ids: set[int] | None = None,
+                 centroids: tuple[np.ndarray, np.ndarray] | None = None):
+    """Query the deterministic int8 IVF index: reads ONLY the n_probe
+    centroid partitions with the highest exact integer inner product
+    to the quantized query, then exact quantized top-k within them."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data as rd
+
+    if centroids is not None:
+        cids, C8 = centroids
+    else:
+        z = np.load(f"{index_dir}/centroids_int8.npz")
+        cids, C8 = z["cids"], z["C8"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    q8 = quantize_int8(q[None, :])[0]
+    scores = C8 @ q8
+    probe = cids[np.lexsort((cids, -scores))[:n_probe]]
+    files = [f for c in probe
+             for f in _glob.glob(_os.path.join(index_dir, f"centroid={c}",
+                                               "*.parquet"))]
+    if not files:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "qscore": pa.array([], pa.int64())})
+    cand = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    return knn_quantized(cand, q, k=k, exclude_ids=exclude_ids)
+
+
+def sql_knn_ivf(n_centroids: int = 8, n_probe: int = 4,
+                query_vec_id: int = 0, k: int = 10) -> str:
+    """Self-contained DuckDB mirror of build_ivf_index_int8 +
+    knn_ivf_int8 over the `embeddings` view: quantize, assign every
+    vector to its max-inner-product centroid (ties -> smallest cid),
+    probe the n_probe best centroids for the query, exact integer
+    top-k within the probed lists."""
+    return f"""
+        WITH q AS ({_sql_quantize_cte()}),
+        cent AS (SELECT vec_id AS cid, qv AS cv FROM q
+                 WHERE vec_id < {n_centroids}),
+        assign AS (
+            SELECT vec_id, qv, cid FROM (
+                SELECT a.vec_id, a.qv, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_inner_product(a.qv, c.cv) DESC,
+                                    c.cid ASC) AS rn
+                FROM q a, cent c) WHERE rn = 1),
+        qq AS (SELECT qv FROM q WHERE vec_id = {query_vec_id}),
+        probe AS (
+            SELECT cid FROM (
+                SELECT c.cid,
+                       ROW_NUMBER() OVER (
+                           ORDER BY list_inner_product(qq.qv, c.cv) DESC,
+                                    c.cid ASC) AS rn
+                FROM cent c, qq) WHERE rn <= {n_probe})
+        SELECT a.vec_id,
+               CAST(list_inner_product(a.qv, qq.qv) AS BIGINT) AS qscore
+        FROM assign a JOIN probe p ON a.cid = p.cid, qq
+        WHERE a.vec_id <> {query_vec_id}
+        ORDER BY qscore DESC, a.vec_id LIMIT {k}
+    """
+
+
 def knn_lsh(emb_ds, query_vec: np.ndarray, k: int = 10, radius: int = 1,
             exclude_ids: set[int] | None = None):
     """Approximate top-k: scan only buckets whose signature is within
     `radius` bit flips of the query's signature. Builds the bucket
     assignment in-flight; for repeated queries, persist once with
-    write_lsh_index and use knn_lsh_indexed."""
+    write_lsh_index and use knn_lsh_indexed.
+
+    Candidates are scored with the EXACT int8-quantized dot product
+    (same contract as knn_quantized), and the bucket signature is
+    exact integer arithmetic — so the whole query is value-hash
+    verifiable against the pure-SQL mirror from sql_knn_lsh()."""
     q = np.asarray(query_vec, dtype=np.float64)
-    want_arr = pa.array(_probe_buckets(q, radius), pa.string())
+    want_arr = pa.array(_probe_buckets(q, radius), pa.int64())
     buckets = build_lsh_buckets(emb_ds)
     cand = buckets.map_batches(
         lambda t, w=want_arr: t.filter(
             pa.compute.is_in(t.column("bucket"), value_set=w)),
         batch_format="pyarrow").select_columns(["vec_id", "embedding"])
-    return knn_bruteforce(cand, q, k=k, exclude_ids=exclude_ids)
+    return knn_quantized(cand, q, k=k, exclude_ids=exclude_ids)
+
+
+def _sql_quantize_cte(table: str = "embeddings") -> str:
+    """The int8 floor-quantization CTE shared by every quantized-space
+    oracle (mirror of quantize_int8; see q_knn_quantized's oracle)."""
+    return f"""
+        SELECT vec_id,
+               CASE WHEN ma = 0
+                    THEN list_transform(embedding, x -> 0.0)
+                    ELSE list_transform(
+                        embedding,
+                        x -> floor(CAST(x AS DOUBLE)
+                                   * CAST(127.0 AS DOUBLE)
+                                   / CAST(ma AS DOUBLE))) END AS qv
+        FROM (SELECT vec_id, embedding,
+                     list_aggregate(
+                         list_transform(embedding, y -> abs(y)),
+                         'max') AS ma
+              FROM {table})
+    """
+
+
+def _sql_bucket_expr(dim: int, qv: str = "qv") -> str:
+    """DuckDB expression for the packed int64 LSH bucket of a
+    quantized vector column — the same planes (inlined as integer
+    literals) and the same packed-bit key as _signature_bucket."""
+    P = _planes_fx(dim)
+    terms = []
+    for j in range(N_PLANES):
+        col = ", ".join(str(int(v)) for v in P[:, j])
+        terms.append(f"(CASE WHEN list_inner_product({qv}, "
+                     f"[{col}]) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + "\n + ".join(terms) + ")"
+
+
+def sql_knn_lsh(dim: int, query_vec_id: int = 0, k: int = 10,
+                radius: int = 1) -> str:
+    """Self-contained DuckDB mirror of knn_lsh over the `embeddings`
+    view: recomputes the int8 quantization, the fixed-point
+    hyperplane signatures, the Hamming-radius probe set (bit_count of
+    XOR) and the exact integer top-k — every step integer-exact, so
+    the value hash matches the engine bit-for-bit."""
+    return f"""
+        WITH q AS ({_sql_quantize_cte()}),
+        sig AS (
+            SELECT vec_id, qv,
+                   {_sql_bucket_expr(dim)} AS bucket
+            FROM q),
+        qq AS (SELECT qv, bucket FROM sig WHERE vec_id = {query_vec_id})
+        SELECT s.vec_id,
+               CAST(list_inner_product(s.qv, qq.qv) AS BIGINT) AS qscore
+        FROM sig s, qq
+        WHERE bit_count(CAST(xor(s.bucket, qq.bucket) AS BIGINT))
+                  <= {radius}
+          AND s.vec_id <> {query_vec_id}
+        ORDER BY qscore DESC, s.vec_id LIMIT {k}
+    """
 
 
 def label_centroids_fx(emb_ds, scale: int = 1_000_000,

@@ -38,7 +38,8 @@ def oracle(sf_dir):
 
 SAMPLE = ["q_agg_pricing", "q_left_join_orders", "q_events_hourly",
           "q_topk_orders", "q_distinct_flags", "q_doc_token_counts",
-          "q_knn_top10", "q_union_priorities", "q_events_range_join"]
+          "q_knn_top10", "q_union_priorities", "q_events_range_join",
+          "q_knn_lsh", "q_knn_ivf"]
 
 
 @pytest.mark.parametrize("name", SAMPLE)
