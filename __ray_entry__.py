@@ -1430,6 +1430,53 @@ def _sparql_docs_countdistinct(sf_dir: str):
     return sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_COUNTDISTINCT)
 
 
+DOCS_SPARQL_UPDATE = """
+PREFIX kp: <urn:kgap:pred:>
+PREFIX ke: <urn:kgap:entity:>
+INSERT DATA {
+  ke:update_probe kp:locatedIn "marine update probe site" .
+  ke:update_probe kp:employs ke:update_staff .
+} ;
+DELETE WHERE { ?a kp:employs ?e } ;
+DELETE { ?a kp:locatedIn ?loc }
+INSERT { ?a kp:basedAt ?loc }
+WHERE { ?a kp:locatedIn ?loc . FILTER (CONTAINS(?loc, "marine")) }
+"""
+
+DOCS_SPARQL_AFTER_UPDATE = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?a ?loc ?emp WHERE {
+  ?a kp:basedAt ?loc .
+  OPTIONAL { ?a kp:employs ?emp . }
+}
+"""
+
+
+def _sparql_docs_update(sf_dir: str):
+    """SPARQL UPDATE (the reference's mutation surface,
+    docs/quick-reference.md:227-243): an INSERT DATA / DELETE WHERE /
+    DELETE-INSERT-WHERE sequence applied to the docs-derived quads
+    (k_gap_ray/sparql_update.py), then a SELECT over the mutated
+    store. The SELECT is sensitive to all three statements: the
+    inserted entity is rewritten into ?loc rows by the modify, the
+    modify's basedAt rows are the required pattern, and the OPTIONAL
+    employs column is all-null iff the DELETE WHERE emptied it. The
+    oracle replays the same statements as chained NOT-EXISTS /
+    UNION-ALL CTEs (sparql_update_cte_sql) over the SQL quads
+    reconstruction."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+    from k_gap_ray.sparql_update import apply_update
+
+    mutated = apply_update(_docs_quads(sf_dir), DOCS_SPARQL_UPDATE)
+    res = sparql_select(mutated, DOCS_SPARQL_AFTER_UPDATE)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("loc", _pa.string()),
+                           ("emp", _pa.string())]))
+
+
 DOCS_SPARQL_CONSTRUCT = """
 PREFIX kp: <urn:kgap:pred:>
 CONSTRUCT {
@@ -1831,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_lang": _sparql_docs_lang,
         "q_sparql_docs_datetime": _sparql_docs_datetime,
         "q_sparql_docs_countdistinct": _sparql_docs_countdistinct,
+        "q_sparql_docs_update": _sparql_docs_update,
         # --- KG pipeline over a documents-derived corpus (FULL oracle) ---
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
@@ -2391,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_sum": _sql_sparql_docs_q(DOCS_SPARQL_SUM),
         "q_sparql_docs_countdistinct":
             _sql_sparql_docs_q(DOCS_SPARQL_COUNTDISTINCT),
+        "q_sparql_docs_update": _sql_sparql_docs_update(),
         "q_sparql_docs_avg": _sql_sparql_docs_q(DOCS_SPARQL_AVG),
         "q_sparql_docs_groupconcat":
             _sql_sparql_docs_q(DOCS_SPARQL_GROUPCONCAT),
@@ -2466,6 +2515,18 @@ def _sql_sparql_docs_q(sparql: str) -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_sparql
 
     return sql_docs_sparql(sparql)
+
+
+def _sql_sparql_docs_update() -> str:
+    from k_gap_ray.pipelines.docs_kg import _sql_ctes, _sql_quads_cte
+    from k_gap_ray.sparql import sparql_to_sql
+    from k_gap_ray.sparql_update import sparql_update_cte_sql
+
+    frag, final = sparql_update_cte_sql(DOCS_SPARQL_UPDATE,
+                                        quads_rel="quads")
+    return (_sql_ctes("documents") + _sql_quads_cte() + ",\n" + frag
+            + "\n" + sparql_to_sql(DOCS_SPARQL_AFTER_UPDATE,
+                                   quads_rel=final))
 
 
 def _sql_sparql_direct_q(sparql: str) -> str:

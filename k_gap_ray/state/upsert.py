@@ -97,3 +97,66 @@ def read_store(store_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(store_dir)
+
+
+def apply_set_changes(store_dir: str, inserts=None, deletes=None,
+                      n_buckets: int = N_BUCKETS) -> int:
+    """SET-semantics bucket rewrite (the SPARQL UPDATE contract,
+    sparql_update.py): ``deletes`` is a (subj, pred, obj) Arrow table
+    — every row whose triple matches is removed, all graphs;
+    ``inserts`` is a full-schema Arrow table — rows whose (subj, pred,
+    obj) already exists are no-ops. Only the buckets hashed by an
+    affected subject are rewritten (atomic temp-dir + rename, like
+    :func:`upsert`). Returns rows in the rewritten buckets after."""
+    import ray
+
+    ins_df = inserts.to_pandas() if inserts is not None else None
+    del_df = deletes.to_pandas() if deletes is not None else None
+    affected: set[int] = set()
+    if ins_df is not None and len(ins_df):
+        ins_df["subj_bucket"] = _bucket_of(ins_df["subj"], n_buckets)
+        affected |= set(ins_df["subj_bucket"].unique())
+    if del_df is not None and len(del_df):
+        del_df["subj_bucket"] = _bucket_of(del_df["subj"], n_buckets)
+        affected |= set(del_df["subj_bucket"].unique())
+    if not affected:
+        return 0
+
+    @ray.remote
+    def rewrite(b: int, ins: pd.DataFrame | None,
+                dl: pd.DataFrame | None) -> int:
+        bdir = os.path.join(store_dir, f"subj_bucket={b}")
+        files = glob.glob(os.path.join(bdir, "*.parquet"))
+        if files:
+            old = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        elif ins is not None:
+            old = ins.iloc[0:0].drop(columns=["subj_bucket"])
+        else:
+            return 0
+        key3 = ["subj", "pred", "obj"]
+        if dl is not None and len(dl):
+            gone = set(dl[key3].apply(tuple, axis=1))
+            old = old[~old[key3].apply(tuple, axis=1).isin(gone)]
+        if ins is not None and len(ins):
+            add = ins.drop(columns=["subj_bucket"])
+            have = set(old[key3].apply(tuple, axis=1))
+            add = add[~add[key3].apply(tuple, axis=1).isin(have)]
+            old = pd.concat([old, add[old.columns]])
+        old = old.sort_values(["subj", "pred", "obj"], kind="mergesort")
+        tmp = bdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(old, preserve_index=False),
+                       os.path.join(tmp, "part-00000.parquet"))
+        shutil.rmtree(bdir, ignore_errors=True)
+        os.replace(tmp, bdir)
+        return len(old)
+
+    futures = []
+    for b in sorted(affected):
+        ins = (ins_df[ins_df["subj_bucket"] == b]
+               if ins_df is not None and len(ins_df) else None)
+        dl = (del_df[del_df["subj_bucket"] == b]
+              if del_df is not None and len(del_df) else None)
+        futures.append(rewrite.remote(int(b), ins, dl))
+    return sum(ray.get(futures))

@@ -1,0 +1,131 @@
+"""SPARQL UPDATE subset (k_gap_ray/sparql_update.py): parser forms,
+Dataset-level set semantics vs the chained-CTE DuckDB mirror, the
+large-change-set join path, and the bucketed-store integration."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from k_gap_ray.sparql_update import (QUAD_COLS, apply_update,
+                                     apply_update_store,
+                                     parse_sparql_update,
+                                     sparql_update_cte_sql)
+
+SCRIPT = """
+PREFIX p: <urn:p:>
+PREFIX e: <urn:e:>
+INSERT DATA {
+  e:new p:locatedIn "marine lagoon y" .
+  e:new p:name "newbie" .
+} ;
+DELETE WHERE { ?a p:employs ?x } ;
+DELETE { ?a p:locatedIn ?loc }
+INSERT { ?a p:basedAt ?loc }
+WHERE { ?a p:locatedIn ?loc . FILTER (CONTAINS(?loc, "marine")) }
+"""
+
+
+def _quads_table() -> pa.Table:
+    rows = [
+        ("urn:e:a", "urn:p:locatedIn", "marine station x",
+         True, "", "", "g1", "u1"),
+        ("urn:e:b", "urn:p:locatedIn", "desert site",
+         True, "", "", "g1", "u2"),
+        ("urn:e:a", "urn:p:employs", "urn:e:c", False, "", "", "g1", "u1"),
+        ("urn:e:c", "urn:p:name", "carol", True, "", "", "g2", "u3"),
+    ]
+    return pa.table({c: pa.array([r[i] for r in rows],
+                     pa.bool_() if c == "obj_is_literal" else pa.string())
+                     for i, c in enumerate(QUAD_COLS)})
+
+
+EXPECTED = sorted([
+    ("urn:e:a", "urn:p:basedAt", "marine station x"),
+    ("urn:e:b", "urn:p:locatedIn", "desert site"),
+    ("urn:e:c", "urn:p:name", "carol"),
+    ("urn:e:new", "urn:p:basedAt", "marine lagoon y"),
+    ("urn:e:new", "urn:p:name", "newbie"),
+])
+
+
+def test_parse_update_forms():
+    ops = parse_sparql_update(SCRIPT)
+    assert [(len(o.insert_templates), len(o.delete_templates),
+             o.where is not None) for o in ops] == [
+        (2, 0, False), (0, 1, True), (1, 1, True)]
+    # ground DATA blocks reject variables
+    with pytest.raises(ValueError, match="ground"):
+        parse_sparql_update("INSERT DATA { ?s <urn:p:x> \"v\" . }")
+    # template vars must be WHERE-bound
+    with pytest.raises(ValueError, match="not bound"):
+        parse_sparql_update(
+            "DELETE { ?a <urn:p:x> ?gone } WHERE { ?a <urn:p:x> ?o . }")
+
+
+def test_apply_update_matches_duckdb_mirror(ray_session):
+    import ray.data as rd
+
+    tbl = _quads_table()
+    out = apply_update(rd.from_arrow(tbl), SCRIPT)
+    eng = sorted((r["subj"], r["pred"], r["obj"]) for r in out.take_all())
+    assert eng == EXPECTED
+
+    frag, final = sparql_update_cte_sql(SCRIPT, quads_rel="qbase")
+    sql = ("WITH qbase AS (SELECT * FROM quads_view),\n" + frag
+           + f"\nSELECT subj, pred, obj FROM {final} ORDER BY 1, 2, 3")
+    con = duckdb.connect()
+    con.register("quads_view", tbl.to_pandas())
+    assert [tuple(r) for r in con.execute(sql).fetchall()] == eng
+
+
+def test_apply_update_join_path(ray_session):
+    """broadcast_cap=0 forces the Bloom-prefiltered marker-join path
+    for both the delete and the insert set — same result."""
+    import ray.data as rd
+
+    out = apply_update(rd.from_arrow(_quads_table()), SCRIPT,
+                       broadcast_cap=0)
+    eng = sorted((r["subj"], r["pred"], r["obj"]) for r in out.take_all())
+    assert eng == EXPECTED
+
+
+def test_insert_is_noop_for_existing_triple(ray_session):
+    import ray.data as rd
+
+    script = """
+    PREFIX p: <urn:p:>
+    PREFIX e: <urn:e:>
+    INSERT DATA { e:a p:locatedIn "marine station x" . }
+    """
+    out = apply_update(rd.from_arrow(_quads_table()), script)
+    keys = [(r["subj"], r["pred"], r["obj"]) for r in out.take_all()]
+    assert keys.count(("urn:e:a", "urn:p:locatedIn",
+                       "marine station x")) == 1
+    assert len(keys) == 4  # unchanged
+
+
+def test_delete_data_removes_all_graph_copies(ray_session):
+    import ray.data as rd
+
+    script = """
+    PREFIX p: <urn:p:>
+    PREFIX e: <urn:e:>
+    DELETE DATA { e:c p:name "carol" . }
+    """
+    out = apply_update(rd.from_arrow(_quads_table()), script)
+    assert all(r["pred"] != "urn:p:name" for r in out.take_all())
+
+
+def test_apply_update_store_buckets(ray_session, tmp_path):
+    """Store-level UPDATE: only affected subject buckets rewritten,
+    statements applied sequentially, set semantics on disk."""
+    import ray.data as rd
+
+    from k_gap_ray.state.upsert import init_store, read_store
+
+    store = str(tmp_path / "store")
+    init_store(rd.from_arrow(_quads_table()), store)
+    apply_update_store(store, SCRIPT)
+    back = sorted((r["subj"], r["pred"], r["obj"])
+                  for r in read_store(store).take_all())
+    assert back == EXPECTED
