@@ -1477,6 +1477,32 @@ def _sparql_docs_update(sf_dir: str):
                            ("emp", _pa.string())]))
 
 
+DOCS_SPARQL_FTS = """
+PREFIX kfts: <urn:kgap:fts:>
+SELECT ?e ?score WHERE {
+  ?e kfts:searchIndex "merge window" .
+  ?e kfts:score ?score .
+}
+"""
+
+
+def _sparql_docs_fts(sf_dir: str):
+    """Full-text search as a SPARQL magic predicate (the reference's
+    luc:searchIndex/luc:score idiom, docs/quick-reference.md:214-221)
+    over the documents-direct quads: the engine rewrites the two
+    magic patterns into one virtual-match pattern backed by an
+    integer-TF-IDF scoring pass (k_gap_ray/sparql_fts.py); the oracle
+    replays the identical rewrite + scoring recurrence in SQL."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_direct_quads(sf_dir), DOCS_SPARQL_FTS)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("e", _pa.string()), ("score", _pa.string())]))
+
+
 DOCS_SPARQL_CONSTRUCT = """
 PREFIX kp: <urn:kgap:pred:>
 CONSTRUCT {
@@ -1879,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_datetime": _sparql_docs_datetime,
         "q_sparql_docs_countdistinct": _sparql_docs_countdistinct,
         "q_sparql_docs_update": _sparql_docs_update,
+        "q_sparql_docs_fts": _sparql_docs_fts,
         # --- KG pipeline over a documents-derived corpus (FULL oracle) ---
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
@@ -2440,6 +2467,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_countdistinct":
             _sql_sparql_docs_q(DOCS_SPARQL_COUNTDISTINCT),
         "q_sparql_docs_update": _sql_sparql_docs_update(),
+        "q_sparql_docs_fts": _sql_sparql_docs_fts(),
         "q_sparql_docs_avg": _sql_sparql_docs_q(DOCS_SPARQL_AVG),
         "q_sparql_docs_groupconcat":
             _sql_sparql_docs_q(DOCS_SPARQL_GROUPCONCAT),
@@ -2536,7 +2564,10 @@ def _sql_sparql_direct_q(sparql: str) -> str:
     the same query over it."""
     from k_gap_ray.sparql import sparql_to_sql
 
-    quads_cte = """WITH quads AS (
+    return _DIRECT_QUADS_CTE + sparql_to_sql(sparql, quads_rel="quads")
+
+
+_DIRECT_QUADS_CTE = """WITH quads AS (
   SELECT 'urn:kgap:doc:' || CAST(doc_id AS VARCHAR) AS subj,
          'urn:kgap:pred:abstract' AS pred, text AS obj,
          lang AS obj_lang
@@ -2553,7 +2584,24 @@ def _sql_sparql_direct_q(sparql: str) -> str:
   FROM documents
 )
 """
-    return quads_cte + sparql_to_sql(sparql, quads_rel="quads")
+
+
+def _sql_sparql_docs_fts() -> str:
+    """Oracle for the FTS magic predicate over the documents-direct
+    quads: the SAME pure rewrite as the engine (sparql_fts.
+    rewrite_fts_query), the virtual match rows reconstructed as
+    integer-TF-IDF CTEs, then the ordinary SQL compilation of the
+    rewritten query over the unioned relation."""
+    from k_gap_ray.sparql import parse_sparql, sparql_to_sql
+    from k_gap_ray.sparql_fts import rewrite_fts_query, sql_fts_ctes
+
+    q2, specs = rewrite_fts_query(parse_sparql(DOCS_SPARQL_FTS))
+    frag, final = sql_fts_ctes(
+        specs, quads_rel="quads",
+        columns=["subj", "pred", "obj", "obj_lang"])
+    return (_DIRECT_QUADS_CTE.replace("WITH quads AS (",
+                                      "WITH quads AS MATERIALIZED (")
+            + ",\n" + frag + "\n" + sparql_to_sql(q2, quads_rel=final))
 
 
 def _sql_docs_triangles() -> str:

@@ -1395,6 +1395,15 @@ def _solution_plan(quads, q: SparqlQuery):
     CONSTRUCT; returns (plan, bound vars)."""
     from k_gap_ray.dsutil import drop_empty_blocks
 
+    # full-text-search magic predicates (the reference's
+    # luc:searchIndex idiom): rewrite + virtual match rows, then the
+    # rest of the planner is unchanged (k_gap_ray/sparql_fts.py)
+    if any(p.p.kind == "iri" and p.p.value.startswith("urn:kgap:fts:")
+           for p in q.patterns):
+        from k_gap_ray.sparql_fts import rewrite_fts
+
+        quads, q = rewrite_fts(quads, q)
+
     if q.unions:
         # bag union of the branch plans (== SQL UNION ALL); branches
         # bind the same vars (validated), project to one column order;
