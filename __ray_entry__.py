@@ -1867,6 +1867,88 @@ def _rdf_turtle(sf_dir: str):
             .rename_columns({"obj": "region_iri", "count()": "n_nations"}))
 
 
+def _rdf_jsonld_nested(sf_dir: str):
+    """S2 nested JSON-LD bulk-load parity: the documents table
+    rendered as NESTED JSON-LD (node objects inside node objects,
+    language-tagged @value, numeric literals), parsed back by
+    sources.rdfio.read_jsonld's recursive walker, returned as the raw
+    triple set — value-verified against a SQL reconstruction of the
+    same five triple shapes per document."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as pq
+
+    jdir = f"/tmp/kgap_jsonld_nested/sf{_sf_of(sf_dir)}"
+    done = os.path.join(jdir, "_DONE")
+    if not os.path.exists(done):
+        tmp = f"{jdir}.build.{os.getpid()}"
+        import shutil as _sh
+
+        _sh.rmtree(jdir, ignore_errors=True)
+        _sh.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang", "source", "n_chars"])
+        buckets: dict[int, list] = {b: [] for b in range(4)}
+        for did, lang, src, nch in zip(t.column("doc_id").to_pylist(),
+                                       t.column("lang").to_pylist(),
+                                       t.column("source").to_pylist(),
+                                       t.column("n_chars").to_pylist()):
+            buckets[did % 4].append({
+                "@id": f"urn:kgap:doc:{did}",
+                "@type": "kp:Document",
+                "kp:lang": lang,
+                "kp:source": {
+                    "@id": f"urn:kgap:src:{src}",
+                    "kp:label": {"@value": src, "@language": "en"},
+                },
+                "kp:nchars": int(nch),
+            })
+        for b, nodes in buckets.items():
+            with open(os.path.join(tmp, f"f{b}.jsonld"), "w",
+                      encoding="utf-8") as f:
+                _json.dump({"@context": {"kp": "urn:kgap:pred:"},
+                            "@graph": nodes}, f)
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, jdir)
+        except OSError:
+            _sh.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+
+    from k_gap_ray.sources.rdfio import read_jsonld
+
+    ds = read_jsonld(jdir)
+    return ds.map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "obj_is_literal",
+                            "obj_datatype", "obj_lang"]),
+        batch_format="pyarrow")
+
+
+_SQL_JSONLD_NESTED = """
+    WITH t AS (SELECT doc_id, lang, source, n_chars FROM documents)
+    SELECT 'urn:kgap:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+           'urn:kgap:pred:Document' AS obj,
+           FALSE AS obj_is_literal, '' AS obj_datatype, '' AS obj_lang
+    FROM t
+    UNION ALL
+    SELECT 'urn:kgap:doc:' || CAST(doc_id AS VARCHAR),
+           'urn:kgap:pred:lang', lang, TRUE, '', '' FROM t
+    UNION ALL
+    SELECT 'urn:kgap:doc:' || CAST(doc_id AS VARCHAR),
+           'urn:kgap:pred:source', 'urn:kgap:src:' || source,
+           FALSE, '', '' FROM t
+    UNION ALL
+    SELECT 'urn:kgap:src:' || source, 'urn:kgap:pred:label', source,
+           TRUE, '', 'en' FROM t
+    UNION ALL
+    SELECT 'urn:kgap:doc:' || CAST(doc_id AS VARCHAR),
+           'urn:kgap:pred:nchars', CAST(n_chars AS VARCHAR), TRUE,
+           'http://www.w3.org/2001/XMLSchema#integer', '' FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the grading driver verifies the FIRST 50 entries
     # against oracle_sql(). Round 2 verified the relational+doc families
@@ -1928,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sitting first past the window
         "q_bfs_depths": _bfs_depths,
         "q_rdf_turtle": _rdf_turtle,
+        "q_rdf_jsonld_nested": _rdf_jsonld_nested,
         "q_workflow_lang_en": _workflow_lang_en,
         "q_doc_neardup_dedup": _doc_neardup_dedup,
         "q_doc_decontam": _doc_decontam,
@@ -2898,6 +2981,7 @@ def _text_analysis_oracles() -> dict[str, str]:
     return {
         "q_doc_clean_corpus": clean_corpus,
         "q_rdf_turtle": turtle,
+        "q_rdf_jsonld_nested": _SQL_JSONLD_NESTED,
         "q_media_features": media,
         # geometry functions mirror functions/multimodal.docs_as_png;
         # the engine side derives them by actually decoding the PNGs

@@ -343,31 +343,62 @@ def _xml_expand(tag: str) -> str:
     return tag[1:].replace("}", "") if tag.startswith("{") else tag
 
 
-def parse_rdfxml_text(text: str) -> tuple[list[dict], int]:
-    """Parse one RDF/XML document -> (triple rows, n_skipped_nodes)."""
+def parse_rdfxml_text(text: str,
+                      bnode_prefix: str = "") -> tuple[list[dict], int]:
+    """Parse one RDF/XML document -> (triple rows, n_skipped_nodes).
+
+    Nested subset (reference import surface,
+    docs/components/graphdb.md:249-263): node elements nest inside
+    property elements arbitrarily deep (link emitted, child walked),
+    ``rdf:nodeID`` and anonymous node elements become blank nodes
+    (``_:`` + nodeID, or ``_:b{prefix}{n}`` in document order), and
+    ``rdf:parseType="Resource"`` property elements open an anonymous
+    node whose children are property elements. Only reification and
+    rdf:parseType="Collection"/"Literal" remain skipped-with-count."""
     import xml.etree.ElementTree as ET
 
     root = ET.fromstring(text)
     rows: list[dict] = []
     skipped = 0
-    nodes = list(root) if _xml_expand(root.tag) == _RDF_NS + "RDF" else [root]
-    for node in nodes:
+    counter = [0]
+
+    def fresh_bnode() -> str:
+        counter[0] += 1
+        return f"_:b{bnode_prefix}{counter[0] - 1}"
+
+    def node_subj(node) -> str:
         subj = node.attrib.get(f"{{{_RDF_NS}}}about")
-        if subj is None:
-            skipped += 1
-            continue
-        node_type = _xml_expand(node.tag)
-        if node_type != _RDF_NS + "Description":
-            rows.append({"subj": subj, "pred": _RDF_TYPE, "obj": node_type,
-                         "obj_is_literal": False, "obj_datatype": "",
-                         "obj_lang": "", "graph": "", "url": ""})
-        for prop in node:
+        if subj is not None:
+            return subj
+        node_id = node.attrib.get(f"{{{_RDF_NS}}}nodeID")
+        if node_id is not None:
+            return "_:" + node_id
+        return fresh_bnode()
+
+    def link(subj, pred, obj):
+        rows.append({"subj": subj, "pred": pred, "obj": obj,
+                     "obj_is_literal": False, "obj_datatype": "",
+                     "obj_lang": "", "graph": "", "url": ""})
+
+    def walk_props(subj: str, props) -> None:
+        nonlocal skipped
+        for prop in props:
             pred = _xml_expand(prop.tag)
             res = prop.attrib.get(f"{{{_RDF_NS}}}resource")
+            node_id = prop.attrib.get(f"{{{_RDF_NS}}}nodeID")
+            ptype = prop.attrib.get(f"{{{_RDF_NS}}}parseType")
             if res is not None:
-                rows.append({"subj": subj, "pred": pred, "obj": res,
-                             "obj_is_literal": False, "obj_datatype": "",
-                             "obj_lang": "", "graph": "", "url": ""})
+                link(subj, pred, res)
+            elif node_id is not None:
+                link(subj, pred, "_:" + node_id)
+            elif ptype == "Resource":
+                # anonymous node: the property element's children are
+                # ITS property elements
+                child = fresh_bnode()
+                link(subj, pred, child)
+                walk_props(child, prop)
+            elif ptype is not None:
+                skipped += 1  # Collection / Literal: out of subset
             elif len(prop) == 0:
                 rows.append({
                     "subj": subj, "pred": pred, "obj": prop.text or "",
@@ -377,7 +408,21 @@ def parse_rdfxml_text(text: str) -> tuple[list[dict], int]:
                     "obj_lang": prop.attrib.get(f"{{{_XML_NS}}}lang", ""),
                     "graph": "", "url": ""})
             else:
-                skipped += 1  # nested/anonymous node: out of subset
+                # nested node element(s): link + recurse
+                for child in prop:
+                    link(subj, pred, walk_node(child))
+
+    def walk_node(node) -> str:
+        subj = node_subj(node)
+        node_type = _xml_expand(node.tag)
+        if node_type != _RDF_NS + "Description":
+            link(subj, _RDF_TYPE, node_type)
+        walk_props(subj, node)
+        return subj
+
+    nodes = list(root) if _xml_expand(root.tag) == _RDF_NS + "RDF" else [root]
+    for node in nodes:
+        walk_node(node)
     return rows, skipped
 
 
@@ -397,18 +442,22 @@ def read_rdfxml(paths):
 
     def parse_files(t: pa.Table) -> pa.Table:
         rows: list[dict] = []
-        for path in t.column("path").to_pylist():
+        for path, idx in zip(t.column("path").to_pylist(),
+                             t.column("idx").to_pylist()):
             with open(path, encoding="utf-8") as f:
-                file_rows, _ = parse_rdfxml_text(f.read())
+                # per-file blank prefix: labels are document-scoped
+                file_rows, _ = parse_rdfxml_text(f.read(),
+                                                 bnode_prefix=f"{idx}_")
             rows.extend(file_rows)
         return pa.Table.from_pylist(rows, schema=_TRIPLE_SCHEMA)
 
-    return rd.from_items([{"path": p} for p in files]) \
+    return rd.from_items([{"path": p, "idx": i}
+                          for i, p in enumerate(files)]) \
         .map_batches(parse_files, batch_format="pyarrow", batch_size=1)
 
 
 # ---------------------------------------------------------------------------
-# JSON-LD (flat subset) — the other bulk-load format the reference
+# JSON-LD (nested subset) — the other bulk-load format the reference
 # accepts (docs/faq.md export section). Supported: top-level node
 # objects or @graph arrays, @context prefix/term maps (string values),
 # @id/@type, predicate values as strings, {"@id"}, {"@value"
@@ -426,33 +475,48 @@ def _jsonld_expand(term: str, ctx: dict[str, str]) -> str:
     return term
 
 
-def parse_jsonld_obj(doc: dict, graph: str = "") -> list[dict]:
-    """One parsed JSON-LD document -> triple rows."""
+def parse_jsonld_obj(doc: dict, graph: str = "",
+                     bnode_prefix: str = "") -> list[dict]:
+    """One parsed JSON-LD document -> triple rows.
+
+    Nested subset (reference import surface,
+    docs/components/graphdb.md:249-263): node objects may nest other
+    node objects arbitrarily deep (the link triple is emitted and the
+    nested node is walked with its own @id as subject), nodes without
+    an @id become blank nodes labelled ``_:b{prefix}{n}`` in document
+    walk order (blank labels are document-scoped in RDF; callers
+    merging many files pass a per-file ``bnode_prefix`` to keep them
+    apart), and a nested ``{"@id": g, "@graph": [...]}`` object scopes
+    its contained nodes to the named graph ``g``."""
     ctx_raw = doc.get("@context") or {}
     ctx = {k: v for k, v in ctx_raw.items()
            if isinstance(v, str)} if isinstance(ctx_raw, dict) else {}
-    nodes = doc.get("@graph")
-    if nodes is None:
-        nodes = [doc] if "@id" in doc else []
     rows: list[dict] = []
+    counter = [0]
 
-    def emit(subj, pred, value):
-        base = {"subj": subj, "pred": pred, "graph": graph, "url": "",
+    def fresh_bnode() -> str:
+        counter[0] += 1
+        return f"_:b{bnode_prefix}{counter[0] - 1}"
+
+    def emit(subj, pred, value, g):
+        base = {"subj": subj, "pred": pred, "graph": g, "url": "",
                 "obj_datatype": "", "obj_lang": ""}
         if isinstance(value, dict):
-            if "@id" in value:
-                rows.append({**base, "obj": _jsonld_expand(value["@id"], ctx),
-                             "obj_is_literal": False})
-            elif "@value" in value:
+            if "@value" in value:
                 rows.append({**base, "obj": str(value["@value"]),
                              "obj_is_literal": True,
                              "obj_datatype": _jsonld_expand(
                                  value.get("@type", ""), ctx)
                              if value.get("@type") else "",
                              "obj_lang": value.get("@language", "")})
+            else:
+                # nested node object (named or blank): link + recurse
+                child = walk_node(value, g)
+                rows.append({**base, "obj": child,
+                             "obj_is_literal": False})
         elif isinstance(value, list):
             for v in value:
-                emit(subj, pred, v)
+                emit(subj, pred, v, g)
         elif isinstance(value, bool):
             rows.append({**base, "obj": "true" if value else "false",
                          "obj_is_literal": True,
@@ -467,10 +531,15 @@ def parse_jsonld_obj(doc: dict, graph: str = "") -> list[dict]:
         else:
             rows.append({**base, "obj": str(value), "obj_is_literal": True})
 
-    for node in nodes:
-        if not isinstance(node, dict) or "@id" not in node:
-            continue
-        subj = _jsonld_expand(node["@id"], ctx)
+    def walk_node(node: dict, g: str) -> str:
+        subj = (_jsonld_expand(node["@id"], ctx) if "@id" in node
+                else fresh_bnode())
+        if "@graph" in node:
+            # named-graph object: contained nodes live in graph `subj`
+            inner_g = subj if "@id" in node else g
+            for child in node["@graph"]:
+                if isinstance(child, dict):
+                    walk_node(child, inner_g)
         for key, value in node.items():
             if key == "@type":
                 for tv in value if isinstance(value, list) else [value]:
@@ -478,9 +547,18 @@ def parse_jsonld_obj(doc: dict, graph: str = "") -> list[dict]:
                         "subj": subj, "pred": _RDF_TYPE,
                         "obj": _jsonld_expand(tv, ctx),
                         "obj_is_literal": False, "obj_datatype": "",
-                        "obj_lang": "", "graph": graph, "url": ""})
+                        "obj_lang": "", "graph": g, "url": ""})
             elif not key.startswith("@"):
-                emit(subj, _jsonld_expand(key, ctx), value)
+                emit(subj, _jsonld_expand(key, ctx), value, g)
+        return subj
+
+    top = doc.get("@graph")
+    if top is not None:
+        for node in top:
+            if isinstance(node, dict):
+                walk_node(node, graph)
+    elif "@id" in doc or any(not k.startswith("@") for k in doc):
+        walk_node(doc, graph)
     return rows
 
 
@@ -501,15 +579,19 @@ def read_jsonld(paths):
 
     def parse_files(t: pa.Table) -> pa.Table:
         rows: list[dict] = []
-        for path in t.column("path").to_pylist():
+        for path, idx in zip(t.column("path").to_pylist(),
+                             t.column("idx").to_pylist()):
             with open(path, encoding="utf-8") as f:
                 doc = _json.load(f)
             docs = doc if isinstance(doc, list) else [doc]
-            for d in docs:
-                rows.extend(parse_jsonld_obj(d))
+            for j, d in enumerate(docs):
+                # blank labels are document-scoped: a per-(file, doc)
+                # prefix keeps merged graphs renamed apart
+                rows.extend(parse_jsonld_obj(d, bnode_prefix=f"{idx}_{j}_"))
         return pa.Table.from_pylist(rows, schema=_TRIPLE_SCHEMA)
 
-    return rd.from_items([{"path": p} for p in files]) \
+    return rd.from_items([{"path": p, "idx": i}
+                          for i, p in enumerate(files)]) \
         .map_batches(parse_files, batch_format="pyarrow", batch_size=1)
 
 
