@@ -1,0 +1,255 @@
+"""Hot-key-safe per-key ordered window ops (sessions / as-of /
+running sum) via composite (key, coarse-time-bucket) pre-split with
+boundary stitching.
+
+The naive shape — ``groupby(user).map_groups(ordered_fn)`` — is exact
+but concentrates one user's whole history in one task: a pathological
+user owning half the events at 100x scale becomes one giant task.
+Here every operator groups on the COMPOSITE key ``user x time-bucket``
+(single string key; multi-key groupby aggregates are a known Ray 2.49
+tax, BENCH/NOTES.md), so no task ever sees more than one bucket-width
+of one user's stream, then repairs the seams:
+
+- running sum: per-bucket local cumsum + per-bucket totals; a tiny
+  per-user pass turns totals into per-bucket carry-in offsets
+  (O(buckets/user) rows), added back by broadcast lookup.
+- as-of forward-carry: per-bucket local carry with a sentinel for
+  "no prior match in this bucket"; the per-bucket last-match summary
+  chains into carry-ins the same way; only sentinel rows are patched.
+- sessions: per-bucket sessions with first/last flags; only a
+  bucket's FIRST and LAST session can merge across the seam, so the
+  stitch pass sees <= 2 rows per (user, bucket) and re-applies the
+  same gap rule; middle sessions stream through untouched.
+
+Group summaries ride ALONG the data rows (a __kind marker column,
+split by filter downstream) so each operator pays exactly one
+composite-key shuffle plus one O(users x buckets) slim pass — no
+second scan of the events. Carry tables are broadcast below
+``broadcast_cap`` (users x buckets, slim) with a documented join
+fallback above it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DAY_US = 86_400_000_000
+_SEP = "\x1f"
+
+
+def _with_bucket_key(ds, key_col: str, ts_col: str, bucket_us: int,
+                     columns: list[str]):
+    """Append __k = '{key}\\x1f{bucket}' (and __b int64) to the rows."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        b = pc.divide(ts, pa.scalar(bucket_us, pa.int64()))
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column(key_col), pa.string()),
+            pc.cast(b, pa.string()), _SEP)
+        out = t.select(columns)
+        out = out.append_column("__b", pc.cast(b, pa.int64()))
+        return out.append_column("__k", k)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _carry_map(summaries: list[dict], key_col: str,
+               val_field: str, mode: str) -> dict[str, int]:
+    """(user, bucket, v) summary rows -> {'user\\x1fbucket': carry-in}.
+
+    mode='prefix_sum': carry = sum of v over earlier buckets.
+    mode='last':       carry = v of the latest earlier bucket with a
+                       non-sentinel v (sentinel = -1)."""
+    by_user: dict[str, list[tuple[int, int]]] = {}
+    for r in summaries:
+        by_user.setdefault(str(r[key_col]), []).append(
+            (int(r["__b"]), int(r[val_field])))
+    out: dict[str, int] = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        acc = 0 if mode == "prefix_sum" else -1
+        for b, v in rows:
+            out[f"{u}{_SEP}{b}"] = acc
+            if mode == "prefix_sum":
+                acc += v
+            elif v != -1:
+                acc = v
+    return out
+
+
+def running_sum_bucketed(ds, key_col: str, ts_col: str, id_col: str,
+                         value_col: str, out_col: str = "running_value_s",
+                         scale: int = 100, bucket_us: int = DAY_US,
+                         broadcast_cap: int = 2_000_000):
+    """Per-key running fixed-point sum ordered by (ts, id) — exact
+    equivalent of the single-group cumsum, hot-key-safe."""
+    import ray
+
+    keyed = _with_bucket_key(ds, key_col, ts_col, bucket_us,
+                             [id_col, key_col, ts_col, value_col])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], kind="mergesort")
+        vs = np.rint(df[value_col].to_numpy() * scale).astype("int64")
+        data = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "__local": np.cumsum(vs),
+            "__k": df["__k"].iloc[0],
+            key_col: df[key_col].iloc[0],
+            "__b": df["__b"].iloc[0],
+            "__kind": 0,
+        })
+        summary = data.iloc[-1:].copy()
+        summary["__kind"] = 1  # per-bucket total rides along
+        return pd.concat([data, summary], ignore_index=True)
+
+    both = keyed.groupby("__k").map_groups(
+        local, batch_format="pandas").materialize()
+    summaries = [r for r in both.filter(expr="__kind == 1").take_all()]
+    if len(summaries) > broadcast_cap:
+        raise NotImplementedError(
+            "carry table exceeds broadcast_cap; wire the join fallback "
+            f"({len(summaries)} > {broadcast_cap})")
+    carry = _carry_map(summaries, key_col, "__local", "prefix_sum")
+    keys = pa.array(list(carry.keys()), pa.string())
+    vals = pa.array(list(carry.values()), pa.int64())
+    ref = ray.put((keys, vals))
+
+    def patch(t: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _r
+
+        t = t.filter(pc.equal(t.column("__kind"), pa.scalar(0)))
+        ks, vs_ = _r.get(_ref)
+        idx = pc.index_in(t.column("__k"), value_set=ks)
+        off = pc.fill_null(pc.take(vs_, idx), 0)
+        return pa.table({
+            id_col: t.column(id_col),
+            out_col: pc.add(t.column("__local"), off)})
+
+    return both.map_batches(patch, batch_format="pyarrow")
+
+
+def asof_carry_bucketed(ds, key_col: str, ts_col: str, id_col: str,
+                        type_col: str, probe_type: str, match_type: str,
+                        out_col: str = "click_event_id",
+                        bucket_us: int = DAY_US,
+                        broadcast_cap: int = 2_000_000):
+    """For every `probe_type` event, the id of the most recent prior
+    `match_type` event of the same key (sentinel -1 when none) —
+    exact forward-carry, hot-key-safe."""
+    import ray
+
+    keyed = _with_bucket_key(ds, key_col, ts_col, bucket_us,
+                             [id_col, key_col, ts_col, type_col])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], kind="mergesort")
+        last = -1
+        ids, vals = [], []
+        for eid, etype in zip(df[id_col], df[type_col]):
+            if etype == probe_type:
+                ids.append(eid)
+                vals.append(last)
+            if etype == match_type:
+                last = int(eid)
+        data = pd.DataFrame({
+            id_col: pd.array(ids, dtype="int64"),
+            "__local": pd.array(vals, dtype="int64"),
+            "__k": df["__k"].iloc[0], key_col: df[key_col].iloc[0],
+            "__b": df["__b"].iloc[0], "__kind": 0})
+        summary = pd.DataFrame({
+            id_col: pd.array([-1], dtype="int64"),
+            "__local": pd.array([last], dtype="int64"),  # -1 = no match
+            "__k": [df["__k"].iloc[0]], key_col: [df[key_col].iloc[0]],
+            "__b": [df["__b"].iloc[0]], "__kind": [1]})
+        return pd.concat([data, summary], ignore_index=True)
+
+    both = keyed.groupby("__k").map_groups(
+        local, batch_format="pandas").materialize()
+    summaries = [r for r in both.filter(expr="__kind == 1").take_all()]
+    if len(summaries) > broadcast_cap:
+        raise NotImplementedError(
+            "carry table exceeds broadcast_cap; wire the join fallback "
+            f"({len(summaries)} > {broadcast_cap})")
+    carry = _carry_map(summaries, key_col, "__local", "last")
+    keys = pa.array(list(carry.keys()), pa.string())
+    vals = pa.array(list(carry.values()), pa.int64())
+    ref = ray.put((keys, vals))
+
+    def patch(t: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _r
+
+        t = t.filter(pc.equal(t.column("__kind"), pa.scalar(0)))
+        ks, vs_ = _r.get(_ref)
+        idx = pc.index_in(t.column("__k"), value_set=ks)
+        cin = pc.fill_null(pc.take(vs_, idx), -1)
+        local_v = t.column("__local")
+        fixed = pc.if_else(pc.equal(local_v, pa.scalar(-1, pa.int64())),
+                           cin, local_v)
+        return pa.table({id_col: t.column(id_col), out_col: fixed})
+
+    return both.map_batches(patch, batch_format="pyarrow")
+
+
+def sessions_bucketed(ds, key_col: str, ts_col: str, id_col: str,
+                      value_col: str, gap_hours: int = 2,
+                      scale: int = 100, bucket_us: int = DAY_US):
+    """Gap-based session windows, hot-key-safe: per-bucket sessions
+    with first/last flags, then a per-key stitch over ONLY the
+    boundary sessions (<= 2 per bucket) re-applying the same gap rule
+    across seams; middle sessions stream through untouched."""
+    keyed = _with_bucket_key(ds, key_col, ts_col, bucket_us,
+                             [id_col, key_col, ts_col, value_col])
+    gap_ns = np.timedelta64(gap_hours, "h")
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], kind="mergesort")
+        gap = df[ts_col].diff() > gap_ns
+        sess = gap.cumsum()
+        vs = np.rint(df[value_col].to_numpy() * scale).astype("int64")
+        df = df.assign(_sess=sess, _vs=vs)
+        out = df.groupby("_sess").agg(
+            **{key_col: (key_col, "first"),
+               "session_start": (ts_col, "min"),
+               "session_end": (ts_col, "max"),
+               "n_events": (id_col, "size"),
+               "value_s": ("_vs", "sum")}).reset_index(drop=True)
+        out["n_events"] = out["n_events"].astype("int64")
+        n = len(out)
+        out["__boundary"] = [(i == 0 or i == n - 1) for i in range(n)]
+        return out
+
+    sess = keyed.groupby("__k").map_groups(
+        local, batch_format="pandas").materialize()
+    middle = sess.filter(expr="__boundary == False")
+
+    def stitch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["session_start", "session_end"],
+                            kind="mergesort")
+        rows = df.to_dict("records")
+        merged = [dict(rows[0])]
+        for r in rows[1:]:
+            cur = merged[-1]
+            if (r["session_start"] - cur["session_end"]) <= gap_ns:
+                cur["session_end"] = max(cur["session_end"],
+                                         r["session_end"])
+                cur["n_events"] += r["n_events"]
+                cur["value_s"] += r["value_s"]
+            else:
+                merged.append(dict(r))
+        out = pd.DataFrame(merged)
+        return out[[key_col, "session_start", "session_end",
+                    "n_events", "value_s"]]
+
+    cols = [key_col, "session_start", "session_end", "n_events", "value_s"]
+    stitched = sess.filter(expr="__boundary == True") \
+        .groupby(key_col).map_groups(stitch, batch_format="pandas") \
+        .map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+    middle = middle.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow")
+    return middle.union(stitched)

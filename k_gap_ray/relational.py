@@ -243,31 +243,18 @@ def q_events_sliding(sf_dir: str):
 def q_events_sessions(sf_dir: str, gap_hours: int = 24):
     """Session windows (gap-based): per user, events closer than
     `gap_hours` chain into one session. Ray Data has no session-window
-    primitive; the composition is groupby(key).map_groups with an
-    ordered gap-detection cumsum inside each group — exact semantics,
-    partitioned by the session key. Values are fixed-point int64."""
-
-    def sessions(df):
-        import numpy as np
-
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = df["ts"].diff() > np.timedelta64(gap_hours, "h")
-        sess = gap.cumsum()
-        vs = np.rint(df["value"].to_numpy() * 100).astype("int64")
-        df = df.assign(_sess=sess, _vs=vs)
-        out = df.groupby("_sess").agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("event_id", "size"),
-            value_s=("_vs", "sum"),
-        ).reset_index(drop=True)
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "session_start", "session_end",
-                    "n_events", "value_s"]]
+    primitive; the composition is the HOT-KEY-SAFE composite
+    (user x day-bucket) pre-split with boundary stitching
+    (functions/windows.py:sessions_bucketed) — exact semantics (the
+    stitch re-applies the same gap rule across bucket seams), and no
+    task ever holds more than one day of one user's stream. Values
+    are fixed-point int64."""
+    from k_gap_ray.functions.windows import sessions_bucketed
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = sessions_bucketed(ds, key_col="user_id", ts_col="ts",
+                            id_col="event_id", value_col="value",
+                            gap_hours=gap_hours, scale=100)
     return out.map_batches(
         lambda t: (t.set_column(t.column_names.index("session_start"),
                                 "session_start",
@@ -284,29 +271,18 @@ def q_events_asof_click(sf_dir: str):
     """As-of join WITHIN the event stream: for every 'error' event,
     the most recent prior 'click' event of the same user (event-time
     as-of, ties broken by event_id). Ray Data lacks an as-of join;
-    the composition is groupby(key).map_groups with an ordered
-    forward-carry — the partitioning assumption is that one key's
-    history fits a group, which holds for per-user event streams."""
-
-    def asof(df):
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        last_click = -1  # sentinel: no prior click (null-free output)
-        out_ids, out_clicks = [], []
-        for eid, etype in zip(df["event_id"], df["event_type"]):
-            if etype == "error":
-                out_ids.append(eid)
-                out_clicks.append(last_click)
-            if etype == "click":
-                last_click = eid
-        import pandas as pd
-
-        return pd.DataFrame({"event_id": out_ids,
-                             "click_event_id": pd.array(out_clicks,
-                                                        dtype="int64")})
+    the composition is the hot-key-safe composite (user x day-bucket)
+    forward-carry with per-bucket last-match summaries chained into
+    carry-ins (functions/windows.py:asof_carry_bucketed) — exact, and
+    one pathological user no longer concentrates in one task."""
+    from k_gap_ray.functions.windows import asof_carry_bucketed
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
                                   "event_type"])
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return asof_carry_bucketed(ds, key_col="user_id", ts_col="ts",
+                               id_col="event_id", type_col="event_type",
+                               probe_type="error", match_type="click",
+                               out_col="click_event_id")
 
 
 def q_events_user_running(sf_dir: str):
@@ -317,16 +293,12 @@ def q_events_user_running(sf_dir: str):
     int64 so the cumulative sum is exact and order-stable vs the SQL
     window-function oracle."""
 
-    def running(df):
-        import numpy as np
-
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        vs = np.rint(df["value"].to_numpy() * 100).astype("int64")
-        df["running_value_s"] = np.cumsum(vs)
-        return df[["event_id", "running_value_s"]]
+    from k_gap_ray.functions.windows import running_sum_bucketed
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return running_sum_bucketed(ds, key_col="user_id", ts_col="ts",
+                                id_col="event_id", value_col="value",
+                                out_col="running_value_s", scale=100)
 
 
 def q_orders_rank(sf_dir: str):

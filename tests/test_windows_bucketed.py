@@ -1,0 +1,126 @@
+"""Hot-key-safe window ops (functions/windows.py): exactness of the
+composite (key, time-bucket) pre-split + boundary stitching vs a
+single-pass pandas reference, under heavy key skew (one user owns
+half the events) and with sessions spanning bucket seams."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from k_gap_ray.functions.windows import (DAY_US, asof_carry_bucketed,
+                                         running_sum_bucketed,
+                                         sessions_bucketed)
+
+
+def _skewed_events(n: int = 4000, seed: int = 7) -> pd.DataFrame:
+    """Half the events belong to user 0; timestamps span ~20 days so
+    day-bucketing splits every user's stream across many buckets."""
+    rng = np.random.RandomState(seed)
+    user = np.where(rng.rand(n) < 0.5, 0, rng.randint(1, 30, size=n))
+    ts = (np.datetime64("2024-01-01", "us")
+          + rng.randint(0, 20 * 86_400_000_000, size=n)
+          .astype("timedelta64[us]"))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": user.astype("int64"),
+        "ts": ts,
+        "event_type": rng.choice(["click", "error", "view"], size=n),
+        "value": np.round(rng.rand(n) * 100, 2),
+    })
+
+
+def test_running_sum_matches_single_pass_under_skew(ray_session):
+    import ray.data as rd
+
+    df = _skewed_events()
+    out = running_sum_bucketed(
+        rd.from_arrow(pa.Table.from_pandas(df)), key_col="user_id",
+        ts_col="ts", id_col="event_id", value_col="value",
+        bucket_us=DAY_US).take_all()
+    mine = {r["event_id"]: r["running_value_s"] for r in out}
+
+    ref = {}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        vs = np.rint(g["value"].to_numpy() * 100).astype("int64")
+        for eid, rv in zip(g["event_id"], np.cumsum(vs)):
+            ref[int(eid)] = int(rv)
+    assert mine == ref
+
+
+def test_asof_matches_single_pass_under_skew(ray_session):
+    import ray.data as rd
+
+    df = _skewed_events()
+    out = asof_carry_bucketed(
+        rd.from_arrow(pa.Table.from_pandas(df)), key_col="user_id",
+        ts_col="ts", id_col="event_id", type_col="event_type",
+        probe_type="error", match_type="click",
+        bucket_us=DAY_US).take_all()
+    mine = {r["event_id"]: r["click_event_id"] for r in out}
+
+    ref = {}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        last = -1
+        for eid, et in zip(g["event_id"], g["event_type"]):
+            if et == "error":
+                ref[int(eid)] = last
+            if et == "click":
+                last = int(eid)
+    assert mine == ref
+
+
+def test_sessions_stitch_across_bucket_seams(ray_session):
+    """Events 1 hour apart across midnight MUST merge into one session
+    (gap 2h, day buckets): the boundary stitch is doing real work."""
+    import ray.data as rd
+
+    rows = []
+    eid = 0
+    # user 5: a chain crossing two midnights, one event per 20 hours
+    t = np.datetime64("2024-01-01T20:00:00", "us")
+    for _ in range(5):
+        rows.append((eid, 5, t, 1.0))
+        eid += 1
+        t += np.timedelta64(90, "m")  # 1.5h < 2h gap: one session
+    # user 6: two sessions inside one day
+    rows.append((eid, 6, np.datetime64("2024-01-03T01:00:00", "us"), 2.0))
+    rows.append((eid + 1, 6, np.datetime64("2024-01-03T09:00:00", "us"), 3.0))
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+
+    out = sessions_bucketed(
+        rd.from_arrow(pa.Table.from_pandas(df)), key_col="user_id",
+        ts_col="ts", id_col="event_id", value_col="value",
+        gap_hours=2, bucket_us=DAY_US).take_all()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[5]) == 1
+    s = by_user[5][0]
+    assert s["n_events"] == 5 and s["value_s"] == 500
+    assert len(by_user[6]) == 2
+
+
+def test_sessions_match_single_pass_under_skew(ray_session):
+    import ray.data as rd
+
+    df = _skewed_events(n=2000)
+    out = sessions_bucketed(
+        rd.from_arrow(pa.Table.from_pandas(df)), key_col="user_id",
+        ts_col="ts", id_col="event_id", value_col="value",
+        gap_hours=2, bucket_us=DAY_US).take_all()
+    mine = sorted((r["user_id"], pd.Timestamp(r["session_start"]),
+                   pd.Timestamp(r["session_end"]), r["n_events"],
+                   r["value_s"]) for r in out)
+
+    ref = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        sess = (g["ts"].diff() > np.timedelta64(2, "h")).cumsum()
+        vs = np.rint(g["value"].to_numpy() * 100).astype("int64")
+        g = g.assign(_s=sess, _v=vs)
+        for _, sg in g.groupby("_s"):
+            ref.append((uid, sg["ts"].min(), sg["ts"].max(),
+                        len(sg), int(sg["_v"].sum())))
+    assert mine == sorted(ref)
