@@ -1951,25 +1951,84 @@ _SQL_JSONLD_NESTED = """
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the grading driver verifies the FIRST 50 entries
-    # against oracle_sql(). Round 2 verified the relational+doc families
-    # (all green twice); this round the previously-unchecked families
-    # (SPARQL, kg_docs, embeddings, workflow, rdf, pagerank) lead so the
-    # hard signal reaches them, and the twice-green relational family
-    # trails.
+    # against oracle_sql(). Round-4 rotation (round-3 verdict item 1):
+    # the 17 oracled-but-never-driver-verified queries lead, then the
+    # round-4 additions (UPDATE, FTS, nested JSON-LD, the now-oracled
+    # ANN pair), then the three window ops whose implementation
+    # changed this round (hot-key bucketing) and a SPARQL slice that
+    # exercises the new broadcast-join path, then once-green round-3
+    # entries fill to 50. Twice-green relational/doc families trail.
+    # kg_report stays OUT of the window deliberately: it has no SQL
+    # oracle (computed over the synthesized pages corpus) and would
+    # burn a verified slot with err:no_oracle — its round-1 repair is
+    # evidenced by entry() + pytest instead.
     return {
-        # --- SPARQL engine over the docs-derived KG (S3) ---
+        # --- never driver-verified, all with value-hash oracles ---
+        "q_deref_reachable": _deref_reachable,
+        "q_pagerank": _pagerank,
+        "q_triangles": _triangles,
+        "q_doc_dup_clusters": _doc_dup_clusters,
+        "q_doc_vocab": _doc_vocab,
+        "q_doc_repetition": _doc_repetition,
+        "q_doc_packing": _doc_packing,
+        "q_doc_search": _doc_search,
+        "q_doc_splits": _doc_splits,
+        "q_doc_mixture": _doc_mixture,
+        "q_doc_hash_sample": _doc_hash_sample,
+        "q_doc_clean_corpus": _doc_clean_corpus,
+        "q_doc_len_hist": _doc_len_hist,
+        "q_events_asof_value": rel.q_events_asof_value,
+        "q_url_features": _url_features,
+        "q_domain_stats": _domain_stats,
+        "q_url_normalize": _url_normalize,
+        "q_media_features": _media_features,
+        # --- new in round 4 ---
+        "q_sparql_docs_update": _sparql_docs_update,
+        "q_sparql_docs_fts": _sparql_docs_fts,
+        "q_rdf_jsonld_nested": _rdf_jsonld_nested,
+        "q_knn_lsh": _knn_lsh,
+        "q_knn_ivf": _knn_ivf,
+        # --- implementation changed in round 4: hot-key bucketed
+        #     window ops need the hard signal on the NEW code ---
+        "q_events_sessions": rel.q_events_sessions,
+        "q_events_asof_click": rel.q_events_asof_click,
+        "q_events_user_running": rel.q_events_user_running,
+        # --- SPARQL slice over the new broadcast BGP-join path ---
         "q_sparql_docs": _sparql_docs,
         "q_sparql_docs_agg": _sparql_docs_agg,
+        "q_sparql_docs_path": _sparql_docs_path,
+        "q_sparql_docs_altpath": _sparql_docs_altpath,
+        "q_sparql_docs_star": _sparql_docs_star,
+        "q_sparql_docs_optpath": _sparql_docs_optpath,
+        "q_sparql_docs_minus": _sparql_docs_minus,
+        "q_sparql_docs_exists": _sparql_docs_exists,
+        "q_sparql_docs_countdistinct": _sparql_docs_countdistinct,
+        # --- once-green round-3 entries fill positions 37-50 ---
+        "kg_docs_triples": _kg_docs_triples,
+        "kg_docs_entities": _kg_docs_entities,
+        "kg_docs_mention_counts": _kg_docs_mention_counts,
+        "q_shacl_docs": _shacl_docs,
+        "q_bfs_depths": _bfs_depths,
+        "q_rdf_turtle": _rdf_turtle,
+        "q_workflow_lang_en": _workflow_lang_en,
+        "q_doc_neardup_dedup": _doc_neardup_dedup,
+        "q_doc_decontam": _doc_decontam,
+        "q_doc_line_dedup": _doc_line_dedup,
+        "q_media_png": _media_png,
+        "q_media_wav": _media_wav,
+        "q_emb_dedup_survivors": _emb_dedup_survivors,
+        "q_emb_sim_join": _emb_sim_join,
+        # --- past the 50-entry window: driver-green in r02/r03 ---
+        "q_emb_centroids": _emb_centroids,
+        "q_emb_near_dup": _emb_near_dup,
+        "q_knn_top10": _knn,
+        "q_knn_quantized": _knn_quantized,
         "q_sparql_docs_union": _sparql_docs_union,
         "q_sparql_docs_notexists": _sparql_docs_notexists,
         "q_sparql_docs_construct": _sparql_docs_construct,
-        "q_sparql_docs_path": _sparql_docs_path,
-        "q_sparql_docs_altpath": _sparql_docs_altpath,
         "q_sparql_docs_bind": _sparql_docs_bind,
         "q_sparql_docs_graph": _sparql_docs_graph,
         "q_sparql_docs_ask": _sparql_docs_ask,
-        # --- round-3 SPARQL surface: typed literals, LANG/BOUND/IF/
-        #     STRLEN, SUM/AVG/GROUP_CONCAT, path * and ? ---
         "q_sparql_docs_numeric": _sparql_docs_numeric,
         "q_sparql_docs_typed": _sparql_docs_typed,
         "q_sparql_docs_sum": _sparql_docs_sum,
@@ -1978,72 +2037,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_bound": _sparql_docs_bound,
         "q_sparql_docs_multiagg": _sparql_docs_multiagg,
         "q_sparql_docs_having": _sparql_docs_having,
-        "q_sparql_docs_minus": _sparql_docs_minus,
-        "q_sparql_docs_exists": _sparql_docs_exists,
         "q_sparql_docs_values": _sparql_docs_values,
-        "q_sparql_docs_star": _sparql_docs_star,
-        "q_sparql_docs_optpath": _sparql_docs_optpath,
         "q_sparql_docs_lang": _sparql_docs_lang,
         "q_sparql_docs_datetime": _sparql_docs_datetime,
-        "q_sparql_docs_countdistinct": _sparql_docs_countdistinct,
-        "q_sparql_docs_update": _sparql_docs_update,
-        "q_sparql_docs_fts": _sparql_docs_fts,
-        # --- KG pipeline over a documents-derived corpus (FULL oracle) ---
-        "kg_docs_triples": _kg_docs_triples,
-        "kg_docs_entities": _kg_docs_entities,
-        "kg_docs_mention_counts": _kg_docs_mention_counts,
-        "q_shacl_docs": _shacl_docs,
-        # --- embeddings: similarity search + near-dup ---
-        "q_knn_top10": _knn,
-        "q_knn_quantized": _knn_quantized,
-        "q_knn_lsh": _knn_lsh,
-        "q_knn_ivf": _knn_ivf,
-        "q_emb_near_dup": _emb_near_dup,
-        "q_emb_sim_join": _emb_sim_join,
-        "q_emb_dedup_survivors": _emb_dedup_survivors,
-        "q_emb_centroids": _emb_centroids,
-        # --- compositions / graph / formats unchecked in r2 ---
-        # positions 36-50 fill the rest of the 50-query driver window:
-        # round-3 additions + never-driver-verified queries lead; the
-        # eight demoted just below (51-58) were judge-re-verified via
-        # tools/check_oracle.py in round 2, so they lose least by
-        # sitting first past the window
-        "q_bfs_depths": _bfs_depths,
-        "q_rdf_turtle": _rdf_turtle,
-        "q_rdf_jsonld_nested": _rdf_jsonld_nested,
-        "q_workflow_lang_en": _workflow_lang_en,
-        "q_doc_neardup_dedup": _doc_neardup_dedup,
-        "q_doc_decontam": _doc_decontam,
         "q_doc_dup_spans": _doc_dup_spans,
         "q_part_fuzzy_pairs": _part_fuzzy_pairs,
         "q_doc_redact": _doc_redact,
         "q_events_range_join": rel.q_events_range_join,
-        "q_media_png": _media_png,
-        "q_media_wav": _media_wav,
-        "q_doc_line_dedup": _doc_line_dedup,
-        # --- past the 50-entry window: locally twice-green or
-        #     judge-re-verified in r2 (asof/url/domain demoted when
-        #     the countdistinct/wav/line-dedup additions joined;
-        #     media_features demoted for the range join — png+wav keep
-        #     the media decode path in-window) ---
-        "q_media_features": _media_features,
-        "q_events_asof_value": rel.q_events_asof_value,
-        "q_url_features": _url_features,
-        "q_domain_stats": _domain_stats,
-        "q_url_normalize": _url_normalize,
-        "q_triangles": _triangles,
-        "q_deref_reachable": _deref_reachable,
-        "q_doc_splits": _doc_splits,
-        "q_doc_mixture": _doc_mixture,
-        "q_doc_len_hist": _doc_len_hist,
-        "q_doc_clean_corpus": _doc_clean_corpus,
-        "q_pagerank": _pagerank,
-        "q_doc_dup_clusters": _doc_dup_clusters,
-        "q_doc_hash_sample": _doc_hash_sample,
-        "q_doc_vocab": _doc_vocab,
-        "q_doc_repetition": _doc_repetition,
-        "q_doc_packing": _doc_packing,
-        "q_doc_search": _doc_search,
         # --- relational operator surface (SURVEY.md 2.4-2.7) ---
         "q_agg_pricing": rel.q_agg_pricing,
         "q_filter_bind": rel.q_filter_bind,
@@ -2053,9 +2053,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hourly": rel.q_events_hourly,
         "q_events_hourly_pivot": rel.q_events_hourly_pivot,
         "q_events_sliding": rel.q_events_sliding,
-        "q_events_sessions": rel.q_events_sessions,
-        "q_events_asof_click": rel.q_events_asof_click,
-        "q_events_user_running": rel.q_events_user_running,
         "q_events_ntile": rel.q_events_ntile,
         "q_events_value_delta": rel.q_events_value_delta,
         "q_events_watermark": rel.q_events_watermark,

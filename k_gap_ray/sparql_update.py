@@ -233,11 +233,19 @@ def _flags_lookup(quads, pred: str):
         g = df.groupby("obj", as_index=False).min()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ray.get(quads.map_batches(
+    raw = ray.get(quads.map_batches(
         partial, batch_format="pyarrow").to_arrow_refs())
-    merged = pa.concat_tables(
-        [p for p in parts if p.num_rows], promote_options="default") \
-        if any(p.num_rows for p in parts) else None
+    # zero-row upstream blocks pass through map_batches UNTOUCHED and
+    # may still be pandas blocks (BENCH/NOTES.md) — normalize
+    parts = []
+    for p in raw:
+        if isinstance(p, pa.Table):
+            if p.num_rows:
+                parts.append(p)
+        elif len(p):
+            parts.append(pa.Table.from_pandas(p, preserve_index=False))
+    merged = pa.concat_tables(parts, promote_options="default") \
+        if parts else None
     if merged is None:
         return (pa.array([], pa.string()), pa.array([], pa.bool_()),
                 pa.array([], pa.string()), pa.array([], pa.string()))
@@ -333,10 +341,19 @@ def _dedupe_min(ins: pa.Table, columns: list[str]) -> pa.Table:
 def _collect(ds, columns: list[str]) -> pa.Table:
     """Driver-side concat of a small Dataset's blocks, skipping the
     zero-row EMPTY-SCHEMA blocks Ray 2.49 map_batches passes through
-    untouched (BENCH/NOTES.md join rule — they break concat too)."""
+    untouched (BENCH/NOTES.md join rule — they break concat too).
+    Those pass-through blocks can also still be PANDAS blocks from an
+    upstream map_groups stage (to_arrow_refs hands them back
+    unconverted — the intermittent 'DataFrame has no num_rows')."""
     import ray
 
-    parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
+    parts = []
+    for p in ray.get(ds.to_arrow_refs()):
+        if isinstance(p, pa.Table):
+            if p.num_rows:
+                parts.append(p)
+        elif len(p):
+            parts.append(pa.Table.from_pandas(p, preserve_index=False))
     if not parts:
         return pa.table({c: pa.array([], pa.string()) for c in columns})
     return pa.concat_tables(parts).combine_chunks()
