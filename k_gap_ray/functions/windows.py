@@ -198,11 +198,18 @@ def asof_carry_bucketed(ds, key_col: str, ts_col: str, id_col: str,
 
 def sessions_bucketed(ds, key_col: str, ts_col: str, id_col: str,
                       value_col: str, gap_hours: int = 2,
-                      scale: int = 100, bucket_us: int = DAY_US):
+                      scale: int = 100, bucket_us: int = DAY_US,
+                      broadcast_cap: int = 2_000_000):
     """Gap-based session windows, hot-key-safe: per-bucket sessions
     with first/last flags, then a per-key stitch over ONLY the
     boundary sessions (<= 2 per bucket) re-applying the same gap rule
-    across seams; middle sessions stream through untouched."""
+    across seams; middle sessions stream through untouched.
+
+    The boundary set is O(keys x buckets); below ``broadcast_cap`` it
+    stitches on the driver (one pandas groupby — saves the second Ray
+    groupby shuffle, ~5-6 s fixed cost at sf0.1), above it the stitch
+    runs as a distributed groupby(key).map_groups over the slim
+    boundary rows."""
     keyed = _with_bucket_key(ds, key_col, ts_col, bucket_us,
                              [id_col, key_col, ts_col, value_col])
     gap_ns = np.timedelta64(gap_hours, "h")
@@ -247,9 +254,19 @@ def sessions_bucketed(ds, key_col: str, ts_col: str, id_col: str,
                     "n_events", "value_s"]]
 
     cols = [key_col, "session_start", "session_end", "n_events", "value_s"]
-    stitched = sess.filter(expr="__boundary == True") \
-        .groupby(key_col).map_groups(stitch, batch_format="pandas") \
-        .map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+    boundary = sess.filter(expr="__boundary == True").materialize()
+    if boundary.count() <= broadcast_cap:
+        import ray.data as rd
+
+        bdf = boundary.to_pandas()
+        parts = [stitch(g) for _, g in bdf.groupby(key_col, sort=False)]
+        stitched = rd.from_arrow(pa.Table.from_pandas(
+            pd.concat(parts, ignore_index=True)[cols],
+            preserve_index=False))
+    else:
+        stitched = boundary \
+            .groupby(key_col).map_groups(stitch, batch_format="pandas") \
+            .map_batches(lambda t: t.select(cols), batch_format="pyarrow")
     middle = middle.map_batches(
         lambda t: t.select(cols), batch_format="pyarrow")
     return middle.union(stitched)

@@ -278,6 +278,12 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
                 # run_workflow's Dataset return contract) keep working
                 ds = (_rd.from_arrow(out) if isinstance(out, _pa.Table)
                       else out)
+        elif op == "sparql_update":
+            # the reference's mutation surface as a pipeline step:
+            # apply an UPDATE script to the quads Dataset in flight
+            from k_gap_ray.sparql_update import apply_update
+
+            ds = apply_update(ds, step.pop("update"), **step)
         elif op == "construct_remap":
             from k_gap_ray.ops.transform import construct_remap
 

@@ -116,6 +116,47 @@ def test_delete_data_removes_all_graph_copies(ray_session):
     assert all(r["pred"] != "urn:p:name" for r in out.take_all())
 
 
+def test_workflow_sparql_update_step(ray_session):
+    """The UPDATE surface composes as a workflow step: mutate the
+    quads in flight, then SELECT over the mutated store in the same
+    spec (the sparql step sees the rewritten predicates)."""
+    import ray.data as rd
+
+    from k_gap_ray.workflow import run_workflow
+
+    out = run_workflow([
+        {"op": "sparql_update", "update": SCRIPT},
+        {"op": "sparql", "query": """
+            PREFIX p: <urn:p:>
+            SELECT ?a ?loc WHERE { ?a p:basedAt ?loc . }
+        """},
+    ], dataset=rd.from_arrow(_quads_table()))
+    rows = sorted((r["a"], r["loc"]) for r in out.take_all())
+    assert rows == [("urn:e:a", "marine station x"),
+                    ("urn:e:new", "marine lagoon y")]
+
+
+def test_workflow_sparql_fts_predicate(ray_session):
+    """The FTS magic predicate works through the workflow sparql step
+    (the planner hook rewrites it transparently)."""
+    import ray.data as rd
+
+    from k_gap_ray.workflow import run_workflow
+
+    out = run_workflow([
+        {"op": "sparql", "query": """
+            PREFIX kfts: <urn:kgap:fts:>
+            SELECT ?e ?score WHERE {
+              ?e kfts:searchIndex "marine" .
+              ?e kfts:score ?score .
+            }
+        """},
+    ], dataset=rd.from_arrow(_quads_table()))
+    rows = [(r["e"], r["score"]) for r in out.take_all()]
+    # N=3 literal-indexed subjects (a, b, c), df("marine")=1, tf=1
+    assert rows == [("urn:e:a", "3000")]
+
+
 def test_apply_update_store_buckets(ray_session, tmp_path):
     """Store-level UPDATE: only affected subject buckets rewritten,
     statements applied sequentially, set semantics on disk."""
