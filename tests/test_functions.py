@@ -716,6 +716,12 @@ def test_pagerank_int_matches_sql_oracle(ray_session):
     assert res == exp
     # no-inbound node 6 sits at the constant teleport rank
     assert res[6] == 150_000
+    # the distributed path (driver_cap=0 forces it) is byte-identical
+    # to the driver fast path the small graph took above
+    dist = {r["node"]: r["rank"] for r in
+            pagerank_int(edges, iters=4, num_partitions=2,
+                         driver_cap=0).take_all()}
+    assert dist == exp
 
 
 def _search_corpus():
