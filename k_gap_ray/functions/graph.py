@@ -209,7 +209,12 @@ r{i} AS (
     return "".join(parts)
 
 
-def triangle_count(edges_ds, num_partitions: int | None = None):
+_TRI_DRIVER_CAP = 2_000_000
+_EMPTY_SET: frozenset = frozenset()
+
+
+def triangle_count(edges_ds, num_partitions: int | None = None,
+                   driver_cap: int = _TRI_DRIVER_CAP):
     """Undirected triangle count over an edge-list Dataset(src, dst);
     returns a one-row pa.Table ``{n_triangles: int64}``.
 
@@ -251,9 +256,46 @@ def triangle_count(edges_ds, num_partitions: int | None = None):
            .map_batches(lambda t: t.select(["a", "b"]),
                         batch_format="pyarrow"))
     und = und.materialize()
-    if und.count() == 0:  # Ray 2.49 hash joins crash on empty sides
+    n_und = und.count()
+    if n_und == 0:  # Ray 2.49 hash joins crash on empty sides
         return pa.table({"n_triangles": pa.array([0], pa.int64())})
     und = drop_empty_blocks(und)
+
+    if n_und <= driver_cap:
+        # small-graph fast path: the distributed version pays four
+        # hash shuffles of fixed multi-second cost; under the cap the
+        # same compact-forward count runs on the collected pair list
+        # (measured 16.4 s -> ~4 s at sf0.01, same count)
+        import ray
+
+        parts = []
+        for p in ray.get(und.to_arrow_refs()):
+            if not isinstance(p, pa.Table):
+                p = pa.Table.from_pandas(p, preserve_index=False)
+            if p.num_rows:
+                parts.append(p.select(["a", "b"]))
+        t = pa.concat_tables(parts).combine_chunks()
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.concatenate([a, b]),
+                              return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        d = np.bincount(ai, minlength=len(uniq)) \
+            + np.bincount(bi, minlength=len(uniq))
+        # orient each {u, v} from the (degree, node-code)-smaller end
+        a_first = (d[ai] < d[bi]) | ((d[ai] == d[bi]) & (ai < bi))
+        u = np.where(a_first, ai, bi)
+        v = np.where(a_first, bi, ai)
+        out: dict[int, set] = {}
+        for uu, vv in zip(u.tolist(), v.tolist()):
+            out.setdefault(uu, set()).add(vv)
+        n_tri = 0
+        for uu, nbrs in out.items():
+            for vv in nbrs:
+                n_tri += len(nbrs & out.get(vv, _EMPTY_SET))
+        # each triangle counted once: wedge (u->v1, u->v2) closed by
+        # the oriented v1->v2 edge — v2 in out[v1] checks exactly that
+        return pa.table({"n_triangles": pa.array([n_tri], pa.int64())})
 
     # degree per node: partial per-batch counts, one slim shuffle
     def node_partials(t: pa.Table) -> pa.Table:

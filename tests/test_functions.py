@@ -1003,6 +1003,11 @@ def test_triangle_count_matches_sql_oracle(ray_session):
     assert got.column("n_triangles").to_pylist() == [exp]
     # K4 contributes 4; h-l1-1? h-l1 and l1-1 exist but h-1 does not
     assert exp == 4
+    # the distributed path (driver_cap=0 forces it) agrees with the
+    # driver fast path the small edge list took above
+    dist = triangle_count(rd.from_arrow(edges).repartition(4),
+                          driver_cap=0)
+    assert dist.column("n_triangles").to_pylist() == [exp]
 
 
 def test_triangle_count_empty_edges(ray_session):
