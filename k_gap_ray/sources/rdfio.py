@@ -621,6 +621,68 @@ def format_ntriples_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"text": pa.array(lines, pa.string())})
 
 
+def format_trig_batch(batch: pa.Table) -> pa.Table:
+    """triples rows -> TriG text (one named-graph block per graph
+    value appearing in the batch; graphless rows emit bare triples).
+    The reference's backup format (graphdb.md:410-428 exports
+    application/x-trig)."""
+    by_graph: dict[str, list[str]] = {}
+    graphs = (batch.column("graph").to_pylist()
+              if "graph" in batch.column_names else [""] * batch.num_rows)
+    for s, p, o, is_lit, dt, lang, g in zip(
+            batch.column("subj").to_pylist(),
+            batch.column("pred").to_pylist(),
+            batch.column("obj").to_pylist(),
+            batch.column("obj_is_literal").to_pylist(),
+            batch.column("obj_datatype").to_pylist(),
+            batch.column("obj_lang").to_pylist(),
+            graphs):
+        if is_lit:
+            term = f'"{_escape(o)}"'
+            if dt:
+                term += f"^^<{dt}>"
+            elif lang:
+                term += f"@{lang}"
+        else:
+            term = f"<{o}>"
+        by_graph.setdefault(g or "", []).append(
+            f"  <{s}> <{p}> {term} .")
+    chunks = []
+    for g in sorted(by_graph):
+        lines = "\n".join(by_graph[g])
+        if g:
+            chunks.append(f"<{g}> {{\n{lines}\n}}")
+        else:
+            chunks.append("\n".join(ln.lstrip() for ln in by_graph[g]))
+    return pa.table({"text": pa.array(chunks, pa.string())})
+
+
+def write_trig(triples_ds, out_dir: str):
+    """triples Dataset -> directory of .trig shard files, one
+    named-graph block per graph per shard (S8's quad-preserving twin:
+    the reference backs its store up as TriG and restores by POSTing
+    it back — our read_turtle parses these shards straight back into
+    the same quads). Content-addressed shard names, retry-safe."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        t = format_trig_batch(batch)
+        body = "\n".join(t.column("text").to_pylist()) + "\n"
+        name = hashlib.blake2b(body.encode("utf-8"),
+                               digest_size=10).hexdigest()
+        path = os.path.join(out_dir, f"part-{name}.trig")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(body)
+        os.replace(tmp, path)
+        return pa.table({"path": [path], "n_blocks": [t.num_rows]})
+
+    return triples_ds.map_batches(write_shard, batch_format="pyarrow")
+
+
 def write_ntriples(triples_ds, out_dir: str):
     """triples Dataset -> directory of .nt shard files (graph dump S8).
 

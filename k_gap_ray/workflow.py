@@ -322,6 +322,10 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
             from k_gap_ray.sources.rdfio import write_ntriples
 
             ds = write_ntriples(ds, step.pop("path"))
+        elif op == "write_trig":
+            from k_gap_ray.sources.rdfio import write_trig
+
+            ds = write_trig(ds, step.pop("path"))
             ds = ds.materialize()
         else:
             raise ValueError(f"unknown workflow op: {op}")

@@ -116,6 +116,36 @@ def test_rdfxml_blank_nodes_and_parsetype_resource():
     assert (item["obj"], "urn:kgap:pred:size", "big") in spo
 
 
+def test_trig_writer_roundtrip(ray_session, tmp_path):
+    """S8 quad-preserving dump: write_trig shards parse straight back
+    through read_turtle with graphs, datatypes and language tags
+    intact (the reference's backup/restore cycle, graphdb.md:410-428)."""
+    import ray.data as rd
+
+    from k_gap_ray.sources.rdfio import read_turtle, write_trig
+
+    rows = [
+        ("urn:s:1", "urn:p:a", "urn:o:1", False, "", "", "urn:g:1"),
+        ("urn:s:1", "urn:p:b", "hello \"q\"", True, "", "en", "urn:g:1"),
+        ("urn:s:2", "urn:p:c", "42", True,
+         "http://www.w3.org/2001/XMLSchema#integer", "", "urn:g:2"),
+    ]
+    cols = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
+            "obj_lang", "graph"]
+    tbl = pa.table({c: pa.array([r[i] for r in rows],
+                    pa.bool_() if c == "obj_is_literal" else pa.string())
+                    for i, c in enumerate(cols)})
+    out = str(tmp_path / "dump")
+    manifest = write_trig(rd.from_arrow(tbl), out).take_all()
+    assert sum(m["n_blocks"] for m in manifest) >= 2
+
+    back = read_turtle(out).take_all()
+    got = sorted((r["subj"], r["pred"], r["obj"], r["obj_is_literal"],
+                  r["obj_datatype"], r["obj_lang"], r["graph"])
+                 for r in back)
+    assert got == sorted(rows)
+
+
 def test_nested_readers_roundtrip_files(ray_session, tmp_path):
     """read_jsonld / read_rdfxml over nested fixture files: per-file
     blank prefixes keep document-scoped labels apart after the merge."""
