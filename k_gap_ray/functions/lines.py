@@ -24,12 +24,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _split_lines(t: pa.Table, id_col: str, text_col: str):
-    """(ids, list<line> array) for one Arrow batch."""
+def _split_lines(t: pa.Table, id_col: str, text_col: str,
+                 sep: str = "\n"):
+    """(ids, list<unit> array) for one Arrow batch. ``sep`` picks
+    the dedup unit: "\\n" = lines (CCNet), "\\n\\n" = paragraphs."""
     txt = t.column(text_col)
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
-    return t.column(id_col), pc.split_pattern(txt, pattern="\n")
+    return t.column(id_col), pc.split_pattern(txt, pattern=sep)
 
 
 def explode_lines(docs_ds, id_col: str = "doc_id",
@@ -52,11 +54,12 @@ def explode_lines(docs_ds, id_col: str = "doc_id",
                                zero_copy_batch=True)
 
 
-def _partial_counts(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+def _partial_counts(t: pa.Table, id_col: str, text_col: str,
+                    sep: str = "\n") -> pa.Table:
     """Per-batch (line, n) where n = distinct docs of this batch that
     contain the line. Exact globally because a document's lines are
     always batch-local (one input row per document)."""
-    ids, lists = _split_lines(t, id_col, text_col)
+    ids, lists = _split_lines(t, id_col, text_col, sep)
     flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
     if len(flat) == 0:
         return pa.table({"line": pa.array([], pa.string()),
@@ -74,11 +77,12 @@ def _partial_counts(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
 
 def boilerplate_lines(docs_ds, min_docs: int = 2, id_col: str = "doc_id",
                       text_col: str = "text",
-                      broadcast_cap: int = 2_000_000) -> list[str]:
+                      broadcast_cap: int = 2_000_000,
+                      sep: str = "\n") -> list[str]:
     """Lines occurring in >= min_docs distinct documents, as a sorted
     list (small by construction — boilerplate is the frequent tail)."""
     partial = docs_ds.map_batches(
-        lambda t: _partial_counts(t, id_col, text_col),
+        lambda t: _partial_counts(t, id_col, text_col, sep),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
     if partial.count() <= broadcast_cap:
         import ray
@@ -110,20 +114,21 @@ def boilerplate_lines(docs_ds, min_docs: int = 2, id_col: str = "doc_id",
 
 def strip_boilerplate(docs_ds, min_docs: int = 2, id_col: str = "doc_id",
                       text_col: str = "text",
-                      broadcast_cap: int = 2_000_000):
+                      broadcast_cap: int = 2_000_000,
+                      sep: str = "\n"):
     """documents -> (id_col, text_clean, n_kept, n_dropped): every
     line present in >= min_docs distinct documents is removed from
     ALL documents; surviving lines keep their original order."""
     import ray
 
     boiler = boilerplate_lines(docs_ds, min_docs, id_col, text_col,
-                               broadcast_cap)
+                               broadcast_cap, sep)
     ref = ray.put(pa.array(boiler, pa.string()))
 
     def f(t: pa.Table) -> pa.Table:
         import ray as _r
 
-        ids, lists = _split_lines(t, id_col, text_col)
+        ids, lists = _split_lines(t, id_col, text_col, sep)
         flat = pc.list_flatten(lists)
         drop = pc.is_in(flat, value_set=_r.get(ref))
         keep = pc.invert(drop).to_numpy(zero_copy_only=False)
@@ -139,7 +144,7 @@ def strip_boilerplate(docs_ds, min_docs: int = 2, id_col: str = "doc_id",
             pa.array(offsets, pa.int32()), pc.filter(flat, pa.array(keep)))
         return pa.table({
             id_col: ids,
-            "text_clean": pc.binary_join(kept_lists, "\n"),
+            "text_clean": pc.binary_join(kept_lists, sep),
             "n_kept": pa.array(kept_per, pa.int64()),
             "n_dropped": pa.array(total_per - kept_per, pa.int64()),
         })

@@ -100,3 +100,27 @@ def test_strip_order_preserved(ray_session):
     out = {r["doc_id"]: r
            for r in strip_boilerplate(docs, min_docs=2).take_all()}
     assert out[1]["text_clean"] == "keep1\nkeep2\nkeep3"
+
+
+def test_paragraph_unit_strip(ray_session):
+    """sep="\\n\\n" switches the dedup unit to paragraphs: a repeated
+    footer paragraph is stripped whole while a doc sharing only one of
+    its LINES is untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    footer = "contact us\nall rights reserved"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            f"unique body zero\n\n{footer}",
+            f"unique body one\n\n{footer}",
+            "contact us\nsomething else entirely",  # shares a LINE only
+        ], pa.string()),
+    })
+    out = {r["doc_id"]: r for r in strip_boilerplate(
+        rd.from_arrow(docs), min_docs=2, sep="\n\n").take_all()}
+    assert out[0]["text_clean"] == "unique body zero"
+    assert out[1]["text_clean"] == "unique body one"
+    assert out[2]["text_clean"] == "contact us\nsomething else entirely"
+    assert out[0]["n_dropped"] == 1 and out[2]["n_dropped"] == 0

@@ -116,6 +116,16 @@ def test_delete_data_removes_all_graph_copies(ray_session):
     assert all(r["pred"] != "urn:p:name" for r in out.take_all())
 
 
+def test_delete_where_wildcard_clears_store(ray_session):
+    """The reference faq's clear-all idiom: DELETE WHERE { ?s ?p ?o }
+    empties the store (variable predicate included)."""
+    import ray.data as rd
+
+    out = apply_update(rd.from_arrow(_quads_table()),
+                       "DELETE WHERE { ?s ?p ?o }")
+    assert out.count() == 0
+
+
 def test_workflow_sparql_update_step(ray_session):
     """The UPDATE surface composes as a workflow step: mutate the
     quads in flight, then SELECT over the mutated store in the same
