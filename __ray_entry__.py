@@ -1675,6 +1675,29 @@ def _media_png(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _media_jpeg(sf_dir: str):
+    """REAL JPEG decode path: documents -> deterministic synthesized
+    baseline JPEGs (functions/multimodal.docs_as_jpeg) -> actor-pool
+    decode_stage(mode='real') -> decoded geometry. The engine runs a
+    full pure-stdlib baseline decoder (functions/jpeg.py: markers,
+    canonical Huffman, dequant, IDCT; validated against real libjpeg
+    output incl. 4:2:0 in pytest); the oracle predicts width/height
+    from doc_id by the same integer functions — a parse/entropy bug
+    surfaces as a dimension (or crash) mismatch."""
+    import pyarrow as _pa
+
+    from k_gap_ray.functions.multimodal import decode_stage, docs_as_jpeg
+
+    feats = decode_stage(docs_as_jpeg(_docs(sf_dir, ["doc_id"])),
+                         mode="real")
+    return feats.map_batches(
+        lambda t: _pa.table({
+            "media_id": t.column("media_id"),
+            "width": t.column("width").cast(_pa.int64()),
+            "height": t.column("height").cast(_pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _media_wav(sf_dir: str):
     """REAL WAV decode path: documents -> deterministic synthesized
     RIFF PCM files (functions/multimodal.docs_as_wav) -> per-batch
@@ -2016,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_line_dedup": _doc_line_dedup,
         "q_media_png": _media_png,
         "q_media_wav": _media_wav,
+        "q_media_jpeg": _media_jpeg,
         "q_emb_dedup_survivors": _emb_dedup_survivors,
         "q_emb_sim_join": _emb_sim_join,
         # --- past the 50-entry window: driver-green in r02/r03 ---
@@ -2986,6 +3010,12 @@ def _text_analysis_oracles() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    4 + doc_id % 29 AS width,
                    4 + (doc_id // 7) % 17 AS height
+            FROM documents
+        """,
+        "q_media_jpeg": """
+            SELECT doc_id AS media_id,
+                   8 + doc_id % 25 AS width,
+                   8 + (doc_id // 5) % 21 AS height
             FROM documents
         """,
         # lines mirror __ray_entry__._doc_line_dedup's multi-line

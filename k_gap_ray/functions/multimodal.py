@@ -3,12 +3,15 @@
 Images/audio/video are `binary` columns processed by actor-pool
 map_batches stages with SMALL batch sizes (a batch x concurrency of
 multi-MB payloads must fit the worker heap — guide: memory-aware
-sizing). The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the codec step is stubbed: ``mode="fake"`` is a
-deterministic byte-level pseudo-decoder (real plumbing, fake pixels),
-``mode="real"`` raises NotImplementedError at the exact call site a
-real library would occupy. Schemas, batch sizing, actor signatures and
-output layout are real and tested.
+sizing). The heavyweight decode libraries (PIL/ffmpeg/torchaudio) are
+NOT in this container; ``mode="real"`` decodes image/png, image/jpeg
+and audio/wav through the repo's pure-stdlib codecs (functions/png.py,
+functions/jpeg.py — a full baseline JFIF decoder incl. 4:2:0
+subsampling and restart markers — and functions/wav.py); video formats
+still raise NotImplementedError at the exact call site ffmpeg would
+occupy. ``mode="fake"`` remains the deterministic byte-level
+pseudo-decoder. Schemas, batch sizing, actor signatures and output
+layout are real and tested.
 """
 
 from __future__ import annotations
@@ -107,6 +110,32 @@ def docs_as_png(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
+def docs_as_jpeg(docs_ds):
+    """documents -> MEDIA table of real baseline JPEG payloads with
+    deterministic geometry per doc_id (width 8+id%25, height
+    8+(id//5)%21, smooth diagonal gradient content), so a SQL oracle
+    predicts the DECODED width/height while the engine exercises the
+    full marker/Huffman/dequant/IDCT path (functions/jpeg.py)."""
+    from k_gap_ray.functions.jpeg import encode_jpeg
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid in t.column("doc_id").to_pylist():
+            w = 8 + mid % 25
+            h = 8 + (mid // 5) % 21
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = ((yy * 5 + xx * 3 + mid) % 256).astype(np.uint8)
+            rows.append({
+                "media_id": mid,
+                "payload": encode_jpeg(px),
+                "mime": "image/jpeg",
+                "source_url": f"urn:jpeg:{mid}",
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA)
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
 def docs_as_wav(docs_ds):
     """documents -> MEDIA table of real WAV payloads with
     deterministic audio parameters per doc_id (channels 1+id%2,
@@ -181,6 +210,15 @@ class MediaDecoder:
                                    range=(0.0, 256.0))
             feat = hist.astype(np.float32) / max(1, gray.size)
             return w, h, feat
+        if mime == "image/jpeg":
+            from k_gap_ray.functions.jpeg import decode_jpeg
+
+            w, h, _c, px = decode_jpeg(payload)
+            gray = px.astype(np.float32).mean(axis=2)
+            hist, _ = np.histogram(gray, bins=self.FEATURE_DIM,
+                                   range=(0.0, 256.0))
+            feat = hist.astype(np.float32) / max(1, gray.size)
+            return w, h, feat
         if mime == "audio/wav":
             from k_gap_ray.functions.wav import decode_wav
 
@@ -193,8 +231,9 @@ class MediaDecoder:
             feat = hist.astype(np.float32) / max(1, frames.size)
             return channels, frames.shape[0], feat
         raise NotImplementedError(
-            f"real decode of {mime} requires PIL/ffmpeg, not available "
-            "in this container — slot the library call here")
+            f"real decode of {mime} requires ffmpeg, not available "
+            "in this container — slot the library call here "
+            "(png/jpeg/wav decode via the repo's stdlib codecs)")
 
     def _decode_fake(self, payload: bytes, mime: str):
         """Deterministic pseudo-decode: dims + features from the bytes."""
