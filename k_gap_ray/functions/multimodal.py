@@ -344,9 +344,32 @@ class MediaResizer:
         self.tw, self.th = int(target_w), int(target_h)
 
     def _resize_real(self, payload: bytes, mime: str) -> bytes:
+        """Real resize for image/png and image/jpeg through the repo's
+        stdlib codecs: decode -> box/nearest resample in numpy ->
+        re-encode in the SAME format. Other mimes still need
+        PIL/libvips and keep the explicit library slot."""
+        if mime in ("image/png", "image/jpeg"):
+            if mime == "image/png":
+                from k_gap_ray.functions.png import decode_png, encode_png
+
+                w, h, c, px = decode_png(payload)
+                enc = encode_png
+            else:
+                from k_gap_ray.functions.jpeg import (decode_jpeg,
+                                                      encode_jpeg)
+
+                w, h, c, px = decode_jpeg(payload)
+                enc = encode_jpeg
+            ys = (np.arange(self.th) * h) // self.th
+            xs = (np.arange(self.tw) * w) // self.tw
+            res = px[ys][:, xs]
+            if c == 1:
+                res = res[:, :, 0]
+            return enc(res)
         raise NotImplementedError(
-            "real resize requires PIL/libvips, not available in this "
-            "container — slot the library call here")
+            "real resize requires PIL/libvips for this mime, not "
+            "available in this container — slot the library call here "
+            "(png/jpeg resize via the repo's stdlib codecs)")
 
     def _resize_fake(self, payload: bytes, mime: str) -> bytes:
         n_out = max(16, (self.tw * self.th) // 64)
@@ -377,6 +400,30 @@ def resize_stage(media_ds, target_w: int = 224, target_h: int = 224,
         concurrency=concurrency, **(ray_remote_args or {}))
 
 
+def mjpeg_split(payload: bytes) -> list[bytes]:
+    """Split a concatenated-JFIF MJPEG stream into its frames (each a
+    complete SOI..EOI baseline JPEG). Returns [] when the payload
+    doesn't start with SOI (not an MJPEG stream)."""
+    if payload[:2] != b"\xff\xd8":
+        return []
+    frames = []
+    start = 0
+    while start < len(payload):
+        if payload[start:start + 2] != b"\xff\xd8":
+            break
+        end = payload.find(b"\xff\xd9", start + 2)
+        if end < 0:
+            break
+        frames.append(payload[start:end + 2])
+        start = end + 2
+    return frames
+
+
+def mjpeg_join(frames: list[bytes]) -> bytes:
+    """Concatenate JFIF frames into an MJPEG stream payload."""
+    return b"".join(frames)
+
+
 class FrameSampler:
     """Actor-pool frame-sampling stage: one video row -> ``n_frames``
     evenly spaced frame rows (media_id, frame_idx, ts_sec, payload) —
@@ -392,9 +439,22 @@ class FrameSampler:
         self.mode = mode
 
     def _frames_real(self, payload: bytes):
-        raise NotImplementedError(
-            "real frame sampling requires ffmpeg, not available in "
-            "this container — slot the seek/decode call here")
+        """Real frame sampling for MJPEG streams (concatenated JFIF
+        frames — the one video container decodable without ffmpeg):
+        split on SOI..EOI spans, pick n evenly spaced frames, assume
+        a nominal 25 fps for ts_sec. Each emitted payload is itself a
+        valid baseline JPEG (decodable by functions/jpeg.py).
+        Container formats (mp4/webm/avi) still need ffmpeg and keep
+        the explicit library slot."""
+        frames = mjpeg_split(payload)
+        if not frames:
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg for non-MJPEG "
+                "payloads, not available in this container — slot the "
+                "seek/decode call here")
+        n_total = len(frames)
+        picks = sorted({(i * n_total) // self.n for i in range(self.n)})
+        return [(idx, idx / 25.0, frames[idx]) for idx in picks]
 
     def _frames_fake(self, payload: bytes):
         dur = len(payload) / 1000.0

@@ -90,3 +90,60 @@ def test_multimodal_real_jpeg_geometry(ray_session):
     for mid in (0, 7, 123, 999):
         assert out[mid]["width"] == 8 + mid % 25
         assert out[mid]["height"] == 8 + (mid // 5) % 21
+
+
+def test_resize_real_png_and_jpeg(ray_session):
+    """resize mode='real' decodes, box-resamples and re-encodes in the
+    same format; decoding the output yields the target geometry."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.functions.multimodal import (MEDIA, docs_as_jpeg,
+                                                docs_as_png, resize_stage)
+    from k_gap_ray.functions.png import decode_png
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([3, 44], pa.int64())}))
+    for maker, decoder in ((docs_as_jpeg, decode_jpeg),
+                           (docs_as_png, decode_png)):
+        out = resize_stage(maker(docs), target_w=12, target_h=9,
+                           mode="real").take_all()
+        assert len(out) == 2
+        for r in out:
+            w, h, _c, _px = decoder(r["payload"])
+            assert (w, h) == (12, 9)
+
+
+def test_frame_sample_real_mjpeg(ray_session):
+    """frame sampling mode='real' splits an MJPEG stream (concatenated
+    JFIF frames) and each sampled payload decodes at its frame size."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.functions.multimodal import (MEDIA, frame_sample_stage,
+                                                mjpeg_join)
+
+    frames = []
+    for k in range(10):  # 10 frames, each its own size (k decodes back)
+        img = np.full((8 + k, 10), 60 + 10 * k, np.uint8)
+        frames.append(encode_jpeg(img))
+    media = pa.Table.from_pylist([{
+        "media_id": 1, "payload": mjpeg_join(frames),
+        "mime": "video/x-motion-jpeg", "source_url": "urn:v:1"}],
+        schema=MEDIA)
+    out = frame_sample_stage(rd.from_arrow(media), n_frames=4,
+                             mode="real").take_all()
+    assert len(out) == 4
+    idxs = sorted(r["frame_idx"] for r in out)
+    assert idxs == [0, 2, 5, 7]  # evenly spaced over 10
+    for r in out:
+        w, h, c, _px = decode_jpeg(r["payload"])
+        assert (w, h, c) == (10, 8 + r["frame_idx"], 1)
+    # non-MJPEG payloads keep the explicit ffmpeg slot
+    import pytest as _pt
+
+    bad = pa.Table.from_pylist([{
+        "media_id": 2, "payload": b"\x00\x01\x02" * 50,
+        "mime": "video/mp4", "source_url": "urn:v:2"}], schema=MEDIA)
+    with _pt.raises(Exception, match="ffmpeg"):
+        frame_sample_stage(rd.from_arrow(bad), n_frames=2,
+                           mode="real").take_all()
