@@ -1698,6 +1698,39 @@ def _media_jpeg(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _media_mjpeg_frames(sf_dir: str):
+    """REAL video frame-sampling path: documents -> deterministic
+    MJPEG streams (3+id%4 concatenated baseline-JPEG frames) ->
+    actor-pool frame_sample_stage(mode='real', n_frames=2) -> each
+    sampled frame REALLY decoded (functions/jpeg.py) to its geometry.
+    The oracle predicts the even sampler's picks ({0, n_total // 2})
+    and each picked frame's width/height from doc_id by the same
+    integer functions."""
+    import pyarrow as _pa
+
+    from k_gap_ray.functions.jpeg import decode_jpeg
+    from k_gap_ray.functions.multimodal import (docs_as_mjpeg,
+                                                frame_sample_stage)
+
+    frames = frame_sample_stage(docs_as_mjpeg(_docs(sf_dir, ["doc_id"])),
+                                n_frames=2, mode="real")
+
+    def geom(t: _pa.Table) -> _pa.Table:
+        ws, hs = [], []
+        for p in t.column("payload").to_pylist():
+            w, h, _c, _px = decode_jpeg(p)
+            ws.append(w)
+            hs.append(h)
+        return _pa.table({
+            "media_id": t.column("media_id"),
+            "frame_idx": _pa.compute.cast(t.column("frame_idx"),
+                                          _pa.int64()),
+            "width": _pa.array(ws, _pa.int64()),
+            "height": _pa.array(hs, _pa.int64())})
+
+    return frames.map_batches(geom, batch_format="pyarrow")
+
+
 def _media_wav(sf_dir: str):
     """REAL WAV decode path: documents -> deterministic synthesized
     RIFF PCM files (functions/multimodal.docs_as_wav) -> per-batch
@@ -2040,9 +2073,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_png": _media_png,
         "q_media_wav": _media_wav,
         "q_media_jpeg": _media_jpeg,
+        "q_media_mjpeg_frames": _media_mjpeg_frames,
         "q_emb_dedup_survivors": _emb_dedup_survivors,
-        "q_emb_sim_join": _emb_sim_join,
         # --- past the 50-entry window: driver-green in r02/r03 ---
+        "q_emb_sim_join": _emb_sim_join,
         "q_emb_centroids": _emb_centroids,
         "q_emb_near_dup": _emb_near_dup,
         "q_knn_top10": _knn,
@@ -3017,6 +3051,18 @@ def _text_analysis_oracles() -> dict[str, str]:
                    8 + doc_id % 25 AS width,
                    8 + (doc_id // 5) % 21 AS height
             FROM documents
+        """,
+        "q_media_mjpeg_frames": """
+            WITH f AS (SELECT doc_id, 3 + doc_id % 4 AS nt
+                       FROM documents),
+            p AS (SELECT doc_id,
+                         unnest([0, nt // 2]) AS frame_idx
+                  FROM f)
+            SELECT doc_id AS media_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   8 + (doc_id + frame_idx) % 13 AS width,
+                   6 + (doc_id * 2 + frame_idx) % 11 AS height
+            FROM p
         """,
         # lines mirror __ray_entry__._doc_line_dedup's multi-line
         # view (8-word wrap + injected header/footer); the engine side

@@ -136,6 +136,34 @@ def docs_as_jpeg(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
+def docs_as_mjpeg(docs_ds):
+    """documents -> MEDIA table of real MJPEG streams (concatenated
+    baseline-JPEG frames) with deterministic per-frame geometry:
+    doc_id has 3+id%4 frames; frame k is (8+(id+k)%13) x
+    (6+(id*2+k)%11) flat gray — so a SQL oracle predicts which frames
+    an even sampler picks AND their decoded dimensions."""
+    from k_gap_ray.functions.jpeg import encode_jpeg
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid in t.column("doc_id").to_pylist():
+            frames = []
+            for k in range(3 + mid % 4):
+                w = 8 + (mid + k) % 13
+                h = 6 + (mid * 2 + k) % 11
+                frames.append(encode_jpeg(np.full(
+                    (h, w), (mid * 3 + k * 17) % 256, np.uint8)))
+            rows.append({
+                "media_id": mid,
+                "payload": mjpeg_join(frames),
+                "mime": "video/x-motion-jpeg",
+                "source_url": f"urn:mjpeg:{mid}",
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA)
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
 def docs_as_wav(docs_ds):
     """documents -> MEDIA table of real WAV payloads with
     deterministic audio parameters per doc_id (channels 1+id%2,
