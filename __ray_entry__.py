@@ -2049,6 +2049,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": rel.q_events_sessions,
         "q_events_asof_click": rel.q_events_asof_click,
         "q_events_user_running": rel.q_events_user_running,
+        "q_orders_rank": rel.q_orders_rank,
+        "q_events_ntile": rel.q_events_ntile,
         # --- SPARQL slice over the new broadcast BGP-join path ---
         "q_sparql_docs": _sparql_docs,
         "q_sparql_docs_agg": _sparql_docs_agg,
@@ -2065,8 +2067,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_docs_mention_counts": _kg_docs_mention_counts,
         "q_shacl_docs": _shacl_docs,
         "q_bfs_depths": _bfs_depths,
-        "q_rdf_turtle": _rdf_turtle,
-        "q_workflow_lang_en": _workflow_lang_en,
         "q_doc_neardup_dedup": _doc_neardup_dedup,
         "q_doc_decontam": _doc_decontam,
         "q_doc_line_dedup": _doc_line_dedup,
@@ -2076,6 +2076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_mjpeg_frames": _media_mjpeg_frames,
         "q_emb_dedup_survivors": _emb_dedup_survivors,
         # --- past the 50-entry window: driver-green in r02/r03 ---
+        "q_rdf_turtle": _rdf_turtle,
+        "q_workflow_lang_en": _workflow_lang_en,
         "q_emb_sim_join": _emb_sim_join,
         "q_emb_centroids": _emb_centroids,
         "q_emb_near_dup": _emb_near_dup,

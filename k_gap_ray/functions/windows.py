@@ -196,6 +196,168 @@ def asof_carry_bucketed(ds, key_col: str, ts_col: str, id_col: str,
     return both.map_batches(patch, batch_format="pyarrow")
 
 
+def _with_value_bucket_key(ds, key_col: str, value_col: str, scale: int,
+                           bucket_width: int, id_col: str,
+                           negate: bool = False):
+    """Rows -> (id, key, __v fixed-point value, __b value-range bucket,
+    __k '{key}\\x1f{bucket}'). ``negate`` flips bucket sign so that
+    ascending __b order == descending value order (the carry pass
+    always walks __b ascending). Floor division (numpy) keeps negative
+    values in the right bucket — pc.divide truncates toward zero."""
+
+    def f(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column(value_col).to_numpy(zero_copy_only=False)
+                    * scale).astype("int64")
+        b = v // bucket_width
+        if negate:
+            b = -b
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column(key_col), pa.string()),
+            pc.cast(pa.array(b), pa.string()), _SEP)
+        return pa.table({
+            id_col: t.column(id_col),
+            key_col: t.column(key_col),
+            "__v": pa.array(v),
+            "__b": pa.array(b),
+            "__k": k,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dense_rank_bucketed(ds, key_col: str, value_col: str, id_col: str,
+                        out_col: str = "rank", scale: int = 100,
+                        bucket_width: int = 1 << 18,
+                        descending: bool = True,
+                        broadcast_cap: int = 2_000_000):
+    """Per-key DENSE_RANK over the fixed-point value, hot-key-safe:
+    composite (key, value-range-bucket) pre-split, local dense rank per
+    bucket, then a carry-in of the count of DISTINCT values in earlier
+    (higher, when descending) buckets. Exact for any key skew; a single
+    hot VALUE still lands in one bucket, but dense rank collapses its
+    ties to one row of work. ``bucket_width`` is in fixed-point units —
+    size it so one bucket of one key fits a task."""
+    import ray
+
+    keyed = _with_value_bucket_key(ds, key_col, value_col, scale,
+                                   bucket_width, id_col,
+                                   negate=descending)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["__v"].to_numpy()
+        sortkey = -v if descending else v
+        uniq = np.unique(sortkey)
+        data = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "__local": (np.searchsorted(uniq, sortkey) + 1).astype("int64"),
+            "__k": df["__k"].iloc[0],
+            key_col: df[key_col].iloc[0],
+            "__b": df["__b"].iloc[0],
+            "__kind": 0,
+        })
+        summary = data.iloc[:1].copy()
+        summary["__local"] = np.int64(len(uniq))
+        summary["__kind"] = 1  # distinct-value count rides along
+        return pd.concat([data, summary], ignore_index=True)
+
+    both = keyed.groupby("__k").map_groups(
+        local, batch_format="pandas").materialize()
+    summaries = [r for r in both.filter(expr="__kind == 1").take_all()]
+    if len(summaries) > broadcast_cap:
+        raise NotImplementedError(
+            "carry table exceeds broadcast_cap; wire the join fallback "
+            f"({len(summaries)} > {broadcast_cap})")
+    carry = _carry_map(summaries, key_col, "__local", "prefix_sum")
+    keys = pa.array(list(carry.keys()), pa.string())
+    vals = pa.array(list(carry.values()), pa.int64())
+    ref = ray.put((keys, vals))
+
+    def patch(t: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _r
+
+        t = t.filter(pc.equal(t.column("__kind"), pa.scalar(0)))
+        ks, vs_ = _r.get(_ref)
+        idx = pc.index_in(t.column("__k"), value_set=ks)
+        off = pc.fill_null(pc.take(vs_, idx), 0)
+        return pa.table({
+            id_col: t.column(id_col),
+            out_col: pc.add(t.column("__local"), off)})
+
+    return both.map_batches(patch, batch_format="pyarrow")
+
+
+def ntile_bucketed(ds, key_col: str, value_col: str, id_col: str,
+                   k: int = 4, out_col: str = "quartile",
+                   scale: int = 100, bucket_width: int = 128,
+                   broadcast_cap: int = 2_000_000):
+    """Per-key NTILE(k) ordered by (fixed-point value asc, id asc),
+    hot-key-safe: composite (key, value-range-bucket) pre-split, local
+    1-based positions per bucket, carry-in = rows in lower buckets,
+    per-key totals from the same summary pass; SQL's fill rule (the
+    first n%k tiles take the extra row) applied vectorized."""
+    import ray
+
+    keyed = _with_value_bucket_key(ds, key_col, value_col, scale,
+                                   bucket_width, id_col, negate=False)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__v", id_col], kind="mergesort")
+        data = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "__local": np.arange(1, len(df) + 1, dtype="int64"),
+            "__k": df["__k"].iloc[0],
+            key_col: df[key_col].iloc[0],
+            "__b": df["__b"].iloc[0],
+            "__kind": 0,
+        })
+        summary = data.iloc[:1].copy()
+        summary["__local"] = np.int64(len(df))  # bucket row count
+        summary["__kind"] = 1
+        return pd.concat([data, summary], ignore_index=True)
+
+    both = keyed.groupby("__k").map_groups(
+        local, batch_format="pandas").materialize()
+    summaries = [r for r in both.filter(expr="__kind == 1").take_all()]
+    if len(summaries) > broadcast_cap:
+        raise NotImplementedError(
+            "carry table exceeds broadcast_cap; wire the join fallback "
+            f"({len(summaries)} > {broadcast_cap})")
+    carry = _carry_map(summaries, key_col, "__local", "prefix_sum")
+    totals: dict[str, int] = {}
+    for r in summaries:
+        u = str(r[key_col])
+        totals[u] = totals.get(u, 0) + int(r["__local"])
+    ckeys = pa.array(list(carry.keys()), pa.string())
+    cvals = pa.array(list(carry.values()), pa.int64())
+    tkeys = pa.array(list(totals.keys()), pa.string())
+    tvals = pa.array(list(totals.values()), pa.int64())
+    ref = ray.put((ckeys, cvals, tkeys, tvals))
+
+    def patch(t: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _r
+
+        t = t.filter(pc.equal(t.column("__kind"), pa.scalar(0)))
+        ks, cs, tks, tvs = _r.get(_ref)
+        idx = pc.index_in(t.column("__k"), value_set=ks)
+        off = pc.fill_null(pc.take(cs, idx), 0).to_numpy(
+            zero_copy_only=False)
+        tidx = pc.index_in(pc.cast(t.column(key_col), pa.string()),
+                           value_set=tks)
+        n = pc.take(tvs, tidx).to_numpy(zero_copy_only=False)
+        pos = t.column("__local").to_numpy(zero_copy_only=False) + off
+        base, rem = n // k, n % k
+        boundary = rem * (base + 1)
+        base_safe = np.maximum(base, 1)  # base==0 rows take the if-branch
+        tile = np.where(pos <= boundary,
+                        (pos - 1) // (base + 1) + 1,
+                        rem + (pos - boundary - 1) // base_safe + 1)
+        return pa.table({
+            id_col: t.column(id_col),
+            out_col: pa.array(tile.astype("int64"))})
+
+    return both.map_batches(patch, batch_format="pyarrow")
+
+
 def sessions_bucketed(ds, key_col: str, ts_col: str, id_col: str,
                       value_col: str, gap_hours: int = 2,
                       scale: int = 100, bucket_us: int = DAY_US,

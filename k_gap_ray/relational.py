@@ -305,46 +305,40 @@ def q_orders_rank(sf_dir: str):
     """Partition-by window RANK: dense_rank of order value within its
     priority class. Rank is computed on the fixed-point int price, so
     it depends only on VALUES (ties share a rank) — deterministic
-    across engines with no tie-order ambiguity. Per-group state via
-    groupby(key).map_groups, the same window pattern as the running
-    aggregate; 5 priority classes is a known-skewed partitioning
-    (documented — salt or two-pass rank for high-cardinality keys)."""
-
-    def rank(df):
-        import numpy as np
-
-        v = np.rint(df["o_totalprice"].to_numpy() * 100).astype("int64")
-        uniq = np.unique(-v)  # ascending of negated == descending values
-        df["price_rank"] = (np.searchsorted(uniq, -v) + 1).astype("int64")
-        return df[["o_orderkey", "price_rank"]]
+    across engines with no tie-order ambiguity. Hot-key-safe since
+    round 4: 5 priority classes is a known-skewed partitioning, so the
+    rank runs as a composite (priority, value-range-bucket) pre-split
+    with a distinct-count carry stitch (functions/windows.py) — no
+    task ever holds a whole priority class. bucket_width 1<<18 fixed-
+    point cents (~$2.6k) gives ~200 buckets over TPC-H's totalprice
+    range at any SF."""
+    from k_gap_ray.functions.windows import dense_rank_bucketed
 
     ds = _read(sf_dir, "orders",
                ["o_orderkey", "o_orderpriority", "o_totalprice"])
-    return ds.groupby("o_orderpriority").map_groups(
-        rank, batch_format="pandas")
+    return dense_rank_bucketed(ds, key_col="o_orderpriority",
+                               value_col="o_totalprice",
+                               id_col="o_orderkey",
+                               out_col="price_rank", scale=100,
+                               bucket_width=1 << 18, descending=True)
 
 
 def q_events_ntile(sf_dir: str):
     """NTILE window: quartile assignment of event value within its
     event-type partition, ordered by the exact fixed-point value with
     event_id tie-break (fully deterministic). SQL's NTILE fill rule —
-    the first n%k buckets take the extra row — reproduced verbatim."""
-
-    def ntile(df):
-        import numpy as np
-
-        v = np.rint(df["value"].to_numpy() * 100).astype("int64")
-        df = df.assign(v=v).sort_values(["v", "event_id"],
-                                        kind="mergesort")
-        n, k = len(df), 4
-        base, rem = divmod(n, k)
-        sizes = [base + 1] * rem + [base] * (k - rem)
-        df["quartile"] = np.repeat(
-            np.arange(1, k + 1, dtype=np.int64), sizes)
-        return df[["event_id", "quartile"]]
+    the first n%k buckets take the extra row — reproduced verbatim.
+    Hot-key-safe since round 4: handful-of-event-types is a skewed
+    partitioning, so positions come from a composite
+    (type, value-range-bucket) pre-split with a row-count carry stitch
+    (functions/windows.py); event values are 2-decimal in [0,100], so
+    bucket_width=128 fixed-point gives ~80 buckets per type."""
+    from k_gap_ray.functions.windows import ntile_bucketed
 
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-    return ds.groupby("event_type").map_groups(ntile, batch_format="pandas")
+    return ntile_bucketed(ds, key_col="event_type", value_col="value",
+                          id_col="event_id", k=4, out_col="quartile",
+                          scale=100, bucket_width=128)
 
 
 def q_events_watermark(sf_dir: str):

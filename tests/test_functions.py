@@ -148,10 +148,16 @@ def test_multimodal_decode_stage(ray_session):
         assert 16 <= r["width"] < 256 and 16 <= r["height"] < 256
         assert len(r["feature"]) == MediaDecoder.FEATURE_DIM
 
-    # real mode raises at the stubbed decode callsite
+    # real mode: PNG/JPEG/WAV decode for real now, so a garbage JPEG
+    # payload is a codec error, and only ffmpeg-class mimes still
+    # raise at the stubbed callsite
     dec = MediaDecoder(mode="real")
+    with pytest.raises(ValueError):
+        dec(synth_media(1))  # fake bytes labelled image/jpeg
+    vid = synth_media(1).set_column(
+        2, "mime", pa.array(["video/mp4"], pa.string()))
     with pytest.raises(NotImplementedError):
-        dec(synth_media(1))
+        dec(vid)
 
 
 def test_decode_deterministic(ray_session):
@@ -540,10 +546,17 @@ def test_resize_and_frame_sample_stages(ray_session):
         ts = [f["ts_sec"] for f in sorted(fr, key=lambda x: x["frame_idx"])]
         assert ts == sorted(ts) and all(len(f["payload"]) > 0 for f in fr)
 
+    # real mode: PNG/JPEG resize and MJPEG sampling are real now — a
+    # garbage JPEG payload is a codec error; mimes that still need
+    # PIL/ffmpeg raise at the library slot
+    with pytest.raises(ValueError):
+        MediaResizer(mode="real")(synth_media(1))  # fake image/jpeg bytes
+    wav = synth_media(1).set_column(
+        2, "mime", pa.array(["audio/wav"], pa.string()))
     with pytest.raises(NotImplementedError):
-        MediaResizer(mode="real")(synth_media(1))
+        MediaResizer(mode="real")(wav)
     with pytest.raises(NotImplementedError):
-        FrameSampler(mode="real")(synth_media(1))
+        FrameSampler(mode="real")(synth_media(1))  # no SOI: not MJPEG
 
 
 def test_ngram_exact_bucket_uncapped(ray_session):

@@ -124,3 +124,73 @@ def test_sessions_match_single_pass_under_skew(ray_session):
             ref.append((uid, sg["ts"].min(), sg["ts"].max(),
                         len(sg), int(sg["_v"].sum())))
     assert mine == sorted(ref)
+
+
+def test_dense_rank_matches_single_pass_under_skew(ray_session):
+    """Dense rank (desc) over a skewed frame: one group owns 60% of
+    rows AND one hot value repeats heavily (ties must share a rank).
+    bucket_width=50 forces many value buckets so the carry stitch is
+    doing real work."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.windows import dense_rank_bucketed
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    grp = np.where(rng.rand(n) < 0.6, "HOT", rng.choice(list("ABCD"), n))
+    val = np.round(rng.rand(n) * 100, 2)
+    val[rng.rand(n) < 0.2] = 42.0  # hot value: 20% ties
+    df = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                       "grp": grp, "val": val})
+
+    out = dense_rank_bucketed(
+        rd.from_arrow(pa.Table.from_pandas(df)), key_col="grp",
+        value_col="val", id_col="rid", out_col="r", scale=100,
+        bucket_width=50, descending=True).take_all()
+    mine = {r["rid"]: r["r"] for r in out}
+
+    ref = {}
+    for _, g in df.groupby("grp"):
+        v = np.rint(g["val"].to_numpy() * 100).astype("int64")
+        uniq = np.unique(-v)
+        for rid, rk in zip(g["rid"], np.searchsorted(uniq, -v) + 1):
+            ref[int(rid)] = int(rk)
+    assert len(mine) == n and mine == ref
+
+
+def test_ntile_matches_single_pass_under_skew(ray_session):
+    """NTILE(4) ordered by (value, id) under the same skew; SQL fill
+    rule (first n%k tiles take the extra row). Small groups (n < k)
+    exercise the base==0 branch."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.windows import ntile_bucketed
+
+    rng = np.random.RandomState(13)
+    n = 3000
+    grp = np.where(rng.rand(n) < 0.6, "HOT", rng.choice(list("ABCD"), n))
+    val = np.round(rng.rand(n) * 100, 2)
+    df = pd.DataFrame({"rid": np.arange(n, dtype="int64"),
+                       "grp": grp, "val": val})
+    # a 2-row group: n < k
+    df = pd.concat([df, pd.DataFrame({
+        "rid": [n, n + 1], "grp": ["TINY", "TINY"],
+        "val": [5.0, 1.0]})], ignore_index=True)
+
+    out = ntile_bucketed(
+        rd.from_arrow(pa.Table.from_pandas(df)), key_col="grp",
+        value_col="val", id_col="rid", k=4, out_col="q", scale=100,
+        bucket_width=64).take_all()
+    mine = {r["rid"]: r["q"] for r in out}
+
+    ref = {}
+    for _, g in df.groupby("grp"):
+        v = np.rint(g["val"].to_numpy() * 100).astype("int64")
+        g = g.assign(_v=v).sort_values(["_v", "rid"], kind="mergesort")
+        m, k = len(g), 4
+        base, rem = divmod(m, k)
+        sizes = [base + 1] * rem + [base] * (k - rem)
+        tiles = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)
+        for rid, t in zip(g["rid"], tiles):
+            ref[int(rid)] = int(t)
+    assert len(mine) == len(df) and mine == ref
