@@ -1529,6 +1529,48 @@ def _sparql_docs_construct(sf_dir: str):
                            ("obj", _pa.string())]))
 
 
+DOCS_SPARQL_DESCRIBE = """
+PREFIX kp: <urn:kgap:pred:>
+DESCRIBE ?x WHERE { ?x kp:manages ?y .
+                    FILTER (STRENDS(?x, "-institute")) }
+"""
+
+
+def _sparql_docs_describe(sf_dir: str):
+    """SPARQL DESCRIBE — the fourth query form (GraphDB serves
+    SELECT/CONSTRUCT/ASK/DESCRIBE, docs/components/graphdb.md): the
+    symmetric description (subject triples + IRI-object backlinks) of
+    every managing entity whose IRI ends in '-institute' (STRENDS also
+    gets its gate signal here). Oracle: the MATERIALIZED resource-set
+    CTE compiled by sparql_describe_to_sql over the same quads
+    reconstruction."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_describe
+
+    res = sparql_describe(_docs_quads(sf_dir), DOCS_SPARQL_DESCRIBE)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("subj", _pa.string()), ("pred", _pa.string()),
+                           ("obj", _pa.string())]))
+
+
+DOCS_SPARQL_SAMPLE = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?loc (SAMPLE(?a) AS ?rep) (COUNT(?a) AS ?n)
+WHERE { ?a kp:locatedIn ?loc . } GROUP BY ?loc
+"""
+
+
+def _sparql_docs_sample(sf_dir: str):
+    """SPARQL SAMPLE aggregate mixed with COUNT in one grouped pass;
+    SAMPLE is pinned to MIN on both backends (the spec leaves the pick
+    undefined — the smallest value is the deterministic choice)."""
+    from k_gap_ray.sparql import sparql_select
+
+    return sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_SAMPLE)
+
+
 def _kg_docs_mention_counts(sf_dir: str):
     """Mentions per canonical entity over the documents-derived corpus
     (the skew-prone combiner aggregate), value-hash-verified
@@ -2041,6 +2083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 4 ---
         "q_sparql_docs_update": _sparql_docs_update,
         "q_sparql_docs_fts": _sparql_docs_fts,
+        "q_sparql_docs_describe": _sparql_docs_describe,
+        "q_sparql_docs_sample": _sparql_docs_sample,
         "q_rdf_jsonld_nested": _rdf_jsonld_nested,
         "q_knn_lsh": _knn_lsh,
         "q_knn_ivf": _knn_ivf,
@@ -2070,12 +2114,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_neardup_dedup": _doc_neardup_dedup,
         "q_doc_decontam": _doc_decontam,
         "q_doc_line_dedup": _doc_line_dedup,
-        "q_media_png": _media_png,
-        "q_media_wav": _media_wav,
         "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
         "q_emb_dedup_survivors": _emb_dedup_survivors,
         # --- past the 50-entry window: driver-green in r02/r03 ---
+        "q_media_png": _media_png,
+        "q_media_wav": _media_wav,
         "q_rdf_turtle": _rdf_turtle,
         "q_workflow_lang_en": _workflow_lang_en,
         "q_emb_sim_join": _emb_sim_join,
@@ -2596,6 +2640,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_union": _sql_sparql_docs_q(DOCS_SPARQL_UNION),
         "q_sparql_docs_notexists": _sql_sparql_docs_q(DOCS_SPARQL_NOTEXISTS),
         "q_sparql_docs_construct": _sql_sparql_docs_construct(),
+        "q_sparql_docs_describe": _sql_sparql_docs_describe(),
+        "q_sparql_docs_sample": _sql_sparql_docs_q(DOCS_SPARQL_SAMPLE),
         "q_sparql_docs_path": _sql_sparql_docs_q(DOCS_SPARQL_PATH),
         "q_sparql_docs_altpath": _sql_sparql_docs_q(DOCS_SPARQL_ALTPATH),
         "q_sparql_docs_bind": _sql_sparql_docs_q(DOCS_SPARQL_BIND),
@@ -2768,6 +2814,12 @@ def _sql_sparql_docs_construct() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_construct
 
     return sql_docs_construct(DOCS_SPARQL_CONSTRUCT)
+
+
+def _sql_sparql_docs_describe() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_describe
+
+    return sql_docs_describe(DOCS_SPARQL_DESCRIBE)
 
 
 def _sql_sparql_docs_agg() -> str:

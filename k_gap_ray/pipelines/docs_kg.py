@@ -374,6 +374,18 @@ def sql_docs_shacl(shape_ttl: str, docs_table: str = "documents") -> str:
                            lead=","))
 
 
+def sql_docs_describe(sparql: str, docs_table: str = "documents") -> str:
+    """DuckDB oracle for a SPARQL DESCRIBE run over the docs-derived
+    canonical quad set (same CTE plumbing as :func:`sql_docs_sparql`;
+    the DESCRIBE compiler appends its MATERIALIZED resource-set CTE
+    with ``lead=','``)."""
+    from k_gap_ray.sparql import sparql_describe_to_sql
+
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sparql_describe_to_sql(sparql, quads_rel="quads",
+                                     lead=","))
+
+
 def sql_docs_construct(sparql: str, docs_table: str = "documents") -> str:
     """DuckDB oracle for a SPARQL CONSTRUCT run over the docs-derived
     canonical quad set (same CTE plumbing as :func:`sql_docs_sparql`,

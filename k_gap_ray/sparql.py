@@ -43,10 +43,12 @@ Supported subset (documented; out-of-subset input raises ValueError):
   integer inputs keep SUM exact and AVG bit-identical);
   GROUP_CONCAT concatenates the group's values in SORTED order
   (SPARQL leaves it undefined — sorting makes both backends
-  deterministic) with an optional ``; SEPARATOR="s"``.
+  deterministic) with an optional ``; SEPARATOR="s"``; SAMPLE is
+  pinned to MIN (same determinism argument).
 - ``FILTER`` expressions: ``= != < <= > >=`` comparisons between
   variables and literals (string collation, or numeric per the rule
-  above), ``STRSTARTS(?v, "s")``, ``CONTAINS(?v, "s")``,
+  above), ``STRSTARTS(?v, "s")``, ``STRENDS(?v, "s")``,
+  ``CONTAINS(?v, "s")``,
   ``REGEX(?v, "re")`` (RE2-compatible patterns — both Arrow and
   DuckDB use RE2-family engines), ``BOUND(?v)`` (true for matched
   OPTIONAL rows), ``LANG(?v) = "tag"`` (?v must be bound at the
@@ -95,6 +97,13 @@ Supported subset (documented; out-of-subset input raises ValueError):
   solution, drop instantiations with unbound OPTIONAL vars, return
   the DISTINCT triple set — the M6 vocabulary-remap operator as a
   query; no solution modifiers.
+- ``DESCRIBE <iri> ... [?v ...] [WHERE { ... }]``
+  (:func:`sparql_describe` / :func:`sparql_describe_to_sql`): the
+  DISTINCT triples whose subject — or non-literal object — is in the
+  resource set (constants + the WHERE bindings of each DESCRIBE
+  variable); a symmetric description without blank-node closure,
+  pinned because the spec leaves the shape implementation-defined.
+  Completes the four query forms the reference's endpoint serves.
 
 Scale notes: every triple pattern is an independent pruned scan of the
 (materialized-once) quads Dataset; patterns sharing one variable join
@@ -216,6 +225,11 @@ class SparqlQuery:
     offset: int = 0
     # ASK form: result is a single boolean (any solution exists?)
     ask: bool = False
+    # DESCRIBE form: resources to describe — constant IRIs and/or
+    # variables bound by the WHERE body; result = DISTINCT triples
+    # where a described resource is the subject, or the non-literal
+    # object (symmetric description, the GraphDB-family default shape)
+    describe: list[Term] = field(default_factory=list)
 
 
 def _expr_vars(e: tuple) -> set:
@@ -456,7 +470,8 @@ class _P:
             if name == "STRLEN" and right.kind != "num":
                 raise ValueError("STRLEN compares against a number")
             return ("cmp", ov, left, right)
-        if k == "kw" and v.upper() in ("STRSTARTS", "CONTAINS", "REGEX"):
+        if k == "kw" and v.upper() in ("STRSTARTS", "STRENDS",
+                                       "CONTAINS", "REGEX"):
             name = v.upper()
             self.next()
             self.expect_op("(")
@@ -510,8 +525,22 @@ def parse_sparql(query: str) -> SparqlQuery:
         q = SparqlQuery(select_vars=None)
         q.ask = True
         return _parse_where_and_modifiers(p, q)
+    if p.kw("DESCRIBE"):
+        q = SparqlQuery(select_vars=[])
+        while p.peek()[0] in ("iri", "pname", "var"):
+            q.describe.append(p.term())
+        if not q.describe:
+            raise ValueError("DESCRIBE needs at least one IRI or "
+                             "variable")
+        if any(t.kind == "var" for t in q.describe):
+            return _parse_where_and_modifiers(p, q)
+        if p.peek()[0] != "":
+            raise ValueError("constant DESCRIBE takes no WHERE or "
+                             "modifiers in this subset")
+        return q
     if not p.kw("SELECT"):
-        raise ValueError("only SELECT/ASK/CONSTRUCT queries are supported")
+        raise ValueError("only SELECT/ASK/CONSTRUCT/DESCRIBE queries "
+                         "are supported")
     q = SparqlQuery(select_vars=None)
     q.distinct = p.kw("DISTINCT")
     if p.peek() == ("op", "*"):
@@ -531,7 +560,7 @@ def parse_sparql(query: str) -> SparqlQuery:
                 p.next()
                 fk, fv = p.next()
                 aggs = ("COUNT", "MIN", "MAX", "SUM", "AVG",
-                        "GROUP_CONCAT")
+                        "GROUP_CONCAT", "SAMPLE")
                 if fk != "kw" or fv.upper() not in aggs:
                     raise ValueError(
                         f"only {'/'.join(aggs)} aggregates are supported")
@@ -954,6 +983,16 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                 if v not in known:
                     raise ValueError(
                         f"CONSTRUCT template variable ?{v} is not bound")
+    if q.describe:
+        if q.aggs or q.order_by or q.limit is not None or q.distinct:
+            raise ValueError("DESCRIBE takes no solution modifiers in "
+                             "this subset (the result is already a "
+                             "distinct triple set)")
+        for t in q.describe:
+            if t.kind == "var" and t.value not in required:
+                raise ValueError(
+                    f"DESCRIBE variable ?{t.value} must be bound by a "
+                    "required (non-OPTIONAL) pattern")
     return q
 
 
@@ -1214,6 +1253,8 @@ def _eval(e: tuple, t: pa.Table):
         col = t.column(var)
         if name == "STRSTARTS":
             return pc.starts_with(col, lit)
+        if name == "STRENDS":
+            return pc.ends_with(col, lit)
         if name == "REGEX":
             return pc.match_substring_regex(col, lit)
         return pc.match_substring(col, lit)  # CONTAINS, literal substring
@@ -1661,6 +1702,8 @@ def sparql_select(quads, query: str | SparqlQuery):
         raise ValueError("use sparql_construct for CONSTRUCT queries")
     if q.ask:
         raise ValueError("use sparql_ask for ASK queries")
+    if q.describe:
+        raise ValueError("use sparql_describe for DESCRIBE queries")
     # one materialize, N pattern scans — also scrubs groupby-produced
     # empty-schema blocks (dedup_quads output is a common input here)
     quads = drop_empty_blocks(quads.materialize())
@@ -1744,8 +1787,11 @@ def sparql_select(quads, query: str | SparqlQuery):
                 elif fn == "AVG":
                     agg_objs.append(Mean(f"__pnum_{avar}",
                                          alias_name=alias))
-                else:  # MIN/MAX: string collation, same on both sides
-                    cls = Min if fn == "MIN" else Max
+                else:  # MIN/MAX (string collation, same on both sides);
+                    # SAMPLE is pinned to MIN — SPARQL leaves the pick
+                    # undefined, so both backends take the smallest
+                    # value for cross-engine determinism
+                    cls = Max if fn == "MAX" else Min
                     agg_objs.append(cls(avar, alias_name=alias))
             if not q.group_by:
                 plan = plan.materialize()
@@ -1886,6 +1932,109 @@ def sparql_construct(quads, query: str | SparqlQuery):
                            batch_format="pyarrow")
 
 
+def sparql_describe(quads, query: str | SparqlQuery,
+                    resource_cap: int = 1_000_000):
+    """Execute a SPARQL DESCRIBE (subset) over a quads Dataset — the
+    fourth query form next to SELECT/CONSTRUCT/ASK (GraphDB serves all
+    four, docs/components/graphdb.md). The description of a resource
+    set R is the DISTINCT (subj, pred, obj) triples where subj ∈ R, or
+    obj ∈ R and the object is not a literal — a symmetric description
+    without blank-node closure, pinned because the spec leaves
+    DESCRIBE's shape implementation-defined and this one is
+    deterministic and SQL-mirrorable (:func:`sparql_describe_to_sql`).
+
+    R = the constant IRIs plus the DISTINCT bindings of each DESCRIBE
+    variable from the WHERE body. R is collected to the driver and
+    broadcast into the quad filter (DESCRIBE is a point-lookup
+    surface; ``resource_cap`` guards the collect — above it, wire a
+    semi-join on subj/obj instead)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from k_gap_ray.dsutil import drop_empty_blocks
+
+    q = parse_sparql(query) if isinstance(query, str) else query
+    if not q.describe:
+        raise ValueError("sparql_describe needs a DESCRIBE query")
+    if "obj_is_literal" not in quads.schema().names:
+        raise ValueError("DESCRIBE needs the obj_is_literal column to "
+                         "tell IRI objects from literals")
+    quads = drop_empty_blocks(quads.materialize())
+    res: set = {t.value for t in q.describe if t.kind == "iri"}
+    dvars = [t.value for t in q.describe if t.kind == "var"]
+    if dvars:
+        _require_graph_column(quads, q)
+        _require_lang_column(quads, q)
+        plan, _ = _solution_plan(quads, q)
+        for dv in dvars:
+            vals = (plan.map_batches(lambda t, c=dv: t.select([c]),
+                                     batch_format="pyarrow")
+                    .groupby(dv).count().take(resource_cap + 1))
+            if len(vals) > resource_cap:
+                raise NotImplementedError(
+                    f"DESCRIBE ?{dv} binds more than {resource_cap} "
+                    "resources; wire the distributed semi-join path")
+            res.update(r[dv] for r in vals if r[dv] is not None)
+    rs_ref = ray.put(pa.array(sorted(res), pa.string()))
+
+    def pick(t: pa.Table, _ref=rs_ref) -> pa.Table:
+        import ray as _r
+
+        rs = _r.get(_ref)
+        m = pc.is_in(t.column("subj"), value_set=rs)
+        nonlit = pc.invert(pc.cast(t.column("obj_is_literal"),
+                                   pa.bool_()))
+        m = pc.or_(m, pc.and_(nonlit,
+                              pc.is_in(t.column("obj"), value_set=rs)))
+        return t.select(["subj", "pred", "obj"]).filter(m)
+
+    tri = quads.map_batches(pick, batch_format="pyarrow")
+    keyed = tri.map_batches(
+        lambda t: t.append_column("__k", pc.binary_join_element_wise(
+            t.column("subj"), t.column("pred"), t.column("obj"), _SEP)),
+        batch_format="pyarrow")
+    ded = keyed.groupby("__k").aggregate(
+        Min("subj", alias_name="subj"), Min("pred", alias_name="pred"),
+        Min("obj", alias_name="obj"))
+    return ded.map_batches(lambda t: t.select(["subj", "pred", "obj"]),
+                           batch_format="pyarrow")
+
+
+def sparql_describe_to_sql(query: str | SparqlQuery,
+                           quads_rel: str = "quads",
+                           lead: str = "") -> str:
+    """Compile a DESCRIBE query to the mirroring SQL: a MATERIALIZED
+    resource-set CTE (constants UNION the DISTINCT bindings of each
+    DESCRIBE variable — MATERIALIZED because it is referenced twice
+    and DuckDB inlines plain CTEs per reference, BENCH/NOTES.md), then
+    the symmetric subject-or-IRI-object triple filter. ``lead=","``
+    appends the CTE to an existing WITH chain (docs-KG oracle)."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    if not q.describe:
+        raise ValueError("sparql_describe_to_sql needs DESCRIBE")
+    sels = []
+    consts = [t.value for t in q.describe if t.kind == "iri"]
+    if consts:
+        vals = ", ".join(f"({_sql_str(c)})" for c in consts)
+        sels.append(f"SELECT r FROM (VALUES {vals}) AS __c(r)")
+    dvars = [t.value for t in q.describe if t.kind == "var"]
+    if dvars:
+        from_sql, outer_bind, conds = _solution_sql_parts(q, quads_rel)
+        for dv in dvars:
+            s = (f"SELECT DISTINCT {outer_bind[dv]} AS r\nFROM "
+                 + from_sql)
+            if conds:
+                s += "\nWHERE " + " AND ".join(conds)
+            sels.append(s)
+    res_sql = "\nUNION\n".join(sels)
+    head = (lead + "\n") if lead else "WITH "
+    return (head + f"__res AS MATERIALIZED (\n{res_sql}\n)\n"
+            + f"SELECT DISTINCT subj, pred, obj FROM {quads_rel}\n"
+            + "WHERE subj IN (SELECT r FROM __res)\n"
+            + "   OR (NOT obj_is_literal AND obj IN "
+            + "(SELECT r FROM __res))")
+
+
 # ---------------------------------------------------------------------------
 # SQL backend (the oracle)
 # ---------------------------------------------------------------------------
@@ -1916,7 +2065,8 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
         _, name, var, lit = e
         if name == "REGEX":
             return f"regexp_matches({var_bind[var]}, {_sql_str(lit)})"
-        fn = "starts_with" if name == "STRSTARTS" else "contains"
+        fn = {"STRSTARTS": "starts_with",
+              "STRENDS": "ends_with"}.get(name, "contains")
         return f"{fn}({var_bind[var]}, {_sql_str(lit)})"
     if tag == "not":
         return f"NOT ({_expr_sql(e[1], var_bind)})"
@@ -2145,6 +2295,8 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
     q = parse_sparql(query) if isinstance(query, str) else query
     if q.construct:
         raise ValueError("use sparql_construct_to_sql for CONSTRUCT")
+    if q.describe:
+        raise ValueError("use sparql_describe_to_sql for DESCRIBE")
     from_sql, outer_bind, conds = _solution_sql_parts(q, quads_rel)
 
     if q.aggs:
@@ -2165,6 +2317,9 @@ def sparql_to_sql(query: str | SparqlQuery, quads_rel: str = "quads") -> str:
                 sel_items.append(f"COUNT(*) AS {alias}")
             elif fn == "COUNT_DISTINCT":
                 sel_items.append(f"COUNT(DISTINCT {aref}) AS {alias}")
+            elif fn == "SAMPLE":
+                # pinned to MIN on both backends (deterministic pick)
+                sel_items.append(f"MIN({aref}) AS {alias}")
             else:
                 sel_items.append(f"{fn}({aref}) AS {alias}")
         sql = "SELECT " + ", ".join(sel_items) + "\nFROM " + from_sql

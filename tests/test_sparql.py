@@ -132,6 +132,12 @@ CROSS_QUERIES = [
     # grouped MIN aggregate (string collation)
     'PREFIX p: <p:> SELECT ?x (MIN(?y) AS ?first) WHERE '
     '{ ?x p:knows ?y . } GROUP BY ?x',
+    # SAMPLE (pinned to MIN on both backends) mixed with COUNT
+    'PREFIX p: <p:> SELECT ?x (SAMPLE(?y) AS ?any) (COUNT(?y) AS ?n) '
+    'WHERE { ?x p:knows ?y . } GROUP BY ?x',
+    # STRENDS filter
+    'PREFIX p: <p:> SELECT ?a ?b WHERE { ?a p:knows ?b .'
+    ' FILTER (STRENDS(?b, ":c")) }',
     # global MAX aggregate
     'PREFIX p: <p:> SELECT (MAX(?l) AS ?top) WHERE { ?x p:loc ?l . }',
     # grouped MAX over a UNION solution
@@ -330,7 +336,7 @@ def test_parse_rejects_out_of_subset():
     from k_gap_ray.sparql import parse_sparql
 
     bad = [
-        "DESCRIBE <x:y>",                                  # not in subset
+        "DESCRIBE",                                        # no resources
         "SELECT ?x WHERE { }",                             # no patterns
         "SELECT ?x WHERE { ?a ?p ?b . }",                  # unbound select
         "SELECT ?a WHERE { ?a ?p ?b . ?c ?q ?d . }",       # cartesian is
@@ -344,6 +350,16 @@ def test_parse_rejects_out_of_subset():
             parse_sparql(q)
     # ASK itself is in-subset now (bare block, no WHERE keyword)
     assert parse_sparql("ASK { ?s ?p ?o }").ask
+    # DESCRIBE is in-subset since round 4 (constant and var forms);
+    # a constant DESCRIBE takes no WHERE, a var needs a required bind
+    assert parse_sparql("DESCRIBE <x:y>").describe[0].value == "x:y"
+    with pytest.raises(ValueError, match="no WHERE"):
+        parse_sparql("DESCRIBE <x:y> WHERE { ?s ?p ?o . }")
+    with pytest.raises(ValueError, match="required"):
+        parse_sparql("DESCRIBE ?z WHERE { ?s ?p ?o . "
+                     "OPTIONAL { ?s ?q ?z . } }")
+    with pytest.raises(ValueError):  # solution modifiers rejected
+        parse_sparql("DESCRIBE ?s WHERE { ?s ?p ?o . } LIMIT 3")
     # DISTINCT only inside COUNT; COUNT(DISTINCT) is a sole aggregate
     with pytest.raises(ValueError, match="only supported inside COUNT"):
         parse_sparql("SELECT (SUM(DISTINCT ?o) AS ?t) WHERE "
@@ -557,3 +573,54 @@ def test_constant_ask_and_runtime_empty_relations(ray_session):
     with pytest.raises(ValueError, match="graph"):
         sparql_select(
             tri, "SELECT ?g WHERE { GRAPH ?g { ?s <p:loc> ?o . } }")
+
+
+# quads with literal metadata: DESCRIBE must exclude literal objects
+# from the backlink side even when a literal string equals an IRI
+DESCRIBE_QUADS = pa.table({
+    "subj": ["e:a", "e:a", "e:b", "e:c", "e:c", "e:d"],
+    "pred": ["p:loc", "p:knows", "p:loc", "p:label", "p:knows",
+             "p:knows"],
+    "obj": ["l:bay", "e:b", "l:shelf", "e:b", "e:b", "e:a"],
+    "obj_is_literal": [True, False, True, True, False, False],
+    "graph": ["g"] * 6,
+    "obj_lang": [""] * 6,
+})
+
+DESCRIBE_QUERIES = [
+    "DESCRIBE <e:b>",
+    "DESCRIBE <e:a> <e:c>",
+    'PREFIX p: <p:> DESCRIBE ?x WHERE { ?x p:loc ?l . '
+    'FILTER (STRENDS(?l, "bay")) }',
+    'PREFIX p: <p:> DESCRIBE <e:d> ?x WHERE { ?x p:knows "e:b" . }',
+]
+
+
+@pytest.mark.parametrize("query", DESCRIBE_QUERIES)
+def test_describe_backends_agree(ray_session, query):
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.sparql import sparql_describe, sparql_describe_to_sql
+
+    eng = sparql_describe(
+        rd.from_arrow(DESCRIBE_QUADS).repartition(2), query).to_pandas()
+    con = duckdb.connect()
+    con.register("quads", DESCRIBE_QUADS)
+    ora = con.execute(sparql_describe_to_sql(query)).df()
+    assert len(eng) == len(ora) > 0
+    assert _hash_df(eng) == _hash_df(ora)
+    # p:label "e:b" is a LITERAL equal to the described IRI: it must
+    # never be picked up as a backlink (only IRI objects backlink)
+    if query == "DESCRIBE <e:b>":
+        assert "p:label" not in set(
+            eng.loc[eng["obj"] == "e:b", "pred"])
+
+
+def test_describe_requires_literal_metadata(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.sparql import sparql_describe
+
+    with pytest.raises(ValueError, match="obj_is_literal"):
+        sparql_describe(rd.from_arrow(QUADS), "DESCRIBE <e:b>")
