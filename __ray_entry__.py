@@ -986,6 +986,66 @@ def _sparql_docs_bind(sf_dir: str):
         res.take_all(), schema=_pa.schema([("tag", _pa.string())]))
 
 
+DOCS_SPARQL_STRFN = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?loc ?site ?tag ?clip ?thin WHERE {
+  ?a kp:locatedIn ?loc .
+  BIND(STRAFTER(?loc, " ") AS ?site)
+  BIND(UCASE(?site) AS ?tag)
+  BIND(SUBSTR(?loc, 2, 9) AS ?clip)
+  BIND(REPLACE(?loc, "[aeiou]", "") AS ?thin)
+}
+"""
+
+
+def _sparql_docs_strfn(sf_dir: str):
+    """SPARQL string-function BINDs (round 4): UCASE / SUBSTR /
+    REPLACE / STRAFTER — including a bind CHAINED off an earlier bind
+    target — vectorized Arrow kernels on the Ray side vs the compiled
+    upper/substr/regexp_replace/strpos-CASE SQL (sparql._strfn_sql).
+    Reference parity: the SPARQL 1.1 string builtins GraphDB serves
+    (docs/components/graphdb.md query surface)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_STRFN)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("loc", _pa.string()), ("site", _pa.string()),
+                           ("tag", _pa.string()), ("clip", _pa.string()),
+                           ("thin", _pa.string())]))
+
+
+DOCS_SPARQL_COALESCE = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?rel (COUNT(?a) AS ?n) WHERE {
+  ?a kp:locatedIn ?loc .
+  OPTIONAL { ?a kp:employs ?emp . }
+  OPTIONAL { ?a kp:manages ?m . }
+  BIND(COALESCE(?emp, ?m, "none") AS ?rel)
+} GROUP BY ?rel
+"""
+
+
+def _sparql_docs_coalesce(sf_dir: str):
+    """SPARQL COALESCE over TWO chained OPTIONAL groups (round 4) —
+    exercises both the post-OPTIONAL COALESCE bind (pc.coalesce vs SQL
+    COALESCE) and the broadcast left-outer OPTIONAL join path that
+    replaced the chained-hash-join crash (sparql.py optionals loop).
+    The grouped COUNT pins the full multi-valued-OPTIONAL row bag
+    (multi-valued optionals multiply rows identically on both
+    backends) while keeping the gate result result-set-scale."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_COALESCE)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("rel", _pa.string()), ("n", _pa.int64())]))
+
+
 DOCS_SPARQL_GRAPH = """
 PREFIX kp: <urn:kgap:pred:>
 SELECT ?g (COUNT(?a) AS ?n) WHERE {
@@ -2085,6 +2145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_fts": _sparql_docs_fts,
         "q_sparql_docs_describe": _sparql_docs_describe,
         "q_sparql_docs_sample": _sparql_docs_sample,
+        "q_sparql_docs_strfn": _sparql_docs_strfn,
+        "q_sparql_docs_coalesce": _sparql_docs_coalesce,
         "q_rdf_jsonld_nested": _rdf_jsonld_nested,
         "q_knn_lsh": _knn_lsh,
         "q_knn_ivf": _knn_ivf,
@@ -2111,13 +2173,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_docs_mention_counts": _kg_docs_mention_counts,
         "q_shacl_docs": _shacl_docs,
         "q_bfs_depths": _bfs_depths,
-        "q_doc_neardup_dedup": _doc_neardup_dedup,
-        "q_doc_decontam": _doc_decontam,
         "q_doc_line_dedup": _doc_line_dedup,
         "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
         "q_emb_dedup_survivors": _emb_dedup_survivors,
         # --- past the 50-entry window: driver-green in r02/r03 ---
+        "q_doc_neardup_dedup": _doc_neardup_dedup,
+        "q_doc_decontam": _doc_decontam,
         "q_media_png": _media_png,
         "q_media_wav": _media_wav,
         "q_rdf_turtle": _rdf_turtle,
@@ -2642,6 +2704,9 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_construct": _sql_sparql_docs_construct(),
         "q_sparql_docs_describe": _sql_sparql_docs_describe(),
         "q_sparql_docs_sample": _sql_sparql_docs_q(DOCS_SPARQL_SAMPLE),
+        "q_sparql_docs_strfn": _sql_sparql_docs_q(DOCS_SPARQL_STRFN),
+        "q_sparql_docs_coalesce":
+            _sql_sparql_docs_q(DOCS_SPARQL_COALESCE),
         "q_sparql_docs_path": _sql_sparql_docs_q(DOCS_SPARQL_PATH),
         "q_sparql_docs_altpath": _sql_sparql_docs_q(DOCS_SPARQL_ALTPATH),
         "q_sparql_docs_bind": _sql_sparql_docs_q(DOCS_SPARQL_BIND),

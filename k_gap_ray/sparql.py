@@ -73,8 +73,21 @@ Supported subset (documented; out-of-subset input raises ValueError):
 - ``BIND(CONCAT(arg, ...) AS ?v)`` / ``BIND(term AS ?v)`` computed
   columns (M4), applied after the required group; argument variables
   must be required-group vars (never null, so Arrow's
-  binary_join_element_wise and SQL ``||`` agree exactly). Bound vars
-  are selectable, filterable, groupable and usable in CONSTRUCT.
+  binary_join_element_wise and SQL ``||`` agree exactly) or targets
+  of an EARLIER BIND in the same group. Bound vars are selectable,
+  filterable, groupable and usable in CONSTRUCT.
+- String-function BINDs over the same argument rule:
+  ``UCASE``/``LCASE`` (Arrow utf8_upper/lower == SQL upper/lower,
+  incl. non-ASCII), ``SUBSTR(?v, start[, len])`` with positive
+  integer-literal start/len (Arrow utf8_slice_codeunits slices by
+  CODEPOINTS, matching 1-based character-counted SQL substr),
+  ``REPLACE(?v, "re", "rep")`` (global RE2 replace on both engines),
+  and ``STRBEFORE``/``STRAFTER(?v, "delim")`` with a non-empty
+  literal delimiter (both return ``""`` when the delimiter does not
+  occur, per SPARQL — mirrored with a strpos CASE in SQL).
+- ``BIND(COALESCE(a, b, ...) AS ?v)``: like IF, applied AFTER the
+  OPTIONAL joins on both backends (SQL ``COALESCE``), so its whole
+  point — picking the first bound optional var — works.
 - ``BIND(IF(cond, then, else) AS ?v)``: cond is a full FILTER
   expression, typically ``!BOUND(?opt)``; applied AFTER the OPTIONAL
   joins on both backends (SQL ``CASE WHEN``), so then/else/cond may
@@ -137,6 +150,34 @@ _NUM_DATATYPES = frozenset(_XSD + n for n in (
 # with what DuckDB's TRY_CAST(... AS DOUBLE) accepts for the values
 # this engine stores (plain ints/decimals/scientific; no inf/nan)
 _NUM_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+# BIND string functions: name -> (min arity, max arity). Arrow and
+# DuckDB agree exactly on each (verified: utf8_slice_codeunits slices
+# by CODEPOINTS like SQL substr; both regex engines are RE2; upper/
+# lower match on non-ASCII).
+_STRFNS = {"UCASE": (1, 1), "LCASE": (1, 1), "SUBSTR": (2, 3),
+           "REPLACE": (3, 3), "STRBEFORE": (2, 2), "STRAFTER": (2, 2)}
+
+
+def _check_strfn(fname: str, args: list) -> None:
+    lo, hi = _STRFNS[fname]
+    if not (lo <= len(args) <= hi):
+        raise ValueError(f"{fname} takes {lo}..{hi} arguments")
+    if fname == "SUBSTR":
+        for a in args[1:]:
+            if a.kind != "num" or not a.value.isdigit() \
+                    or int(a.value) < (1 if a is args[1] else 0):
+                raise ValueError(
+                    "SUBSTR start/length must be non-negative integer "
+                    "literals (start >= 1; dynamic args out of subset)")
+    elif fname == "REPLACE":
+        if any(a.kind != "lit" for a in args[1:]):
+            raise ValueError(
+                "REPLACE pattern/replacement must be string literals")
+    elif fname in ("STRBEFORE", "STRAFTER"):
+        if args[1].kind != "lit" or not args[1].value:
+            raise ValueError(
+                f"{fname} delimiter must be a non-empty string literal "
+                "(the empty-delimiter edge diverges between backends)")
 
 
 
@@ -678,8 +719,33 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                     t_else = p.term()
                     p.expect_op(")")
                     expr = ("if", cond, t_then, t_else)
+                elif p.kw("COALESCE"):
+                    # BIND(COALESCE(?a, ?b, "fallback") AS ?v) — like
+                    # IF, runs AFTER the OPTIONAL joins so it can pick
+                    # the first bound optional var (its whole point)
+                    p.expect_op("(")
+                    args = [p.term()]
+                    while p.peek() == ("op", ","):
+                        p.next()
+                        args.append(p.term())
+                    p.expect_op(")")
+                    expr = ("coalesce", args)
                 else:
-                    expr = ("term", p.term())
+                    fname = next((f for f in _STRFNS if p.kw(f)), None)
+                    if fname is not None:
+                        # BIND(UCASE|LCASE|SUBSTR|REPLACE|STRBEFORE|
+                        #      STRAFTER(...) AS ?v) — flat argument
+                        # lists (terms, not nested expressions)
+                        p.expect_op("(")
+                        args = [p.term()]
+                        while p.peek() == ("op", ","):
+                            p.next()
+                            args.append(p.term())
+                        p.expect_op(")")
+                        _check_strfn(fname, args)
+                        expr = ("strfn", fname, args)
+                    else:
+                        expr = ("term", p.term())
                 if not p.kw("AS"):
                     raise ValueError("BIND needs AS ?var")
                 vk, vv = p.next()
@@ -839,6 +905,7 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
     for pats, _ in q.optionals:
         for pat in pats:
             known.update(pat.vars())
+    prebound: set = set()  # earlier pre-bind targets are referencable
     for v, expr in q.binds:
         if expr[0] == "if":
             # IF binds run AFTER the OPTIONAL joins (BOUND over an
@@ -851,13 +918,27 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
             for a in args:
                 if a not in known:
                     raise ValueError(f"BIND IF argument ?{a} is unbound")
+        elif expr[0] == "coalesce":
+            # COALESCE also runs after the OPTIONAL joins — picking
+            # the first bound optional var is its point
+            for t_ in expr[1]:
+                if t_.kind == "var" and t_.value not in known:
+                    raise ValueError(
+                        f"BIND COALESCE argument ?{t_.value} is unbound")
         else:
-            for t_ in (expr[1] if expr[0] == "concat" else [expr[1]]):
-                if t_.kind == "var" and t_.value not in required:
+            terms = (expr[1] if expr[0] == "concat"
+                     else expr[2] if expr[0] == "strfn"
+                     else [expr[1]])
+            for t_ in terms:
+                if t_.kind == "var" \
+                        and t_.value not in required \
+                        and t_.value not in prebound:
                     raise ValueError(
                         f"BIND argument ?{t_.value} must be a "
-                        "required-group variable (nullable args are out "
-                        "of subset; use BIND(IF(...)) for optional vars)")
+                        "required-group variable or an earlier BIND "
+                        "target (nullable args are out of subset; use "
+                        "BIND(IF(...)/COALESCE(...)) for optional vars)")
+            prebound.add(v)
         if v in known:
             raise ValueError(f"BIND target ?{v} is already bound")
         known.add(v)
@@ -1215,6 +1296,42 @@ def _path_plus(quads, pred: str, graph: str | None = None):
         delta = new
 
 
+def _strfn_array(fname: str, args: list, t: pa.Table):
+    """Vectorized Arrow kernel for one BIND string function. Arg 0 is
+    the subject column (var or literal); trailing args are validated
+    literals/ints (_check_strfn). Backend parity notes in _STRFNS."""
+    a0 = args[0]
+    col = t.column(a0.value) if a0.kind == "var" \
+        else pa.array([a0.value] * t.num_rows, pa.string())
+    if fname == "UCASE":
+        return pc.utf8_upper(col)
+    if fname == "LCASE":
+        return pc.utf8_lower(col)
+    if fname == "SUBSTR":
+        start = int(args[1].value) - 1  # SPARQL/SQL are 1-based
+        stop = start + int(args[2].value) if len(args) == 3 else None
+        # despite the name, utf8_slice_codeunits slices by CODEPOINTS
+        # (verified against DuckDB substr on non-ASCII)
+        return pc.utf8_slice_codeunits(col, start, stop)
+    if fname == "REPLACE":
+        # both engines run RE2 with global replacement
+        return pc.replace_substring_regex(
+            col, pattern=args[1].value, replacement=args[2].value)
+    # STRBEFORE / STRAFTER: non-empty literal delimiter (validated);
+    # SPARQL returns "" when the delimiter does not occur
+    d = args[1].value
+    found = pc.greater_equal(pc.find_substring(col, pattern=d), 0)
+    if fname == "STRBEFORE":
+        out = pc.replace_substring_regex(
+            col, pattern="(?s)" + re.escape(d) + ".*$",
+            replacement="", max_replacements=1)
+    else:
+        out = pc.replace_substring_regex(
+            col, pattern="(?s)^.*?" + re.escape(d),
+            replacement="", max_replacements=1)
+    return pc.if_else(found, out, "")
+
+
 def _numeric_col(col):
     """String column → float64 with non-numeric values nulled — the
     Arrow mirror of DuckDB's TRY_CAST(col AS DOUBLE): a failed parse
@@ -1543,13 +1660,17 @@ def _solution_plan(quads, q: SparqlQuery):
                                                frozenset(q.lang_vars))
     # IF binds run after the OPTIONAL joins (they reference optional
     # vars via BOUND); concat/term binds keep their pre-OPTIONAL slot
-    pre_binds = [b for b in q.binds if b[1][0] != "if"]
-    post_binds = [b for b in q.binds if b[1][0] == "if"]
+    pre_binds = [b for b in q.binds if b[1][0] not in ("if", "coalesce")]
+    post_binds = [b for b in q.binds if b[1][0] in ("if", "coalesce")]
     if pre_binds and not plan_empty:
         binds = list(pre_binds)
 
         def apply_binds(t: pa.Table) -> pa.Table:
             for v, expr in binds:
+                if expr[0] == "strfn":
+                    t = t.append_column(
+                        v, _strfn_array(expr[1], expr[2], t))
+                    continue
                 terms = expr[1] if expr[0] == "concat" else [expr[1]]
                 parts = [t.column(x.value) if x.kind == "var"
                          else pa.scalar(x.value, pa.string())
@@ -1585,6 +1706,36 @@ def _solution_plan(quads, q: SparqlQuery):
                 batch_format="pyarrow")
             bound = bound + new
             continue
+        # small sub-group (the common case — _build_group returns it
+        # materialized+scrubbed, so count() is free): BROADCAST
+        # left-outer join inside map_batches. Correct per batch (the
+        # whole right side is visible to every left batch), keeps the
+        # plan one lazy chain, and — unlike Ray's hash join — is
+        # immune to the schema-less empty blocks a PREVIOUS left-outer
+        # join emits (chained OPTIONALs crashed the distributed join
+        # with ArrowInvalid before this path existed).
+        if sub.count() <= _BCAST_JOIN_CAP:
+            import ray as _ray
+            rt = pa.concat_tables(
+                [p for p in _ray.get(sub.to_arrow_refs()) if p.num_rows]
+            ).combine_chunks()
+            shared = [v for v in bound if v in sub_bound]
+            if not shared:
+                raise ValueError("disconnected pattern (cartesian "
+                                 "product) not supported")
+            plan = _broadcast_join(plan, _ray.put(rt), shared,
+                                   "left outer")
+            bound = bound + new
+            continue
+        # oversized sub-group: distributed hash join, which needs the
+        # drain-probe-scrub discipline on the (possibly join-descended)
+        # left side
+        plan = plan.materialize()
+        if plan.count() == 0:
+            plan_empty = True
+            bound = bound + new
+            continue
+        plan = drop_empty_blocks(plan)
         plan, bound = _join_plans(plan, bound, sub, sub_bound,
                                   join_type="left_outer")
     if post_binds:
@@ -1592,15 +1743,23 @@ def _solution_plan(quads, q: SparqlQuery):
             pb = list(post_binds)
 
             def apply_if_binds(t: pa.Table) -> pa.Table:
-                for v, (_, cond, tt, te) in pb:
-                    # null cond (comparison on an unmatched optional
-                    # var) selects `else`, matching SQL CASE WHEN
-                    mask = pc.fill_null(_eval(cond, t), False)
-
+                for v, expr in pb:
                     def val(x):
                         return t.column(x.value) if x.kind == "var" \
                             else pa.scalar(x.value, pa.string())
 
+                    if expr[0] == "coalesce":
+                        col = pc.coalesce(*[val(x) for x in expr[1]])
+                        if not isinstance(col, (pa.Array,
+                                                pa.ChunkedArray)):
+                            col = pa.array([col.as_py()] * t.num_rows,
+                                           pa.string())
+                        t = t.append_column(v, col)
+                        continue
+                    _, cond, tt, te = expr
+                    # null cond (comparison on an unmatched optional
+                    # var) selects `else`, matching SQL CASE WHEN
+                    mask = pc.fill_null(_eval(cond, t), False)
                     col = pc.if_else(mask, val(tt), val(te))
                     if not isinstance(col, (pa.Array, pa.ChunkedArray)):
                         col = pa.array([col.as_py()] * t.num_rows,
@@ -2044,6 +2203,33 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _strfn_sql(fname: str, args: list, var_bind: dict[str, str]) -> str:
+    """ANSI/DuckDB SQL for one BIND string function — the exact
+    counterparts of :func:`_strfn_array`'s Arrow kernels (substr and
+    strpos are 1-based and character-counted in DuckDB, matching the
+    codepoint slicing on the Arrow side)."""
+    a = var_bind[args[0].value] if args[0].kind == "var" \
+        else _sql_str(args[0].value)
+    if fname == "UCASE":
+        return f"upper({a})"
+    if fname == "LCASE":
+        return f"lower({a})"
+    if fname == "SUBSTR":
+        if len(args) == 3:
+            return f"substr({a}, {int(args[1].value)}, {int(args[2].value)})"
+        return f"substr({a}, {int(args[1].value)})"
+    if fname == "REPLACE":
+        return (f"regexp_replace({a}, {_sql_str(args[1].value)}, "
+                f"{_sql_str(args[2].value)}, 'g')")
+    d = _sql_str(args[1].value)
+    if fname == "STRBEFORE":
+        return (f"(CASE WHEN strpos({a}, {d}) > 0 THEN "
+                f"substr({a}, 1, strpos({a}, {d}) - 1) ELSE '' END)")
+    # STRAFTER
+    return (f"(CASE WHEN strpos({a}, {d}) > 0 THEN "
+            f"substr({a}, strpos({a}, {d}) + length({d})) ELSE '' END)")
+
+
 def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
     tag = e[0]
     if tag == "or":
@@ -2205,8 +2391,11 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
     outer_bind = {v: f"r.{v}" for v in base_vars}
     from_sql = f"({base_sql}) r"
     for v, expr in q.binds:
-        if expr[0] == "if":
-            continue  # IF binds reference OPTIONAL vars: after joins
+        if expr[0] in ("if", "coalesce"):
+            continue  # these reference OPTIONAL vars: after joins
+        if expr[0] == "strfn":
+            outer_bind[v] = _strfn_sql(expr[1], expr[2], outer_bind)
+            continue
         # args are required vars (validated) -> never NULL, so ||
         # concatenation matches Arrow's binary_join_element_wise
         terms = expr[1] if expr[0] == "concat" else [expr[1]]
@@ -2225,17 +2414,21 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
         for v in g_vars:
             outer_bind.setdefault(v, f"o{i}.{v}")
     for v, expr in q.binds:
-        if expr[0] != "if":
+        if expr[0] not in ("if", "coalesce"):
             continue
-        # CASE WHEN: a NULL condition (comparison on an unmatched
-        # optional var) selects ELSE, matching the engine's
-        # fill_null(False) on the IF mask
-        _, cond, tt, te = expr
 
         def _ref(x: Term) -> str:
             return outer_bind[x.value] if x.kind == "var" \
                 else _sql_str(x.value)
 
+        if expr[0] == "coalesce":
+            outer_bind[v] = ("COALESCE("
+                             + ", ".join(_ref(x) for x in expr[1]) + ")")
+            continue
+        # CASE WHEN: a NULL condition (comparison on an unmatched
+        # optional var) selects ELSE, matching the engine's
+        # fill_null(False) on the IF mask
+        _, cond, tt, te = expr
         outer_bind[v] = (f"(CASE WHEN {_expr_sql(cond, outer_bind)} "
                          f"THEN {_ref(tt)} ELSE {_ref(te)} END)")
     conds = [_expr_sql(e, outer_bind) for e in q.filters]

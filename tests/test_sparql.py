@@ -311,6 +311,36 @@ CROSS_QUERIES = [
     # distinct count over a join (duplication from the closure)
     'PREFIX p: <p:> SELECT (COUNT(DISTINCT ?y) AS ?n) WHERE '
     '{ ?x p:knows+ ?y . }',
+    # --- string-function BINDs (round 4) ---
+    'PREFIX p: <p:> SELECT ?x ?u ?d WHERE { ?x p:loc ?l . '
+    'BIND(UCASE(?l) AS ?u) BIND(LCASE(?u) AS ?d) }',
+    # SUBSTR 2-arg (to end) and 3-arg (start, len), 1-based
+    'PREFIX p: <p:> SELECT ?x ?a ?b WHERE { ?x p:loc ?l . '
+    'BIND(SUBSTR(?l, 3) AS ?a) BIND(SUBSTR(?l, 2, 3) AS ?b) }',
+    # SUBSTR len overrunning the string end (both engines clamp)
+    'PREFIX p: <p:> SELECT ?x ?t WHERE { ?x p:loc ?l . '
+    'BIND(SUBSTR(?l, 4, 99) AS ?t) }',
+    # REPLACE with a regex class and global replacement
+    'PREFIX p: <p:> SELECT ?x ?r WHERE { ?x p:loc ?l . '
+    'BIND(REPLACE(?l, "[aeiou]", "_") AS ?r) }',
+    # STRBEFORE/STRAFTER: delimiter present (l:bay) and the
+    # empty-result-when-absent rule exercised via a miss delimiter
+    'PREFIX p: <p:> SELECT ?x ?ns ?loc ?m WHERE { ?x p:loc ?l . '
+    'BIND(STRBEFORE(?l, ":") AS ?ns) BIND(STRAFTER(?l, ":") AS ?loc) '
+    'BIND(STRAFTER(?l, "zz") AS ?m) }',
+    # a strfn bind target is referencable by a later CONCAT bind and
+    # usable in FILTER / ORDER BY
+    'PREFIX p: <p:> SELECT ?x ?w WHERE { ?x p:loc ?l . '
+    'BIND(UCASE(?l) AS ?u) BIND(CONCAT(?u, "!") AS ?w) '
+    'FILTER (STRSTARTS(?w, "L:B")) } ORDER BY ?x ?w',
+    # COALESCE picks the first bound optional var, else the fallback
+    'PREFIX p: <p:> SELECT ?x ?v WHERE { ?x p:knows ?y . '
+    'OPTIONAL { ?x p:loc ?l . } OPTIONAL { ?x p:emp ?e . } '
+    'BIND(COALESCE(?l, ?e, "none") AS ?v) }',
+    # COALESCE over one optional + required fallback, grouped count
+    'PREFIX p: <p:> SELECT ?v (COUNT(?x) AS ?n) WHERE '
+    '{ ?x p:knows ?y . OPTIONAL { ?x p:emp ?e . } '
+    'BIND(COALESCE(?e, "0") AS ?v) } GROUP BY ?v',
 ]
 
 
@@ -330,6 +360,41 @@ def test_backends_agree(ray_session, query):
     if len(ora):  # empty Ray results lose their schema in to_pandas
         assert sorted(eng.columns) == sorted(ora.columns)
         assert _hash_df(eng) == _hash_df(ora)
+
+
+def test_strfn_bind_validation():
+    """Out-of-subset string-function BIND forms raise at parse time
+    (the argument constraints that keep the two backends exact)."""
+    from k_gap_ray.sparql import parse_sparql
+
+    base = "PREFIX p: <p:> SELECT ?x ?v WHERE {{ ?x p:loc ?l . {} }}"
+    bad = [
+        # SUBSTR start must be >= 1 and integer literals only
+        "BIND(SUBSTR(?l, 0) AS ?v)",
+        "BIND(SUBSTR(?l, ?l) AS ?v)",
+        'BIND(SUBSTR(?l, "2") AS ?v)',
+        # REPLACE pattern/replacement must be string literals
+        "BIND(REPLACE(?l, ?l, \"x\") AS ?v)",
+        # STRBEFORE/STRAFTER need a non-empty literal delimiter
+        'BIND(STRBEFORE(?l, "") AS ?v)',
+        "BIND(STRAFTER(?l, ?l) AS ?v)",
+        # arity errors
+        "BIND(UCASE(?l, ?l) AS ?v)",
+        "BIND(SUBSTR(?l) AS ?v)",
+        # strfn over an OPTIONAL var is out of subset (nullable)
+        None,
+        # COALESCE arg must be a known var or literal
+        "BIND(COALESCE(?nope, ?l) AS ?v)",
+    ]
+    for b in bad:
+        q = (base.format(b) if b is not None else
+             "PREFIX p: <p:> SELECT ?x ?v WHERE { ?x p:knows ?y . "
+             "OPTIONAL { ?x p:loc ?l . } BIND(UCASE(?l) AS ?v) }")
+        with pytest.raises(ValueError):
+            parse_sparql(q)
+    # the happy forms parse
+    parse_sparql(base.format("BIND(SUBSTR(?l, 1, 0) AS ?v)"))
+    parse_sparql(base.format('BIND(STRAFTER("a:b", ":") AS ?v)'))
 
 
 def test_parse_rejects_out_of_subset():

@@ -42,6 +42,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--limit", type=int, default=None,
+                    help="check only the first N queries() entries "
+                         "(the driver verifies the first 50)")
     args = ap.parse_args()
 
     import ray
@@ -67,7 +70,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
     failures = 0
-    for name, fn in qs.items():
+    items = list(qs.items())
+    if args.limit is not None:
+        items = items[:args.limit]
+    for name, fn in items:
         if args.only and args.only not in name:
             continue
         t0 = time.perf_counter()
