@@ -1046,6 +1046,32 @@ def _sparql_docs_coalesce(sf_dir: str):
         schema=_pa.schema([("rel", _pa.string()), ("n", _pa.int64())]))
 
 
+DOCS_SPARQL_TERMS = """
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?p (COUNT(?o) AS ?n) WHERE {
+  ?s ?p ?o .
+  FILTER (isIRI(?o) || DATATYPE(?o) = xsd:gYear)
+  FILTER (?p NOT IN ("urn:kgap:pred:monitors"))
+} GROUP BY ?p
+"""
+
+
+def _sparql_docs_terms(sf_dir: str):
+    """SPARQL term inspection (round 4): isIRI over the quads'
+    obj_is_literal metadata, DATATYPE equality over obj_datatype, and
+    a NOT IN membership filter — per-predicate counts pin the full
+    filtered bag on both backends (sparql.py single-binder metadata
+    projections vs the compiled boolean/IN SQL)."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_TERMS)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("p", _pa.string()), ("n", _pa.int64())]))
+
+
 DOCS_SPARQL_GRAPH = """
 PREFIX kp: <urn:kgap:pred:>
 SELECT ?g (COUNT(?a) AS ?n) WHERE {
@@ -2147,6 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_sample": _sparql_docs_sample,
         "q_sparql_docs_strfn": _sparql_docs_strfn,
         "q_sparql_docs_coalesce": _sparql_docs_coalesce,
+        "q_sparql_docs_terms": _sparql_docs_terms,
         "q_rdf_jsonld_nested": _rdf_jsonld_nested,
         "q_knn_lsh": _knn_lsh,
         "q_knn_ivf": _knn_ivf,
@@ -2176,8 +2203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_line_dedup": _doc_line_dedup,
         "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
-        "q_emb_dedup_survivors": _emb_dedup_survivors,
         # --- past the 50-entry window: driver-green in r02/r03 ---
+        "q_emb_dedup_survivors": _emb_dedup_survivors,
         "q_doc_neardup_dedup": _doc_neardup_dedup,
         "q_doc_decontam": _doc_decontam,
         "q_media_png": _media_png,
@@ -2707,6 +2734,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_strfn": _sql_sparql_docs_q(DOCS_SPARQL_STRFN),
         "q_sparql_docs_coalesce":
             _sql_sparql_docs_q(DOCS_SPARQL_COALESCE),
+        "q_sparql_docs_terms": _sql_sparql_docs_q(DOCS_SPARQL_TERMS),
         "q_sparql_docs_path": _sql_sparql_docs_q(DOCS_SPARQL_PATH),
         "q_sparql_docs_altpath": _sql_sparql_docs_q(DOCS_SPARQL_ALTPATH),
         "q_sparql_docs_bind": _sql_sparql_docs_q(DOCS_SPARQL_BIND),

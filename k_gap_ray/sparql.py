@@ -55,6 +55,17 @@ Supported subset (documented; out-of-subset input raises ValueError):
   object position of exactly one non-path pattern; its scan also
   projects ``obj_lang``), ``STRLEN(?v) op n`` (codepoint length on
   both backends), ``!expr``, ``&&``, ``||``, parentheses.
+- Term inspection under the same single-binder rule as LANG():
+  ``isLiteral(?v)`` / ``isIRI(?v)`` / ``isURI(?v)`` (the quads'
+  ``obj_is_literal`` metadata column — this engine's quads carry no
+  blank nodes, so isIRI is its exact negation) and
+  ``DATATYPE(?v) =|!= <iri>`` (the ``obj_datatype`` column; what a
+  non-typed object stores — ``''`` in the docs-KG quads — is the
+  data model's choice and identical on both backends).
+- ``?v [NOT] IN (const, const, ...)`` membership filters (compiled
+  like single-var VALUES; a null input — unmatched optional var —
+  yields null and drops the row on both backends, so NOT IN is
+  SQL-exact).
 - ``a`` in the predicate position (the rdf:type shorthand; composes
   with paths).
 - Property paths in the predicate position: ``^step`` (inverse),
@@ -261,6 +272,19 @@ class SparqlQuery:
     # variables whose LANG(...) is referenced by any filter/bind: their
     # object-position scan also projects obj_lang as __pplang_{var}
     lang_vars: set = field(default_factory=set)
+    # same single-binder contract for isLiteral/isIRI (projects
+    # obj_is_literal as __pplit_{var}) and DATATYPE (obj_datatype as
+    # __ppdt_{var})
+    lit_vars: set = field(default_factory=set)
+    dt_vars: set = field(default_factory=set)
+
+    def meta_specs(self) -> frozenset:
+        """(kind, var) pairs for every term-metadata projection the
+        query needs from its binding scans (kind ∈ _META_KINDS)."""
+        return frozenset(
+            {("lang", v) for v in self.lang_vars}
+            | {("lit", v) for v in self.lit_vars}
+            | {("dt", v) for v in self.dt_vars})
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int = 0
@@ -271,6 +295,10 @@ class SparqlQuery:
     # where a described resource is the subject, or the non-literal
     # object (symmetric description, the GraphDB-family default shape)
     describe: list[Term] = field(default_factory=list)
+    # aggregate subqueries ({ SELECT ?g (AGG(?x) AS ?a) WHERE {...}
+    # GROUP BY ?g } as a WHERE element), inner-joined to the outer
+    # group on the shared GROUP BY variables
+    subqueries: list = field(default_factory=list)
 
 
 def _expr_vars(e: tuple) -> set:
@@ -280,7 +308,7 @@ def _expr_vars(e: tuple) -> set:
         return _expr_vars(e[1]) | _expr_vars(e[2])
     if tag == "not":
         return _expr_vars(e[1])
-    if tag in ("in", "bound"):
+    if tag in ("in", "bound", "isliteral"):
         return {e[1]}
     if tag == "fn":
         return {e[2]}
@@ -293,16 +321,20 @@ def _expr_vars(e: tuple) -> set:
     return out
 
 
-def _expr_lang_vars(e: tuple) -> set:
-    """Vars appearing as LANG(?v) inside a filter expression."""
+def _expr_meta_vars(e: tuple, kind: str) -> set:
+    """Vars whose `kind` metadata (lang/lit/dt) a filter expression
+    references — LANG(?v)/DATATYPE(?v) comparison sides and
+    isLiteral/isIRI(?v) primaries."""
     tag = e[0]
     if tag in ("or", "and"):
-        return _expr_lang_vars(e[1]) | _expr_lang_vars(e[2])
+        return _expr_meta_vars(e[1], kind) | _expr_meta_vars(e[2], kind)
     if tag == "not":
-        return _expr_lang_vars(e[1])
+        return _expr_meta_vars(e[1], kind)
+    if tag == "isliteral":
+        return {e[1]} if kind == "lit" else set()
     if tag == "cmp":
         return {x[1] for x in (e[2], e[3])
-                if isinstance(x, tuple) and x[0] == "lang"}
+                if isinstance(x, tuple) and x[0] == kind}
     return set()
 
 
@@ -310,6 +342,21 @@ def _lang_col(var: str) -> str:
     """Internal column carrying obj_lang for a LANG()-referenced var
     (the _INTERNAL prefix keeps it out of SELECT * on both backends)."""
     return f"{_INTERNAL}lang_{var}"
+
+
+def _lit_col(var: str) -> str:
+    return f"{_INTERNAL}lit_{var}"
+
+
+def _dt_col(var: str) -> str:
+    return f"{_INTERNAL}dt_{var}"
+
+
+#: term-metadata kinds: expression key -> (internal column namer, the
+#: quads source column a binding scan projects it from)
+_META_KINDS = {"lang": (_lang_col, "obj_lang"),
+               "lit": (_lit_col, "obj_is_literal"),
+               "dt": (_dt_col, "obj_datatype")}
 
 
 # ---------------------------------------------------------------------------
@@ -354,6 +401,10 @@ class _P:
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.i] if self.i < len(self.toks) else ("", "")
+
+    def peek2(self) -> tuple[str, str]:
+        j = self.i + 1
+        return self.toks[j] if j < len(self.toks) else ("", "")
 
     def next(self) -> tuple[str, str]:
         t = self.peek()
@@ -497,11 +548,22 @@ class _P:
             return ("not", self.expr_prim())
         if k == "kw" and v.upper() == "BOUND":
             return ("bound", self._fn_var_arg("BOUND"))
-        if k == "kw" and v.upper() in ("LANG", "STRLEN"):
-            # numeric-/string-valued functions usable as a comparison
-            # LHS: LANG(?v) op "tag" | STRLEN(?v) op number
+        if k == "kw" and v.upper() in ("ISLITERAL", "ISIRI", "ISURI"):
+            # term-inspection primaries over the quads' metadata
+            # column (obj_is_literal); isIRI/isURI is its negation —
+            # this engine's quads have no blank nodes
             name = v.upper()
-            left = (name.lower(), self._fn_var_arg(name))
+            var = self._fn_var_arg(name)
+            e = ("isliteral", var)
+            return e if name == "ISLITERAL" else ("not", e)
+        if k == "kw" and v.upper() in ("LANG", "STRLEN", "DATATYPE"):
+            # metadata-/numeric-valued functions usable as a comparison
+            # LHS: LANG(?v) op "tag" | STRLEN(?v) op number |
+            # DATATYPE(?v) =/!= <iri>
+            name = v.upper()
+            tagname = {"LANG": "lang", "STRLEN": "strlen",
+                       "DATATYPE": "dt"}[name]
+            left = (tagname, self._fn_var_arg(name))
             ok, ov = self.next()
             if ok != "op" or ov not in ("=", "!=", "<", "<=", ">", ">="):
                 raise ValueError(f"{name} needs a comparison, got {ov!r}")
@@ -510,6 +572,10 @@ class _P:
                 raise ValueError("LANG compares against a string literal")
             if name == "STRLEN" and right.kind != "num":
                 raise ValueError("STRLEN compares against a number")
+            if name == "DATATYPE" and (right.kind != "iri"
+                                       or ov not in ("=", "!=")):
+                raise ValueError(
+                    "DATATYPE compares =/!= against a datatype IRI")
             return ("cmp", ov, left, right)
         if k == "kw" and v.upper() in ("STRSTARTS", "STRENDS",
                                        "CONTAINS", "REGEX"):
@@ -526,6 +592,30 @@ class _P:
             self.expect_op(")")
             return ("fn", name, var.value, lit.value)
         left = self.term()
+        nk, nv = self.peek()
+        if nk == "kw" and nv.upper() in ("IN", "NOT"):
+            # FILTER (?x [NOT] IN (v, v, ...)) — same membership mask
+            # as single-var VALUES / SQL IN on both backends
+            if left.kind != "var":
+                raise ValueError("IN needs a variable on the left")
+            negate = nv.upper() == "NOT"
+            self.next()
+            if negate and not self.kw("IN"):
+                raise ValueError("expected IN after NOT")
+            self.expect_op("(")
+            vals = []
+            while True:
+                t_ = self.term()
+                if t_.kind == "var":
+                    raise ValueError("IN list takes constants only")
+                vals.append(t_.value)
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+            self.expect_op(")")
+            e = ("in", left.value, vals)
+            return ("not", e) if negate else e
         ok, ov = self.next()
         if ok != "op" or ov not in ("=", "!=", "<", "<=", ">", ">="):
             raise ValueError(f"bad comparison operator {ov!r}")
@@ -952,28 +1042,34 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
         + [e for _, f in q.minus for e in f] \
         + [e for _, f in q.exists for e in f] \
         + [b[1][1] for b in q.binds if b[1][0] == "if"]
-    q.lang_vars = set()
+    q.lang_vars, q.lit_vars, q.dt_vars = set(), set(), set()
     for e in all_exprs:
-        q.lang_vars |= _expr_lang_vars(e)
-    if q.lang_vars:
+        q.lang_vars |= _expr_meta_vars(e, "lang")
+        q.lit_vars |= _expr_meta_vars(e, "lit")
+        q.dt_vars |= _expr_meta_vars(e, "dt")
+    if q.lang_vars or q.lit_vars or q.dt_vars:
         all_pats = list(q.patterns) \
             + [pat for pats, _ in q.optionals for pat in pats] \
             + [pat for pats, _ in q.unions for pat in pats] \
             + [pat for pats, _ in q.not_exists for pat in pats] \
             + [pat for pats, _ in q.minus for pat in pats] \
             + [pat for pats, _ in q.exists for pat in pats]
-        for lv in sorted(q.lang_vars):
-            binders = [pat for pat in all_pats
-                       if pat.o.kind == "var" and pat.o.value == lv]
-            if len(binders) != 1:
-                raise ValueError(
-                    f"LANG(?{lv}) needs ?{lv} bound at the object "
-                    f"position of exactly one pattern (found "
-                    f"{len(binders)})")
-            if binders[0].p.kind.startswith("path"):
-                raise ValueError(
-                    f"LANG(?{lv}) over a property-path endpoint is "
-                    "out of subset (closures drop literal metadata)")
+        for fname, mvars in (("LANG", q.lang_vars),
+                             ("isLiteral/isIRI", q.lit_vars),
+                             ("DATATYPE", q.dt_vars)):
+            for lv in sorted(mvars):
+                binders = [pat for pat in all_pats
+                           if pat.o.kind == "var" and pat.o.value == lv]
+                if len(binders) != 1:
+                    raise ValueError(
+                        f"{fname}(?{lv}) needs ?{lv} bound at the "
+                        f"object position of exactly one pattern "
+                        f"(found {len(binders)})")
+                if binders[0].p.kind.startswith("path"):
+                    raise ValueError(
+                        f"{fname}(?{lv}) over a property-path endpoint "
+                        "is out of subset (closures drop literal "
+                        "metadata)")
     for label, groups in (("FILTER NOT EXISTS", q.not_exists),
                           ("FILTER EXISTS", q.exists)):
         for pats, _ in groups:
@@ -1082,11 +1178,13 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
 # ---------------------------------------------------------------------------
 
 
-def _make_scan(pat: Pattern, lang_vars: frozenset = frozenset()):
-    # object var referenced by LANG() → also project obj_lang under
-    # the internal __pplang_{var} name (validated single-binder)
-    lang_var = pat.o.value if pat.o.kind == "var" \
-        and pat.o.value in lang_vars else None
+def _make_scan(pat: Pattern, meta_vars: frozenset = frozenset()):
+    # object var referenced by LANG()/isLiteral()/DATATYPE() → also
+    # project the metadata source column under its internal
+    # __pp{kind}_{var} name (validated single-binder). meta_vars holds
+    # (kind, var) pairs (SparqlQuery.meta_specs()).
+    metas = [(kind, mv) for kind, mv in sorted(meta_vars)
+             if pat.o.kind == "var" and pat.o.value == mv]
 
     def scan(t: pa.Table) -> pa.Table:
         mask = None
@@ -1113,8 +1211,9 @@ def _make_scan(pat: Pattern, lang_vars: frozenset = frozenset()):
             # matches and flip ASK to a wrong False
             return pa.table({"__const": pa.nulls(t.num_rows, pa.string())})
         out = {v: t.column(col) for v, col in seen.items()}
-        if lang_var is not None:
-            out[_lang_col(lang_var)] = t.column("obj_lang")
+        for kind, mv in metas:
+            colfn, src = _META_KINDS[kind]
+            out[colfn(mv)] = t.column(src)
         return pa.table(out)
 
     return scan
@@ -1355,9 +1454,17 @@ def _eval(e: tuple, t: pa.Table):
         return pc.invert(_eval(e[1], t))
     if tag == "bound":
         return pc.is_valid(t.column(e[1]))
-    if tag == "in":  # VALUES inline data: membership mask
+    if tag == "in":  # VALUES / FILTER IN: membership mask. A null
+        # input yields null (not false) so that NOT IN over an
+        # unmatched optional var drops the row, matching SQL
         _, var, vals = e
-        return pc.is_in(t.column(var), value_set=pa.array(vals, pa.string()))
+        col = t.column(var)
+        m = pc.is_in(col, value_set=pa.array(vals, pa.string()))
+        return pc.if_else(pc.is_valid(col), m, pa.scalar(None, pa.bool_()))
+    if tag == "isliteral":  # bool metadata column from the binding
+        # scan (__pplit_{var}); null (unmatched optional) drops the
+        # row on both backends
+        return pc.cast(t.column(_lit_col(e[1])), pa.bool_())
     if tag == "in_tuple":  # multi-var VALUES: composite-key membership
         _, tvars, rows = e
         sep = "\x1f"
@@ -1387,6 +1494,8 @@ def _eval(e: tuple, t: pa.Table):
         if isinstance(x, tuple):
             if x[0] == "lang":
                 return t.column(_lang_col(x[1]))
+            if x[0] == "dt":
+                return t.column(_dt_col(x[1]))
             return pc.cast(pc.utf8_length(t.column(x[1])),
                            pa.float64())  # strlen (codepoints)
         if x.kind == "var":
@@ -1494,7 +1603,7 @@ def _broadcast_join(plan, right_ref, keys: list[str], join_type: str):
 
 
 def _build_group(quads, patterns: list[Pattern], filters: list[tuple],
-                 lang_vars: frozenset = frozenset()):
+                 meta_vars: frozenset = frozenset()):
     """Join a basic graph pattern's scans; returns (plan, bound vars).
 
     Any scan with ZERO matches short-circuits the whole group to a
@@ -1532,7 +1641,7 @@ def _build_group(quads, patterns: list[Pattern], filters: list[tuple],
                                  batch_format="pyarrow")
                  .materialize())
         else:
-            ds = quads.map_batches(_make_scan(pat, lang_vars),
+            ds = quads.map_batches(_make_scan(pat, meta_vars),
                                    batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()
         if ds is None or ds.count() == 0:
@@ -1612,12 +1721,18 @@ def _require_graph_column(quads, q: SparqlQuery) -> None:
 
 
 def _require_lang_column(quads, q: SparqlQuery) -> None:
-    """LANG()-using queries need an ``obj_lang`` column on the input
-    quad Dataset — fail with a contract ValueError up front."""
-    if q.lang_vars and "obj_lang" not in quads.schema().names:
-        raise ValueError(
-            "LANG() needs an 'obj_lang' column on the quads Dataset "
-            f"(has: {quads.schema().names})")
+    """Term-metadata functions (LANG / isLiteral / DATATYPE) need
+    their source column on the input quad Dataset — fail with a
+    contract ValueError up front."""
+    names = quads.schema().names
+    for fname, mvars, src in (
+            ("LANG()", q.lang_vars, "obj_lang"),
+            ("isLiteral()/isIRI()", q.lit_vars, "obj_is_literal"),
+            ("DATATYPE()", q.dt_vars, "obj_datatype")):
+        if mvars and src not in names:
+            raise ValueError(
+                f"{fname} needs an '{src}' column on the quads "
+                f"Dataset (has: {names})")
 
 
 def _solution_plan(quads, q: SparqlQuery):
@@ -1646,7 +1761,7 @@ def _solution_plan(quads, q: SparqlQuery):
         branches = []
         for pats, flts in q.unions:
             b, _, b_empty = _build_group(quads, pats, flts,
-                                         frozenset(q.lang_vars))
+                                         q.meta_specs())
             if not b_empty:
                 branches.append(b.map_batches(
                     lambda t, o=tuple(order): t.select(list(o)),
@@ -1657,7 +1772,7 @@ def _solution_plan(quads, q: SparqlQuery):
         bound = list(order)
     else:
         plan, bound, plan_empty = _build_group(quads, q.patterns, [],
-                                               frozenset(q.lang_vars))
+                                               q.meta_specs())
     # IF binds run after the OPTIONAL joins (they reference optional
     # vars via BOUND); concat/term binds keep their pre-OPTIONAL slot
     pre_binds = [b for b in q.binds if b[1][0] not in ("if", "coalesce")]
@@ -1689,7 +1804,7 @@ def _solution_plan(quads, q: SparqlQuery):
         bound = bound + [v for v, _ in pre_binds]
     for pats, flts in q.optionals:
         sub, sub_bound, sub_empty = _build_group(quads, pats, flts,
-                                                 frozenset(q.lang_vars))
+                                                 q.meta_specs())
         new = [v for v in sub_bound if v not in bound]
         if plan_empty:
             bound = bound + new  # still zero rows; columns moot
@@ -1794,7 +1909,7 @@ def _solution_plan(quads, q: SparqlQuery):
         if plan_empty:
             break  # nothing to filter
         sub, sub_bound, sub_empty = _build_group(quads, pats, flts,
-                                                 frozenset(q.lang_vars))
+                                                 q.meta_specs())
         shared = [v for v in bound if v in sub_bound]
         if kind == "minus" and not shared:
             continue  # MINUS sharing no variable removes nothing (spec)
@@ -2258,6 +2373,9 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
         return f"NOT ({_expr_sql(e[1], var_bind)})"
     if tag == "bound":
         return f"{var_bind[e[1]]} IS NOT NULL"
+    if tag == "isliteral":  # BOOLEAN metadata column; NULL (unmatched
+        # optional) drops the row like the engine's null mask
+        return var_bind[_lit_col(e[1])]
     _, op, left, right = e
     sop = {"=": "=", "!=": "<>", "<": "<", "<=": "<=",
            ">": ">", ">=": ">="}[op]
@@ -2274,6 +2392,8 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
         if isinstance(x, tuple):
             if x[0] == "lang":
                 return var_bind[_lang_col(x[1])]
+            if x[0] == "dt":
+                return var_bind[_dt_col(x[1])]
             return f"LENGTH({var_bind[x[1]]})"  # strlen (characters)
         if x.kind == "var":
             return f"TRY_CAST({var_bind[x.value]} AS DOUBLE)" \
@@ -2287,17 +2407,19 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
 
 def _group_sql(patterns: list[Pattern], filters: list[tuple],
                quads_rel: str,
-               lang_vars: frozenset = frozenset()) -> tuple[str, list[str]]:
+               meta_vars: frozenset = frozenset()) -> tuple[str, list[str]]:
     """One basic graph pattern -> derived-table SQL selecting its
-    variables as columns (plus ``__pplang_{v}`` obj_lang projections
-    for LANG()-referenced vars bound at an object position here);
-    returns (sql, vars in first-seen order)."""
+    variables as columns (plus ``__pp{kind}_{v}`` metadata projections
+    for LANG()/isLiteral()/DATATYPE()-referenced vars bound at an
+    object position here); returns (sql, vars in first-seen order)."""
     var_bind: dict[str, str] = {}
     conds: list[str] = []
     for i, pat in enumerate(patterns):
-        if pat.o.kind == "var" and pat.o.value in lang_vars \
-                and not pat.p.kind.startswith("path"):
-            var_bind[_lang_col(pat.o.value)] = f"t{i}.obj_lang"
+        if pat.o.kind == "var" and not pat.p.kind.startswith("path"):
+            for kind, mv in sorted(meta_vars):
+                if mv == pat.o.value:
+                    colfn, src = _META_KINDS[kind]
+                    var_bind[colfn(mv)] = f"t{i}.{src}"
         for term, col in pat.positions():
             ref = f"t{i}.{col}"
             if pat.p.kind.startswith("path") and col in ("pred", "graph"):
@@ -2381,13 +2503,13 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
         parts = []
         for i, (pats, flts) in enumerate(q.unions):
             g_sql, _ = _group_sql(pats, flts, quads_rel,
-                                  frozenset(q.lang_vars))
+                                  q.meta_specs())
             parts.append("SELECT " + ", ".join(order)
                          + f" FROM ({g_sql}) u{i}")
         base_sql, base_vars = " UNION ALL ".join(parts), order
     else:
         base_sql, base_vars = _group_sql(q.patterns, [], quads_rel,
-                                         frozenset(q.lang_vars))
+                                         q.meta_specs())
     outer_bind = {v: f"r.{v}" for v in base_vars}
     from_sql = f"({base_sql}) r"
     for v, expr in q.binds:
@@ -2404,7 +2526,7 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
         outer_bind[v] = "(" + " || ".join(refs) + ")"
     for i, (pats, flts) in enumerate(q.optionals):
         g_sql, g_vars = _group_sql(pats, flts, quads_rel,
-                                   frozenset(q.lang_vars))
+                                   q.meta_specs())
         shared = [v for v in outer_bind if v in g_vars]
         if not shared:
             raise ValueError(
@@ -2437,7 +2559,7 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
                    + [("EXISTS", g) for g in q.exists])
     for i, (sql_kw, (pats, flts)) in enumerate(semi_groups):
         g_sql, g_vars = _group_sql(pats, flts, quads_rel,
-                                   frozenset(q.lang_vars))
+                                   q.meta_specs())
         shared = [v for v in outer_bind if v in g_vars]
         if not shared:
             continue  # MINUS sharing no variable removes nothing

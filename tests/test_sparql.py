@@ -30,6 +30,13 @@ QUADS = pa.table({
     "graph": ["g1"] * 4 + ["g2"] * 5,
     # language tags for the literal objects (LANG() test surface)
     "obj_lang": ["en", "", "fr", "", "en", "", "", "", ""],
+    # term metadata (isLiteral/isIRI/DATATYPE test surface): the
+    # p:loc/p:emp objects are literals, p:knows objects are IRIs
+    "obj_is_literal": [True, False, True, False, True, False, True,
+                       False, True],
+    "obj_datatype": ["", "", "", "", "",
+                     "", "http://www.w3.org/2001/XMLSchema#integer",
+                     "", "http://www.w3.org/2001/XMLSchema#integer"],
 })
 
 CROSS_QUERIES = [
@@ -341,6 +348,22 @@ CROSS_QUERIES = [
     'PREFIX p: <p:> SELECT ?v (COUNT(?x) AS ?n) WHERE '
     '{ ?x p:knows ?y . OPTIONAL { ?x p:emp ?e . } '
     'BIND(COALESCE(?e, "0") AS ?v) } GROUP BY ?v',
+    # --- term inspection + IN filters (round 4) ---
+    'SELECT ?s ?o WHERE { ?s ?p ?o . FILTER (isLiteral(?o)) }',
+    'SELECT ?s ?o WHERE { ?s ?p ?o . FILTER (isIRI(?o)) }',
+    # DATATYPE equality against a prefixed IRI, with a second filter
+    'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+    'PREFIX p: <p:> SELECT ?s ?o WHERE { ?s p:emp ?o . '
+    'FILTER (DATATYPE(?o) = xsd:integer && ?o > 5) }',
+    # != direction; isURI alias inside a disjunction
+    'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+    'SELECT ?s ?o WHERE { ?s ?p ?o . '
+    'FILTER (DATATYPE(?o) != xsd:integer || isURI(?o)) }',
+    # IN / NOT IN membership; NOT IN over a nullable optional var
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:loc ?l . '
+    'FILTER (?l IN ("l:bay", "l:nope")) }',
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:knows ?y . '
+    'OPTIONAL { ?x p:loc ?l . } FILTER (?l NOT IN ("l:bay")) }',
 ]
 
 
@@ -395,6 +418,33 @@ def test_strfn_bind_validation():
     # the happy forms parse
     parse_sparql(base.format("BIND(SUBSTR(?l, 1, 0) AS ?v)"))
     parse_sparql(base.format('BIND(STRAFTER("a:b", ":") AS ?v)'))
+
+
+def test_term_inspection_validation():
+    """Out-of-subset term-inspection / IN forms raise at parse time."""
+    from k_gap_ray.sparql import parse_sparql
+
+    bad = [
+        # DATATYPE compares =/!= against an IRI only
+        'PREFIX p: <p:> SELECT ?o WHERE { ?s p:emp ?o . '
+        'FILTER (DATATYPE(?o) = "x") }',
+        'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> PREFIX p: <p:>'
+        ' SELECT ?o WHERE { ?s p:emp ?o . '
+        'FILTER (DATATYPE(?o) < xsd:integer) }',
+        # IN lists take constants only, on a variable LHS
+        'PREFIX p: <p:> SELECT ?o WHERE { ?s p:emp ?o . '
+        'FILTER (?o IN (?s, "x")) }',
+        'PREFIX p: <p:> SELECT ?o WHERE { ?s p:emp ?o . '
+        'FILTER ("x" IN ("x")) }',
+        # isLiteral needs a single object-position binder
+        'PREFIX p: <p:> SELECT ?o WHERE { ?s p:emp ?o . ?t p:loc ?o . '
+        'FILTER (isLiteral(?o)) }',
+        'PREFIX p: <p:> SELECT ?s WHERE { ?s p:emp ?o . '
+        'FILTER (isLiteral(?s)) }',
+    ]
+    for q in bad:
+        with pytest.raises(ValueError):
+            parse_sparql(q)
 
 
 def test_parse_rejects_out_of_subset():
@@ -688,4 +738,6 @@ def test_describe_requires_literal_metadata(ray_session):
     from k_gap_ray.sparql import sparql_describe
 
     with pytest.raises(ValueError, match="obj_is_literal"):
-        sparql_describe(rd.from_arrow(QUADS), "DESCRIBE <e:b>")
+        sparql_describe(
+            rd.from_arrow(QUADS.drop_columns(["obj_is_literal"])),
+            "DESCRIBE <e:b>")
