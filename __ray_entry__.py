@@ -1072,6 +1072,33 @@ def _sparql_docs_terms(sf_dir: str):
         schema=_pa.schema([("p", _pa.string()), ("n", _pa.int64())]))
 
 
+DOCS_SPARQL_SUBQUERY = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT ?loc (MAX(?n) AS ?busiest) WHERE {
+  ?a kp:locatedIn ?loc .
+  { SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a kp:collaboratesWith ?b }
+    GROUP BY ?a }
+} GROUP BY ?loc
+"""
+
+
+def _sparql_docs_subquery(sf_dir: str):
+    """SPARQL aggregate subquery (round 4): the per-subject
+    collaboration degree computed in a { SELECT ... GROUP BY }
+    WHERE element, inner-joined to the locatedIn scan, then MAX'd
+    per location — the engine's recursive-plan + broadcast-join path
+    vs the compiled derived-table JOIN SQL."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+
+    res = sparql_select(_docs_quads(sf_dir), DOCS_SPARQL_SUBQUERY)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("loc", _pa.string()),
+                           ("busiest", _pa.int64())]))
+
+
 DOCS_SPARQL_GRAPH = """
 PREFIX kp: <urn:kgap:pred:>
 SELECT ?g (COUNT(?a) AS ?n) WHERE {
@@ -2174,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_strfn": _sparql_docs_strfn,
         "q_sparql_docs_coalesce": _sparql_docs_coalesce,
         "q_sparql_docs_terms": _sparql_docs_terms,
+        "q_sparql_docs_subquery": _sparql_docs_subquery,
         "q_rdf_jsonld_nested": _rdf_jsonld_nested,
         "q_knn_lsh": _knn_lsh,
         "q_knn_ivf": _knn_ivf,
@@ -2193,7 +2221,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_optpath": _sparql_docs_optpath,
         "q_sparql_docs_minus": _sparql_docs_minus,
         "q_sparql_docs_exists": _sparql_docs_exists,
-        "q_sparql_docs_countdistinct": _sparql_docs_countdistinct,
         # --- once-green round-3 entries fill positions 37-50 ---
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
@@ -2204,6 +2231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
         # --- past the 50-entry window: driver-green in r02/r03 ---
+        "q_sparql_docs_countdistinct": _sparql_docs_countdistinct,
         "q_emb_dedup_survivors": _emb_dedup_survivors,
         "q_doc_neardup_dedup": _doc_neardup_dedup,
         "q_doc_decontam": _doc_decontam,
@@ -2735,6 +2763,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_coalesce":
             _sql_sparql_docs_q(DOCS_SPARQL_COALESCE),
         "q_sparql_docs_terms": _sql_sparql_docs_q(DOCS_SPARQL_TERMS),
+        "q_sparql_docs_subquery":
+            _sql_sparql_docs_q(DOCS_SPARQL_SUBQUERY),
         "q_sparql_docs_path": _sql_sparql_docs_q(DOCS_SPARQL_PATH),
         "q_sparql_docs_altpath": _sql_sparql_docs_q(DOCS_SPARQL_ALTPATH),
         "q_sparql_docs_bind": _sql_sparql_docs_q(DOCS_SPARQL_BIND),

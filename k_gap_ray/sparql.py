@@ -66,6 +66,12 @@ Supported subset (documented; out-of-subset input raises ValueError):
   like single-var VALUES; a null input — unmatched optional var —
   yields null and drops the row on both backends, so NOT IN is
   SQL-exact).
+- Aggregate subqueries as WHERE elements: ``{ SELECT ?g (AGG(?x) AS
+  ?a) WHERE { ... } GROUP BY ?g }`` inner-joins the outer group on
+  the shared GROUP BY variables and binds the aliases as new
+  (never-null) variables; a WHERE body may also be subqueries only
+  (aggregate-of-aggregates). One nesting level; no ORDER/LIMIT inside
+  a subquery; aliases must not rebind outer variables.
 - ``a`` in the predicate position (the rdf:type shorthand; composes
   with paths).
 - Property paths in the predicate position: ``^step`` (inverse),
@@ -672,6 +678,14 @@ def parse_sparql(query: str) -> SparqlQuery:
     if not p.kw("SELECT"):
         raise ValueError("only SELECT/ASK/CONSTRUCT/DESCRIBE queries "
                          "are supported")
+    q = _parse_select_clause(p)
+    return _parse_where_and_modifiers(p, q)
+
+
+def _parse_select_clause(p: _P) -> SparqlQuery:
+    """Parse ``[DISTINCT] (?v ... | * | (AGG(?x) AS ?a) ...)`` — the
+    SELECT item list shared by top-level queries and aggregate
+    subqueries (SELECT itself already consumed)."""
     q = SparqlQuery(select_vars=None)
     q.distinct = p.kw("DISTINCT")
     if p.peek() == ("op", "*"):
@@ -731,10 +745,36 @@ def parse_sparql(query: str) -> SparqlQuery:
         if not vs and not q.aggs:
             raise ValueError("SELECT needs variables or *")
         q.select_vars = vs
-    return _parse_where_and_modifiers(p, q)
+    return q
 
 
-def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
+def _check_subquery(sub: SparqlQuery) -> None:
+    """Subset contract for a WHERE-element subquery: a grouped
+    aggregate block whose visible columns (GROUP BY vars + aggregate
+    aliases) inner-join the outer group — no pagination, no nesting."""
+    if not sub.aggs or not sub.group_by:
+        raise ValueError("a subquery must be a grouped aggregate "
+                         "(SELECT ... (AGG(?x) AS ?a) ... GROUP BY ...)")
+    if sub.subqueries:
+        raise ValueError("nested subqueries are out of subset")
+    if sub.distinct:
+        raise ValueError("DISTINCT inside an aggregate subquery is "
+                         "out of subset")
+    if sub.limit is not None or sub.offset or sub.order_by:
+        raise ValueError("ORDER BY / LIMIT / OFFSET inside a subquery "
+                         "are out of subset (join order is immaterial)")
+    stray = [v for v in (sub.select_vars or []) if v not in sub.group_by]
+    if stray:
+        raise ValueError(
+            f"subquery SELECT vars must be GROUP BY vars (got ?{stray[0]})")
+    clash = [a for _, _, a in sub.aggs if a in sub.group_by]
+    if clash:
+        raise ValueError(
+            f"subquery alias ?{clash[0]} collides with a GROUP BY var")
+
+
+def _parse_where_and_modifiers(p: _P, q: SparqlQuery,
+                               in_subquery: bool = False) -> SparqlQuery:
     if not p.kw("WHERE") and not q.ask:
         raise ValueError("expected WHERE")  # ASK allows a bare block
 
@@ -757,8 +797,13 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
             raise ValueError("group needs at least one pattern")
         return pats, flts
 
+    def _at_subquery() -> bool:
+        nk, nv = p.peek2()
+        return (p.peek() == ("op", "{")
+                and nk == "kw" and nv.upper() == "SELECT")
+
     p.expect_op("{")
-    if p.peek() == ("op", "{"):
+    if p.peek() == ("op", "{") and not _at_subquery():
         # union form: WHERE { { bgp } UNION { bgp } [UNION ...] }
         q.unions.append(parse_plain_group())
         while p.kw("UNION"):
@@ -921,6 +966,23 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
                     if not vals:
                         raise ValueError("VALUES needs at least one value")
                     q.filters.append(("in", var.value, vals))
+            elif p.peek() == ("op", "{"):
+                # aggregate subquery as a WHERE element:
+                # { SELECT ?g (AGG(?x) AS ?a) WHERE {...} GROUP BY ?g }
+                # — inner-joined to the outer group on the shared
+                # GROUP BY variables; the alias becomes a new binding
+                if not _at_subquery():
+                    raise ValueError(
+                        "a braced WHERE element must be a subquery "
+                        "({ SELECT ... }) in this subset")
+                p.next()  # {
+                p.kw("SELECT")
+                sub = _parse_select_clause(p)
+                sub = _parse_where_and_modifiers(p, sub,
+                                                 in_subquery=True)
+                p.expect_op("}")
+                _check_subquery(sub)
+                q.subqueries.append(sub)
             else:
                 q.patterns.extend(p.triple_patterns())
             if p.peek() == ("op", "."):
@@ -962,9 +1024,9 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
             q.limit = int(p.next()[1])
         elif p.kw("OFFSET"):
             q.offset = int(p.next()[1])
-    if p.i != len(p.toks):
+    if not in_subquery and p.i != len(p.toks):
         raise ValueError(f"trailing tokens at {p.toks[p.i:]}")
-    if not q.patterns and not q.unions:
+    if not q.patterns and not q.unions and not q.subqueries:
         raise ValueError("WHERE needs at least one triple pattern")
     if q.offset and q.limit is None:
         raise ValueError("OFFSET requires LIMIT")
@@ -987,6 +1049,18 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery) -> SparqlQuery:
         required = set()
         for pat in q.patterns:
             required.update(pat.vars())
+    # subquery visible columns (GROUP BY vars + aggregate aliases)
+    # inner-join the outer group, so they bind required (never-null)
+    # variables; an alias shadowing an existing binding is rejected
+    opt_vars = {v for pats, _ in q.optionals for pat in pats
+                for v in pat.vars()}
+    for sub in q.subqueries:
+        for _, _, a in sub.aggs:
+            if a in required or a in opt_vars:
+                raise ValueError(
+                    f"subquery alias ?{a} rebinds an outer variable")
+            required.add(a)
+        required.update(sub.group_by)
     if not required and not q.ask:
         raise ValueError(
             "the query binds no variables — only ASK supports an "
@@ -1770,6 +1844,14 @@ def _solution_plan(quads, q: SparqlQuery):
         plan = _empty_plan(order) if plan_empty \
             else branches[0].union(*branches[1:])
         bound = list(order)
+    elif not q.patterns and q.subqueries:
+        # subquery-only WHERE body (aggregate-of-aggregates idiom):
+        # the first subquery IS the base relation
+        sub0 = q.subqueries[0]
+        plan = sparql_select(quads, sub0).materialize()
+        bound = list(sub0.group_by) + [a for _, _, a in sub0.aggs]
+        plan_empty = plan.count() == 0
+        plan = _empty_plan(bound) if plan_empty else drop_empty_blocks(plan)
     else:
         plan, bound, plan_empty = _build_group(quads, q.patterns, [],
                                                q.meta_specs())
@@ -1802,6 +1884,50 @@ def _solution_plan(quads, q: SparqlQuery):
         plan = plan.map_batches(apply_binds, batch_format="pyarrow")
     if pre_binds:
         bound = bound + [v for v, _ in pre_binds]
+    # aggregate subqueries: each runs as its own SELECT (recursive —
+    # validated non-nesting), then inner-joins the plan on its GROUP
+    # BY variables; grouped-aggregate results are small, so the
+    # broadcast path is the norm. Runs BEFORE the OPTIONAL left joins
+    # (inner ⋈ then left ⟕ == the SQL mirror's join order).
+    sub_queries = q.subqueries if q.patterns or q.unions \
+        else q.subqueries[1:]  # [0] already consumed as the base
+    for sub_q in sub_queries:
+        sub_vis = list(sub_q.group_by) + [a for _, _, a in sub_q.aggs]
+        shared = [v for v in bound if v in sub_q.group_by]
+        if not shared:
+            raise ValueError(
+                "subquery shares no GROUP BY variable with the outer "
+                "group (cartesian product not supported)")
+        new = [v for v in sub_vis if v not in bound]
+        if plan_empty:
+            bound = bound + new
+            continue
+        sub_res = sparql_select(quads, sub_q).materialize()
+        n_sub = sub_res.count()
+        if n_sub == 0:
+            plan = plan.limit(0)  # inner join against nothing
+            plan_empty = True
+            bound = bound + new
+            continue
+        if n_sub <= _BCAST_JOIN_CAP:
+            import ray as _ray
+            rt = pa.concat_tables(
+                [b for b in _ray.get(sub_res.to_arrow_refs())
+                 if b.num_rows]).combine_chunks()
+            plan = _broadcast_join(plan, _ray.put(rt), shared, "inner")
+        else:
+            # oversized aggregate result: distributed hash join with
+            # the drain-probe-scrub discipline on both sides
+            sub_res = drop_empty_blocks(sub_res)
+            plan = plan.materialize()
+            if plan.count() == 0:
+                plan_empty = True
+                bound = bound + new
+                continue
+            plan = drop_empty_blocks(plan)
+            plan, _ = _join_plans(plan, bound, sub_res, sub_vis,
+                                  join_type="inner")
+        bound = bound + new
     for pats, flts in q.optionals:
         sub, sub_bound, sub_empty = _build_group(quads, pats, flts,
                                                  q.meta_specs())
@@ -1985,6 +2111,17 @@ def sparql_select(quads, query: str | SparqlQuery):
     _require_lang_column(quads, q)
     plan, bound = _solution_plan(quads, q)
 
+    # statically-known non-string bindings: subquery aggregate aliases
+    # (COUNT->int64, SUM/AVG->float64; MIN/MAX/CONCAT stay string) —
+    # the driver-edge schema builders below must not stringify them
+    static_types = {}
+    for sub in q.subqueries:
+        for fn, _, a in sub.aggs:
+            static_types[a] = (
+                pa.int64() if fn in ("COUNT", "COUNT_DISTINCT")
+                else pa.float64() if fn in ("SUM", "AVG")
+                else pa.string())
+
     if q.aggs:
         if q.aggs[0][0] == "GROUP_CONCAT":
             # values concatenated in SORTED order (deterministic on
@@ -2067,6 +2204,15 @@ def sparql_select(quads, query: str | SparqlQuery):
                     # value for cross-engine determinism
                     cls = Max if fn == "MAX" else Min
                     agg_objs.append(cls(avar, alias_name=alias))
+            def _alias_type(fn: str, avar: str):
+                # MIN/MAX/SAMPLE keep their input's type: string for
+                # pattern vars, the static type for subquery aliases
+                if fn == "COUNT":
+                    return pa.int64()
+                if fn in ("SUM", "AVG"):
+                    return pa.float64()
+                return static_types.get(avar, pa.string())
+
             if not q.group_by:
                 plan = plan.materialize()
                 if plan.count() == 0:
@@ -2075,18 +2221,13 @@ def sparql_select(quads, query: str | SparqlQuery):
                     return pa.table({
                         alias: pa.array(
                             [0 if fn == "COUNT" else None],
-                            pa.int64() if fn == "COUNT" else (
-                                pa.float64() if fn in ("SUM", "AVG")
-                                else pa.string()))
-                        for fn, _, alias in q.aggs})
+                            _alias_type(fn, avar))
+                        for fn, avar, alias in q.aggs})
                 row = plan.aggregate(*agg_objs)
                 return pa.table({
-                    alias: pa.array(
-                        [row[alias]],
-                        pa.int64() if fn == "COUNT" else (
-                            pa.float64() if fn in ("SUM", "AVG")
-                            else pa.string()))
-                    for fn, _, alias in q.aggs})
+                    alias: pa.array([row[alias]],
+                                    _alias_type(fn, avar))
+                    for fn, avar, alias in q.aggs})
             plan = plan.groupby(q.group_by).aggregate(*agg_objs)
         if q.having:
             # post-aggregation filter: aggregate aliases are numeric
@@ -2107,16 +2248,19 @@ def sparql_select(quads, query: str | SparqlQuery):
         plan = plan.sort(keys, descending=desc)
     if q.limit is not None:
         head = plan.limit(q.offset + q.limit).take_all()
-        # COUNT aliases are int64, SUM/AVG float64; everything else
-        # (MIN/MAX/GROUP_CONCAT and plain vars) stays string
+        # COUNT aliases are int64, SUM/AVG float64, MIN/MAX keep their
+        # input's type (string except over a subquery alias); plain
+        # vars stay string except statically-typed subquery aliases
         atypes = {alias: {"COUNT": pa.int64(),
                           "COUNT_DISTINCT": pa.int64(),
                           "SUM": pa.float64(),
-                          "AVG": pa.float64()}.get(fn)
-                  for fn, _, alias in q.aggs}
+                          "AVG": pa.float64()}.get(
+                              fn, static_types.get(avar))
+                  for fn, avar, alias in q.aggs}
         return pa.Table.from_pylist(
             head[q.offset:], schema=pa.schema(
-                [(v, atypes.get(v) or pa.string())
+                [(v, atypes.get(v) or static_types.get(v)
+                  or pa.string())
                  for v in out_vars]))
     return plan
 
@@ -2507,6 +2651,12 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
             parts.append("SELECT " + ", ".join(order)
                          + f" FROM ({g_sql}) u{i}")
         base_sql, base_vars = " UNION ALL ".join(parts), order
+    elif not q.patterns and q.subqueries:
+        # subquery-only WHERE body: the first subquery is the base
+        # relation (mirrors _solution_plan)
+        sub0 = q.subqueries[0]
+        base_sql = sparql_to_sql(sub0, quads_rel)
+        base_vars = list(sub0.group_by) + [a for _, _, a in sub0.aggs]
     else:
         base_sql, base_vars = _group_sql(q.patterns, [], quads_rel,
                                          q.meta_specs())
@@ -2524,6 +2674,24 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
         refs = [outer_bind[x.value] if x.kind == "var" else _sql_str(x.value)
                 for x in terms]
         outer_bind[v] = "(" + " || ".join(refs) + ")"
+    # aggregate subqueries: derived-table INNER JOINs on the shared
+    # GROUP BY variables, placed before the OPTIONAL LEFT JOINs (the
+    # join conditions reference only required-side bindings, so the
+    # inner-then-left order equals the engine's plan order)
+    sub_queries = q.subqueries if q.patterns or q.unions \
+        else q.subqueries[1:]  # [0] already consumed as the base
+    for i, sub_q in enumerate(sub_queries):
+        sub_sql = sparql_to_sql(sub_q, quads_rel)
+        shared = [v for v in outer_bind if v in sub_q.group_by]
+        if not shared:
+            raise ValueError(
+                "subquery shares no GROUP BY variable with the outer "
+                "group (cartesian product not supported)")
+        on = " AND ".join(f"{outer_bind[v]} = sq{i}.{v}"
+                          for v in shared)
+        from_sql += f"\nJOIN (\n{sub_sql}\n) sq{i} ON {on}"
+        for v in list(sub_q.group_by) + [a for _, _, a in sub_q.aggs]:
+            outer_bind.setdefault(v, f"sq{i}.{v}")
     for i, (pats, flts) in enumerate(q.optionals):
         g_sql, g_vars = _group_sql(pats, flts, quads_rel,
                                    q.meta_specs())

@@ -364,6 +364,41 @@ CROSS_QUERIES = [
     'FILTER (?l IN ("l:bay", "l:nope")) }',
     'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:knows ?y . '
     'OPTIONAL { ?x p:loc ?l . } FILTER (?l NOT IN ("l:bay")) }',
+    # --- aggregate subqueries (round 4) ---
+    # basic: inner-join the per-subject knows-count to the loc scan
+    'PREFIX p: <p:> SELECT ?x ?l ?n WHERE { ?x p:loc ?l . '
+    '{ SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y } '
+    'GROUP BY ?x } }',
+    # filter over the alias
+    'PREFIX p: <p:> SELECT ?x ?n WHERE { ?x p:loc "l:bay" . '
+    '{ SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y } '
+    'GROUP BY ?x } FILTER (?n >= 2) }',
+    # subquery-only body + outer global aggregate over the alias
+    'PREFIX p: <p:> SELECT (MAX(?n) AS ?m) WHERE { '
+    '{ SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y } '
+    'GROUP BY ?x } }',
+    # outer grouped SUM over the alias, joined through a pattern
+    'PREFIX p: <p:> SELECT ?l (SUM(?n) AS ?t) WHERE { ?x p:loc ?l . '
+    '{ SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y } '
+    'GROUP BY ?x } } GROUP BY ?l',
+    # ORDER BY the alias + LIMIT (typed-table return path keeps int64)
+    'PREFIX p: <p:> SELECT ?x ?n WHERE { ?x p:knows ?z . '
+    '{ SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y } '
+    'GROUP BY ?x } } ORDER BY DESC(?n) ?x LIMIT 3',
+    # subquery + OPTIONAL: alias joins before the left join
+    'PREFIX p: <p:> SELECT ?x ?n ?e WHERE { ?x p:knows ?z . '
+    '{ SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y } '
+    'GROUP BY ?x } OPTIONAL { ?x p:emp ?e . } }',
+    # subquery with its own filter; MIN aggregate (string-typed alias)
+    'PREFIX p: <p:> SELECT ?x ?first WHERE { ?x p:loc "l:bay" . '
+    '{ SELECT ?x (MIN(?y) AS ?first) WHERE { ?x p:knows ?y . '
+    'FILTER (?y != "e:d") } GROUP BY ?x } }',
+    # two subqueries joined on the same outer variable
+    'PREFIX p: <p:> SELECT ?x ?n ?first WHERE { ?x p:loc ?l . '
+    '{ SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y } '
+    'GROUP BY ?x } '
+    '{ SELECT ?x (MIN(?y) AS ?first) WHERE { ?x p:knows ?y } '
+    'GROUP BY ?x } }',
 ]
 
 
@@ -418,6 +453,60 @@ def test_strfn_bind_validation():
     # the happy forms parse
     parse_sparql(base.format("BIND(SUBSTR(?l, 1, 0) AS ?v)"))
     parse_sparql(base.format('BIND(STRAFTER("a:b", ":") AS ?v)'))
+
+
+def test_subquery_validation():
+    """Out-of-subset subquery forms raise at parse time."""
+    from k_gap_ray.sparql import parse_sparql
+
+    bad = [
+        # a subquery must be a grouped aggregate
+        'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:loc ?l . '
+        '{ SELECT ?x ?y WHERE { ?x p:knows ?y } } }',
+        # ... with a GROUP BY (global aggregates have no join key)
+        'PREFIX p: <p:> SELECT ?x ?n WHERE { ?x p:loc ?l . '
+        '{ SELECT (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y } } }',
+        # no ORDER/LIMIT inside a subquery
+        'PREFIX p: <p:> SELECT ?x ?n WHERE { ?x p:loc ?l . '
+        '{ SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y } '
+        'GROUP BY ?x ORDER BY ?x LIMIT 2 } }',
+        # no nesting
+        'PREFIX p: <p:> SELECT ?x ?n WHERE { ?x p:loc ?l . '
+        '{ SELECT ?x (MAX(?m) AS ?n) WHERE { '
+        '{ SELECT ?x (COUNT(?y) AS ?m) WHERE { ?x p:knows ?y } '
+        'GROUP BY ?x } } GROUP BY ?x } }',
+        # alias must not rebind an outer variable
+        'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x p:loc ?l . '
+        '{ SELECT ?x (COUNT(?y) AS ?l) WHERE { ?x p:knows ?y } '
+        'GROUP BY ?x } }',
+        # a braced element that is not a subquery
+        'PREFIX p: <p:> SELECT ?x WHERE { ?x p:loc ?l . '
+        '{ ?x p:knows ?y } }',
+    ]
+    for q in bad:
+        with pytest.raises(ValueError):
+            parse_sparql(q)
+    # the happy form parses
+    parse_sparql(
+        'PREFIX p: <p:> SELECT ?x ?n WHERE { ?x p:loc ?l . '
+        '{ SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x p:knows ?y } '
+        'GROUP BY ?x } }')
+
+
+def test_subquery_disconnected_raises(ray_session):
+    """A subquery sharing no GROUP BY var with the outer group is a
+    cartesian product — both backends reject it at build time."""
+    import ray.data as rd
+
+    from k_gap_ray.sparql import sparql_select, sparql_to_sql
+
+    q = ('PREFIX p: <p:> SELECT ?x ?n WHERE { ?x p:loc ?l . '
+         '{ SELECT ?z (COUNT(?y) AS ?n) WHERE { ?z p:knows ?y } '
+         'GROUP BY ?z } }')
+    with pytest.raises(ValueError, match="shares no GROUP BY"):
+        sparql_select(rd.from_arrow(QUADS), q)
+    with pytest.raises(ValueError, match="shares no GROUP BY"):
+        sparql_to_sql(q)
 
 
 def test_term_inspection_validation():
