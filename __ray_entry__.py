@@ -574,6 +574,25 @@ def _doc_len_hist(sf_dir: str):
             .rename_columns({"count()": "n_docs"}))
 
 
+def _doc_len_quantiles(sf_dir: str):
+    """Exact corpus length percentiles (training-data profiling):
+    per-batch value-count partials, one histogram-scale shuffle, a
+    streamed cumulative walk. DuckDB quantile_disc semantics."""
+    from k_gap_ray.functions.quantiles import exact_quantiles
+
+    return exact_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars")
+
+
+def _doc_len_quantiles_by_lang(sf_dir: str):
+    """Per-language exact length percentiles: keyed histogram
+    partials, one groupby(lang) shuffle at histogram scale, the
+    cumulative walk inside map_groups."""
+    from k_gap_ray.functions.quantiles import grouped_quantiles
+
+    return grouped_quantiles(_docs(sf_dir, ["lang", "n_chars"]),
+                             "lang", "n_chars")
+
+
 def _doc_dup_spans(sf_dir: str):
     """Cross-document duplicated 8-gram spans (ExactSubstr-style
     boilerplate evidence): token 8-grams occurring in >= 2 distinct
@@ -2261,6 +2280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_values": _sparql_docs_values,
         "q_sparql_docs_lang": _sparql_docs_lang,
         "q_sparql_docs_datetime": _sparql_docs_datetime,
+        "q_doc_len_quantiles": _doc_len_quantiles,
+        "q_doc_len_quantiles_by_lang": _doc_len_quantiles_by_lang,
         "q_doc_dup_spans": _doc_dup_spans,
         "q_part_fuzzy_pairs": _part_fuzzy_pairs,
         "q_doc_redact": _doc_redact,
@@ -2324,6 +2345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from k_gap_ray.functions import quantiles as _q
+
     return {
         # float SUMs use fixed-point (x10000 int64) on both sides: exact
         # and order-independent, so no rounding-boundary coin flips
@@ -2496,6 +2519,10 @@ def oracle_sql() -> dict[str, str]:
                                 event_id) AS BIGINT) AS quartile
             FROM events
         """,
+        "q_doc_len_quantiles": _q.quantiles_sql(
+            "n_chars", "documents"),
+        "q_doc_len_quantiles_by_lang": _q.grouped_quantiles_sql(
+            "lang", "n_chars", "documents"),
         "q_doc_len_hist": """
             SELECT (CASE WHEN length(text) = 0 THEN 0
                     ELSE length(text) - length(replace(text, ' ', '')) + 1
