@@ -102,6 +102,15 @@ Supported subset (documented; out-of-subset input raises ValueError):
   and ``STRBEFORE``/``STRAFTER(?v, "delim")`` with a non-empty
   literal delimiter (both return ``""`` when the delimiter does not
   occur, per SPARQL — mirrored with a strpos CASE in SQL).
+- Numeric BINDs: ``BIND(?a + ?b AS ?v)`` (also ``-``, ``*``) — ONE
+  binary operation (no precedence chains) over the exact INTEGER
+  coercion (integer-lexical regexp guard, then BIGINT/int64; a
+  non-integer lexical nulls the operand and the result on both
+  backends) — and ``ABS`` (integer domain) / ``CEIL`` / ``FLOOR`` /
+  ``ROUND`` (double coercion, half-away-from-zero rounding, integral
+  result). Results are bound as the canonical integer STRING, so the
+  new var composes with every other string-var feature (FILTER,
+  GROUP BY, CONCAT, ORDER BY needs the numeric filter rule).
 - ``BIND(COALESCE(a, b, ...) AS ?v)``: like IF, applied AFTER the
   OPTIONAL joins on both backends (SQL ``COALESCE``), so its whole
   point — picking the first bound optional var — works.
@@ -173,6 +182,37 @@ _NUM_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
 # lower match on non-ASCII).
 _STRFNS = {"UCASE": (1, 1), "LCASE": (1, 1), "SUBSTR": (2, 3),
            "REPLACE": (3, 3), "STRBEFORE": (2, 2), "STRAFTER": (2, 2)}
+# numeric BIND surface: binary + - * over the INTEGER coercion, and
+# ABS (integer) / CEIL / FLOOR / ROUND (double coercion, integral
+# result). Results render as the canonical integer string so bound
+# vars stay inside the engine's all-string variable model; int64
+# arithmetic is exact and order-independent on both backends.
+_NUMFNS = ("ABS", "CEIL", "FLOOR", "ROUND")
+# integer-literal grammar for the exact string->int64 coercion; the
+# SQL mirror regexp-guards the same way because DuckDB's bare
+# TRY_CAST(... AS BIGINT) ROUNDS decimal lexicals ('4.5' -> 5)
+# instead of nulling them (measured, BENCH/NOTES.md round 4)
+_INT_RE = r"^[+-]?\d+$"
+
+
+def _check_numbind(op: str, args: list) -> None:
+    """Numeric BIND operand rule: vars or numeric literals only, at
+    least one variable (all-constant folds are pointless and would
+    need scalar->array broadcast), and integer-domain ops (+ - * ABS)
+    take integer literals only — a decimal there would silently null
+    on both backends, better rejected at parse."""
+    if not any(a.kind == "var" for a in args):
+        raise ValueError(f"{op} BIND needs at least one variable operand")
+    for a in args:
+        if a.kind not in ("var", "num"):
+            raise ValueError(f"{op} BIND operands must be variables "
+                             "or numeric literals")
+        if a.kind == "num" and op not in ("CEIL", "FLOOR", "ROUND") \
+                and not re.match(_INT_RE, a.value):
+            raise ValueError(
+                f"{op} BIND literal operand must be an integer "
+                "(integer-domain arithmetic; decimal literals only "
+                "under CEIL/FLOOR/ROUND)")
 
 
 def _check_strfn(fname: str, args: list) -> None:
@@ -377,7 +417,7 @@ _TOKEN_RE = re.compile(
       |(?P<num>-?\d+(\.\d+)?)
       |(?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
       |(?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-      |(?P<op>&&|\|\||!=|<=|>=|\^\^|[=<>{}().,;*/+^|!?])
+      |(?P<op>&&|\|\||!=|<=|>=|\^\^|[=<>{}().,;*/+^|!?-])
     """,
     re.X,
 )
@@ -880,7 +920,28 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery,
                         _check_strfn(fname, args)
                         expr = ("strfn", fname, args)
                     else:
-                        expr = ("term", p.term())
+                        nfname = next((f for f in _NUMFNS if p.kw(f)),
+                                      None)
+                        if nfname is not None:
+                            # BIND(ABS|CEIL|FLOOR|ROUND(?v) AS ?x)
+                            p.expect_op("(")
+                            arg = p.term()
+                            p.expect_op(")")
+                            _check_numbind(nfname, [arg])
+                            expr = ("numfn", nfname, [arg])
+                        else:
+                            t1 = p.term()
+                            if p.peek() in (("op", "+"), ("op", "-"),
+                                            ("op", "*")):
+                                # BIND(?a op ?b|int AS ?x) — one
+                                # binary integer operation (flat; no
+                                # precedence chains in subset)
+                                _, aop = p.next()
+                                t2 = p.term()
+                                _check_numbind(aop, [t1, t2])
+                                expr = ("arith", aop, t1, t2)
+                            else:
+                                expr = ("term", t1)
                 if not p.kw("AS"):
                     raise ValueError("BIND needs AS ?var")
                 vk, vv = p.next()
@@ -1092,6 +1153,8 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery,
         else:
             terms = (expr[1] if expr[0] == "concat"
                      else expr[2] if expr[0] == "strfn"
+                     else expr[2] if expr[0] == "numfn"
+                     else [expr[2], expr[3]] if expr[0] == "arith"
                      else [expr[1]])
             for t_ in terms:
                 if t_.kind == "var" \
@@ -1505,6 +1568,75 @@ def _strfn_array(fname: str, args: list, t: pa.Table):
     return pc.if_else(found, out, "")
 
 
+def _int_col(col):
+    """String column → int64 with non-integer lexicals nulled — the
+    exact two-backend integer coercion. SQL mirror:
+    ``TRY_CAST(CASE WHEN regexp_matches(x, '^[+-]?\\d+$') THEN x END
+    AS BIGINT)`` (a bare TRY_CAST AS BIGINT would ROUND '4.5' to 5 in
+    DuckDB; Arrow's cast can't parse a leading '+', so it is stripped
+    after the guard — both quirks measured, BENCH/NOTES.md)."""
+    if pa.types.is_integer(col.type):
+        return pc.cast(col, pa.int64())
+    ok = pc.match_substring_regex(col, _INT_RE)
+    g = pc.if_else(ok, col, pa.scalar(None, pa.string()))
+    g = pc.replace_substring_regex(g, pattern=r"^\+", replacement="",
+                                   max_replacements=1)
+    return pc.cast(g, pa.int64())
+
+
+def _numbind_array(expr: tuple, t: pa.Table):
+    """Vectorized numeric BIND: integer-exact on both backends, the
+    result rendered as its canonical integer string (null stays null)
+    so the bound var stays in the all-string variable model. Checked
+    kernels raise on int64 overflow — DuckDB's BIGINT ops raise too,
+    so neither backend wraps silently."""
+    def int_part(x):
+        if x.kind == "var":
+            return _int_col(t.column(x.value))
+        return pa.scalar(int(x.value), pa.int64())
+
+    if expr[0] == "arith":
+        _, op, a, b = expr
+        fn = {"+": pc.add_checked, "-": pc.subtract_checked,
+              "*": pc.multiply_checked}[op]
+        out = fn(int_part(a), int_part(b))
+    else:
+        _, name, (a,) = expr
+        if name == "ABS":
+            out = pc.abs_checked(int_part(a))
+        else:
+            col = _numeric_col(t.column(a.value))
+            if name == "CEIL":
+                d = pc.ceil(col)
+            elif name == "FLOOR":
+                d = pc.floor(col)
+            else:  # ROUND: DuckDB rounds half AWAY from zero
+                d = pc.round(col, round_mode="half_towards_infinity")
+            out = pc.cast(d, pa.int64())
+    return pc.cast(out, pa.string())
+
+
+def _numbind_sql(expr: tuple, bind: dict) -> str:
+    """The DuckDB mirror of :func:`_numbind_array` (see its note on
+    why the BIGINT coercion needs the regexp guard)."""
+    def iref(x) -> str:
+        if x.kind == "num":
+            return x.value
+        r = bind[x.value]
+        return (f"TRY_CAST(CASE WHEN regexp_matches({r}, "
+                f"'^[+-]?\\d+$') THEN {r} END AS BIGINT)")
+
+    if expr[0] == "arith":
+        _, op, a, b = expr
+        return f"CAST(({iref(a)} {op} {iref(b)}) AS VARCHAR)"
+    _, name, (a,) = expr
+    if name == "ABS":
+        return f"CAST(abs({iref(a)}) AS VARCHAR)"
+    fn = {"CEIL": "ceil", "FLOOR": "floor", "ROUND": "round"}[name]
+    dref = f"TRY_CAST({bind[a.value]} AS DOUBLE)"
+    return f"CAST(CAST({fn}({dref}) AS BIGINT) AS VARCHAR)"
+
+
 def _numeric_col(col):
     """String column → float64 with non-numeric values nulled — the
     Arrow mirror of DuckDB's TRY_CAST(col AS DOUBLE): a failed parse
@@ -1867,6 +1999,9 @@ def _solution_plan(quads, q: SparqlQuery):
                 if expr[0] == "strfn":
                     t = t.append_column(
                         v, _strfn_array(expr[1], expr[2], t))
+                    continue
+                if expr[0] in ("arith", "numfn"):
+                    t = t.append_column(v, _numbind_array(expr, t))
                     continue
                 terms = expr[1] if expr[0] == "concat" else [expr[1]]
                 parts = [t.column(x.value) if x.kind == "var"
@@ -2667,6 +2802,9 @@ def _solution_sql_parts(q: SparqlQuery, quads_rel: str):
             continue  # these reference OPTIONAL vars: after joins
         if expr[0] == "strfn":
             outer_bind[v] = _strfn_sql(expr[1], expr[2], outer_bind)
+            continue
+        if expr[0] in ("arith", "numfn"):
+            outer_bind[v] = _numbind_sql(expr, outer_bind)
             continue
         # args are required vars (validated) -> never NULL, so ||
         # concatenation matches Arrow's binary_join_element_wise

@@ -399,6 +399,28 @@ CROSS_QUERIES = [
     'GROUP BY ?x } '
     '{ SELECT ?x (MIN(?y) AS ?first) WHERE { ?x p:knows ?y } '
     'GROUP BY ?x } }',
+    # --- numeric BINDs (integer-exact arithmetic) ---
+    # var op literal; the bound var filters numerically downstream
+    'PREFIX p: <p:> SELECT ?x ?d WHERE { ?x p:emp ?e . '
+    'BIND(?e * 2 AS ?d) FILTER (?d > 20) }',
+    # var op var (same var twice) + subtraction with a negative result
+    'PREFIX p: <p:> SELECT ?x ?z ?m WHERE { ?x p:emp ?e . '
+    'BIND(?e - ?e AS ?z) BIND(?z - 5 AS ?m) }',
+    # addition chained through an earlier bind target
+    'PREFIX p: <p:> SELECT ?x ?b WHERE { ?x p:emp ?e . '
+    'BIND(?e + 1 AS ?a) BIND(?a + ?e AS ?b) }',
+    # non-integer lexical (p:loc strings) nulls the result, and the
+    # null survives to the output identically on both backends
+    'PREFIX p: <p:> SELECT ?x ?n WHERE { ?x p:loc ?l . '
+    'BIND(?l + 1 AS ?n) }',
+    # ABS / CEIL / FLOOR / ROUND over integer-stored values
+    'PREFIX p: <p:> SELECT ?x ?a ?c ?f ?r WHERE { ?x p:emp ?e . '
+    'BIND(?e - 50 AS ?neg) BIND(ABS(?neg) AS ?a) '
+    'BIND(CEIL(?e) AS ?c) BIND(FLOOR(?e) AS ?f) '
+    'BIND(ROUND(?e) AS ?r) }',
+    # arithmetic result as a GROUP BY key
+    'PREFIX p: <p:> SELECT ?d (COUNT(?x) AS ?n) WHERE '
+    '{ ?x p:emp ?e . BIND(?e * 0 AS ?d) } GROUP BY ?d',
 ]
 
 
