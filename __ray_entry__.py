@@ -593,6 +593,15 @@ def _doc_len_quantiles_by_lang(sf_dir: str):
                              "lang", "n_chars")
 
 
+def _doc_oov(sf_dir: str):
+    """Per-doc out-of-vocabulary stats vs the corpus top-500
+    vocabulary (vocabulary-coverage quality filter): two streaming
+    passes, the top-K cut broadcast, integer-exact per-mille rate."""
+    from k_gap_ray.functions.textstats import oov_rate
+
+    return oov_rate(_docs(sf_dir, ["doc_id", "text"]), vocab_size=500)
+
+
 def _doc_dup_spans(sf_dir: str):
     """Cross-document duplicated 8-gram spans (ExactSubstr-style
     boilerplate evidence): token 8-grams occurring in >= 2 distinct
@@ -2272,16 +2281,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_arith": _sparql_docs_arith,
         "q_doc_len_quantiles": _doc_len_quantiles,
         "q_doc_len_quantiles_by_lang": _doc_len_quantiles_by_lang,
+        "q_doc_oov": _doc_oov,
         # --- once-green round-3 entries fill the window tail (the
         #     demoted kg_docs_mention_counts / q_bfs_depths /
-        #     q_doc_line_dedup are r03-green; union coverage keeps
-        #     their green row while the new queries take the slots) ---
+        #     q_doc_line_dedup / q_shacl_docs are r03-green; union
+        #     coverage keeps their green row while the new queries
+        #     take the slots) ---
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
-        "q_shacl_docs": _shacl_docs,
         "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
         # --- past the 50-entry window: driver-green in r02/r03 ---
+        "q_shacl_docs": _shacl_docs,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
         "q_bfs_depths": _bfs_depths,
         "q_doc_line_dedup": _doc_line_dedup,
@@ -2379,6 +2390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from k_gap_ray.functions import quantiles as _q
+    from k_gap_ray.functions import textstats as _ts
 
     return {
         # float SUMs use fixed-point (x10000 int64) on both sides: exact
@@ -2552,6 +2564,7 @@ def oracle_sql() -> dict[str, str]:
                                 event_id) AS BIGINT) AS quartile
             FROM events
         """,
+        "q_doc_oov": _ts.sql_oov_rate(vocab_size=500),
         "q_doc_len_quantiles": _q.quantiles_sql(
             "n_chars", "documents"),
         "q_doc_len_quantiles_by_lang": _q.grouped_quantiles_sql(

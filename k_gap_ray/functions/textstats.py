@@ -192,6 +192,77 @@ def vocab_df(ds, id_col: str = "doc_id", text_col: str = "text",
     return out
 
 
+def oov_rate(ds, vocab_size: int = 1000,
+             id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document out-of-vocabulary stats against the corpus top-K
+    vocabulary — the vocabulary-coverage quality filter (docs with a
+    high OOV share are noise/foreign/binary junk).
+
+    Two corpus passes, both streaming: (1) :func:`vocab_df` partials →
+    one vocab-scale shuffle, top-K cut by (tf DESC, token ASC) — the
+    full tiebreak makes the cut set deterministic on both backends —
+    K rows to the driver (bounded by ``vocab_size``), broadcast; (2)
+    one ``map_batches`` pass counting per-doc tokens outside the set
+    (vectorized ``is_in`` over the flat token array, segment-summed
+    by doc). The rate is integer-exact per-mille (``n_oov * 1000 //
+    n_tokens``) so the SQL oracle hashes bit-identically.
+
+    ``n_tokens`` here is ``len(string_split(text, ' '))`` — empty
+    text counts ONE empty token, matching the SQL unnest row count
+    (unlike :func:`token_counts`, which reports 0 for '').
+    """
+    vocab = (vocab_df(ds, id_col=id_col, text_col=text_col)
+             .sort(["tf", "token"], descending=[True, False])
+             .limit(vocab_size)
+             .take_all())
+    keep = pa.array([r["token"] for r in vocab], pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        flat, counts, _ = _tokens_of(t.column(text_col))
+        oov = pc.invert(pc.is_in(flat, value_set=keep)) \
+            .to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        n_oov = np.bincount(doc_idx, weights=oov,
+                            minlength=len(counts)).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "oov_permille": pa.array(n_oov * 1000 // counts,
+                                     pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def sql_oov_rate(vocab_size: int = 1000, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 rel: str = "documents") -> str:
+    """DuckDB mirror of :func:`oov_rate` (same top-K tiebreak, same
+    integer per-mille)."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col},
+                   unnest(string_split({text_col}, ' ')) AS token
+            FROM {rel}),
+        vocab AS (
+            SELECT token FROM (
+                SELECT token, count(*) AS tf FROM toks GROUP BY token)
+            ORDER BY tf DESC, token ASC LIMIT {vocab_size}),
+        oov AS (
+            SELECT t.{id_col},
+                   count(*)::BIGINT AS n_tokens,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_oov
+            FROM toks t LEFT JOIN vocab v USING (token)
+            GROUP BY t.{id_col})
+        SELECT {id_col}, n_tokens, n_oov,
+               n_oov * 1000 // n_tokens AS oov_permille
+        FROM oov
+    """
+
+
 def dup_ngram_spans(ds, n: int = 8, min_docs: int = 2,
                     id_col: str = "doc_id", text_col: str = "text"):
     """Cross-document duplicated n-gram spans: (gram, n_docs) for every

@@ -62,6 +62,14 @@ Supported subset (documented; out-of-subset input raises ValueError):
   ``DATATYPE(?v) =|!= <iri>`` (the ``obj_datatype`` column; what a
   non-typed object stores — ``''`` in the docs-KG quads — is the
   data model's choice and identical on both backends).
+  A comparison operand may be ONE additive expression ``term (+|-|*)
+  term`` (vars or numeric literals, at least one var) — e.g.
+  ``FILTER(?a > ?b + 5)``; it forces the comparison numeric and runs
+  in DOUBLE on both backends (IEEE + - * are deterministic, and the
+  TRY_CAST-mirror coercions match).
+- Negated property sets ``!<iri>`` / ``!(p1|p2|...)`` in the
+  predicate position (constant IRIs; scans pred NOT IN set; composes
+  with ``^`` and ``/`` but not with ``+``/``*``/``?`` modifiers).
 - ``?v [NOT] IN (const, const, ...)`` membership filters (compiled
   like single-var VALUES; a null input — unmatched optional var —
   yields null and drops the row on both backends, so NOT IN is
@@ -358,10 +366,14 @@ def _expr_vars(e: tuple) -> set:
         return {e[1]}
     if tag == "fn":
         return {e[2]}
-    out = set()  # cmp: operands are Terms or (lang|strlen, var) tuples
-    for x in (e[2], e[3]):
+    out = set()  # cmp: operands are Terms, (lang|strlen|dt, var)
+    for x in (e[2], e[3]):  # tuples, or ("arithx", op, t1, t2)
         if isinstance(x, tuple):
-            out.add(x[1])
+            if x[0] == "arithx":
+                out |= {y.value for y in (x[2], x[3])
+                        if y.kind == "var"}
+            else:
+                out.add(x[1])
         elif x.kind == "var":
             out.add(x.value)
     return out
@@ -511,7 +523,28 @@ class _P:
             inv = self.peek() == ("op", "^")
             if inv:
                 self.next()
-            if self.peek() == ("op", "("):
+            if self.peek() == ("op", "!"):
+                # negated property set !<iri> | !(p1|p2|...): scans
+                # pred NOT IN set (forward properties only; ^-inside
+                # and path modifiers on the set are out of subset)
+                self.next()
+                if self.peek() == ("op", "("):
+                    self.next()
+                    nalts = [self.term()]
+                    while self.peek() == ("op", "|"):
+                        self.next()
+                        nalts.append(self.term())
+                    self.expect_op(")")
+                elif self.peek() == ("kw", "a"):
+                    self.next()
+                    nalts = [Term("iri", _RDF_TYPE)]
+                else:
+                    nalts = [self.term()]
+                if any(a.kind != "iri" for a in nalts):
+                    raise ValueError(
+                        "negated property set needs constant IRIs")
+                t = Term("nalt", _SEP.join(a.value for a in nalts))
+            elif self.peek() == ("op", "("):
                 # alternative set (p1|p2|...): scans pred ∈ set; with
                 # +, the closure runs over the UNION edge set
                 self.next()
@@ -582,6 +615,30 @@ class _P:
         self.expect_op(")")
         return var.value
 
+    def _maybe_arith(self, t1):
+        """Optional additive suffix on a comparison operand:
+        ``term (+|-|*) term`` (one operation; operands are variables
+        or numeric literals, at least one variable). Forces the
+        comparison NUMERIC — computed in DOUBLE on both backends
+        (IEEE + - * are deterministic, and the coercions mirror)."""
+        nk, nv = self.peek()
+        if nk != "op" or nv not in ("+", "-", "*"):
+            return t1
+        self.next()
+        t2 = self.term()
+        for t_ in (t1, t2):
+            if not isinstance(t_, tuple) and t_.kind not in ("var",
+                                                             "num"):
+                raise ValueError(
+                    "FILTER arithmetic operands must be variables or "
+                    "numeric literals")
+        if isinstance(t1, tuple) or not (
+                t1.kind == "var" or t2.kind == "var"):
+            raise ValueError(
+                "FILTER arithmetic needs at least one variable and "
+                "no nested function operands")
+        return ("arithx", nv, t1, t2)
+
     def expr_prim(self) -> tuple:
         k, v = self.peek()
         if (k, v) == ("op", "("):
@@ -637,9 +694,11 @@ class _P:
                 raise ValueError(f"{name} needs a literal second arg")
             self.expect_op(")")
             return ("fn", name, var.value, lit.value)
-        left = self.term()
+        left = self._maybe_arith(self.term())
         nk, nv = self.peek()
         if nk == "kw" and nv.upper() in ("IN", "NOT"):
+            if isinstance(left, tuple):
+                raise ValueError("IN needs a variable on the left")
             # FILTER (?x [NOT] IN (v, v, ...)) — same membership mask
             # as single-var VALUES / SQL IN on both backends
             if left.kind != "var":
@@ -665,7 +724,7 @@ class _P:
         ok, ov = self.next()
         if ok != "op" or ov not in ("=", "!=", "<", "<=", ">", ">="):
             raise ValueError(f"bad comparison operator {ov!r}")
-        right = self.term()
+        right = self._maybe_arith(self.term())
         return ("cmp", ov, left, right)
 
 
@@ -1333,9 +1392,11 @@ def _make_scan(pat: Pattern, meta_vars: frozenset = frozenset()):
                     mask = m if mask is None else pc.and_(mask, m)
                 else:
                     seen[term.value] = col
-            elif term.kind == "alt":  # (p1|p2|...) alternative set
+            elif term.kind in ("alt", "nalt"):  # (p1|p2|...) / !(…)
                 m = pc.is_in(t.column(col), value_set=pa.array(
                     term.value.split(_SEP), pa.string()))
+                if term.kind == "nalt":
+                    m = pc.invert(m)
                 mask = m if mask is None else pc.and_(mask, m)
             else:
                 m = pc.equal(t.column(col), term.value)
@@ -1692,7 +1753,7 @@ def _eval(e: tuple, t: pa.Table):
     # a numeric literal (or STRLEN) on either side switches the
     # comparison to numeric: var strings coerce via _numeric_col
     numeric = any(
-        (isinstance(x, tuple) and x[0] == "strlen")
+        (isinstance(x, tuple) and x[0] in ("strlen", "arithx"))
         or (not isinstance(x, tuple) and x.kind == "num")
         for x in (left, right))
 
@@ -1702,6 +1763,13 @@ def _eval(e: tuple, t: pa.Table):
                 return t.column(_lang_col(x[1]))
             if x[0] == "dt":
                 return t.column(_dt_col(x[1]))
+            if x[0] == "arithx":  # DOUBLE-domain arithmetic operand
+                _, aop, a2, b2 = x
+                af = {"+": pc.add, "-": pc.subtract,
+                      "*": pc.multiply}[aop]
+                return af(*(_numeric_col(t.column(y.value))
+                            if y.kind == "var" else float(y.value)
+                            for y in (a2, b2)))
             return pc.cast(pc.utf8_length(t.column(x[1])),
                            pa.float64())  # strlen (codepoints)
         if x.kind == "var":
@@ -2663,7 +2731,7 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
     # of the engine's _numeric_col coercion (failed parse → NULL →
     # row dropped on both backends)
     numeric = any(
-        (isinstance(x, tuple) and x[0] == "strlen")
+        (isinstance(x, tuple) and x[0] in ("strlen", "arithx"))
         or (not isinstance(x, tuple) and x.kind == "num")
         for x in (left, right))
 
@@ -2673,6 +2741,12 @@ def _expr_sql(e: tuple, var_bind: dict[str, str]) -> str:
                 return var_bind[_lang_col(x[1])]
             if x[0] == "dt":
                 return var_bind[_dt_col(x[1])]
+            if x[0] == "arithx":  # DOUBLE-domain arithmetic operand
+                _, aop, a2, b2 = x
+                parts = [f"TRY_CAST({var_bind[y.value]} AS DOUBLE)"
+                         if y.kind == "var" else y.value
+                         for y in (a2, b2)]
+                return f"({parts[0]} {aop} {parts[1]})"
             return f"LENGTH({var_bind[x[1]]})"  # strlen (characters)
         if x.kind == "var":
             return f"TRY_CAST({var_bind[x.value]} AS DOUBLE)" \
@@ -2711,10 +2785,11 @@ def _group_sql(patterns: list[Pattern], filters: list[tuple],
                     var_bind[term.value] = ref
             elif term.kind.startswith("path"):
                 continue  # unreachable (covered above); kept explicit
-            elif term.kind == "alt":
+            elif term.kind in ("alt", "nalt"):
                 in_list = ", ".join(_sql_str(p)
                                     for p in term.value.split(_SEP))
-                conds.append(f"{ref} IN ({in_list})")
+                neg = "NOT " if term.kind == "nalt" else ""
+                conds.append(f"{ref} {neg}IN ({in_list})")
             else:
                 conds.append(f"{ref} = {_sql_str(term.value)}")
     for e in filters:

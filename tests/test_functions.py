@@ -1262,3 +1262,37 @@ def test_range_join(ray_session):
                   if p["k"] == w["k"]
                   and w["win_start"] <= p["ts"] < w["win_end"])
     assert got == want
+
+
+def test_oov_rate_matches_oracle_with_ties_and_empty(ray_session):
+    """oov_rate vs its DuckDB mirror on a corpus engineered so the
+    top-K vocabulary cut lands INSIDE a tf tie (the token-asc
+    tiebreak must agree) and one document is empty."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.functions.textstats import oov_rate, sql_oov_rate
+
+    docs = [
+        {"doc_id": 1, "text": "aa bb cc aa bb aa"},
+        {"doc_id": 2, "text": "bb cc dd ee"},
+        {"doc_id": 3, "text": "ee ff gg hh ii"},
+        {"doc_id": 4, "text": ""},           # 1 empty token, OOV
+        {"doc_id": 5, "text": "aa zz zz qq"},
+    ]
+    t = pa.table({"doc_id": pa.array([d["doc_id"] for d in docs],
+                                     pa.int64()),
+                  "text": pa.array([d["text"] for d in docs],
+                                   pa.string())})
+    # vocab_size=4 cuts inside the tf=2 tie (bb=3, aa=3, zz/cc/ee=2)
+    eng = (oov_rate(rd.from_arrow(t).repartition(3), vocab_size=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    ora = (con.execute(sql_oov_rate(vocab_size=4)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert eng.to_dict("records") == ora.to_dict("records")
+    # the empty doc: one '' token, not in vocab -> 1000 permille
+    row4 = eng[eng.doc_id == 4].iloc[0]
+    assert (row4.n_tokens, row4.n_oov, row4.oov_permille) == (1, 1, 1000)

@@ -421,6 +421,28 @@ CROSS_QUERIES = [
     # arithmetic result as a GROUP BY key
     'PREFIX p: <p:> SELECT ?d (COUNT(?x) AS ?n) WHERE '
     '{ ?x p:emp ?e . BIND(?e * 0 AS ?d) } GROUP BY ?d',
+    # --- negated property sets ---
+    # single negated predicate
+    'PREFIX p: <p:> SELECT ?x ?o WHERE { ?x !p:knows ?o . }',
+    # negated set
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x !(p:loc|p:emp) ?y . }',
+    # inverse of a negated set
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x ^!(p:knows) ?y . }',
+    # negated step inside a sequence path
+    'PREFIX p: <p:> SELECT ?x ?l WHERE { ?x !p:emp/p:loc ?l . }',
+    # --- arithmetic inside FILTER comparisons ---
+    # var * literal on the left
+    'PREFIX p: <p:> SELECT ?x ?e WHERE { ?x p:emp ?e . '
+    'FILTER (?e * 2 > 50) }',
+    # arith on the right, literal on the left
+    'PREFIX p: <p:> SELECT ?x WHERE { ?x p:emp ?e . '
+    'FILTER (10 < ?e - 5) }',
+    # var-vs-var with an offset (joined through p:knows)
+    'PREFIX p: <p:> SELECT ?x ?y WHERE { ?x p:knows ?y . '
+    '?x p:emp ?e . ?y p:emp ?f . FILTER (?e > ?f - 1) }',
+    # arithmetic over a non-numeric lexical nulls and drops the row
+    'PREFIX p: <p:> SELECT ?x WHERE { ?x p:loc ?l . '
+    'FILTER (?l + 1 > 0) }',
 ]
 
 
