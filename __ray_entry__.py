@@ -2275,8 +2275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_altpath": _sparql_docs_altpath,
         "q_sparql_docs_star": _sparql_docs_star,
         "q_sparql_docs_optpath": _sparql_docs_optpath,
-        "q_sparql_docs_minus": _sparql_docs_minus,
         "q_sparql_docs_exists": _sparql_docs_exists,
+        "q_lineitem_cube": rel.q_lineitem_cube,
         # --- new this session: never driver-verified, oracled ---
         "q_sparql_docs_arith": _sparql_docs_arith,
         "q_doc_len_quantiles": _doc_len_quantiles,
@@ -2292,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
         # --- past the 50-entry window: driver-green in r02/r03 ---
+        "q_sparql_docs_minus": _sparql_docs_minus,
         "q_shacl_docs": _shacl_docs,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
         "q_bfs_depths": _bfs_depths,
@@ -2733,6 +2734,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q_lineitem_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "q_union_priorities": """
             SELECT o_orderpriority, count(*) AS n FROM (

@@ -922,6 +922,35 @@ def q_lineitem_rollup(sf_dir: str):
         "n": pa.array(out_n, pa.int64())})
 
 
+def q_lineitem_cube(sf_dir: str):
+    """CUBE (all grouping sets): (flag, status) counts plus per-flag
+    subtotals, per-STATUS subtotals, and the grand total, NULL-padded
+    like SQL CUBE. Same shape as :func:`q_lineitem_rollup` — every
+    coarser cell derives from the one base aggregate (|flags| x
+    |statuses| rows), so CUBE costs ONE corpus shuffle at any scale."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    base = (ds.groupby(["l_returnflag", "l_linestatus"]).count()
+            .rename_columns({"count()": "n"}))
+    rows = base.take_all()          # |flags| x |statuses| cells only
+    flags: dict[str, int] = {}
+    stats: dict[str, int] = {}
+    total = 0
+    for r in rows:
+        flags[r["l_returnflag"]] = flags.get(r["l_returnflag"], 0) + r["n"]
+        stats[r["l_linestatus"]] = stats.get(r["l_linestatus"], 0) + r["n"]
+        total += r["n"]
+    out_flag = ([r["l_returnflag"] for r in rows] + list(flags)
+                + [None] * (len(stats) + 1))
+    out_stat = ([r["l_linestatus"] for r in rows]
+                + [None] * len(flags) + list(stats) + [None])
+    out_n = ([r["n"] for r in rows] + list(flags.values())
+             + list(stats.values()) + [total])
+    return pa.table({
+        "l_returnflag": pa.array(out_flag, pa.string()),
+        "l_linestatus": pa.array(out_stat, pa.string()),
+        "n": pa.array(out_n, pa.int64())})
+
+
 def grouped_quantile_disc_scaled(ds, key: str, value: str, q: float,
                                  scale: int):
     """Exact per-group DISCRETE quantile (the value at 1-based rank

@@ -163,3 +163,25 @@ def test_hourly_distinct_users_matches_duckdb(ray_session, sf_dir):
     g = _norm(got)
     w = _norm(want)
     assert g.equals(w)
+
+
+def test_lineitem_cube_matches_oracle(ray_session):
+    """CUBE derives per-flag, per-status, and grand-total cells from
+    the one base aggregate; padded NULLs match SQL CUBE exactly."""
+    import duckdb
+
+    from k_gap_ray.relational import q_lineitem_cube
+
+    sf_dir = "/root/testdata/sf0.001"
+    eng = q_lineitem_cube(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{sf_dir}/lineitem.parquet'")
+    ora = con.execute("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """).df()
+    key = ["l_returnflag", "l_linestatus"]
+    e = eng.fillna("~").sort_values(key).reset_index(drop=True)
+    o = ora.fillna("~").sort_values(key).reset_index(drop=True)
+    assert e.to_dict("records") == o.to_dict("records")
