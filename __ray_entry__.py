@@ -1942,6 +1942,41 @@ def _media_mjpeg_frames(sf_dir: str):
     return frames.map_batches(geom, batch_format="pyarrow")
 
 
+def _media_avi_frames(sf_dir: str):
+    """REAL container-video path: documents -> deterministic AVI/MJPG
+    containers (functions/riffavi.py: RIFF hdrl/movi/idx1 layout,
+    2+id%3 frames) -> actor-pool frame_sample_stage(mode='real',
+    n_frames=2) walking the chunk tree -> each sampled frame REALLY
+    Huffman-decoded (functions/jpeg.py) to its geometry. The oracle
+    predicts the even sampler's picks ({0, n_total // 2}) and each
+    picked frame's width/height from doc_id by the same integer
+    functions — a chunk-walk or alignment bug shifts frame bytes and
+    surfaces as a geometry (or decode-crash) mismatch."""
+    import pyarrow as _pa
+
+    from k_gap_ray.functions.jpeg import decode_jpeg
+    from k_gap_ray.functions.multimodal import (docs_as_avi,
+                                                frame_sample_stage)
+
+    frames = frame_sample_stage(docs_as_avi(_docs(sf_dir, ["doc_id"])),
+                                n_frames=2, mode="real")
+
+    def geom(t: _pa.Table) -> _pa.Table:
+        ws, hs = [], []
+        for p in t.column("payload").to_pylist():
+            w, h, _c, _px = decode_jpeg(p)
+            ws.append(w)
+            hs.append(h)
+        return _pa.table({
+            "media_id": t.column("media_id"),
+            "frame_idx": _pa.compute.cast(t.column("frame_idx"),
+                                          _pa.int64()),
+            "width": _pa.array(ws, _pa.int64()),
+            "height": _pa.array(hs, _pa.int64())})
+
+    return frames.map_batches(geom, batch_format="pyarrow")
+
+
 def _media_wav(sf_dir: str):
     """REAL WAV decode path: documents -> deterministic synthesized
     RIFF PCM files (functions/multimodal.docs_as_wav) -> per-batch
@@ -2288,10 +2323,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     coverage keeps their green row while the new queries
         #     take the slots) ---
         "kg_docs_triples": _kg_docs_triples,
-        "kg_docs_entities": _kg_docs_entities,
         "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
-        # --- past the 50-entry window: driver-green in r02/r03 ---
+        # --- new this session: AVI container video (real RIFF walk) ---
+        "q_media_avi_frames": _media_avi_frames,
+        # --- past the 50-entry window: driver-green in r02/r03
+        #     (kg_docs_entities demoted r03-green to make room) ---
+        "kg_docs_entities": _kg_docs_entities,
         "q_sparql_docs_minus": _sparql_docs_minus,
         "q_shacl_docs": _shacl_docs,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
@@ -3319,6 +3357,21 @@ def _text_analysis_oracles() -> dict[str, str]:
                    CAST(frame_idx AS BIGINT) AS frame_idx,
                    8 + (doc_id + frame_idx) % 13 AS width,
                    6 + (doc_id * 2 + frame_idx) % 11 AS height
+            FROM p
+        """,
+        # frame count / picks / geometry mirror multimodal.docs_as_avi
+        # (2+id%3 frames; nt//2 is never 0 so the two picks are
+        # always distinct)
+        "q_media_avi_frames": """
+            WITH f AS (SELECT doc_id, 2 + doc_id % 3 AS nt
+                       FROM documents),
+            p AS (SELECT doc_id,
+                         unnest([0, nt // 2]) AS frame_idx
+                  FROM f)
+            SELECT doc_id AS media_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   9 + (doc_id * 3 + frame_idx) % 12 AS width,
+                   7 + (doc_id + 2 * frame_idx) % 9 AS height
             FROM p
         """,
         # lines mirror __ray_entry__._doc_line_dedup's multi-line

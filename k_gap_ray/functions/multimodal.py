@@ -4,14 +4,16 @@ Images/audio/video are `binary` columns processed by actor-pool
 map_batches stages with SMALL batch sizes (a batch x concurrency of
 multi-MB payloads must fit the worker heap — guide: memory-aware
 sizing). The heavyweight decode libraries (PIL/ffmpeg/torchaudio) are
-NOT in this container; ``mode="real"`` decodes image/png, image/jpeg
-and audio/wav through the repo's pure-stdlib codecs (functions/png.py,
-functions/jpeg.py — a full baseline JFIF decoder incl. 4:2:0
-subsampling and restart markers — and functions/wav.py); video formats
-still raise NotImplementedError at the exact call site ffmpeg would
-occupy. ``mode="fake"`` remains the deterministic byte-level
-pseudo-decoder. Schemas, batch sizing, actor signatures and output
-layout are real and tested.
+NOT in this container; ``mode="real"`` decodes image/png, image/jpeg,
+audio/wav and video in MJPEG / AVI-MJPG form through the repo's
+pure-stdlib codecs (functions/png.py, functions/jpeg.py — a full
+baseline JFIF decoder incl. 4:2:0 subsampling and restart markers —
+functions/wav.py, and functions/riffavi.py for the RIFF/AVI
+container). Inter-frame-coded containers (mp4/webm/h264) still raise
+NotImplementedError at the exact call site ffmpeg would occupy.
+``mode="fake"`` remains the deterministic byte-level pseudo-decoder.
+Schemas, batch sizing, actor signatures and output layout are real
+and tested.
 """
 
 from __future__ import annotations
@@ -164,6 +166,38 @@ def docs_as_mjpeg(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
+def docs_as_avi(docs_ds):
+    """documents -> MEDIA table of real AVI (RIFF) containers holding
+    an MJPG video stream (functions/riffavi.py), with deterministic
+    per-frame geometry: doc_id has 2+id%3 frames at 10+id%5 fps;
+    frame k is (9+(id*3+k)%12) x (7+(id+2*k)%9) flat gray — so a SQL
+    oracle predicts which frames an even sampler picks AND their
+    decoded dimensions, while the engine really walks RIFF chunk
+    headers and Huffman-decodes the picked frames."""
+    from k_gap_ray.functions.jpeg import encode_jpeg
+    from k_gap_ray.functions.riffavi import encode_avi
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid in t.column("doc_id").to_pylist():
+            frames = []
+            for k in range(2 + mid % 3):
+                w = 9 + (mid * 3 + k) % 12
+                h = 7 + (mid + 2 * k) % 9
+                frames.append(encode_jpeg(np.full(
+                    (h, w), (mid * 7 + k * 29) % 256, np.uint8)))
+            rows.append({
+                "media_id": mid,
+                "payload": encode_avi(frames, 9 + (mid * 3) % 12,
+                                      7 + mid % 9, fps=10 + mid % 5),
+                "mime": "video/x-msvideo",
+                "source_url": f"urn:avi:{mid}",
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA)
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
 def docs_as_wav(docs_ds):
     """documents -> MEDIA table of real WAV payloads with
     deterministic audio parameters per doc_id (channels 1+id%2,
@@ -258,10 +292,24 @@ class MediaDecoder:
                                    range=(-32768.0, 32768.0))
             feat = hist.astype(np.float32) / max(1, frames.size)
             return channels, frames.shape[0], feat
+        if mime in ("video/x-msvideo", "video/avi"):
+            from k_gap_ray.functions.riffavi import decode_avi
+
+            meta = decode_avi(payload)
+            # width/height from the avih main header; feature = the
+            # per-frame byte-size histogram (a cheap stream profile
+            # that doesn't pay a pixel decode of every frame)
+            sizes = np.array([len(f) for f in meta["frames"]],
+                             np.float32)
+            hi = float(sizes.max()) + 1.0 if sizes.size else 1.0
+            hist, _ = np.histogram(sizes, bins=self.FEATURE_DIM,
+                                   range=(0.0, hi))
+            feat = hist.astype(np.float32) / max(1, sizes.size)
+            return meta["width"], meta["height"], feat
         raise NotImplementedError(
             f"real decode of {mime} requires ffmpeg, not available "
             "in this container — slot the library call here "
-            "(png/jpeg/wav decode via the repo's stdlib codecs)")
+            "(png/jpeg/wav/avi decode via the repo's stdlib codecs)")
 
     def _decode_fake(self, payload: bytes, mime: str):
         """Deterministic pseudo-decode: dims + features from the bytes."""
@@ -467,22 +515,32 @@ class FrameSampler:
         self.mode = mode
 
     def _frames_real(self, payload: bytes):
-        """Real frame sampling for MJPEG streams (concatenated JFIF
-        frames — the one video container decodable without ffmpeg):
-        split on SOI..EOI spans, pick n evenly spaced frames, assume
-        a nominal 25 fps for ts_sec. Each emitted payload is itself a
-        valid baseline JPEG (decodable by functions/jpeg.py).
-        Container formats (mp4/webm/avi) still need ffmpeg and keep
-        the explicit library slot."""
-        frames = mjpeg_split(payload)
+        """Real frame sampling for the two video forms decodable
+        without ffmpeg: AVI/MJPG containers (RIFF chunk walk via
+        functions/riffavi.py; ts_sec from the container's
+        us_per_frame) and raw MJPEG streams (concatenated JFIF frames
+        split on SOI..EOI spans; nominal 25 fps). Picks n evenly
+        spaced frames; each emitted payload is itself a valid
+        baseline JPEG (decodable by functions/jpeg.py). Inter-frame
+        containers (mp4/webm) still need ffmpeg and keep the explicit
+        library slot."""
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from k_gap_ray.functions.riffavi import decode_avi
+
+            meta = decode_avi(payload)
+            frames = meta["frames"]
+            spf = (meta["us_per_frame"] or 40000) / 1e6
+        else:
+            frames = mjpeg_split(payload)
+            spf = 1 / 25.0
         if not frames:
             raise NotImplementedError(
-                "real frame sampling requires ffmpeg for non-MJPEG "
-                "payloads, not available in this container — slot the "
-                "seek/decode call here")
+                "real frame sampling requires ffmpeg for "
+                "non-MJPEG/non-AVI payloads, not available in this "
+                "container — slot the seek/decode call here")
         n_total = len(frames)
         picks = sorted({(i * n_total) // self.n for i in range(self.n)})
-        return [(idx, idx / 25.0, frames[idx]) for idx in picks]
+        return [(idx, idx * spf, frames[idx]) for idx in picks]
 
     def _frames_fake(self, payload: bytes):
         dur = len(payload) / 1000.0
