@@ -1977,6 +1977,42 @@ def _media_avi_frames(sf_dir: str):
     return frames.map_batches(geom, batch_format="pyarrow")
 
 
+def _media_mp4_frames(sf_dir: str):
+    """REAL MP4 container path: documents -> deterministic ISO BMFF
+    containers (functions/isobmff.py: ftyp/mdat/moov with full
+    stsd/stts/stsc/stsz/stco sample tables, 2+(id+1)%3 jpeg samples)
+    -> actor-pool frame_sample_stage(mode='real', n_frames=2)
+    resolving the sample tables -> each sampled frame REALLY
+    Huffman-decoded (functions/jpeg.py) to its geometry. The oracle
+    predicts the even sampler's picks ({0, n_total // 2}) and each
+    picked frame's width/height from doc_id by the same integer
+    functions — a box-walk or sample-table bug shifts frame bytes and
+    surfaces as a geometry (or decode-crash) mismatch."""
+    import pyarrow as _pa
+
+    from k_gap_ray.functions.jpeg import decode_jpeg
+    from k_gap_ray.functions.multimodal import (docs_as_mp4,
+                                                frame_sample_stage)
+
+    frames = frame_sample_stage(docs_as_mp4(_docs(sf_dir, ["doc_id"])),
+                                n_frames=2, mode="real")
+
+    def geom(t: _pa.Table) -> _pa.Table:
+        ws, hs = [], []
+        for p in t.column("payload").to_pylist():
+            w, h, _c, _px = decode_jpeg(p)
+            ws.append(w)
+            hs.append(h)
+        return _pa.table({
+            "media_id": t.column("media_id"),
+            "frame_idx": _pa.compute.cast(t.column("frame_idx"),
+                                          _pa.int64()),
+            "width": _pa.array(ws, _pa.int64()),
+            "height": _pa.array(hs, _pa.int64())})
+
+    return frames.map_batches(geom, batch_format="pyarrow")
+
+
 def _media_wav(sf_dir: str):
     """REAL WAV decode path: documents -> deterministic synthesized
     RIFF PCM files (functions/multimodal.docs_as_wav) -> per-batch
@@ -2323,13 +2359,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     coverage keeps their green row while the new queries
         #     take the slots) ---
         "kg_docs_triples": _kg_docs_triples,
-        "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
-        # --- new this session: AVI container video (real RIFF walk) ---
+        # --- new this session: container video made real (RIFF chunk
+        #     walk / ISO BMFF sample tables) ---
         "q_media_avi_frames": _media_avi_frames,
+        "q_media_mp4_frames": _media_mp4_frames,
         # --- past the 50-entry window: driver-green in r02/r03
-        #     (kg_docs_entities demoted r03-green to make room) ---
+        #     (kg_docs_entities and q_media_jpeg demoted r03-green to
+        #     make room; both stay covered transitively — the avi/mp4
+        #     frame queries Huffman-decode the same JPEG path) ---
         "kg_docs_entities": _kg_docs_entities,
+        "q_media_jpeg": _media_jpeg,
         "q_sparql_docs_minus": _sparql_docs_minus,
         "q_shacl_docs": _shacl_docs,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
@@ -3372,6 +3412,21 @@ def _text_analysis_oracles() -> dict[str, str]:
                    CAST(frame_idx AS BIGINT) AS frame_idx,
                    9 + (doc_id * 3 + frame_idx) % 12 AS width,
                    7 + (doc_id + 2 * frame_idx) % 9 AS height
+            FROM p
+        """,
+        # frame count / picks / geometry mirror multimodal.docs_as_mp4
+        # (2+(id+1)%3 jpeg samples; nt//2 is never 0 so the two picks
+        # are always distinct)
+        "q_media_mp4_frames": """
+            WITH f AS (SELECT doc_id, 2 + (doc_id + 1) % 3 AS nt
+                       FROM documents),
+            p AS (SELECT doc_id,
+                         unnest([0, nt // 2]) AS frame_idx
+                  FROM f)
+            SELECT doc_id AS media_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   8 + (doc_id * 5 + frame_idx) % 13 AS width,
+                   6 + (doc_id * 3 + frame_idx) % 7 AS height
             FROM p
         """,
         # lines mirror __ray_entry__._doc_line_dedup's multi-line

@@ -5,12 +5,13 @@ map_batches stages with SMALL batch sizes (a batch x concurrency of
 multi-MB payloads must fit the worker heap — guide: memory-aware
 sizing). The heavyweight decode libraries (PIL/ffmpeg/torchaudio) are
 NOT in this container; ``mode="real"`` decodes image/png, image/jpeg,
-audio/wav and video in MJPEG / AVI-MJPG form through the repo's
-pure-stdlib codecs (functions/png.py, functions/jpeg.py — a full
-baseline JFIF decoder incl. 4:2:0 subsampling and restart markers —
-functions/wav.py, and functions/riffavi.py for the RIFF/AVI
-container). Inter-frame-coded containers (mp4/webm/h264) still raise
-NotImplementedError at the exact call site ffmpeg would occupy.
+audio/wav and video in MJPEG / AVI-MJPG / MP4-jpeg form through the
+repo's pure-stdlib codecs (functions/png.py, functions/jpeg.py — a
+full baseline JFIF decoder incl. 4:2:0 subsampling and restart
+markers — functions/wav.py, functions/riffavi.py for the RIFF/AVI
+container, and functions/isobmff.py for ISO BMFF/MP4 sample tables).
+Inter-frame codecs (h264/hevc/vp9, so webm and typical mp4) still
+raise NotImplementedError at the exact call site ffmpeg would occupy.
 ``mode="fake"`` remains the deterministic byte-level pseudo-decoder.
 Schemas, batch sizing, actor signatures and output layout are real
 and tested.
@@ -198,6 +199,40 @@ def docs_as_avi(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
+def docs_as_mp4(docs_ds):
+    """documents -> MEDIA table of real ISO BMFF (MP4) containers
+    holding a jpeg-coded video track (functions/isobmff.py), with
+    deterministic per-frame geometry: doc_id has 2+(id+1)%3 frames at
+    12+id%4 fps; frame k is (8+(id*5+k)%13) x (6+(id*3+k)%7) flat
+    gray — so a SQL oracle predicts which frames an even sampler
+    picks AND their decoded dimensions, while the engine really
+    resolves stsd/stsc/stsz/stco sample tables and Huffman-decodes
+    the picked frames."""
+    from k_gap_ray.functions.isobmff import encode_mp4
+    from k_gap_ray.functions.jpeg import encode_jpeg
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid in t.column("doc_id").to_pylist():
+            frames = []
+            for k in range(2 + (mid + 1) % 3):
+                w = 8 + (mid * 5 + k) % 13
+                h = 6 + (mid * 3 + k) % 7
+                frames.append(encode_jpeg(np.full(
+                    (h, w), (mid * 13 + k * 37) % 256, np.uint8)))
+            rows.append({
+                "media_id": mid,
+                "payload": encode_mp4(frames, 8 + (mid * 5) % 13,
+                                      6 + (mid * 3) % 7,
+                                      fps=12 + mid % 4),
+                "mime": "video/mp4",
+                "source_url": f"urn:mp4:{mid}",
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA)
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
 def docs_as_wav(docs_ds):
     """documents -> MEDIA table of real WAV payloads with
     deterministic audio parameters per doc_id (channels 1+id%2,
@@ -292,13 +327,19 @@ class MediaDecoder:
                                    range=(-32768.0, 32768.0))
             feat = hist.astype(np.float32) / max(1, frames.size)
             return channels, frames.shape[0], feat
-        if mime in ("video/x-msvideo", "video/avi"):
-            from k_gap_ray.functions.riffavi import decode_avi
+        if mime in ("video/x-msvideo", "video/avi", "video/mp4"):
+            if mime == "video/mp4":
+                from k_gap_ray.functions.isobmff import decode_mp4
 
-            meta = decode_avi(payload)
-            # width/height from the avih main header; feature = the
-            # per-frame byte-size histogram (a cheap stream profile
-            # that doesn't pay a pixel decode of every frame)
+                meta = decode_mp4(payload)
+            else:
+                from k_gap_ray.functions.riffavi import decode_avi
+
+                meta = decode_avi(payload)
+            # width/height from the container header (avih / stsd);
+            # feature = the per-frame byte-size histogram (a cheap
+            # stream profile that doesn't pay a pixel decode of every
+            # frame)
             sizes = np.array([len(f) for f in meta["frames"]],
                              np.float32)
             hi = float(sizes.max()) + 1.0 if sizes.size else 1.0
@@ -309,7 +350,8 @@ class MediaDecoder:
         raise NotImplementedError(
             f"real decode of {mime} requires ffmpeg, not available "
             "in this container — slot the library call here "
-            "(png/jpeg/wav/avi decode via the repo's stdlib codecs)")
+            "(png/jpeg/wav/avi/mp4 decode via the repo's stdlib "
+            "codecs)")
 
     def _decode_fake(self, payload: bytes, mime: str):
         """Deterministic pseudo-decode: dims + features from the bytes."""
@@ -515,29 +557,37 @@ class FrameSampler:
         self.mode = mode
 
     def _frames_real(self, payload: bytes):
-        """Real frame sampling for the two video forms decodable
-        without ffmpeg: AVI/MJPG containers (RIFF chunk walk via
+        """Real frame sampling for the video forms decodable without
+        ffmpeg: AVI/MJPG containers (RIFF chunk walk via
         functions/riffavi.py; ts_sec from the container's
-        us_per_frame) and raw MJPEG streams (concatenated JFIF frames
+        us_per_frame), MP4 with jpeg-coded samples (ISO BMFF sample
+        tables via functions/isobmff.py; ts_sec from the track
+        timescale) and raw MJPEG streams (concatenated JFIF frames
         split on SOI..EOI spans; nominal 25 fps). Picks n evenly
         spaced frames; each emitted payload is itself a valid
         baseline JPEG (decodable by functions/jpeg.py). Inter-frame
-        containers (mp4/webm) still need ffmpeg and keep the explicit
-        library slot."""
+        codecs (h264/vp9 in mp4/webm) still need ffmpeg and keep the
+        explicit library slot."""
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             from k_gap_ray.functions.riffavi import decode_avi
 
             meta = decode_avi(payload)
             frames = meta["frames"]
             spf = (meta["us_per_frame"] or 40000) / 1e6
+        elif payload[4:8] == b"ftyp":
+            from k_gap_ray.functions.isobmff import decode_mp4
+
+            meta = decode_mp4(payload)
+            frames = meta["frames"]
+            spf = 1 / meta["fps"] if meta["fps"] else 1 / 25.0
         else:
             frames = mjpeg_split(payload)
             spf = 1 / 25.0
         if not frames:
             raise NotImplementedError(
                 "real frame sampling requires ffmpeg for "
-                "non-MJPEG/non-AVI payloads, not available in this "
-                "container — slot the seek/decode call here")
+                "non-MJPEG/non-AVI/non-MP4 payloads, not available in "
+                "this container — slot the seek/decode call here")
         n_total = len(frames)
         picks = sorted({(i * n_total) // self.n for i in range(self.n)})
         return [(idx, idx * spf, frames[idx]) for idx in picks]
