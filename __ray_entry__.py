@@ -2013,6 +2013,44 @@ def _media_mp4_frames(sf_dir: str):
     return frames.map_batches(geom, batch_format="pyarrow")
 
 
+def _media_webm(sf_dir: str):
+    """REAL WebM container path: documents -> deterministic EBML/
+    Matroska containers (functions/ebml.py: header/Segment/Info/
+    Tracks/Cluster layout, vint framing) -> per-batch decode_webm
+    walking the element tree. The oracle predicts the PARSED
+    geometry, block count, summed block payload bytes and last block
+    timestamp from doc_id by the same integer functions — a vint or
+    SimpleBlock-framing bug shifts payload boundaries and surfaces as
+    a byte-count (or parse-crash) mismatch. The VP8-slot payloads
+    stay coded: pixel decode is the declared ffmpeg slot, the
+    container walk is the real surface under test."""
+    import pyarrow as _pa
+
+    from k_gap_ray.functions.ebml import decode_webm
+    from k_gap_ray.functions.multimodal import docs_as_webm
+
+    media = docs_as_webm(_docs(sf_dir, ["doc_id"]))
+
+    def parse(t: _pa.Table) -> _pa.Table:
+        cols = {"media_id": t.column("media_id"), "width": [],
+                "height": [], "n_frames": [], "total_bytes": [],
+                "last_ts_ms": []}
+        for p in t.column("payload").to_pylist():
+            m = decode_webm(p)
+            cols["width"].append(m["width"])
+            cols["height"].append(m["height"])
+            cols["n_frames"].append(m["n_frames"])
+            cols["total_bytes"].append(sum(len(f) for f in m["frames"]))
+            cols["last_ts_ms"].append(m["ts_ms"][-1] if m["ts_ms"]
+                                      else 0)
+        return _pa.table({"media_id": cols["media_id"],
+                          **{k: _pa.array(cols[k], _pa.int64())
+                             for k in ("width", "height", "n_frames",
+                                       "total_bytes", "last_ts_ms")}})
+
+    return media.map_batches(parse, batch_format="pyarrow")
+
+
 def _media_wav(sf_dir: str):
     """REAL WAV decode path: documents -> deterministic synthesized
     RIFF PCM files (functions/multimodal.docs_as_wav) -> per-batch
@@ -2359,17 +2397,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     coverage keeps their green row while the new queries
         #     take the slots) ---
         "kg_docs_triples": _kg_docs_triples,
-        "q_media_mjpeg_frames": _media_mjpeg_frames,
         # --- new this session: container video made real (RIFF chunk
-        #     walk / ISO BMFF sample tables) ---
+        #     walk / ISO BMFF sample tables / EBML vint framing) ---
         "q_media_avi_frames": _media_avi_frames,
         "q_media_mp4_frames": _media_mp4_frames,
+        "q_media_webm": _media_webm,
         # --- past the 50-entry window: driver-green in r02/r03
-        #     (kg_docs_entities and q_media_jpeg demoted r03-green to
-        #     make room; both stay covered transitively — the avi/mp4
-        #     frame queries Huffman-decode the same JPEG path) ---
+        #     (kg_docs_entities, q_media_jpeg and q_media_mjpeg_frames
+        #     demoted r03-green to make room; all stay covered
+        #     transitively — the avi/mp4 frame queries Huffman-decode
+        #     the same JPEG path, and mjpeg_split keeps its pytest
+        #     coverage) ---
         "kg_docs_entities": _kg_docs_entities,
         "q_media_jpeg": _media_jpeg,
+        "q_media_mjpeg_frames": _media_mjpeg_frames,
         "q_sparql_docs_minus": _sparql_docs_minus,
         "q_shacl_docs": _shacl_docs,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
@@ -3413,6 +3454,24 @@ def _text_analysis_oracles() -> dict[str, str]:
                    9 + (doc_id * 3 + frame_idx) % 12 AS width,
                    7 + (doc_id + 2 * frame_idx) % 9 AS height
             FROM p
+        """,
+        # geometry / block count / payload bytes / last timestamp
+        # mirror multimodal.docs_as_webm (3+id%4 blocks, block k of
+        # length 30+(id+k)%50, fps 10+id%6, ms timestamps k*1000//fps)
+        "q_media_webm": """
+            WITH f AS (SELECT doc_id, 3 + doc_id % 4 AS nt,
+                              10 + doc_id % 6 AS fps
+                       FROM documents),
+            b AS (SELECT doc_id, nt, fps, unnest(range(nt)) AS k
+                  FROM f)
+            SELECT doc_id AS media_id,
+                   64 + (doc_id * 7) % 192 AS width,
+                   48 + (doc_id * 5) % 144 AS height,
+                   CAST(nt AS BIGINT) AS n_frames,
+                   CAST(SUM(30 + (doc_id + k) % 50) AS BIGINT)
+                       AS total_bytes,
+                   CAST((nt - 1) * 1000 // fps AS BIGINT) AS last_ts_ms
+            FROM b GROUP BY doc_id, nt, fps
         """,
         # frame count / picks / geometry mirror multimodal.docs_as_mp4
         # (2+(id+1)%3 jpeg samples; nt//2 is never 0 so the two picks

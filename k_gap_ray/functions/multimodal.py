@@ -9,9 +9,11 @@ audio/wav and video in MJPEG / AVI-MJPG / MP4-jpeg form through the
 repo's pure-stdlib codecs (functions/png.py, functions/jpeg.py — a
 full baseline JFIF decoder incl. 4:2:0 subsampling and restart
 markers — functions/wav.py, functions/riffavi.py for the RIFF/AVI
-container, and functions/isobmff.py for ISO BMFF/MP4 sample tables).
-Inter-frame codecs (h264/hevc/vp9, so webm and typical mp4) still
-raise NotImplementedError at the exact call site ffmpeg would occupy.
+container, and functions/isobmff.py for ISO BMFF/MP4 sample tables);
+WebM gets a real CONTAINER walk (functions/ebml.py — geometry, block
+framing, timestamps) with its VP8/VP9 pixel payloads left coded.
+Inter-frame codecs (h264/hevc/vp9) still raise NotImplementedError
+at the exact call site ffmpeg would occupy.
 ``mode="fake"`` remains the deterministic byte-level pseudo-decoder.
 Schemas, batch sizing, actor signatures and output layout are real
 and tested.
@@ -233,6 +235,37 @@ def docs_as_mp4(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
+def docs_as_webm(docs_ds):
+    """documents -> MEDIA table of real WebM (EBML/Matroska)
+    containers (functions/ebml.py) holding a VP8-slot video track
+    with deterministic container metadata: doc_id has 3+id%4 blocks
+    at 10+id%6 fps, geometry (64+(id*7)%192) x (48+(id*5)%144);
+    block k is a constant-byte payload of length 30+(id+k)%50 — so a
+    SQL oracle predicts the PARSED geometry, block count, total block
+    bytes and last block timestamp, while the engine really walks
+    EBML vints and SimpleBlock framing. The payloads themselves are
+    opaque (VP8 pixel decode stays the declared ffmpeg slot)."""
+    from k_gap_ray.functions.ebml import encode_webm
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid in t.column("doc_id").to_pylist():
+            frames = [bytes([(mid * 19 + k * 7) % 256])
+                      * (30 + (mid + k) % 50)
+                      for k in range(3 + mid % 4)]
+            rows.append({
+                "media_id": mid,
+                "payload": encode_webm(frames, 64 + (mid * 7) % 192,
+                                       48 + (mid * 5) % 144,
+                                       fps=10 + mid % 6),
+                "mime": "video/webm",
+                "source_url": f"urn:webm:{mid}",
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA)
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
 def docs_as_wav(docs_ds):
     """documents -> MEDIA table of real WAV payloads with
     deterministic audio parameters per doc_id (channels 1+id%2,
@@ -327,11 +360,16 @@ class MediaDecoder:
                                    range=(-32768.0, 32768.0))
             feat = hist.astype(np.float32) / max(1, frames.size)
             return channels, frames.shape[0], feat
-        if mime in ("video/x-msvideo", "video/avi", "video/mp4"):
+        if mime in ("video/x-msvideo", "video/avi", "video/mp4",
+                    "video/webm"):
             if mime == "video/mp4":
                 from k_gap_ray.functions.isobmff import decode_mp4
 
                 meta = decode_mp4(payload)
+            elif mime == "video/webm":
+                from k_gap_ray.functions.ebml import decode_webm
+
+                meta = decode_webm(payload)
             else:
                 from k_gap_ray.functions.riffavi import decode_avi
 
