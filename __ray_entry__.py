@@ -1837,6 +1837,38 @@ def _kg_report(sf_dir: str):
     })
 
 
+def _kg_docs_report(sf_dir: str):
+    """A7 dataset-statistics bundle over the docs-derived KG — the
+    oracled twin of _kg_report (which runs on the pages corpus the
+    gate cannot SQL-mirror). Same REAL pipeline as kg_docs_triples
+    (extract->annotate->canonicalize->materialize, cached per
+    sf_dir), reduced to the report scalars; the oracle nests the
+    pure-SQL quad and entity reconstructions (pipelines/docs_kg.py)
+    under the same aggregates, so a drift anywhere in the pipeline
+    moves at least one counter."""
+    import pyarrow as pa
+
+    res = _docs_kg_run(sf_dir)
+    triples = res["triples"]
+
+    def n_distinct(col: str) -> int:
+        # NOT Dataset.unique(): Ray 2.49's Unique aggregate crashes in
+        # merge on multi-block data; groupby(col).count().count() is
+        # the safe equivalent (same pattern as _kg_report).
+        return triples.select_columns([col]).groupby(col).count().count()
+
+    ents = res["entities"]
+    n_entities = ents.num_rows if hasattr(ents, "num_rows") \
+        else ents.count()
+    return pa.table({
+        "n_triples": pa.array([triples.count()], pa.int64()),
+        "n_distinct_subjects": pa.array([n_distinct("subj")], pa.int64()),
+        "n_named_graphs": pa.array([n_distinct("graph")], pa.int64()),
+        "n_predicates": pa.array([n_distinct("pred")], pa.int64()),
+        "n_entities": pa.array([n_entities], pa.int64()),
+    })
+
+
 def _workflow_lang_en(sf_dir: str):
     """X1-X3: declarative workflow spec (sembench analogue) compiled to
     a Ray op chain, with ${var} template substitution."""
@@ -2396,18 +2428,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     q_doc_line_dedup / q_shacl_docs are r03-green; union
         #     coverage keeps their green row while the new queries
         #     take the slots) ---
-        "kg_docs_triples": _kg_docs_triples,
         # --- new this session: container video made real (RIFF chunk
-        #     walk / ISO BMFF sample tables / EBML vint framing) ---
+        #     walk / ISO BMFF sample tables / EBML vint framing), plus
+        #     the oracled A7 report over the docs-KG pipeline ---
         "q_media_avi_frames": _media_avi_frames,
         "q_media_mp4_frames": _media_mp4_frames,
         "q_media_webm": _media_webm,
+        "kg_docs_report": _kg_docs_report,
         # --- past the 50-entry window: driver-green in r02/r03
-        #     (kg_docs_entities, q_media_jpeg and q_media_mjpeg_frames
-        #     demoted r03-green to make room; all stay covered
-        #     transitively — the avi/mp4 frame queries Huffman-decode
-        #     the same JPEG path, and mjpeg_split keeps its pytest
-        #     coverage) ---
+        #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
+        #     q_media_mjpeg_frames demoted r03-green to make room; all
+        #     stay covered transitively — kg_docs_report runs the SAME
+        #     cached pipeline and hashes its aggregate scalars, the
+        #     avi/mp4 frame queries Huffman-decode the same JPEG path,
+        #     and mjpeg_split keeps its pytest coverage) ---
+        "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
         "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
@@ -2947,6 +2982,18 @@ def oracle_sql() -> dict[str, str]:
         # value-hash-verified against a pure-SQL reconstruction with a
         # statically-inlined LSH pair graph (pipelines/docs_kg.py)
         "kg_docs_triples": _sql_docs_kg(),
+        # the report scalars nest the same quad/entity reconstructions
+        # under the aggregates (A7's oracled twin; _kg_docs_report)
+        "kg_docs_report": f"""
+            SELECT s.*,
+                   (SELECT count(*)
+                    FROM ({_sql_docs_entities()}) e) AS n_entities
+            FROM (SELECT count(*) AS n_triples,
+                         count(DISTINCT subj) AS n_distinct_subjects,
+                         count(DISTINCT graph) AS n_named_graphs,
+                         count(DISTINCT pred) AS n_predicates
+                  FROM ({_sql_docs_kg()}) q) s
+        """,
         "kg_docs_entities": _sql_docs_entities(),
         "kg_docs_mention_counts": _sql_docs_mention_counts(),
         "q_shacl_docs": _sql_shacl_docs(),

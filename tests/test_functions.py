@@ -148,15 +148,21 @@ def test_multimodal_decode_stage(ray_session):
         assert 16 <= r["width"] < 256 and 16 <= r["height"] < 256
         assert len(r["feature"]) == MediaDecoder.FEATURE_DIM
 
-    # real mode: PNG/JPEG/WAV decode for real now, so a garbage JPEG
-    # payload is a codec error, and only ffmpeg-class mimes still
-    # raise at the stubbed callsite
+    # real mode: PNG/JPEG/WAV and the video containers (AVI/MP4/WebM)
+    # decode for real now, so garbage bytes under those mimes are
+    # codec errors, and only inter-frame-codec mimes still raise at
+    # the stubbed ffmpeg callsite
     dec = MediaDecoder(mode="real")
     with pytest.raises(ValueError):
         dec(synth_media(1))  # fake bytes labelled image/jpeg
+    for container in ("video/mp4", "video/webm", "video/x-msvideo"):
+        vid = synth_media(1).set_column(
+            2, "mime", pa.array([container], pa.string()))
+        with pytest.raises(ValueError):  # real parser, bad bytes
+            dec(vid)
     vid = synth_media(1).set_column(
-        2, "mime", pa.array(["video/mp4"], pa.string()))
-    with pytest.raises(NotImplementedError):
+        2, "mime", pa.array(["video/h264"], pa.string()))
+    with pytest.raises(NotImplementedError):  # still the ffmpeg slot
         dec(vid)
 
 
