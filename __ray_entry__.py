@@ -1837,6 +1837,20 @@ def _kg_report(sf_dir: str):
     })
 
 
+def _doc_epoch_shuffle(sf_dir: str):
+    """Seeded epoch shuffle (functions/shuffle.py): deterministic
+    corpus permutation + NTILE shard assignment for training-epoch
+    ordering. The permutation key is a 31-bit seeded integer mix
+    (SQL-exact: every intermediate < 2**62, so DuckDB's no-wraparound
+    BIGINT computes the identical value); global positions come from
+    one uniform bucket shuffle + a driver carry of <=8192 summary
+    rows. Oracle: the same mix expression under ROW_NUMBER/NTILE."""
+    from k_gap_ray.functions.shuffle import epoch_shuffle
+
+    return epoch_shuffle(_docs(sf_dir, ["doc_id"]), "doc_id",
+                         seed=3, n_shards=8)
+
+
 def _kg_docs_report(sf_dir: str):
     """A7 dataset-statistics bundle over the docs-derived KG — the
     oracled twin of _kg_report (which runs on the pages corpus the
@@ -2409,8 +2423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_user_running": rel.q_events_user_running,
         "q_orders_rank": rel.q_orders_rank,
         "q_events_ntile": rel.q_events_ntile,
-        # --- SPARQL slice over the new broadcast BGP-join path ---
-        "q_sparql_docs": _sparql_docs,
+        # --- SPARQL slice over the new broadcast BGP-join path
+        #     (q_sparql_docs itself demoted r03-green: its 2-pattern
+        #     broadcast join underlies every other entry here) ---
         "q_sparql_docs_agg": _sparql_docs_agg,
         "q_sparql_docs_path": _sparql_docs_path,
         "q_sparql_docs_altpath": _sparql_docs_altpath,
@@ -2435,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_mp4_frames": _media_mp4_frames,
         "q_media_webm": _media_webm,
         "kg_docs_report": _kg_docs_report,
+        "q_doc_epoch_shuffle": _doc_epoch_shuffle,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2446,6 +2462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_docs_entities": _kg_docs_entities,
         "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
+        "q_sparql_docs": _sparql_docs,
         "q_sparql_docs_minus": _sparql_docs_minus,
         "q_shacl_docs": _shacl_docs,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
@@ -3064,6 +3081,12 @@ def _sql_knn_ivf() -> str:
     return sql_knn_ivf(n_centroids=8, n_probe=4, query_vec_id=0, k=10)
 
 
+def _sql_epoch_shuffle() -> str:
+    from k_gap_ray.functions.shuffle import sql_epoch_shuffle
+
+    return sql_epoch_shuffle(seed=3, n_shards=8)
+
+
 def _sql_docs_kg() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_kg
 
@@ -3632,6 +3655,10 @@ def _text_analysis_oracles() -> dict[str, str]:
                         ELSE '?a=1&b=2' END) AS url_norm
             FROM documents
         """,
+        # the SAME 31-bit mix expression under ROW_NUMBER/NTILE
+        # (functions/shuffle.sql_epoch_shuffle; seed/shards match
+        # _doc_epoch_shuffle)
+        "q_doc_epoch_shuffle": _sql_epoch_shuffle(),
         "q_doc_splits": """
             SELECT doc_id,
                    CASE WHEN (doc_id * 2654435761) % 4294967296
