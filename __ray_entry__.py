@@ -1837,6 +1837,19 @@ def _kg_report(sf_dir: str):
     })
 
 
+def _doc_bpe_train(sf_dir: str):
+    """Distributed BPE merge learning (functions/bpe.py): the first 8
+    subword merges learned from the corpus vocabulary — ONE
+    vocabulary shuffle (vocab_df partial-agg), then the merge loop on
+    the pulled vocabulary below driver_cap / as per-merge pair-count
+    shuffles above it. Tie-break and merge application are pinned
+    conventions mirrored exactly by the oracle's chained MATERIALIZED
+    CTE levels with fixpoint-replace recursions."""
+    from k_gap_ray.functions.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir, ["doc_id", "text"]), n_merges=8)
+
+
 def _doc_epoch_shuffle(sf_dir: str):
     """Seeded epoch shuffle (functions/shuffle.py): deterministic
     corpus permutation + NTILE shard assignment for training-epoch
@@ -2426,7 +2439,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SPARQL slice over the new broadcast BGP-join path
         #     (q_sparql_docs itself demoted r03-green: its 2-pattern
         #     broadcast join underlies every other entry here) ---
-        "q_sparql_docs_agg": _sparql_docs_agg,
         "q_sparql_docs_path": _sparql_docs_path,
         "q_sparql_docs_altpath": _sparql_docs_altpath,
         "q_sparql_docs_star": _sparql_docs_star,
@@ -2451,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_webm": _media_webm,
         "kg_docs_report": _kg_docs_report,
         "q_doc_epoch_shuffle": _doc_epoch_shuffle,
+        "q_doc_bpe_train": _doc_bpe_train,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2463,6 +2476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_jpeg": _media_jpeg,
         "q_media_mjpeg_frames": _media_mjpeg_frames,
         "q_sparql_docs": _sparql_docs,
+        "q_sparql_docs_agg": _sparql_docs_agg,
         "q_sparql_docs_minus": _sparql_docs_minus,
         "q_shacl_docs": _shacl_docs,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
@@ -3081,6 +3095,12 @@ def _sql_knn_ivf() -> str:
     return sql_knn_ivf(n_centroids=8, n_probe=4, query_vec_id=0, k=10)
 
 
+def _sql_bpe_train() -> str:
+    from k_gap_ray.functions.bpe import sql_bpe_train
+
+    return sql_bpe_train(n_merges=8)
+
+
 def _sql_epoch_shuffle() -> str:
     from k_gap_ray.functions.shuffle import sql_epoch_shuffle
 
@@ -3659,6 +3679,9 @@ def _text_analysis_oracles() -> dict[str, str]:
         # (functions/shuffle.sql_epoch_shuffle; seed/shards match
         # _doc_epoch_shuffle)
         "q_doc_epoch_shuffle": _sql_epoch_shuffle(),
+        # the same 8 merges as chained MATERIALIZED CTE levels with
+        # fixpoint-replace recursions (functions/bpe.sql_bpe_train)
+        "q_doc_bpe_train": _sql_bpe_train(),
         "q_doc_splits": """
             SELECT doc_id,
                    CASE WHEN (doc_id * 2654435761) % 4294967296
