@@ -1850,6 +1850,17 @@ def _doc_bpe_train(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["doc_id", "text"]), n_merges=8)
 
 
+def _doc_bpe_encode(sf_dir: str):
+    """BPE apply (functions/bpe.py): per-document subword counts
+    under the corpus-learned merges — train + encode in one pass over
+    the vocabulary, the downstream 'token count with a learned
+    tokenizer' statistic. Oracle: the same merge levels with the
+    token carried through, joined back to the exploded corpus."""
+    from k_gap_ray.functions.bpe import bpe_encode
+
+    return bpe_encode(_docs(sf_dir, ["doc_id", "text"]), n_merges=8)
+
+
 def _doc_epoch_shuffle(sf_dir: str):
     """Seeded epoch shuffle (functions/shuffle.py): deterministic
     corpus permutation + NTILE shard assignment for training-epoch
@@ -2443,7 +2454,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_altpath": _sparql_docs_altpath,
         "q_sparql_docs_star": _sparql_docs_star,
         "q_sparql_docs_optpath": _sparql_docs_optpath,
-        "q_sparql_docs_exists": _sparql_docs_exists,
         "q_lineitem_cube": rel.q_lineitem_cube,
         # --- new this session: never driver-verified, oracled ---
         "q_sparql_docs_arith": _sparql_docs_arith,
@@ -2464,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_docs_report": _kg_docs_report,
         "q_doc_epoch_shuffle": _doc_epoch_shuffle,
         "q_doc_bpe_train": _doc_bpe_train,
+        "q_doc_bpe_encode": _doc_bpe_encode,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2477,6 +2488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_mjpeg_frames": _media_mjpeg_frames,
         "q_sparql_docs": _sparql_docs,
         "q_sparql_docs_agg": _sparql_docs_agg,
+        "q_sparql_docs_exists": _sparql_docs_exists,
         "q_sparql_docs_minus": _sparql_docs_minus,
         "q_shacl_docs": _shacl_docs,
         "kg_docs_mention_counts": _kg_docs_mention_counts,
@@ -3101,6 +3113,12 @@ def _sql_bpe_train() -> str:
     return sql_bpe_train(n_merges=8)
 
 
+def _sql_bpe_encode() -> str:
+    from k_gap_ray.functions.bpe import sql_bpe_encode
+
+    return sql_bpe_encode(n_merges=8)
+
+
 def _sql_epoch_shuffle() -> str:
     from k_gap_ray.functions.shuffle import sql_epoch_shuffle
 
@@ -3682,6 +3700,7 @@ def _text_analysis_oracles() -> dict[str, str]:
         # the same 8 merges as chained MATERIALIZED CTE levels with
         # fixpoint-replace recursions (functions/bpe.sql_bpe_train)
         "q_doc_bpe_train": _sql_bpe_train(),
+        "q_doc_bpe_encode": _sql_bpe_encode(),
         "q_doc_splits": """
             SELECT doc_id,
                    CASE WHEN (doc_id * 2654435761) % 4294967296

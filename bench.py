@@ -207,6 +207,9 @@ def run_bench() -> dict:
 
     timed("q_doc_line_dedup", em.queries()["q_doc_line_dedup"])
     timed("q_media_wav", em.queries()["q_media_wav"])
+    timed("q_media_avi_frames", em.queries()["q_media_avi_frames"])
+    timed("q_doc_epoch_shuffle", em.queries()["q_doc_epoch_shuffle"])
+    timed("q_doc_bpe_train", em.queries()["q_doc_bpe_train"])
 
     ray.shutdown()
     return result()

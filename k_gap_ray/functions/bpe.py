@@ -158,22 +158,25 @@ def bpe_train(ds, n_merges: int = 8, text_col: str = "text",
     return _merge_table(out)
 
 
-def sql_bpe_train(n_merges: int = 8, table: str = "documents",
-                  text_col: str = "text") -> str:
-    """DuckDB oracle: the same N merges as chained MATERIALIZED CTE
-    levels (non-materialized CTEs inline once per reference and the
-    recursive levels reference each other 3x), each applying the
-    winning pair with the identical fixpoint-replace recursion."""
+def _sql_merge_ctes(n_merges: int, table: str, text_col: str) -> list:
+    """The shared CTE chain: tok/w0 plus (p_i, b_i, w_i) per level.
+
+    Every w level carries the originating ``token`` so a consumer can
+    join the final segmentation back to documents (bpe ENCODE); the
+    train oracle simply ignores the column. All levels MATERIALIZED —
+    non-materialized CTEs inline once per reference and the recursive
+    levels reference each other 3x (the chained-UPDATE-CTE lesson,
+    BENCH/NOTES.md)."""
     ctes = [f"""tok AS MATERIALIZED (
         SELECT token, count(*)::BIGINT AS freq
         FROM (SELECT unnest(string_split({text_col}, ' ')) AS token
               FROM {table})
         GROUP BY token),
     w0 AS MATERIALIZED (
-        SELECT ' ' || array_to_string(string_split(token, ''), ' ')
+        SELECT token,
+               ' ' || array_to_string(string_split(token, ''), ' ')
                || ' ' AS syms, freq
         FROM tok)"""]
-    finals = []
     for i in range(1, n_merges + 1):
         prev = f"w{i - 1}"
         ctes.append(f"""p{i} AS MATERIALIZED (
@@ -185,20 +188,190 @@ def sql_bpe_train(n_merges: int = 8, table: str = "documents",
     b{i} AS MATERIALIZED (
         SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
     w{i} AS MATERIALIZED (
-        SELECT syms, freq FROM (
-            WITH RECURSIVE r(syms, freq) AS (
-                SELECT syms, freq FROM {prev}
+        SELECT token, syms, freq FROM (
+            WITH RECURSIVE r(token, syms, freq) AS (
+                SELECT token, syms, freq FROM {prev}
                 UNION ALL
-                SELECT replace(r.syms, ' ' || b.a || ' ' || b.b || ' ',
+                SELECT r.token,
+                       replace(r.syms, ' ' || b.a || ' ' || b.b || ' ',
                                ' ' || b.a || b.b || ' '), r.freq
                 FROM r, b{i} b
                 WHERE replace(r.syms, ' ' || b.a || ' ' || b.b || ' ',
                               ' ' || b.a || b.b || ' ') <> r.syms
             )
-            SELECT r.syms, r.freq FROM r, b{i} b
+            SELECT r.token, r.syms, r.freq FROM r, b{i} b
             WHERE replace(r.syms, ' ' || b.a || ' ' || b.b || ' ',
                           ' ' || b.a || b.b || ' ') = r.syms))""")
-        finals.append(f"SELECT {i}::BIGINT AS rank, a AS lhs, b AS rhs,"
-                      f" a || b AS merged, c AS pair_count FROM b{i}")
+    return ctes
+
+
+def _apply_merges(token: str, merges: list) -> int:
+    """Subword count of one token under the learned merges (applied
+    in rank order, each to fixpoint — identical to what the training
+    loop did to the word, since the per-word transform is independent
+    of the rest of the vocabulary)."""
+    s = _sentinel(token)
+    for a, b, _ in merges:
+        s = _fixpoint_replace(s, f" {a} {b} ", f" {a}{b} ")
+    return len(s.split())
+
+
+def bpe_encode(ds, n_merges: int = 8, text_col: str = "text",
+               id_col: str = "doc_id", driver_cap: int = 2_000_000,
+               force_distributed: bool = False):
+    """-> Dataset[(id_col, n_subwords, n_tokens)]: per-document
+    subword counts under the corpus-learned BPE merges (train +
+    apply in one pass over the vocabulary — the downstream 'token
+    count with a learned tokenizer' statistic).
+
+    Documents with no non-empty tokens emit nothing (mirrors the
+    oracle's join). Below ``driver_cap`` the token->subword-count map
+    broadcasts and the corpus pass is one vectorized-per-doc lookup;
+    above it the segmented vocabulary stays a Dataset and the corpus
+    explodes into (doc, token) for a hash join + per-doc sum — the
+    honest path when the vocabulary itself outgrows a worker.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from k_gap_ray.functions.textstats import vocab_df
+
+    vocab = vocab_df(ds, text_col=text_col).select_columns(
+        ["token", "tf"]).materialize()
+    if not force_distributed and vocab.count() <= driver_cap:
+        toks = {r["token"]: int(r["tf"]) for r in vocab.take_all()}
+        words: dict[str, int] = defaultdict(int)
+        for tkn, f in toks.items():
+            words[_sentinel(tkn)] += f
+        merges = _train_driver(dict(words), n_merges)
+        nsub = {tkn: _apply_merges(tkn, merges) for tkn in toks
+                if tkn != ""}
+        ref = ray.put(nsub)
+
+        def count(t: pa.Table, _ref=ref) -> pa.Table:
+            m = ray.get(_ref)
+            ids, ns, nt = [], [], []
+            for did, tx in zip(t.column(id_col).to_pylist(),
+                               t.column(text_col).to_pylist()):
+                tokens = [x for x in tx.split(" ") if x]
+                if not tokens:
+                    continue
+                ids.append(did)
+                ns.append(sum(m[x] for x in tokens))
+                nt.append(len(tokens))
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "n_subwords": pa.array(ns, pa.int64()),
+                             "n_tokens": pa.array(nt, pa.int64())})
+
+        return ds.map_batches(count, batch_format="pyarrow")
+
+    # above-cap path: train distributedly (token carried through),
+    # then join the exploded corpus to the segmented vocabulary
+    from k_gap_ray.dsutil import join_datasets
+
+    def seed(t: pa.Table) -> pa.Table:
+        toks = t.column("token").to_pylist()
+        return pa.table({
+            "token": t.column("token"),
+            "syms": pa.array([_sentinel(tok) for tok in toks],
+                             pa.string()),
+            "freq": t.column("tf")})
+
+    words_ds = vocab.map_batches(seed, batch_format="pyarrow")
+    for _ in range(n_merges):
+        def partial(t: pa.Table) -> pa.Table:
+            counts: Counter = Counter()
+            for s, f in zip(t.column("syms").to_pylist(),
+                            t.column("freq").to_pylist()):
+                syms = s.split()
+                for pair in zip(syms, syms[1:]):
+                    counts[pair] += f
+            return pa.table({_M: pa.array([f"{a} {b}" for a, b in
+                                           counts], pa.string()),
+                             "c": pa.array(list(counts.values()),
+                                           pa.int64())})
+
+        from ray.data.aggregate import Sum as _Sum
+
+        agg = (words_ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(_M).aggregate(_Sum("c", alias_name="c")))
+        top = agg.sort([_M], descending=[False]) \
+                 .sort(["c"], descending=[True]).limit(1).take_all()
+        if not top:
+            break
+        a, b = top[0][_M].split(" ", 1)
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+
+        def apply(t: pa.Table, _pat=pat, _rep=rep) -> pa.Table:
+            return pa.table({
+                "token": t.column("token"),
+                "syms": pa.array(
+                    [_fixpoint_replace(s, _pat, _rep)
+                     for s in t.column("syms").to_pylist()],
+                    pa.string()),
+                "freq": t.column("freq")})
+
+        words_ds = words_ds.map_batches(
+            apply, batch_format="pyarrow").materialize()
+
+    def subcounts(t: pa.Table) -> pa.Table:
+        toks = t.column("token").to_pylist()
+        syms = t.column("syms").to_pylist()
+        keep = [i for i, tok in enumerate(toks) if tok != ""]
+        return pa.table({
+            "token": pa.array([toks[i] for i in keep], pa.string()),
+            "n_sub": pa.array([len(syms[i].split()) for i in keep],
+                              pa.int64())})
+
+    subs = words_ds.map_batches(subcounts, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, tx in zip(t.column(id_col).to_pylist(),
+                           t.column(text_col).to_pylist()):
+            for x in tx.split(" "):
+                if x:
+                    ids.append(did)
+                    toks.append(x)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    joined = join_datasets(exploded, subs, on="token",
+                           scrub_left=False, scrub_right=False)
+    return (joined.groupby(id_col)
+            .aggregate(Sum("n_sub", alias_name="n_subwords"),
+                       Count("n_sub", alias_name="n_tokens")))
+
+
+def sql_bpe_train(n_merges: int = 8, table: str = "documents",
+                  text_col: str = "text") -> str:
+    """DuckDB oracle: the same N merges as chained MATERIALIZED CTE
+    levels, each applying the winning pair with the identical
+    fixpoint-replace recursion."""
+    ctes = _sql_merge_ctes(n_merges, table, text_col)
+    finals = [f"SELECT {i}::BIGINT AS rank, a AS lhs, b AS rhs,"
+              f" a || b AS merged, c AS pair_count FROM b{i}"
+              for i in range(1, n_merges + 1)]
     return ("WITH " + ",\n    ".join(ctes) + "\n"
             + "\nUNION ALL\n".join(finals))
+
+
+def sql_bpe_encode(n_merges: int = 8, table: str = "documents",
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`bpe_encode`: learn the same N merges,
+    then join every document token to its final segmentation and sum
+    subword counts per document."""
+    ctes = _sql_merge_ctes(n_merges, table, text_col)
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT d.{id_col},
+           SUM(len(string_split(trim(w.syms), ' ')))::BIGINT
+               AS n_subwords,
+           COUNT(*)::BIGINT AS n_tokens
+    FROM (SELECT {id_col},
+                 unnest(string_split({text_col}, ' ')) AS token
+          FROM {table}) d
+    JOIN w{n_merges} w USING (token)
+    WHERE trim(w.syms) <> ''
+    GROUP BY d.{id_col}""")

@@ -71,3 +71,29 @@ def test_bpe_oracle_parity_and_distributed(ray_session):
     pd.testing.assert_frame_equal(mine, dist)
     # sanity: real merges came out (multi-char units appear)
     assert (mine["merged"].str.len() >= 2).all()
+
+
+def test_bpe_encode_parity_both_paths(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.functions.bpe import bpe_encode, sql_bpe_encode
+
+    docs = _corpus()
+    ds = rd.from_arrow(docs).repartition(5)
+    mine = bpe_encode(ds, n_merges=6).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    orc = con.execute(sql_bpe_encode(6)).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine.astype("int64"),
+                                  orc.astype("int64"))
+    # the above-cap path (distributed train + explode/join/sum) agrees
+    dist = bpe_encode(ds, n_merges=6, force_distributed=True) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        mine.astype("int64"),
+        dist[["doc_id", "n_subwords", "n_tokens"]].astype("int64"))
+    # merging can only shrink segmentations, never below one subword
+    # per token
+    assert (mine["n_subwords"] >= mine["n_tokens"]).all()
