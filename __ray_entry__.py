@@ -405,6 +405,23 @@ def _events_hll_users(sf_dir: str):
     return hll_count(_read(sf_dir, "events", ["user_id"]), "user_id")
 
 
+_CMS_PROBES = list(range(40))
+
+
+def _events_cms_users(sf_dir: str):
+    """Count-min frequency sketch over event user_ids, point-queried
+    for a fixed probe set (ids 0-39; some absent at small tiers, so
+    the zero-cell path is exercised).  Mergeable like the HLL: <= D*W
+    rows leave any batch, driver merge bounded by 4096 ints — and the
+    31-bit-mix hashes make the whole sketch SQL-mirrorable, so the
+    APPROXIMATE estimates are still exactly verified."""
+    from k_gap_ray.functions.sketch import cms_estimates
+    from k_gap_ray.relational import _read
+
+    return cms_estimates(_read(sf_dir, "events", ["user_id"]),
+                         "user_id", _CMS_PROBES)
+
+
 def _deref_reachable(sf_dir: str):
     """J5 dereference loop driven through the oracle gate: iterative
     cycle-safe frontier expansion over a customer->nation->region edge
@@ -2444,7 +2461,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_fts": _sparql_docs_fts,
         "q_sparql_docs_describe": _sparql_docs_describe,
         "q_sparql_docs_sample": _sparql_docs_sample,
-        "q_sparql_docs_coalesce": _sparql_docs_coalesce,
         "q_sparql_docs_terms": _sparql_docs_terms,
         "q_sparql_docs_subquery": _sparql_docs_subquery,
         "q_rdf_jsonld_nested": _rdf_jsonld_nested,
@@ -2491,6 +2507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     SPARQL window rows, and the displaced entries keep their
         #     in-suite oracle checks) ---
         "q_doc_chunks": _doc_chunks,
+        "q_events_cms_users": _events_cms_users,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2499,6 +2516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     avi/mp4 frame queries Huffman-decode the same JPEG path,
         #     and mjpeg_split keeps its pytest coverage) ---
         "q_sparql_docs_strfn": _sparql_docs_strfn,
+        "q_sparql_docs_coalesce": _sparql_docs_coalesce,
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
         "q_media_jpeg": _media_jpeg,
@@ -2605,6 +2623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from k_gap_ray.functions import chunking as _chk
+    from k_gap_ray.functions import sketch as _sk
     from k_gap_ray.functions import quantiles as _q
     from k_gap_ray.functions import textstats as _ts
 
@@ -2782,6 +2801,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_doc_oov": _ts.sql_oov_rate(vocab_size=500),
         "q_doc_chunks": _chk.sql_chunk_spans(size=32, stride=24),
+        "q_events_cms_users": _sk.sql_cms_estimates(
+            "user_id", _CMS_PROBES),
         "q_doc_len_quantiles": _q.quantiles_sql(
             "n_chars", "documents"),
         "q_doc_len_quantiles_by_lang": _q.grouped_quantiles_sql(

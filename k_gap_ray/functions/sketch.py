@@ -104,3 +104,104 @@ def hll_count(ds, col: str):
     return pa.table({
         "n_est": pa.array([int(round(est))], pa.int64()),
         "n_registers_used": pa.array([n_used], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, public algorithm)
+# ---------------------------------------------------------------------------
+#
+# Frequency estimation with one-sided error: est(v) >= true(v) always,
+# est(v) <= true(v) + N/W per row w.h.p., min over D rows. Mergeable
+# exactly like the HLL above: a vectorized map_batches emits at most
+# D*W = 4096 (cell, count) rows per batch regardless of batch size, and
+# the partials ADD — per-block partial tables are merged on the driver
+# under the hard D*W bound (the ngram_prefix_bands driver-merge shape;
+# a groupby-sum would pay Ray's fixed aggregate cost for a result that
+# lands on the driver anyway). Cross-shard / sliding-window sketches
+# are elementwise sums of the (D, W) tables.
+#
+# The per-row hashes reuse functions/shuffle.py's seeded 31-bit mix —
+# every intermediate stays below 2**62, so the DuckDB oracle
+# reproduces cells AND estimates value-for-value (BIGINT has no
+# wraparound; see BENCH/NOTES.md round-4).
+
+CMS_D = 4                       # hash rows
+CMS_W = 1024                    # cells per row
+
+
+def _cms_seed(r: int) -> int:
+    return (1_000_003 * r + 12_345) % (1 << 31)
+
+
+def cms_table(ds, col: str) -> np.ndarray:
+    """Dataset -> the full (CMS_D, CMS_W) int64 count table.
+
+    Values in ``col`` must be non-negative int64 (the 31-bit mix's
+    SQL mirror relies on DuckDB's sign-preserving ``%``)."""
+    from k_gap_ray.functions.shuffle import _mix
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, cs = [], []
+        for r in range(CMS_D):
+            cell = _mix(v, _cms_seed(r)) % CMS_W
+            cnt = np.bincount(cell, minlength=CMS_W)
+            used = np.nonzero(cnt)[0]
+            ks.append(r * CMS_W + used)
+            cs.append(cnt[used])
+        return pa.table({
+            "k": pa.array(np.concatenate(ks) if ks else [], pa.int64()),
+            "c": pa.array(np.concatenate(cs) if cs else [], pa.int64())})
+
+    import ray
+
+    tab = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for blk in ray.get(ds.map_batches(
+            partial, batch_format="pyarrow",
+            zero_copy_batch=True).to_arrow_refs()):
+        if not isinstance(blk, pa.Table):
+            blk = pa.Table.from_pandas(blk, preserve_index=False)
+        if blk.num_rows == 0:       # zero-row pass-through blocks keep
+            continue                # their UPSTREAM schema — skip
+        np.add.at(tab, blk.column("k").to_numpy(zero_copy_only=False),
+                  blk.column("c").to_numpy(zero_copy_only=False))
+    return tab.reshape(CMS_D, CMS_W)
+
+
+def cms_estimates(ds, col: str, probes: list[int]) -> pa.Table:
+    """Point-query the sketch: -> (item:int64, est:int64) per probe."""
+    from k_gap_ray.functions.shuffle import _mix
+
+    tab = cms_table(ds, col)
+    p = np.asarray(sorted(probes), dtype=np.int64)
+    if (p < 0).any():
+        raise ValueError("probe items must be non-negative")
+    est = np.full(len(p), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CMS_D):
+        cell = _mix(p, _cms_seed(r)) % CMS_W
+        est = np.minimum(est, tab[r, cell])
+    return pa.table({"item": pa.array(p, pa.int64()),
+                     "est": pa.array(est, pa.int64())})
+
+
+def sql_cms_estimates(col: str, probes: list[int],
+                      rel: str = "events") -> str:
+    """The same sketch + point queries as one DuckDB query."""
+    from k_gap_ray.functions.shuffle import _mix_sql
+
+    vals = ", ".join(f"({int(v)})" for v in sorted(probes))
+    parts, ests = [], []
+    for r in range(CMS_D):
+        mix_rel = _mix_sql(f"CAST({col} AS BIGINT)", _cms_seed(r))
+        mix_probe = _mix_sql("CAST(p.item AS BIGINT)", _cms_seed(r))
+        parts.append(f"cells{r} AS (SELECT ({mix_rel}) % {CMS_W} AS cell, "
+                     f"count(*)::BIGINT AS c FROM {rel} GROUP BY 1)")
+        ests.append(f"SELECT p.item, coalesce(c{r}.c, 0) AS c "
+                    f"FROM probes p LEFT JOIN cells{r} c{r} "
+                    f"ON c{r}.cell = ({mix_probe}) % {CMS_W}")
+    return (f"WITH probes(item) AS (SELECT CAST(v AS BIGINT) FROM "
+            f"(VALUES {vals}) t(v)),\n"
+            + ",\n".join(parts)
+            + "\nSELECT item, min(c)::BIGINT AS est FROM (\n"
+            + "\nUNION ALL\n".join(ests)
+            + "\n) GROUP BY item")

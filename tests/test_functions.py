@@ -1302,3 +1302,46 @@ def test_oov_rate_matches_oracle_with_ties_and_empty(ray_session):
     # the empty doc: one '' token, not in vocab -> 1000 permille
     row4 = eng[eng.doc_id == 4].iloc[0]
     assert (row4.n_tokens, row4.n_oov, row4.oov_permille) == (1, 1, 1000)
+
+
+def test_cms_bounds_merge_and_oracle(ray_session):
+    """Count-min: one-sided error (est >= exact always; est bounded by
+    exact + 2N/W for the min over 4 rows on this input), elementwise
+    table mergeability, and exact value parity with the DuckDB mirror."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from k_gap_ray.functions.sketch import (CMS_W, cms_estimates, cms_table,
+                                            sql_cms_estimates)
+
+    rng = np.random.RandomState(7)
+    # zipf-ish skew: item i appears ~ 3000/(i+1) times
+    items = np.repeat(np.arange(200, dtype=np.int64),
+                      (3000 / (np.arange(200) + 1)).astype(np.int64))
+    rng.shuffle(items)
+    ds = rd.from_arrow(pa.table({"x": pa.array(items, pa.int64())}))
+    probes = list(range(30))
+    got = cms_estimates(ds, "x", probes)
+    exact = {int(v): int((items == v).sum()) for v in probes}
+    n = len(items)
+    for item, est in zip(got.column("item").to_pylist(),
+                         got.column("est").to_pylist()):
+        assert est >= exact[item]
+        assert est <= exact[item] + 2 * n // CMS_W + 1
+
+    # mergeable: halves sum to the whole
+    a = rd.from_arrow(pa.table({"x": pa.array(items[:4000], pa.int64())}))
+    b = rd.from_arrow(pa.table({"x": pa.array(items[4000:], pa.int64())}))
+    assert (cms_table(a, "x") + cms_table(b, "x")
+            == cms_table(ds, "x")).all()
+
+    # SQL mirror: identical estimates
+    con = duckdb.connect()
+    con.register("ev", pa.table({"x": pa.array(items, pa.int64())}))
+    df = con.execute(sql_cms_estimates("x", probes, rel="ev")).df()
+    con.close()
+    want = {int(r["item"]): int(r["est"]) for _, r in df.iterrows()}
+    have = {i: e for i, e in zip(got.column("item").to_pylist(),
+                                 got.column("est").to_pylist())}
+    assert have == want
