@@ -630,6 +630,19 @@ def _doc_chunks(sf_dir: str):
                        size=32, stride=24)
 
 
+def _doc_heavy_hitters(sf_dir: str):
+    """EXACT top-20 corpus tokens via Misra-Gries candidate pruning +
+    a broadcast exact-verify pass: <= `counters` rows leave any batch
+    in pass A regardless of vocabulary size, and the result is
+    certified against the integer pruning bound (full-vocabulary
+    fallback when the bound isn't beaten — exactness never depends on
+    tuning)."""
+    from k_gap_ray.functions.heavy import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir, ["doc_id", "text"]),
+                         k=20, counters=64)
+
+
 def _doc_dup_spans(sf_dir: str):
     """Cross-document duplicated 8-gram spans (ExactSubstr-style
     boilerplate evidence): token 8-grams occurring in >= 2 distinct
@@ -2461,7 +2474,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_fts": _sparql_docs_fts,
         "q_sparql_docs_describe": _sparql_docs_describe,
         "q_sparql_docs_sample": _sparql_docs_sample,
-        "q_sparql_docs_terms": _sparql_docs_terms,
         "q_sparql_docs_subquery": _sparql_docs_subquery,
         "q_rdf_jsonld_nested": _rdf_jsonld_nested,
         "q_knn_lsh": _knn_lsh,
@@ -2508,6 +2520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     in-suite oracle checks) ---
         "q_doc_chunks": _doc_chunks,
         "q_events_cms_users": _events_cms_users,
+        "q_doc_heavy_hitters": _doc_heavy_hitters,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2517,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     and mjpeg_split keeps its pytest coverage) ---
         "q_sparql_docs_strfn": _sparql_docs_strfn,
         "q_sparql_docs_coalesce": _sparql_docs_coalesce,
+        "q_sparql_docs_terms": _sparql_docs_terms,
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
         "q_media_jpeg": _media_jpeg,
@@ -2623,6 +2637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from k_gap_ray.functions import chunking as _chk
+    from k_gap_ray.functions import heavy as _hv
     from k_gap_ray.functions import sketch as _sk
     from k_gap_ray.functions import quantiles as _q
     from k_gap_ray.functions import textstats as _ts
@@ -2803,6 +2818,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_chunks": _chk.sql_chunk_spans(size=32, stride=24),
         "q_events_cms_users": _sk.sql_cms_estimates(
             "user_id", _CMS_PROBES),
+        "q_doc_heavy_hitters": _hv.sql_heavy_hitters(k=20),
         "q_doc_len_quantiles": _q.quantiles_sql(
             "n_chars", "documents"),
         "q_doc_len_quantiles_by_lang": _q.grouped_quantiles_sql(
