@@ -630,6 +630,17 @@ def _doc_chunks(sf_dir: str):
                        size=32, stride=24)
 
 
+def _doc_unigram_score(sf_dir: str):
+    """Corpus-trained unigram log-frequency quality score (the cheap
+    KenLM stand-in): integer bit_length(tf) buckets, top-500
+    vocabulary broadcast, one vectorized scoring pass — exact on both
+    backends (no float logs anywhere)."""
+    from k_gap_ray.functions.textstats import unigram_lm_score
+
+    return unigram_lm_score(_docs(sf_dir, ["doc_id", "text"]),
+                            vocab_size=500)
+
+
 def _doc_heavy_hitters(sf_dir: str):
     """EXACT top-20 corpus tokens via Misra-Gries candidate pruning +
     a broadcast exact-verify pass: <= `counters` rows leave any batch
@@ -2473,7 +2484,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_update": _sparql_docs_update,
         "q_sparql_docs_fts": _sparql_docs_fts,
         "q_sparql_docs_describe": _sparql_docs_describe,
-        "q_sparql_docs_sample": _sparql_docs_sample,
         "q_sparql_docs_subquery": _sparql_docs_subquery,
         "q_rdf_jsonld_nested": _rdf_jsonld_nested,
         "q_knn_lsh": _knn_lsh,
@@ -2521,6 +2531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_chunks": _doc_chunks,
         "q_events_cms_users": _events_cms_users,
         "q_doc_heavy_hitters": _doc_heavy_hitters,
+        "q_doc_unigram_score": _doc_unigram_score,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2531,6 +2542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_strfn": _sparql_docs_strfn,
         "q_sparql_docs_coalesce": _sparql_docs_coalesce,
         "q_sparql_docs_terms": _sparql_docs_terms,
+        "q_sparql_docs_sample": _sparql_docs_sample,
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
         "q_media_jpeg": _media_jpeg,
@@ -2819,6 +2831,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_cms_users": _sk.sql_cms_estimates(
             "user_id", _CMS_PROBES),
         "q_doc_heavy_hitters": _hv.sql_heavy_hitters(k=20),
+        "q_doc_unigram_score": _ts.sql_unigram_lm_score(vocab_size=500),
         "q_doc_len_quantiles": _q.quantiles_sql(
             "n_chars", "documents"),
         "q_doc_len_quantiles_by_lang": _q.grouped_quantiles_sql(

@@ -263,6 +263,78 @@ def sql_oov_rate(vocab_size: int = 1000, id_col: str = "doc_id",
     """
 
 
+def unigram_lm_score(ds, vocab_size: int = 500,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-trained unigram log-frequency score — the cheap
+    KenLM-stand-in quality signal: documents made of common words
+    score high, gibberish/junk scores low.
+
+    Each in-vocabulary token occurrence contributes the exact INTEGER
+    ``bit_length(tf(token))`` (= floor(log2 tf) + 1, the log-frequency
+    bucket; no float logs, so the DuckDB ``length(bin(tf))`` mirror is
+    bit-identical); OOV tokens contribute 0. Reported per doc:
+    ``lm_score`` (the sum), ``n_tokens``, and the integer per-token
+    mean ``lm_permille = lm_score * 1000 // n_tokens``.
+
+    Same two-pass shape as :func:`oov_rate`: one vocab-scale shuffle
+    cut to the top-``vocab_size`` by (tf DESC, token ASC), broadcast;
+    then one vectorized scoring pass (``index_in`` gather + per-doc
+    segment sum). Training and scoring both stream."""
+    vocab = (vocab_df(ds, id_col=id_col, text_col=text_col)
+             .sort(["tf", "token"], descending=[True, False])
+             .limit(vocab_size)
+             .take_all())
+    keep = pa.array([r["token"] for r in vocab], pa.string())
+    tf = np.array([r["tf"] for r in vocab], dtype=np.int64)
+    # exact bit_length via frexp (values < 2^53): no float-log rounding
+    _, e = np.frexp(np.maximum(tf, 1).astype(np.float64))
+    buckets = np.concatenate([e.astype(np.int64), [0]])  # [-1] = OOV
+
+    def f(t: pa.Table) -> pa.Table:
+        flat, counts, _ = _tokens_of(t.column(text_col))
+        idx = pc.index_in(flat, value_set=keep) \
+            .to_numpy(zero_copy_only=False, writable=True)
+        w = buckets[np.nan_to_num(idx, nan=-1).astype(np.int64)]
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        score = np.bincount(doc_idx, weights=w,
+                            minlength=len(counts)).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "lm_score": pa.array(score, pa.int64()),
+            "lm_permille": pa.array(score * 1000 // counts, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def sql_unigram_lm_score(vocab_size: int = 500, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         rel: str = "documents") -> str:
+    """DuckDB mirror of :func:`unigram_lm_score` (same top-K tiebreak,
+    ``length(bin(tf))`` == bit_length)."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col},
+                   unnest(string_split({text_col}, ' ')) AS token
+            FROM {rel}),
+        vocab AS (
+            SELECT token, length(bin(tf))::BIGINT AS bucket FROM (
+                SELECT token, count(*) AS tf FROM toks GROUP BY token
+                ORDER BY tf DESC, token ASC LIMIT {vocab_size})),
+        sc AS (
+            SELECT t.{id_col},
+                   count(*)::BIGINT AS n_tokens,
+                   CAST(sum(coalesce(v.bucket, 0)) AS BIGINT) AS lm_score
+            FROM toks t LEFT JOIN vocab v USING (token)
+            GROUP BY t.{id_col})
+        SELECT {id_col}, n_tokens, lm_score,
+               lm_score * 1000 // n_tokens AS lm_permille
+        FROM sc
+    """
+
+
 def dup_ngram_spans(ds, n: int = 8, min_docs: int = 2,
                     id_col: str = "doc_id", text_col: str = "text"):
     """Cross-document duplicated n-gram spans: (gram, n_docs) for every

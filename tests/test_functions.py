@@ -1345,3 +1345,37 @@ def test_cms_bounds_merge_and_oracle(ray_session):
     have = {i: e for i, e in zip(got.column("item").to_pylist(),
                                  got.column("est").to_pylist())}
     assert have == want
+
+
+def test_unigram_lm_score_matches_oracle(ray_session, sf_dir):
+    """Corpus-trained log-frequency score: exact parity with the
+    DuckDB mirror on the sf corpus, plus the ranking sanity check
+    (common-word doc outscores gibberish per token)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.textstats import (sql_unigram_lm_score,
+                                               unigram_lm_score)
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    got = (unigram_lm_score(rd.from_arrow(tbl), vocab_size=300)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (con.execute(sql_unigram_lm_score(vocab_size=300)).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    con.close()
+    pd.testing.assert_frame_equal(got, want)
+
+    small = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["the the the cat sat", "zq xv qqj kkz pw"])})
+    both = pa.concat_tables([
+        small, pa.table({"doc_id": pa.array([3] * 20, pa.int64()),
+                         "text": pa.array(["the cat sat"] * 20)})])
+    sc = (unigram_lm_score(rd.from_arrow(both), vocab_size=3)
+          .to_pandas().set_index("doc_id"))
+    assert sc.loc[1].lm_permille > sc.loc[2].lm_permille
