@@ -619,6 +619,18 @@ def _doc_oov(sf_dir: str):
     return oov_rate(_docs(sf_dir, ["doc_id", "text"]), vocab_size=500)
 
 
+def _doc_vocab_coverage(sf_dir: str):
+    """Tokenizer coverage curve: minimal vocab size covering 50/90/
+    95/99% of token occurrences.  The vocabulary stream is reduced to
+    its tf-DISTRIBUTION (<= ~2*sqrt(N) rows by construction) via
+    per-batch np.unique partials, so no vocabulary-scale sort and no
+    driver state at vocabulary scale; in-run crossings are solved
+    arithmetically."""
+    from k_gap_ray.functions.textstats import vocab_coverage
+
+    return vocab_coverage(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _doc_chunks(sf_dir: str):
     """Sliding-window token chunking (RAG / context packing): 32-token
     windows advancing by 24 (8-token overlap), tail chunks kept.  One
@@ -2501,7 +2513,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_path": _sparql_docs_path,
         "q_sparql_docs_altpath": _sparql_docs_altpath,
         "q_sparql_docs_star": _sparql_docs_star,
-        "q_sparql_docs_optpath": _sparql_docs_optpath,
         "q_lineitem_cube": rel.q_lineitem_cube,
         # --- new this session: never driver-verified, oracled ---
         "q_sparql_docs_arith": _sparql_docs_arith,
@@ -2532,6 +2543,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_cms_users": _events_cms_users,
         "q_doc_heavy_hitters": _doc_heavy_hitters,
         "q_doc_unigram_score": _doc_unigram_score,
+        "q_doc_vocab_coverage": _doc_vocab_coverage,
+        # (q_sparql_docs_optpath displaced just past the window for
+        # vocab_coverage — its broadcast BGP-join path stays pinned by
+        # the path/altpath/star rows above; it keeps its in-suite
+        # oracle check.)
+        "q_sparql_docs_optpath": _sparql_docs_optpath,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2832,6 +2849,7 @@ def oracle_sql() -> dict[str, str]:
             "user_id", _CMS_PROBES),
         "q_doc_heavy_hitters": _hv.sql_heavy_hitters(k=20),
         "q_doc_unigram_score": _ts.sql_unigram_lm_score(vocab_size=500),
+        "q_doc_vocab_coverage": _ts.sql_vocab_coverage(),
         "q_doc_len_quantiles": _q.quantiles_sql(
             "n_chars", "documents"),
         "q_doc_len_quantiles_by_lang": _q.grouped_quantiles_sql(

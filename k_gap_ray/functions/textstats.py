@@ -263,6 +263,105 @@ def sql_oov_rate(vocab_size: int = 1000, id_col: str = "doc_id",
     """
 
 
+_TFDIST_CAP = 4_000_000
+
+
+def vocab_coverage(ds, permilles=(500, 900, 950, 990),
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Tokenizer-design coverage curve: the minimal vocabulary size
+    (ranked tf DESC, token ASC) whose tokens cover >= X per-mille of
+    all token occurrences, for each threshold.
+
+    Scale shape — NO vocabulary-scale sort and NO hot keys: the
+    vocabulary Dataset is reduced to its **tf-distribution**
+    ``(tf_value -> number_of_tokens_with_that_tf)`` by per-batch
+    ``np.unique`` partials merged on the driver.  Distinct tf values
+    are <= ~2*sqrt(N) by construction (their sum is N), so driver
+    state is bounded far below vocabulary size; the threshold
+    crossing INSIDE a constant-tf run is solved arithmetically
+    (``ceil((need - cum_prev) / tf)``) — rank order within a run
+    (token ASC) cannot change counts.  All integers; the DuckDB
+    window-sum oracle (:func:`sql_vocab_coverage`) hashes
+    identically.
+
+    -> pa.Table (permille, vocab_needed, cum_tf)."""
+    vd = vocab_df(ds, id_col=id_col, text_col=text_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, cnt = np.unique(tf, return_counts=True)
+        return pa.table({"tfv": pa.array(uniq, pa.int64()),
+                         "n_at": pa.array(cnt, pa.int64())})
+
+    import ray
+
+    dist: dict[int, int] = {}
+    for p in ray.get(vd.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True).to_arrow_refs()):
+        if not isinstance(p, pa.Table):
+            p = pa.Table.from_pandas(p, preserve_index=False)
+        if p.num_rows == 0:
+            continue
+        for v, c in zip(p.column("tfv").to_pylist(),
+                        p.column("n_at").to_pylist()):
+            dist[v] = dist.get(v, 0) + c
+        if len(dist) > _TFDIST_CAP:
+            raise ValueError(
+                f"tf-distribution exceeds {_TFDIST_CAP} distinct values")
+    n_total = sum(v * c for v, c in dist.items())
+    out_p, out_k, out_c = [], [], []
+    if n_total:
+        runs = sorted(dist.items(), reverse=True)    # tf DESC
+        for p_mille in sorted(permilles):
+            need = -(-p_mille * n_total // 1000)     # ceil
+            rank = cum = 0
+            for v, c in runs:
+                if cum + v * c >= need:
+                    took = -(-(need - cum) // v)     # ceil
+                    rank += took
+                    cum += took * v
+                    break
+                rank += c
+                cum += v * c
+            out_p.append(p_mille)
+            out_k.append(rank)
+            out_c.append(cum)
+    return pa.table({"permille": pa.array(out_p, pa.int64()),
+                     "vocab_needed": pa.array(out_k, pa.int64()),
+                     "cum_tf": pa.array(out_c, pa.int64())})
+
+
+def sql_vocab_coverage(permilles=(500, 900, 950, 990),
+                       text_col: str = "text",
+                       rel: str = "documents") -> str:
+    """DuckDB mirror of :func:`vocab_coverage` via an explicit ranked
+    window sum (cum is strictly increasing, so the crossing row is
+    ``min(r)`` / ``min(cum)`` among qualifying rows)."""
+    vals = ", ".join(f"({int(p)})" for p in sorted(permilles))
+    return f"""
+        WITH tf AS (
+            SELECT token, count(*)::BIGINT AS tf
+            FROM (SELECT unnest(string_split(coalesce({text_col}, ''),
+                                             ' ')) AS token
+                  FROM {rel})
+            GROUP BY token),
+        ranked AS (
+            SELECT row_number() OVER
+                       (ORDER BY tf DESC, token ASC) AS r,
+                   sum(tf) OVER (ORDER BY tf DESC, token ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tf),
+        n AS (SELECT sum(tf) AS n FROM tf)
+        SELECT p.permille::BIGINT AS permille,
+               min(ranked.r)::BIGINT AS vocab_needed,
+               min(ranked.cum)::BIGINT AS cum_tf
+        FROM (VALUES {vals}) p(permille), ranked, n
+        WHERE ranked.cum * 1000 >= p.permille * n.n
+        GROUP BY p.permille
+    """
+
+
 def unigram_lm_score(ds, vocab_size: int = 500,
                      id_col: str = "doc_id", text_col: str = "text"):
     """Corpus-trained unigram log-frequency score — the cheap

@@ -1379,3 +1379,38 @@ def test_unigram_lm_score_matches_oracle(ray_session, sf_dir):
     sc = (unigram_lm_score(rd.from_arrow(both), vocab_size=3)
           .to_pandas().set_index("doc_id"))
     assert sc.loc[1].lm_permille > sc.loc[2].lm_permille
+
+
+def test_vocab_coverage_matches_oracle(ray_session, sf_dir):
+    """Coverage curve parity with the DuckDB ranked-window-sum mirror,
+    plus a hand-checked tiny corpus where every crossing lands inside
+    a constant-tf run (the arithmetic shortcut's hard case)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.textstats import (sql_vocab_coverage,
+                                               vocab_coverage)
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    got = (vocab_coverage(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("permille").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (con.execute(sql_vocab_coverage()).df()
+            .sort_values("permille").reset_index(drop=True))
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # 10 tokens, all tf=1 (one constant-tf run): covering 50% needs
+    # exactly 5 tokens, 90% needs 9, 95%/99% need all 10 (ceil).
+    tiny = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["a b c d e", "f g h i j"])})
+    cv = (vocab_coverage(rd.from_arrow(tiny)).to_pandas()
+          .set_index("permille"))
+    assert cv.loc[500].vocab_needed == 5 and cv.loc[500].cum_tf == 5
+    assert cv.loc[900].vocab_needed == 9
+    assert cv.loc[950].vocab_needed == 10
+    assert cv.loc[990].vocab_needed == 10
