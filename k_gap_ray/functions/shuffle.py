@@ -138,6 +138,75 @@ def epoch_shuffle(ds, id_col: str, seed: int, n_shards: int,
     return both.map_batches(patch, batch_format="pyarrow")
 
 
+def stratified_cap(ds, key_col: str, id_col: str, cap: int,
+                   seed: int = 0):
+    """Per-stratum cap sampling: keep at most ``cap`` rows per
+    ``key_col`` value, chosen deterministically as the lowest seeded
+    31-bit ``mix(id)`` (id tiebreak) within the stratum — the
+    "cap every domain/language at K docs" balancing move a web corpus
+    makes before training, reproducible across runs and engines.
+
+    100-TB shape: a vectorized per-batch prune first discards all but
+    the ``cap`` best rows per key PER BATCH (run-length over one
+    lexsort, no Python loop), so the single groupby(key) shuffle moves
+    at most ``cap * n_batches`` rows per key — bounded regardless of
+    stratum skew — and the final per-group head() sees pre-pruned
+    groups.  -> Dataset[(id_col, key_col)] survivors.
+    """
+    if not 0 <= seed < _M:
+        raise ValueError(f"seed must be in [0, 2**31), got {seed}")
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        v = _mix(ids, seed)
+        enc = pc.dictionary_encode(t.column(key_col))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((ids, v, codes))
+        sc = codes[order]
+        new_run = np.r_[True, sc[1:] != sc[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        pos_in_run = np.arange(len(order)) - starts[run_id]
+        keep = order[pos_in_run < cap]
+        return pa.table({
+            id_col: t.column(id_col).take(pa.array(keep)),
+            key_col: t.column(key_col).take(pa.array(keep)),
+            "__v": pa.array(v[keep], pa.int64())})
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__v", id_col], kind="mergesort").head(cap)
+        return df[[id_col, key_col]]
+
+    return pruned.groupby(key_col).map_groups(
+        head, batch_format="pandas")
+
+
+def sql_stratified_cap(cap: int, seed: int = 0,
+                       table: str = "documents",
+                       key_col: str = "lang",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`stratified_cap`: the same per-stratum
+    rank via a window function."""
+    return f"""
+        SELECT {id_col}, {key_col} FROM (
+            SELECT {id_col}, {key_col},
+                   row_number() OVER (
+                       PARTITION BY {key_col}
+                       ORDER BY {_mix_sql(id_col, seed)} ASC,
+                                {id_col} ASC) AS r
+            FROM {table})
+        WHERE r <= {int(cap)}
+    """
+
+
 def sql_epoch_shuffle(seed: int, n_shards: int,
                       table: str = "documents",
                       id_col: str = "doc_id") -> str:

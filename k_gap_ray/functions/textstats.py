@@ -434,6 +434,127 @@ def sql_unigram_lm_score(vocab_size: int = 500, id_col: str = "doc_id",
     """
 
 
+def doc_keywords(ds, k: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Per-document top-``k`` TF-IDF keywords (topic tagging /
+    salient-term extraction), integer-exact on both backends: the
+    score is ``tf_doc(token) * bit_length(N // df(token))`` — the
+    float-free IDF surrogate (monotone in log2(N/df); stopwords with
+    df ~ N get weight 1) — with ties broken token ASC.
+
+    100-TB shape, three bounded exchanges and no broadcast cap:
+    (1) per-batch vectorized (doc, token, tf) pairs (docs are
+    row-contained, so in-batch counts are globally exact); (2) df via
+    per-batch token partials -> one groupby-sum at |batch vocab| *
+    n_batches rows (the pairs themselves don't reshuffle); (3) a hash
+    join pairs x idf — both sides streams, no driver state — then one
+    groupby(doc) whose groups are bounded by document vocabulary (no
+    hot key possible).  -> Dataset[(id_col, token, score)].
+    """
+    from ray.data.aggregate import Sum
+
+    from k_gap_ray.dsutil import join_datasets
+
+    n_docs = ds.count()
+    if n_docs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "score": pa.array([], pa.int64())}))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, counts, _ = _tokens_of(t.column(text_col))
+        if len(flat) == 0:
+            return pa.table({
+                id_col: pa.array([], t.column(id_col).type),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = enc.dictionary
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        key = doc_idx * len(vocab) + codes
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            id_col: t.column(id_col).take(pa.array(uniq // len(vocab))),
+            "token": vocab.take(pa.array(uniq % len(vocab))),
+            "tf": pa.array(cnt, pa.int64())})
+
+    dt = ds.map_batches(pairs, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        # dt rows are globally distinct (doc, token) pairs, so a row
+        # count per token is an exact df partial under ANY re-batching
+        g = (pa.table({"token": t.column("token")})
+             .group_by(["token"]).aggregate([([], "count_all")]))
+        return pa.table({
+            "token": g.column("token"),
+            "df_p": pc.cast(g.column("count_all"), pa.int64())})
+
+    dfa = (dt.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("df_p", alias_name="df")))
+
+    def idf_of(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "df" not in t.column_names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "idf_b": pa.array([], pa.int64())})
+        dfv = t.column("df").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        _, e = np.frexp(np.maximum(n_docs // dfv, 1).astype(np.float64))
+        return pa.table({"token": t.column("token"),
+                         "idf_b": pa.array(e.astype(np.int64),
+                                           pa.int64())})
+
+    idf = dfa.map_batches(idf_of, batch_format="pyarrow")
+    joined = join_datasets(dt, idf, on="token", scrub_left=False)
+
+    def topk(df):
+        df = df.assign(score=df["tf"] * df["idf_b"]) \
+            .sort_values(["score", "token"], ascending=[False, True],
+                         kind="mergesort").head(k)
+        return df[[id_col, "token", "score"]]
+
+    return joined.groupby(id_col).map_groups(topk,
+                                             batch_format="pandas")
+
+
+def sql_doc_keywords(k: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     rel: str = "documents") -> str:
+    """DuckDB mirror of :func:`doc_keywords` (``length(bin(x))`` ==
+    bit_length; same DESC/ASC tiebreak)."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col},
+                   unnest(string_split(coalesce({text_col}, ''), ' '))
+                       AS token
+            FROM {rel}),
+        dt AS (SELECT {id_col}, token, count(*)::BIGINT AS tf
+               FROM toks GROUP BY {id_col}, token),
+        dfq AS (SELECT token, count(*)::BIGINT AS df
+                FROM dt GROUP BY token),
+        n AS (SELECT count(*)::BIGINT AS n FROM {rel}),
+        sc AS (SELECT dt.{id_col}, dt.token,
+                      dt.tf * length(bin(n.n // dfq.df))::BIGINT
+                          AS score
+               FROM dt JOIN dfq USING (token), n)
+        SELECT {id_col}, token, score FROM (
+            SELECT {id_col}, token, score,
+                   row_number() OVER (PARTITION BY {id_col}
+                                      ORDER BY score DESC, token ASC)
+                       AS rn
+            FROM sc)
+        WHERE rn <= {int(k)}
+    """
+
+
 def dup_ngram_spans(ds, n: int = 8, min_docs: int = 2,
                     id_col: str = "doc_id", text_col: str = "text"):
     """Cross-document duplicated n-gram spans: (gram, n_docs) for every

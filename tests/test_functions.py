@@ -1414,3 +1414,39 @@ def test_vocab_coverage_matches_oracle(ray_session, sf_dir):
     assert cv.loc[900].vocab_needed == 9
     assert cv.loc[950].vocab_needed == 10
     assert cv.loc[990].vocab_needed == 10
+
+
+def test_doc_keywords_matches_oracle(ray_session, sf_dir):
+    """Per-doc TF-IDF keyword parity with the DuckDB mirror on the sf
+    corpus, plus a hand-checked tiny corpus: a term unique to one doc
+    must outrank corpus-wide boilerplate."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.textstats import (doc_keywords,
+                                               sql_doc_keywords)
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    got = (doc_keywords(rd.from_arrow(tbl), k=3).to_pandas()
+           .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (con.execute(sql_doc_keywords(k=3)).df()
+            .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # N=4 docs; "the" in all 4 (idf_b = bit_length(4//4) = 1),
+    # "zebra" only in doc 1 (idf_b = bit_length(4//1) = 3)
+    tiny = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["the zebra the", "the cat", "the dog",
+                          "the cow"])})
+    kw = (doc_keywords(rd.from_arrow(tiny).repartition(3), k=1)
+          .to_pandas().set_index("doc_id"))
+    assert kw.loc[1].token == "zebra" and kw.loc[1].score == 3
+    # doc 2: cat idf_b=3 tf=1 -> 3 beats the(tf=1*1)
+    assert kw.loc[2].token == "cat"

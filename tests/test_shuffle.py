@@ -72,3 +72,52 @@ def test_epoch_shuffle_small_corpus_and_validation(ray_session):
         epoch_shuffle(ds, "doc_id", seed=2**31, n_shards=4)
     with pytest.raises(ValueError, match="n_shards"):
         epoch_shuffle(ds, "doc_id", seed=1, n_shards=0)
+
+
+def test_stratified_cap_parity_and_skew(ray_session, sf_dir):
+    """Survivor-set parity with the SQL window-rank oracle on the sf
+    corpus, plus a skewed synthetic corpus (one stratum owns 90% of
+    rows, one stratum is smaller than the cap)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.shuffle import (sql_stratified_cap,
+                                             stratified_cap)
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang"])
+    got = (stratified_cap(rd.from_arrow(tbl), "lang", "doc_id",
+                          cap=7, seed=3)
+           .to_pandas().sort_values(["lang", "doc_id"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (con.execute(sql_stratified_cap(cap=7, seed=3)).df()
+            .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+    con.close()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "lang"]], want[["doc_id", "lang"]])
+
+    # skew: 900 rows in 'hot', 100 in 'cold', 2 in 'tiny'
+    ids = np.arange(1002, dtype=np.int64)
+    lang = np.array(["hot"] * 900 + ["cold"] * 100 + ["tiny"] * 2)
+    skew = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "lang": pa.array(lang)})
+    out = (stratified_cap(rd.from_arrow(skew).repartition(8),
+                          "lang", "doc_id", cap=5, seed=11)
+           .to_pandas())
+    sizes = out.groupby("lang").size().to_dict()
+    assert sizes == {"hot": 5, "cold": 5, "tiny": 2}
+    con = duckdb.connect()
+    con.register("skew", skew)
+    want = con.execute(sql_stratified_cap(cap=5, seed=11,
+                                          table="skew")).df()
+    con.close()
+    assert (sorted(out["doc_id"]) == sorted(want["doc_id"]))
+
+    with pytest.raises(ValueError, match="cap"):
+        stratified_cap(rd.from_arrow(skew), "lang", "doc_id", cap=0)
+    with pytest.raises(ValueError, match="seed"):
+        stratified_cap(rd.from_arrow(skew), "lang", "doc_id",
+                       cap=1, seed=-1)
