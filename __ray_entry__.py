@@ -731,6 +731,28 @@ def _knn(sf_dir: str):
     return knn_by_id(sf_dir, query_vec_id=0, k=10)
 
 
+def _knn_filtered(sf_dir: str):
+    """Filtered vector search (the metadata-predicate ANN idiom):
+    exact quantized top-10 among vectors with label IN (1, 2), the
+    predicate applied INSIDE the per-batch scoring pass (pre-filter —
+    exact recall over the filtered set, unlike post-filtering a global
+    top-k)."""
+    import numpy as np
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import knn_filtered
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    qrow = ds.map_batches(
+        lambda t: t.filter(_pa.compute.equal(t.column("vec_id"),
+                                             _pa.scalar(0))),
+        batch_format="pyarrow").take_all()
+    q = np.asarray(qrow[0]["embedding"], np.float64)
+    return knn_filtered(ds, q, labels=(1, 2), k=10, exclude_ids={0})
+
+
 def _knn_quantized(sf_dir: str):
     """int8-quantized top-k (the 4x-memory scale path): exact integer
     dot products over floor-quantized vectors, value-hash-identical to
@@ -2539,7 +2561,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- implementation changed in round 4: hot-key bucketed
         #     window ops need the hard signal on the NEW code ---
         "q_events_sessions": rel.q_events_sessions,
-        "q_orders_rank": rel.q_orders_rank,
         "q_events_ntile": rel.q_events_ntile,
         # --- SPARQL slice over the new broadcast BGP-join path
         #     (q_sparql_docs itself demoted r03-green: its 2-pattern
@@ -2580,18 +2601,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_props_stats": _events_props_stats,
         "q_doc_stratified_sample": _doc_stratified_sample,
         "q_doc_keywords": _doc_keywords,
-        # (Displaced just past the window to make room for the four
+        "q_knn_filtered": _knn_filtered,
+        # (Displaced just past the window to make room for the five
         # session-4 additions above, each with a same-machinery sibling
         # still in-window: q_sparql_docs_optpath/star -> path+altpath
         # pin the broadcast BGP-join path; q_events_asof_click ->
         # q_events_asof_value pins the bucketed as-of code;
-        # q_events_user_running's bucketed prefix-carry has a dedicated
-        # skew pytest and its r02-green union row stands. All four keep
-        # their in-suite oracle checks via tools/check_oracle.py.)
+        # q_orders_rank -> q_events_ntile pins the value-bucket
+        # stitching; q_events_user_running's bucketed prefix-carry has
+        # a dedicated skew pytest and its r02-green union row stands.
+        # All five keep their in-suite oracle checks via
+        # tools/check_oracle.py.)
         "q_sparql_docs_optpath": _sparql_docs_optpath,
         "q_sparql_docs_star": _sparql_docs_star,
         "q_events_asof_click": rel.q_events_asof_click,
         "q_events_user_running": rel.q_events_user_running,
+        "q_orders_rank": rel.q_orders_rank,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3125,6 +3150,29 @@ def oracle_sql() -> dict[str, str]:
                         FROM embeddings WHERE vec_id = 0)), 4) AS cosine
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "q_knn_filtered": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     CASE WHEN ma = 0
+                          THEN list_transform(embedding, x -> 0.0)
+                          ELSE list_transform(
+                              embedding,
+                              x -> floor(CAST(x AS DOUBLE)
+                                         * CAST(127.0 AS DOUBLE)
+                                         / CAST(ma AS DOUBLE))) END
+                         AS qv
+              FROM (SELECT vec_id, label, embedding,
+                           list_aggregate(
+                               list_transform(embedding, y -> abs(y)),
+                               'max') AS ma
+                    FROM embeddings)
+            )
+            SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+                   CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS qscore
+            FROM q a, q b
+            WHERE b.vec_id = 0 AND a.vec_id <> 0 AND a.label IN (1, 2)
+            ORDER BY qscore DESC, a.vec_id LIMIT 10
         """,
         "q_knn_quantized": """
             WITH q AS (

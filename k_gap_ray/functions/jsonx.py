@@ -13,6 +13,8 @@ object, integer-valued field** contract:
     {"k": 69.5}      -> null    (non-integral)
     {"k": "69abc"}   -> null
     {} / malformed   -> null
+    19+ digit values -> null    (int64-overflow-proof on BOTH engines:
+                                 DuckDB CAST errors rather than wraps)
 
 The DuckDB mirror pins the same contract with a real JSON parse
 (``json_extract_string`` + an integer-shape regexp guard), so both
@@ -37,7 +39,11 @@ _KEY_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 def _pattern(key: str) -> str:
     if not _KEY_RE.match(key):
         raise ValueError(f"unsupported JSON key {key!r}")
-    return f'"{key}"\\s*:\\s*"?(?P<v>-?\\d+)"?\\s*[,}}]'
+    # {1,18}: the longest digit run guaranteed inside int64 — a longer
+    # literal fails the trailing [,}] check entirely (RE2 backtracks
+    # the bounded repeat, then the leftover digit matches nothing), so
+    # overflow candidates extract as null instead of erroring the cast
+    return f'"{key}"\\s*:\\s*"?(?P<v>-?\\d{{1,18}})"?\\s*[,}}]'
 
 
 def json_int_field(ds, col: str, key: str, out_col: str | None = None):
@@ -100,20 +106,29 @@ def json_field_stats(ds, col: str, key: str, by: str):
         batch_format="pyarrow")
 
 
-def sql_json_field_stats(col: str, key: str, by: str,
-                         rel: str = "events") -> str:
-    """DuckDB mirror of :func:`json_field_stats` — real JSON parse
-    guarded to the same integer-shape contract the RE2 path accepts."""
+def sql_json_int_field(col: str, key: str) -> str:
+    """The per-row DuckDB mirror of the RE2 extraction: a real JSON
+    parse guarded to the same value-shape contract (integer lexical
+    form, <= 18 digits)."""
     if not _KEY_RE.match(key):
         raise ValueError(f"unsupported JSON key {key!r}")
     # nested CASE: DuckDB evaluates THEN branches lazily, so
     # json_extract_string never sees malformed input (it ERRORS on it;
-    # json_valid is the safe probe)
-    v = (f"CASE WHEN json_valid({col}) THEN "
-         f"(CASE WHEN regexp_matches(coalesce("
-         f"json_extract_string({col}, '$.{key}'), ''), '^-?\\d+$') "
-         f"THEN CAST(json_extract_string({col}, '$.{key}') AS BIGINT) "
-         f"END) END")
+    # json_valid is the safe probe), and CAST never sees an
+    # overflow-length literal
+    return (f"CASE WHEN json_valid({col}) THEN "
+            f"(CASE WHEN regexp_matches(coalesce("
+            f"json_extract_string({col}, '$.{key}'), ''), "
+            f"'^-?\\d{{1,18}}$') "
+            f"THEN CAST(json_extract_string({col}, '$.{key}') AS BIGINT) "
+            f"END) END")
+
+
+def sql_json_field_stats(col: str, key: str, by: str,
+                         rel: str = "events") -> str:
+    """DuckDB mirror of :func:`json_field_stats` — real JSON parse
+    guarded to the same integer-shape contract the RE2 path accepts."""
+    v = sql_json_int_field(col, key)
     return f"""
         SELECT {by},
                count(*)::BIGINT AS n,

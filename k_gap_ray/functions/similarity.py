@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_matrix(t: pa.Table) -> tuple[list[int], np.ndarray]:
@@ -604,3 +605,63 @@ def knn_quantized(emb_ds, query_vec: np.ndarray, k: int = 10,
     return pa.Table.from_pylist(
         top.take_all(),
         schema=pa.schema([("vec_id", pa.int64()), ("qscore", pa.int64())]))
+
+
+def knn_filtered(emb_ds, query_vec: np.ndarray, labels, k: int = 10,
+                 label_col: str = "label",
+                 exclude_ids: set[int] | None = None):
+    """Filtered vector search: exact quantized top-k restricted to
+    rows whose ``label_col`` is in ``labels`` — the metadata-predicate
+    search every vector store exposes (`WHERE label IN (...) ORDER BY
+    score`).
+
+    The predicate is applied INSIDE the per-batch scoring pass
+    (PRE-filter): recall over the filtered set is exact by
+    construction, unlike post-filtering a global top-k, which loses
+    matches whenever fewer than k of the global top-k satisfy the
+    predicate.  Same 100-TB shape as :func:`knn_quantized` — k rows
+    leave each batch, one k*n_batches global sort; the filter only
+    shrinks the scoring matmul.  -> pa.Table (vec_id, label, qscore).
+    """
+    import ray
+
+    q = quantize_int8(np.asarray(query_vec, np.float64)[None, :])[0]
+    q_ref = ray.put(q)
+    excl = frozenset(exclude_ids or ())
+    lab_set = pa.array(sorted({int(x) for x in labels}), pa.int64())
+
+    def partial_topk(t: pa.Table, _q=q_ref) -> pa.Table:
+        import ray as _r
+
+        mask = pc.is_in(pc.cast(t.column(label_col), pa.int64()),
+                        value_set=lab_set)
+        t = t.filter(mask)
+        qv = _r.get(_q)
+        ids, embs = _batch_matrix(t)
+        labs = pc.cast(t.column(label_col), pa.int64()).to_pylist()
+        if not ids:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "qscore": pa.array([], pa.int64())})
+        scores = (quantize_int8(embs) @ qv).astype(np.int64)
+        order = np.lexsort((ids, -scores))
+        keep: list[tuple[int, int, int]] = []
+        for i in order:
+            if ids[i] in excl:
+                continue
+            keep.append((ids[i], labs[i], int(scores[i])))
+            if len(keep) == k:
+                break
+        return pa.table({
+            "vec_id": pa.array([r[0] for r in keep], pa.int64()),
+            "label": pa.array([r[1] for r in keep], pa.int64()),
+            "qscore": pa.array([r[2] for r in keep], pa.int64())})
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+    top = partials.sort(["qscore", "vec_id"],
+                        descending=[True, False]).limit(k)
+    return pa.Table.from_pylist(
+        top.take_all(),
+        schema=pa.schema([("vec_id", pa.int64()),
+                          ("label", pa.int64()),
+                          ("qscore", pa.int64())]))

@@ -1450,3 +1450,39 @@ def test_doc_keywords_matches_oracle(ray_session, sf_dir):
     assert kw.loc[1].token == "zebra" and kw.loc[1].score == 3
     # doc 2: cat idf_b=3 tf=1 -> 3 beats the(tf=1*1)
     assert kw.loc[2].token == "cat"
+
+
+def test_knn_filtered_prefilter_semantics(ray_session):
+    """Filtered vector search: survivors carry only the requested
+    labels, and the PRE-filter recovers matches a post-filtered global
+    top-k would lose (the global top-k is saturated with label-0
+    vectors near the query)."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import (knn_filtered,
+                                                knn_quantized)
+
+    rng = np.random.RandomState(7)
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    # 20 label-0 vectors almost parallel to q (the global top-k),
+    # 5 label-1 vectors mildly aligned, 5 label-2 orthogonal-ish
+    vecs = np.vstack([
+        np.tile(q, (20, 1)) + rng.randn(20, 4) * 0.01,
+        np.tile([0.6, 0.8, 0, 0], (5, 1)) + rng.randn(5, 4) * 0.01,
+        np.tile([0.0, 0.0, 1, 0], (5, 1)) + rng.randn(5, 4) * 0.01])
+    tbl = pa.table({
+        "vec_id": pa.array(range(1, 31), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 20 + [1] * 5 + [2] * 5, pa.int32())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = knn_filtered(ds, q, labels=(1, 2), k=8)
+    assert out.num_rows == 8
+    assert set(out.column("label").to_pylist()) <= {1, 2}
+    # post-filtering the global top-8 would keep ZERO of these
+    glob = knn_quantized(ds, q, k=8)
+    glob_ids = set(glob.column("vec_id").to_pylist())
+    assert all(i > 20 for i in out.column("vec_id").to_pylist())
+    assert glob_ids.isdisjoint(out.column("vec_id").to_pylist())
+    # label-1 (aligned) must outrank label-2 (orthogonal) at the top
+    assert out.column("label").to_pylist()[0] == 1
