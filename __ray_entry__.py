@@ -436,6 +436,34 @@ def _events_props_stats(sf_dir: str):
                             "props", "k", by="event_type")
 
 
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def _events_funnel(sf_dir: str):
+    """Ordered conversion funnel (signup < view < purchase): greedy
+    earliest-completion is exact for the unlimited-window contract, so
+    the per-user sequence scan becomes k linear passes of filter ->
+    per-batch partial min -> small user-keyed groupby, with the
+    reached-set broadcast below cap and hash-joined above it."""
+    from k_gap_ray.functions.funnel import funnel_counts
+    from k_gap_ray.relational import _read
+
+    return funnel_counts(_read(sf_dir, "events",
+                               ["user_id", "event_type", "ts"]),
+                         _FUNNEL_STEPS)
+
+
+def _events_retention(sf_dir: str):
+    """Retention cohorts: first-event epoch-day cohort x day-offset
+    distinct-active-user counts. Distinct (user, day) rides a
+    composite int key (no multi-key groupby); day arithmetic is
+    epoch_us // 86.4e9 on both engines — no float rounding."""
+    from k_gap_ray.functions.funnel import retention_cohorts
+    from k_gap_ray.relational import _read
+
+    return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def _doc_stratified_sample(sf_dir: str):
     """Per-language cap sampling (corpus balancing): at most 60 docs
     per lang, chosen by seeded 31-bit mix order — per-batch prune
@@ -2617,6 +2645,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_asof_click": rel.q_events_asof_click,
         "q_events_user_running": rel.q_events_user_running,
         "q_orders_rank": rel.q_orders_rank,
+        # --- session-4 late additions: in-suite oracle green
+        #     (tools/check_oracle.py + pytest both paths); first in
+        #     line for the round-5 window rotation ---
+        "q_events_funnel": _events_funnel,
+        "q_events_retention": _events_retention,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2735,6 +2768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from k_gap_ray.functions import chunking as _chk
     from k_gap_ray.functions import heavy as _hv
+    from k_gap_ray.functions import funnel as _fn
     from k_gap_ray.functions import jsonx as _jx
     from k_gap_ray.functions import sketch as _sk
     from k_gap_ray.functions import shuffle as _sh
@@ -2922,6 +2956,8 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_vocab_coverage": _ts.sql_vocab_coverage(),
         "q_events_props_stats": _jx.sql_json_field_stats(
             "props", "k", by="event_type"),
+        "q_events_funnel": _fn.sql_funnel(_FUNNEL_STEPS),
+        "q_events_retention": _fn.sql_retention(),
         "q_doc_stratified_sample": _sh.sql_stratified_cap(
             cap=60, seed=7),
         "q_doc_keywords": _ts.sql_doc_keywords(k=3),

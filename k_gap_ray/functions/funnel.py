@@ -1,0 +1,331 @@
+"""Ordered-funnel and retention/cohort analytics over an event stream.
+
+The two classic event-analytics reductions a web-scale corpus needs
+next to sessionization (functions/windows.py):
+
+- **Funnel**: how many users performed step_1 < step_2 < ... < step_k
+  in timestamp order (unlimited conversion window).  Greedy earliest
+  completion is exact for this contract: taking the MINIMUM qualifying
+  timestamp at each step can only enlarge the set of events eligible
+  for later steps, so a user completes the funnel iff the greedy chain
+  does.  That turns a per-user sequence scan into k passes of
+  `filter -> per-batch partial min -> groupby(user).min` — no per-user
+  map_groups, no skew exposure (a hot user costs one row per step
+  after the partial min).
+- **Retention cohorts**: users grouped by the epoch-day of their first
+  event (cohort), counted per day-offset of later activity.  Two
+  aggregates plus one small-side lookup; distinct (user, day) activity
+  is reduced with a composite int key so no multi-key groupby is ever
+  shuffled (CLAUDE.md perf rule).
+
+100-TB shape: the per-user "reached step k" relation is bounded by
+DISTINCT USERS, not events.  Below ``broadcast_cap`` rows it rides a
+ray.put'd sorted-array lookup inside map_batches (one object-store
+copy per node); above the cap both operators switch to a distributed
+hash join (dsutil.join_datasets with the groupby-side scrub the Ray
+2.49 empty-block edge requires, BENCH/NOTES.md).
+
+Timestamps are compared as int64 microseconds (Arrow timestamp[us]
+cast) and days as ``us // 86_400_000_000`` — the exact DuckDB mirror
+is ``epoch_us(ts)`` and integer ``//``, so oracles are value-exact
+with no float rounding anywhere.
+
+Reference analogue: kgap's monitoring notebooks derive per-feed
+progress funnels over harvested LDES event streams (kgap_tools.py
+query helpers); here the same reductions are first-class distributed
+operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_US_PER_DAY = 86_400_000_000
+_DAY_BITS = 20  # composite (user, day) key: day < 2**20 (~2870 years)
+
+
+def _ts_us(col) -> pa.Array:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pc.cast(a, pa.int64())
+
+
+def _per_user_min(ds, user_col: str):
+    """groupby(user).min over a (user_col, ts_us) stream; per-batch
+    Arrow hash-agg partial first so the shuffle carries at most
+    |distinct users per batch| rows."""
+    from ray.data.aggregate import Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({user_col: t.column(user_col),
+                       "ts_us": t.column("ts_us")})
+             .group_by([user_col]).aggregate([("ts_us", "min")]))
+        return pa.table({user_col: g.column(user_col),
+                         "ts_us": g.column("ts_us_min")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(user_col)
+            .aggregate(Min("ts_us", alias_name="ts_us")))
+
+
+def funnel_counts(events_ds, steps: list[str], user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  broadcast_cap: int = 2_000_000) -> pa.Table:
+    """Ordered funnel: users completing steps[0] < steps[1] < ... in
+    strict timestamp order.  -> pa.Table (step, event_type, users),
+    one row per step, step 1-based.
+
+    Pass k filters events to ``steps[k]`` and to ``ts > reached[k-1]``
+    per user, then reduces to a per-user min — k linear passes over
+    the event stream, each reduced batch-locally before the (small)
+    user-keyed shuffle.
+    """
+    import ray
+
+    from .. import dsutil
+
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+
+    counts: list[int] = []
+    prev = None  # Dataset[(user_col, ts_us)] of users who reached k-1
+    prev_count = -1
+    for k, step_type in enumerate(steps):
+        if k > 0 and prev_count == 0:
+            counts.append(0)
+            continue
+        if k == 0:
+            def base(t: pa.Table, _st=step_type) -> pa.Table:
+                m = pc.equal(t.column(type_col), pa.scalar(_st))
+                t = t.filter(m)
+                return pa.table({user_col: t.column(user_col),
+                                 "ts_us": _ts_us(t.column(ts_col))})
+
+            stream = events_ds.map_batches(base, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+            reached = _per_user_min(stream, user_col)
+        elif prev_count <= broadcast_cap:
+            tbl = pa.Table.from_pylist(
+                prev.take_all(),
+                schema=pa.schema([(user_col, pa.int64()),
+                                  ("ts_us", pa.int64())]))
+            order = pc.sort_indices(tbl.column(user_col))
+            users_np = tbl.column(user_col).take(order) \
+                .to_numpy(zero_copy_only=False)
+            ts_np = tbl.column("ts_us").take(order) \
+                .to_numpy(zero_copy_only=False)
+            ref = ray.put((users_np, ts_np))
+
+            def gated(t: pa.Table, _st=step_type, _ref=ref) -> pa.Table:
+                import ray as _r
+
+                u_sorted, t_prev = _r.get(_ref)
+                m = pc.equal(t.column(type_col), pa.scalar(_st))
+                t = t.filter(m)
+                u = t.column(user_col).to_numpy(zero_copy_only=False)
+                ts = _ts_us(t.column(ts_col)).to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(u_sorted, u)
+                pos_c = np.clip(pos, 0, max(len(u_sorted) - 1, 0))
+                hit = (len(u_sorted) > 0) & (u_sorted[pos_c] == u)
+                keep = hit & (ts > t_prev[pos_c])
+                return pa.table({user_col: pa.array(u[keep], pa.int64()),
+                                 "ts_us": pa.array(ts[keep], pa.int64())})
+
+            stream = events_ds.map_batches(gated, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+            reached = _per_user_min(stream, user_col)
+        else:
+            def typed(t: pa.Table, _st=step_type) -> pa.Table:
+                m = pc.equal(t.column(type_col), pa.scalar(_st))
+                t = t.filter(m)
+                return pa.table({user_col: t.column(user_col),
+                                 "ts_us": _ts_us(t.column(ts_col))})
+
+            stream = events_ds.map_batches(typed, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+            prev_r = prev.map_batches(
+                lambda t: t.rename_columns([user_col, "prev_us"]),
+                batch_format="pyarrow")
+            # prev descends from a groupby: scrub_right required
+            joined = dsutil.join_datasets(stream, prev_r, on=user_col,
+                                          scrub_left=False,
+                                          scrub_right=True)
+
+            def after(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.greater(t.column("ts_us"),
+                                        t.column("prev_us")))
+                return t.select([user_col, "ts_us"])
+
+            reached = _per_user_min(
+                joined.map_batches(after, batch_format="pyarrow"),
+                user_col)
+        reached = reached.materialize()
+        prev, prev_count = reached, reached.count()
+        counts.append(prev_count)
+
+    return pa.table({
+        "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+        "event_type": pa.array(list(steps), pa.string()),
+        "users": pa.array(counts, pa.int64())})
+
+
+def retention_cohorts(events_ds, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      broadcast_cap: int = 2_000_000):
+    """Cohort retention: (cohort_day, day_offset, users) where
+    cohort_day is the epoch-day of a user's first event and users
+    counts DISTINCT users of that cohort active day_offset days later
+    (offset 0 = the cohort day itself).
+
+    -> Dataset sorted by (cohort_day, day_offset).
+    """
+    import ray
+
+    from .. import dsutil
+    from ray.data.aggregate import Sum
+
+    def to_days(t: pa.Table) -> pa.Table:
+        us = _ts_us(t.column(ts_col))
+        day = pc.divide(us, pa.scalar(_US_PER_DAY, pa.int64()))
+        u = t.column(user_col).combine_chunks() \
+            if isinstance(t.column(user_col), pa.ChunkedArray) \
+            else t.column(user_col)
+        u_np = u.to_numpy(zero_copy_only=False)
+        d_np = day.to_numpy(zero_copy_only=False)
+        if len(u_np) and (u_np.min() < 0 or u_np.max() >= 1 << 42
+                          or d_np.min() < 0 or d_np.max() >= 1 << _DAY_BITS):
+            raise ValueError("user/day outside composite-key range")
+        ckey = np.unique((u_np << _DAY_BITS) | d_np)
+        return pa.table({"ckey": pa.array(ckey, pa.int64())})
+
+    # distinct (user, day) via composite-key groupby (single-key rule)
+    act = (events_ds.map_batches(to_days, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+           .groupby("ckey").count())
+
+    def day_stream(t: pa.Table) -> pa.Table:
+        us = _ts_us(t.column(ts_col))
+        return pa.table({
+            user_col: t.column(user_col),
+            "ts_us": pc.divide(us, pa.scalar(_US_PER_DAY, pa.int64()))})
+
+    first = _per_user_min(
+        events_ds.map_batches(day_stream, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        user_col).materialize()
+    n_users = first.count()
+    if n_users == 0:
+        empty = pa.table({"cohort_day": pa.array([], pa.int64()),
+                          "day_offset": pa.array([], pa.int64()),
+                          "users": pa.array([], pa.int64())})
+        import ray.data as rd
+        return rd.from_arrow(empty)
+
+    if n_users <= broadcast_cap:
+        tbl = pa.Table.from_pylist(
+            first.take_all(),
+            schema=pa.schema([(user_col, pa.int64()),
+                              ("ts_us", pa.int64())]))
+        order = pc.sort_indices(tbl.column(user_col))
+        users_np = tbl.column(user_col).take(order) \
+            .to_numpy(zero_copy_only=False)
+        cohort_np = tbl.column("ts_us").take(order) \
+            .to_numpy(zero_copy_only=False)
+        ref = ray.put((users_np, cohort_np))
+
+        def to_cell(t: pa.Table, _ref=ref) -> pa.Table:
+            import ray as _r
+
+            u_sorted, cohort = _r.get(_ref)
+            ck = t.column("ckey").to_numpy(zero_copy_only=False)
+            u = ck >> _DAY_BITS
+            d = ck & ((1 << _DAY_BITS) - 1)
+            pos = np.searchsorted(u_sorted, u)  # always found
+            coh = cohort[pos]
+            cell = (coh << _DAY_BITS) | (d - coh)
+            cells, n = np.unique(cell, return_counts=True)
+            return pa.table({"cell": pa.array(cells, pa.int64()),
+                             "n_p": pa.array(n, pa.int64())})
+
+        cells = act.map_batches(to_cell, batch_format="pyarrow")
+    else:
+        def decomp(t: pa.Table) -> pa.Table:
+            ck = t.column("ckey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                user_col: pa.array(ck >> _DAY_BITS, pa.int64()),
+                "d": pa.array(ck & ((1 << _DAY_BITS) - 1), pa.int64())})
+
+        pairs = act.map_batches(decomp, batch_format="pyarrow")
+        first_r = first.map_batches(
+            lambda t: t.rename_columns([user_col, "cohort"]),
+            batch_format="pyarrow")
+        joined = dsutil.join_datasets(pairs, first_r, on=user_col,
+                                      scrub_left=True, scrub_right=True)
+
+        def to_cell_j(t: pa.Table) -> pa.Table:
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            coh = t.column("cohort").to_numpy(zero_copy_only=False)
+            cell = (coh << _DAY_BITS) | (d - coh)
+            cells, n = np.unique(cell, return_counts=True)
+            return pa.table({"cell": pa.array(cells, pa.int64()),
+                             "n_p": pa.array(n, pa.int64())})
+
+        cells = joined.map_batches(to_cell_j, batch_format="pyarrow")
+
+    agg = cells.groupby("cell").aggregate(Sum("n_p", alias_name="users"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        c = t.column("cell").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cohort_day": pa.array(c >> _DAY_BITS, pa.int64()),
+            "day_offset": pa.array(c & ((1 << _DAY_BITS) - 1), pa.int64()),
+            "users": pc.cast(t.column("users"), pa.int64())})
+
+    return (agg.map_batches(decode, batch_format="pyarrow")
+            .sort(["cohort_day", "day_offset"]))
+
+
+def sql_funnel(steps: list[str], rel: str = "events") -> str:
+    """DuckDB mirror of :func:`funnel_counts` — the same greedy
+    earliest-completion chain as correlated min-CTEs."""
+    ctes = []
+    for i, st in enumerate(steps):
+        name, s = f"s{i + 1}", st.replace("'", "''")
+        if i == 0:
+            ctes.append(
+                f"{name} AS (SELECT user_id, min(epoch_us(ts)) AS t "
+                f"FROM {rel} WHERE event_type = '{s}' GROUP BY 1)")
+        else:
+            prev = f"s{i}"
+            ctes.append(
+                f"{name} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t "
+                f"FROM {rel} e JOIN {prev} p USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND epoch_us(e.ts) > p.t "
+                f"GROUP BY 1)")
+    arms = [
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, "
+        f"'{st.replace(chr(39), chr(39) * 2)}' AS event_type, "
+        f"count(*)::BIGINT AS users FROM s{i + 1}"
+        for i, st in enumerate(steps)]
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT * FROM ("
+            + " UNION ALL ".join(arms) + ") ORDER BY step")
+
+
+def sql_retention(rel: str = "events") -> str:
+    """DuckDB mirror of :func:`retention_cohorts` (epoch_us // day)."""
+    return f"""
+        WITH f AS (SELECT user_id,
+                          min(epoch_us(ts) // {_US_PER_DAY}) AS cohort_day
+                   FROM {rel} GROUP BY 1),
+             a AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // {_US_PER_DAY} AS d
+                   FROM {rel})
+        SELECT f.cohort_day,
+               a.d - f.cohort_day AS day_offset,
+               count(*)::BIGINT AS users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """

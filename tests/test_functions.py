@@ -1486,3 +1486,65 @@ def test_knn_filtered_prefilter_semantics(ray_session):
     assert glob_ids.isdisjoint(out.column("vec_id").to_pylist())
     # label-1 (aligned) must outrank label-2 (orthogonal) at the top
     assert out.column("label").to_pylist()[0] == 1
+
+
+def _funnel_events():
+    """Hand-built event log exercising order sensitivity: user 1
+    completes signup<view<purchase; user 2 has all three types but
+    purchase BEFORE view (stops at view); user 3 signup only; user 4
+    never signs up (view+purchase don't count); user 5 completes via
+    a later view (first view precedes signup, second qualifies)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "signup", 0), (1, "view", 10), (1, "purchase", 20),
+        (2, "purchase", 5), (2, "signup", 6), (2, "view", 30),
+        (3, "signup", 40),
+        (4, "view", 1), (4, "purchase", 2),
+        (5, "view", 3), (5, "signup", 4), (5, "view", 50),
+        (5, "purchase", 60),
+    ]
+    return pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([base + dt.timedelta(hours=r[2]) for r in rows],
+                       pa.timestamp("us")),
+    })
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_funnel_counts_both_paths(ray_session, cap):
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.funnel import funnel_counts, sql_funnel
+
+    tbl = _funnel_events()
+    ds = rd.from_arrow(tbl).repartition(3)
+    got = funnel_counts(ds, ["signup", "view", "purchase"],
+                        broadcast_cap=cap)
+    assert got.column("users").to_pylist() == [4, 3, 2]
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(sql_funnel(["signup", "view", "purchase"])).fetchall()
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_retention_cohorts_matches_oracle(ray_session, cap, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.funnel import retention_cohorts, sql_retention
+
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ds = rd.from_arrow(tbl).repartition(4)
+    got = retention_cohorts(ds, broadcast_cap=cap).take_all()
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(sql_retention()).fetchall()
+    assert [(r["cohort_day"], r["day_offset"], r["users"]) for r in got] \
+        == want
