@@ -464,6 +464,18 @@ def _events_retention(sf_dir: str):
     return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _doc_collocations(sf_dir: str):
+    """PMI collocation mining: top adjacent word pairs by a pinned
+    fixed-point PMI (nested integer divisions keep every intermediate
+    < SCALE * n_bigrams — int64-exact on both engines to ~4.6e12
+    corpus bigrams where the naive c*N*SCALE overflows at ~2e6)."""
+    from k_gap_ray.functions.colloc import collocations
+    from k_gap_ray.relational import _read
+
+    return collocations(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        k=30)
+
+
 def _doc_stratified_sample(sf_dir: str):
     """Per-language cap sampling (corpus balancing): at most 60 docs
     per lang, chosen by seeded 31-bit mix order — per-batch prune
@@ -2650,6 +2662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     line for the round-5 window rotation ---
         "q_events_funnel": _events_funnel,
         "q_events_retention": _events_retention,
+        "q_doc_collocations": _doc_collocations,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2768,6 +2781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from k_gap_ray.functions import chunking as _chk
     from k_gap_ray.functions import heavy as _hv
+    from k_gap_ray.functions import colloc as _cl
     from k_gap_ray.functions import funnel as _fn
     from k_gap_ray.functions import jsonx as _jx
     from k_gap_ray.functions import sketch as _sk
@@ -2958,6 +2972,7 @@ def oracle_sql() -> dict[str, str]:
             "props", "k", by="event_type"),
         "q_events_funnel": _fn.sql_funnel(_FUNNEL_STEPS),
         "q_events_retention": _fn.sql_retention(),
+        "q_doc_collocations": _cl.sql_collocations(k=30),
         "q_doc_stratified_sample": _sh.sql_stratified_cap(
             cap=60, seed=7),
         "q_doc_keywords": _ts.sql_doc_keywords(k=3),

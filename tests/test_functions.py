@@ -1548,3 +1548,47 @@ def test_retention_cohorts_matches_oracle(ray_session, cap, sf_dir):
     want = con.execute(sql_retention()).fetchall()
     assert [(r["cohort_day"], r["day_offset"], r["users"]) for r in got] \
         == want
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_collocations_matches_oracle(ray_session, cap, sf_dir):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.colloc import collocations, sql_collocations
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    ds = rd.from_arrow(tbl).repartition(4)
+    got = collocations(ds, k=25, broadcast_cap=cap)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(sql_collocations(k=25)).fetchall()
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+
+def test_collocations_doc_boundaries_and_pmi_order(ray_session):
+    """'strong tea' occurs in every doc; 'aa bb' only as a rare exact
+    pair -> the rare pair's PMI must outrank the common pair, and the
+    cross-document adjacency (last token of doc 1, first of doc 2)
+    must NOT appear as a bigram."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.colloc import collocations
+
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": [
+            "strong tea and strong tea again marker1",
+            "marker2 strong tea with strong coffee",
+            "aa bb",
+            "tea strong tea bb aa strong",
+        ]})
+    out = collocations(rd.from_arrow(docs).repartition(3), k=50)
+    rows = {(r["tok1"], r["tok2"]): r for r in out.to_pylist()}
+    assert ("marker1", "marker2") not in rows          # doc boundary
+    assert rows[("aa", "bb")]["c_xy"] == 1
+    assert rows[("aa", "bb")]["score"] \
+        > rows[("strong", "tea")]["score"]             # rare-pair PMI
+    assert rows[("strong", "tea")]["c_xy"] == 4
