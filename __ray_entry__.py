@@ -464,6 +464,18 @@ def _events_retention(sf_dir: str):
     return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _events_hll_by_type(sf_dir: str):
+    """Grouped cardinality sketch: one HLL per event type. Register
+    partials ride a single composite key (group + register), the
+    shuffle is bounded by |groups| * 4096 rows, and the SQL mirror
+    reproduces registers AND estimates value-for-value."""
+    from k_gap_ray.functions.sketch import hll_count_by
+    from k_gap_ray.relational import _read
+
+    return hll_count_by(_read(sf_dir, "events", ["event_type", "user_id"]),
+                        "user_id", by="event_type")
+
+
 def _doc_collocations(sf_dir: str):
     """PMI collocation mining: top adjacent word pairs by a pinned
     fixed-point PMI (nested integer divisions keep every intermediate
@@ -2663,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_funnel": _events_funnel,
         "q_events_retention": _events_retention,
         "q_doc_collocations": _doc_collocations,
+        "q_events_hll_by_type": _events_hll_by_type,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2973,6 +2986,8 @@ def oracle_sql() -> dict[str, str]:
         "q_events_funnel": _fn.sql_funnel(_FUNNEL_STEPS),
         "q_events_retention": _fn.sql_retention(),
         "q_doc_collocations": _cl.sql_collocations(k=30),
+        "q_events_hll_by_type": _sk.sql_hll_count_by(
+            "user_id", "event_type"),
         "q_doc_stratified_sample": _sh.sql_stratified_cap(
             cap=60, seed=7),
         "q_doc_keywords": _ts.sql_doc_keywords(k=3),

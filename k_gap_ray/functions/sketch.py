@@ -93,6 +93,15 @@ def hll_count(ds, col: str):
     rows = merged.take_all()                  # <= 4096 rows by construction
     n_used = len(rows)
     s_used = sum(1 << (_RHO_MAX - r["rho"]) for r in rows)
+    return pa.table({
+        "n_est": pa.array([_estimate(n_used, s_used)], pa.int64()),
+        "n_registers_used": pa.array([n_used], pa.int64())})
+
+
+def _estimate(n_used: int, s_used: int) -> int:
+    """The shared HLL finisher: exact-integer harmonic total -> one
+    double division (+ linear counting below 2.5m) — bit-identical to
+    the SQL mirror's expression."""
     zeros = HLL_M - n_used
     total = s_used + zeros * _SCALE
     raw = (0.7213 / (1.0 + 1.079 / HLL_M)) * float(HLL_M) * float(HLL_M) \
@@ -101,9 +110,103 @@ def hll_count(ds, col: str):
         est = float(HLL_M) * math.log(float(HLL_M) / zeros)
     else:
         est = raw
+    return int(round(est))
+
+
+def hll_count_by(ds, col: str, by: str, driver_cap: int = 2_000_000):
+    """Grouped distinct-count sketch: one HLL per value of ``by``.
+    -> pa.Table (by, n_est, n_registers_used) ordered by ``by``.
+
+    Intended for DIMENSION-cardinality group columns (event types,
+    languages, sources): per batch the register table is a dense
+    (groups-in-batch x m) array, the merge shuffle carries at most
+    |groups| * m rows keyed by a single composite string key (no
+    multi-key groupby), and the finisher folds <= |groups| * m rows on
+    the driver under ``driver_cap`` — a loud guard, not a silent
+    truncation.  For per-USER distinct counts use the exact
+    composite-key reductions (functions/funnel.py retention shape)
+    instead; a sketch per high-cardinality key inverts the economics.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        g = t.column(by).combine_chunks() \
+            if isinstance(t.column(by), pa.ChunkedArray) else t.column(by)
+        enc = g.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = enc.dictionary.to_pylist()
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) == 0 or not groups:
+            return pa.table({"gkey": pa.array([], pa.string()),
+                             "rho": pa.array([], pa.int64())})
+        h = _mix32(v).astype(np.int64)
+        reg = h % HLL_M
+        rest = h // HLL_M
+        rho = np.where(rest == 0, _RHO_MAX, _W - _floor_log2(
+            np.maximum(rest, 1)))
+        maxes = np.zeros(len(groups) * HLL_M, dtype=np.int64)
+        np.maximum.at(maxes, codes * HLL_M + reg, rho)
+        used = np.nonzero(maxes)[0]
+        gkey = [f"{groups[i // HLL_M]}\x00{i % HLL_M:04d}" for i in used]
+        return pa.table({"gkey": pa.array(gkey, pa.string()),
+                         "rho": pa.array(maxes[used], pa.int64())})
+
+    merged = (ds.map_batches(f, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("gkey").max("rho")
+              .rename_columns({"max(rho)": "rho"}))
+    rows = merged.take_all()
+    if len(rows) > driver_cap:
+        raise ValueError(f"{len(rows)} (group, register) rows exceed "
+                         f"driver_cap={driver_cap}; group cardinality "
+                         f"too high for the sketch-per-group shape")
+    per: dict[str, tuple[int, int]] = {}
+    for r in rows:
+        gval = r["gkey"].rsplit("\x00", 1)[0]
+        n, s = per.get(gval, (0, 0))
+        per[gval] = (n + 1, s + (1 << (_RHO_MAX - r["rho"])))
+    out = sorted(per.items())
     return pa.table({
-        "n_est": pa.array([int(round(est))], pa.int64()),
-        "n_registers_used": pa.array([n_used], pa.int64())})
+        by: pa.array([g for g, _ in out], pa.string()),
+        "n_est": pa.array([_estimate(n, s) for _, (n, s) in out],
+                          pa.int64()),
+        "n_registers_used": pa.array([n for _, (n, _) in out],
+                                     pa.int64())})
+
+
+def sql_hll_count_by(col: str, by: str, rel: str = "events") -> str:
+    """DuckDB mirror of :func:`hll_count_by` — the global q_events_hll
+    sketch SQL with the group column carried through every CTE."""
+    return f"""
+        WITH h0 AS (SELECT DISTINCT {by} AS g, {col} % 4294967296 AS x
+                    FROM {rel}),
+        h1 AS (SELECT g, CAST((xor(x, x // 65536)::HUGEINT
+                               * 2246822507) % 4294967296 AS BIGINT) AS x
+               FROM h0),
+        h2 AS (SELECT g, CAST((xor(x, x // 8192)::HUGEINT
+                               * 3266489909) % 4294967296 AS BIGINT) AS x
+               FROM h1),
+        h AS (SELECT g, xor(x, x // 65536) AS hv FROM h2),
+        r AS (SELECT g, hv % 4096 AS reg,
+                     max(CASE WHEN hv // 4096 = 0 THEN 21
+                         ELSE 20 - CAST(floor(log2(hv // 4096))
+                                        AS BIGINT) END) AS rho
+              FROM h GROUP BY g, reg),
+        s AS (SELECT g, CAST(sum(2 ** (21 - rho)) AS BIGINT) AS s_used,
+                     count(*) AS n_used FROM r GROUP BY g)
+        SELECT g AS {by},
+               CAST(round(CASE WHEN raw <= 10240.0 AND n_used < 4096
+                          THEN 4096.0 * ln(4096.0 / (4096 - n_used))
+                          ELSE raw END) AS BIGINT) AS n_est,
+               n_used AS n_registers_used
+        FROM (SELECT g, n_used,
+                     (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0
+                     * 4096.0 * 2097152.0
+                     / (s_used + (4096 - n_used) * 2097152.0) AS raw
+              FROM s)
+        ORDER BY {by}
+    """
 
 
 # ---------------------------------------------------------------------------

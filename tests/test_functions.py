@@ -1592,3 +1592,28 @@ def test_collocations_doc_boundaries_and_pmi_order(ray_session):
     assert rows[("aa", "bb")]["score"] \
         > rows[("strong", "tea")]["score"]             # rare-pair PMI
     assert rows[("strong", "tea")]["c_xy"] == 4
+
+
+def test_hll_count_by_matches_oracle_and_truth(ray_session, sf_dir):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.sketch import hll_count_by, sql_hll_count_by
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"])
+    got = hll_count_by(rd.from_arrow(tbl).repartition(4),
+                       "user_id", by="event_type")
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(sql_hll_count_by("user_id", "event_type")).fetchall()
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    # estimates track the exact per-group distinct counts (~1.6% rse;
+    # allow 6%)
+    truth = dict(con.execute(
+        "SELECT event_type, count(DISTINCT user_id) FROM events "
+        "GROUP BY 1").fetchall())
+    for r in got.to_pylist():
+        t = truth[r["event_type"]]
+        assert abs(r["n_est"] - t) <= max(3, 0.06 * t)
