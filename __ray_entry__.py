@@ -464,6 +464,34 @@ def _events_retention(sf_dir: str):
     return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _doc_nfc(sf_dir: str):
+    """Unicode NFC canonicalization audit. The corpus is pure ASCII,
+    so BOTH engines first append the same decomposed suffix (combining
+    acute / ring) to fr/de docs — identical construction, then each
+    engine runs its own normalizer (unicodedata vs utf8proc) and must
+    agree on lengths and changed flags byte-for-byte."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from k_gap_ray.functions.textnorm import nfc_stats
+    from k_gap_ray.relational import _read
+
+    # decomposed on purpose: e + COMBINING ACUTE, A + COMBINING RING
+    suffix = " cafe\u0301 A\u030a"
+
+    def inject(t: _pa.Table) -> _pa.Table:
+        s = _pc.fill_null(t.column("text"), "")
+        hit = _pc.is_in(t.column("lang"),
+                        value_set=_pa.array(["fr", "de"]))
+        raw = _pc.if_else(hit, _pc.binary_join_element_wise(
+            s, _pa.scalar(suffix), ""), s)
+        return _pa.table({"doc_id": t.column("doc_id"), "raw": raw})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    return nfc_stats(ds, "raw", "doc_id")
+
+
 def _events_hll_by_type(sf_dir: str):
     """Grouped cardinality sketch: one HLL per event type. Register
     partials ride a single composite key (group + register), the
@@ -2676,6 +2704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_retention": _events_retention,
         "q_doc_collocations": _doc_collocations,
         "q_events_hll_by_type": _events_hll_by_type,
+        "q_doc_nfc": _doc_nfc,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2988,6 +3017,23 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_collocations": _cl.sql_collocations(k=30),
         "q_events_hll_by_type": _sk.sql_hll_count_by(
             "user_id", "event_type"),
+        "q_doc_nfc": """
+            -- chr(769)=COMBINING ACUTE, chr(778)=COMBINING RING:
+            -- the same decomposed suffix the Ray side injects
+            WITH raw AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                     CASE WHEN lang IN ('fr', 'de')
+                          THEN ' cafe' || chr(769) || ' A' || chr(778)
+                          ELSE '' END AS raw
+              FROM documents)
+            SELECT doc_id,
+                   length(raw)::BIGINT AS n_raw,
+                   length(nfc_normalize(raw))::BIGINT AS n_nfc,
+                   CASE WHEN nfc_normalize(raw) <> raw
+                        THEN 1 ELSE 0 END::BIGINT AS changed
+            FROM raw
+        """,
         "q_doc_stratified_sample": _sh.sql_stratified_cap(
             cap=60, seed=7),
         "q_doc_keywords": _ts.sql_doc_keywords(k=3),

@@ -1617,3 +1617,34 @@ def test_hll_count_by_matches_oracle_and_truth(ray_session, sf_dir):
     for r in got.to_pylist():
         t = truth[r["event_type"]]
         assert abs(r["n_est"] - t) <= max(3, 0.06 * t)
+
+
+def test_nfc_normalize_parity_with_duckdb(ray_session):
+    """unicodedata NFC must agree byte-for-byte with DuckDB's
+    nfc_normalize on composed/decomposed latin, hangul jamo,
+    ligatures (NFC-invariant), and pure ASCII (fast path)."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.textnorm import nfc_stats, normalize_nfc
+
+    raw = ["cafe\u0301", "caf\u00e9", "A\u030a", "\u1100\u1161",
+           "ﬃ ligature stays", "plain ascii", "", None,
+           "mixed a\u0301scii ta\u0308il"]
+    tbl = pa.table({"doc_id": pa.array(range(len(raw)), pa.int64()),
+                    "text": pa.array(raw, pa.string())})
+    ds = normalize_nfc(rd.from_arrow(tbl).repartition(3), "text",
+                       out_col="nfc")
+    got = {r["doc_id"]: r["nfc"] for r in ds.take_all()}
+    con = duckdb.connect()
+    for i, v in enumerate(raw):
+        want = con.execute("select nfc_normalize(?)", [v]).fetchone()[0] \
+            if v is not None else None
+        assert got[i] == want, (i, v)
+    # stats: changed flags and codepoint lengths
+    st = {r["doc_id"]: r for r in
+          nfc_stats(rd.from_arrow(tbl), "text", "doc_id").take_all()}
+    assert st[0]["changed"] == 1 and st[0]["n_nfc"] == st[0]["n_raw"] - 1
+    assert st[1]["changed"] == 0
+    assert st[4]["changed"] == 0          # NFC keeps compat ligatures
+    assert st[5]["changed"] == 0 and st[5]["n_raw"] == 11
