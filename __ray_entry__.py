@@ -464,6 +464,18 @@ def _events_retention(sf_dir: str):
     return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _doc_bigram_lm(sf_dir: str):
+    """Bigram conditional-probability quality score (the word-ORDER
+    rung above q_doc_unigram_score): top-2000 adjacent pairs bucketed
+    by length(bin((c_xy*1024)//c_first)), scored in one zero-shuffle
+    vectorized pass — no float logs on either engine."""
+    from k_gap_ray.functions.colloc import bigram_lm_score
+    from k_gap_ray.relational import _read
+
+    return bigram_lm_score(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           top_pairs=2000)
+
+
 def _doc_nfc(sf_dir: str):
     """Unicode NFC canonicalization audit. The corpus is pure ASCII,
     so BOTH engines first append the same decomposed suffix (combining
@@ -2705,6 +2717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_collocations": _doc_collocations,
         "q_events_hll_by_type": _events_hll_by_type,
         "q_doc_nfc": _doc_nfc,
+        "q_doc_bigram_lm": _doc_bigram_lm,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3015,6 +3028,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_funnel": _fn.sql_funnel(_FUNNEL_STEPS),
         "q_events_retention": _fn.sql_retention(),
         "q_doc_collocations": _cl.sql_collocations(k=30),
+        "q_doc_bigram_lm": _cl.sql_bigram_lm_score(top_pairs=2000),
         "q_events_hll_by_type": _sk.sql_hll_count_by(
             "user_id", "event_type"),
         "q_doc_nfc": """

@@ -213,3 +213,159 @@ def sql_collocations(k: int = 30, table: str = "documents",
     ORDER BY score DESC, b.tok1, b.tok2
     LIMIT {k}
     """
+
+
+def bigram_lm_score(ds, top_pairs: int = 2000, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Corpus-trained BIGRAM conditional-probability score — the next
+    rung above textstats.unigram_lm_score on the KenLM-stand-in
+    ladder: fluent word ORDER scores high even when a unigram model
+    can't tell scrambled text from prose.
+
+    Model: the ``top_pairs`` most frequent adjacent pairs (ties by
+    gram ascending — the repo's pinned top-K tiebreak).  Each kept
+    pair contributes the exact integer ``length(bin(q))`` with
+    ``q = (c_xy * 1024) // c_first`` — a log-bucketed conditional
+    probability P(tok2 | tok1); unseen pairs contribute 0.  Per doc:
+    ``n_bigrams`` (adjacent pairs, doc-internal), ``blm_score`` (sum)
+    and ``blm_permille = blm_score * 1000 // n_bigrams`` (0 for docs
+    under two tokens).  No float logs anywhere.
+
+    Shape: training is the collocations counting pass (per-batch
+    partials, single-key groupby-sums) cut to ``top_pairs`` rows on
+    the driver; the first-token frequencies attach by filtering the
+    tf STREAM against the broadcast kept-token set (only matching
+    vocabulary rows ever leave their batch); scoring is one
+    zero-shuffle vectorized pass (index_in gather + per-doc bincount).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .textstats import _tokens_of
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        flat, counts, _ = _tokens_of(t.column(text_col))
+        total = len(flat)
+        if total < 2:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        valid = doc_idx[: total - 1] == doc_idx[1:]
+        grams = pc.filter(
+            pc.binary_join_element_wise(flat.slice(0, total - 1),
+                                        flat.slice(1, total - 1), " "),
+            pa.array(valid))
+        vc = pc.value_counts(grams)
+        return pa.table({"gram": vc.field("values"),
+                         "c_p": pc.cast(vc.field("counts"), pa.int64())})
+
+    kept = (ds.map_batches(bigram_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("gram").aggregate(Sum("c_p", alias_name="c_xy"))
+            .sort(["c_xy", "gram"], descending=[True, False])
+            .limit(top_pairs)
+            .take_all())
+    grams = [r["gram"] for r in kept]
+    c_xy = np.array([r["c_xy"] for r in kept], dtype=np.int64)
+    first_toks = sorted({g.split(" ", 1)[0] for g in grams})
+    first_set = pa.array(first_toks, pa.string())
+    first_ref = ray.put(first_set)
+
+    def tf_first_partial(t: pa.Table, _ref=first_ref) -> pa.Table:
+        import ray as _r
+
+        keep_set = _r.get(_ref)
+        flat, _, _ = _tokens_of(t.column(text_col))
+        hit = pc.is_in(flat, value_set=keep_set)
+        vc = pc.value_counts(pc.filter(flat, hit))
+        return pa.table({"token": vc.field("values"),
+                         "tf_p": pc.cast(vc.field("counts"), pa.int64())})
+
+    tf_rows = (ds.map_batches(tf_first_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("token").aggregate(Sum("tf_p", alias_name="tf"))
+               .take_all())                     # <= |first_toks| rows
+    tf_map = {r["token"]: int(r["tf"]) for r in tf_rows}
+    c_first = np.array([tf_map[g.split(" ", 1)[0]] for g in grams],
+                       dtype=np.int64)
+    q = (c_xy * 1024) // c_first
+    # length(bin(q)) with bin(0)='0': frexp(max(q,1)) (no float logs)
+    _, e = np.frexp(np.maximum(q, 1).astype(np.float64))
+    buckets = np.concatenate([e.astype(np.int64), [0]])   # [-1] = unseen
+    gram_keys = pa.array(grams, pa.string())
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, counts, _ = _tokens_of(t.column(text_col))
+        total = len(flat)
+        n_bi = np.maximum(counts - 1, 0)
+        if total < 2:
+            z = np.zeros(len(counts), dtype=np.int64)
+            return pa.table({id_col: t.column(id_col),
+                             "n_bigrams": pa.array(n_bi, pa.int64()),
+                             "blm_score": pa.array(z, pa.int64()),
+                             "blm_permille": pa.array(z, pa.int64())})
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        valid = doc_idx[: total - 1] == doc_idx[1:]
+        g = pc.filter(
+            pc.binary_join_element_wise(flat.slice(0, total - 1),
+                                        flat.slice(1, total - 1), " "),
+            pa.array(valid))
+        idx = pc.index_in(g, value_set=gram_keys) \
+            .to_numpy(zero_copy_only=False, writable=True)
+        w = buckets[np.nan_to_num(idx, nan=-1).astype(np.int64)]
+        sc = np.bincount(doc_idx[: total - 1][valid], weights=w,
+                         minlength=len(counts)).astype(np.int64)
+        permille = np.where(n_bi > 0, sc * 1000 // np.maximum(n_bi, 1), 0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "blm_score": pa.array(sc, pa.int64()),
+            "blm_permille": pa.array(permille, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def sql_bigram_lm_score(top_pairs: int = 2000, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        rel: str = "documents") -> str:
+    """DuckDB mirror of :func:`bigram_lm_score` (same top-K tiebreak,
+    ``length(bin(q))`` == the engine's frexp bucket)."""
+    return f"""
+    WITH docs AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS l,
+             len(string_split({text_col}, ' ')) AS nl
+      FROM {rel}
+    ), grams AS (
+      SELECT {id_col}, l[i] AS t1, l[i + 1] AS t2
+      FROM (SELECT {id_col}, l, unnest(generate_series(1, nl - 1)) AS i
+            FROM docs WHERE nl >= 2)
+    ), bi AS (
+      SELECT t1, t2, count(*)::BIGINT AS c_xy
+      FROM grams GROUP BY 1, 2
+    ), kept AS (
+      SELECT b.t1, b.t2,
+             length(bin((b.c_xy * 1024) // tf.c))::BIGINT AS bucket
+      FROM (SELECT t1, t2, c_xy FROM bi
+            ORDER BY c_xy DESC, t1 || ' ' || t2 ASC
+            LIMIT {top_pairs}) b
+      JOIN (SELECT tok, count(*)::BIGINT AS c
+            FROM (SELECT unnest(string_split({text_col}, ' ')) AS tok
+                  FROM {rel}) GROUP BY 1) tf
+        ON b.t1 = tf.tok
+    ), sc AS (
+      SELECT g.{id_col},
+             count(*)::BIGINT AS n_bigrams,
+             CAST(sum(coalesce(k.bucket, 0)) AS BIGINT) AS blm_score
+      FROM grams g
+      LEFT JOIN kept k ON g.t1 = k.t1 AND g.t2 = k.t2
+      GROUP BY 1
+    )
+    SELECT d.{id_col},
+           coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           coalesce(sc.blm_score, 0) AS blm_score,
+           CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+                THEN sc.blm_score * 1000 // sc.n_bigrams
+                ELSE 0 END AS blm_permille
+    FROM docs d LEFT JOIN sc USING ({id_col})
+    """

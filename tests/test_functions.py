@@ -1648,3 +1648,43 @@ def test_nfc_normalize_parity_with_duckdb(ray_session):
     assert st[1]["changed"] == 0
     assert st[4]["changed"] == 0          # NFC keeps compat ligatures
     assert st[5]["changed"] == 0 and st[5]["n_raw"] == 11
+
+
+def test_bigram_lm_score_matches_oracle(ray_session, sf_dir):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.colloc import (bigram_lm_score,
+                                            sql_bigram_lm_score)
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    got = (bigram_lm_score(rd.from_arrow(tbl).repartition(4),
+                           top_pairs=200)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (con.execute(sql_bigram_lm_score(top_pairs=200)).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_bigram_lm_score_detects_word_order(ray_session):
+    """Same unigram bag, different order: the corpus-frequent order
+    must outscore the scrambled one (a unigram model ties them)."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.colloc import bigram_lm_score
+
+    corpus = ["the quick brown fox"] * 6 + ["fox brown quick the",
+                                            "the", ""]
+    tbl = pa.table({"doc_id": pa.array(range(len(corpus)), pa.int64()),
+                    "text": pa.array(corpus, pa.string())})
+    out = {r["doc_id"]: r for r in
+           bigram_lm_score(rd.from_arrow(tbl).repartition(3),
+                           top_pairs=100).take_all()}
+    assert out[0]["blm_score"] > out[6]["blm_score"]
+    assert out[0]["n_bigrams"] == 3
+    assert out[7]["n_bigrams"] == 0 and out[7]["blm_permille"] == 0
+    assert out[8]["n_bigrams"] == 0 and out[8]["blm_score"] == 0
