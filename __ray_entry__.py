@@ -464,6 +464,47 @@ def _events_retention(sf_dir: str):
     return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _doc_snapshot_diff(sf_dir: str):
+    """Incremental-crawl delta: both engines derive the same OLD
+    (drop ids %10==2) and NEW (drop %10==8, append ' v2' to %10==5)
+    snapshots from the corpus, then diff by the pinned double rolling
+    hash — only (id, h1, h2) enters the full-outer join, never the
+    payload."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from k_gap_ray.functions.snapshot import snapshot_diff
+    from k_gap_ray.relational import _read
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod10(col):
+        # doc_id % 10 (non-negative ids; pc has no modulo kernel)
+        return _pc.subtract(col, _pc.multiply(
+            _pc.divide(col, _pa.scalar(10)), _pa.scalar(10)))
+
+    def mk_old(t: _pa.Table) -> _pa.Table:
+        return t.filter(_pc.not_equal(_mod10(t.column("doc_id")),
+                                      _pa.scalar(2)))
+
+    def mk_new(t: _pa.Table) -> _pa.Table:
+        t = t.filter(_pc.not_equal(_mod10(t.column("doc_id")),
+                                   _pa.scalar(8)))
+        mod = _mod10(t.column("doc_id"))
+        txt = _pc.if_else(_pc.equal(mod, _pa.scalar(5)),
+                          _pc.binary_join_element_wise(
+                              _pc.fill_null(t.column("text"), ""),
+                              _pa.scalar(" v2"), ""),
+                          t.column("text"))
+        return _pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    old = base.map_batches(mk_old, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    new = base.map_batches(mk_new, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return snapshot_diff(old, new)
+
+
 def _doc_bigram_lm(sf_dir: str):
     """Bigram conditional-probability quality score (the word-ORDER
     rung above q_doc_unigram_score): top-2000 adjacent pairs bucketed
@@ -2718,6 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hll_by_type": _events_hll_by_type,
         "q_doc_nfc": _doc_nfc,
         "q_doc_bigram_lm": _doc_bigram_lm,
+        "q_doc_snapshot_diff": _doc_snapshot_diff,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2840,6 +2882,7 @@ def oracle_sql() -> dict[str, str]:
     from k_gap_ray.functions import funnel as _fn
     from k_gap_ray.functions import jsonx as _jx
     from k_gap_ray.functions import sketch as _sk
+    from k_gap_ray.functions import snapshot as _sn
     from k_gap_ray.functions import shuffle as _sh
     from k_gap_ray.functions import quantiles as _q
     from k_gap_ray.functions import textstats as _ts
@@ -3029,6 +3072,11 @@ def oracle_sql() -> dict[str, str]:
         "q_events_retention": _fn.sql_retention(),
         "q_doc_collocations": _cl.sql_collocations(k=30),
         "q_doc_bigram_lm": _cl.sql_bigram_lm_score(top_pairs=2000),
+        "q_doc_snapshot_diff": _sn.sql_snapshot_diff(
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2)",
+            "(SELECT doc_id, CASE WHEN doc_id % 10 = 5 "
+            "THEN coalesce(text, '') || ' v2' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 10 <> 8)"),
         "q_events_hll_by_type": _sk.sql_hll_count_by(
             "user_id", "event_type"),
         "q_doc_nfc": """

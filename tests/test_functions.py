@@ -1688,3 +1688,20 @@ def test_bigram_lm_score_detects_word_order(ray_session):
     assert out[0]["n_bigrams"] == 3
     assert out[7]["n_bigrams"] == 0 and out[7]["blm_permille"] == 0
     assert out[8]["n_bigrams"] == 0 and out[8]["blm_score"] == 0
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.functions.snapshot import snapshot_diff
+
+    old = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": ["same", "will change", "removed doc",
+                             "also same"]})
+    new = pa.table({"doc_id": pa.array([1, 2, 4, 9], pa.int64()),
+                    "text": ["same", "did change", "also same",
+                             "brand new"]})
+    got = snapshot_diff(rd.from_arrow(old).repartition(2),
+                        rd.from_arrow(new).repartition(2)).take_all()
+    assert [(r["doc_id"], r["status"]) for r in got] == \
+        [(2, "changed"), (3, "removed"), (9, "added")]
