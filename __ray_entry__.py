@@ -464,6 +464,19 @@ def _events_retention(sf_dir: str):
     return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _emb_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over int8-quantized vectors, exact
+    integers end to end (trunc-division centroid means — DuckDB's
+    native // — composite argmin tie rule, empty clusters keep their
+    centroid). Each round is one streaming pass emitting a (k x dim)
+    partial-sum table per batch."""
+    from k_gap_ray.functions.similarity import kmeans_int8
+    from k_gap_ray.relational import _read
+
+    return kmeans_int8(_read(sf_dir, "embeddings",
+                             ["vec_id", "embedding"]), k=8, iters=2)
+
+
 def _doc_snapshot_diff(sf_dir: str):
     """Incremental-crawl delta: both engines derive the same OLD
     (drop ids %10==2) and NEW (drop %10==8, append ' v2' to %10==5)
@@ -2760,6 +2773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_nfc": _doc_nfc,
         "q_doc_bigram_lm": _doc_bigram_lm,
         "q_doc_snapshot_diff": _doc_snapshot_diff,
+        "q_emb_kmeans": _emb_kmeans,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2881,6 +2895,7 @@ def oracle_sql() -> dict[str, str]:
     from k_gap_ray.functions import colloc as _cl
     from k_gap_ray.functions import funnel as _fn
     from k_gap_ray.functions import jsonx as _jx
+    from k_gap_ray.functions import similarity as _sim
     from k_gap_ray.functions import sketch as _sk
     from k_gap_ray.functions import snapshot as _sn
     from k_gap_ray.functions import shuffle as _sh
@@ -3072,6 +3087,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_retention": _fn.sql_retention(),
         "q_doc_collocations": _cl.sql_collocations(k=30),
         "q_doc_bigram_lm": _cl.sql_bigram_lm_score(top_pairs=2000),
+        "q_emb_kmeans": _sim.sql_kmeans_int8(k=8, iters=2, dim=64),
         "q_doc_snapshot_diff": _sn.sql_snapshot_diff(
             "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2)",
             "(SELECT doc_id, CASE WHEN doc_id % 10 = 5 "

@@ -665,3 +665,181 @@ def knn_filtered(emb_ds, query_vec: np.ndarray, labels, k: int = 10,
         schema=pa.schema([("vec_id", pa.int64()),
                           ("label", pa.int64()),
                           ("qscore", pa.int64())]))
+
+
+def _trunc_div(s: np.ndarray, c) -> np.ndarray:
+    """Integer division truncating toward zero — DuckDB's native
+    ``//`` semantics for signed values (numpy's ``//`` FLOORS; -7//2
+    is -4 in numpy but -3 in DuckDB — measured, BENCH/NOTES.md)."""
+    s = s.astype(np.int64)
+    return np.where(s >= 0, s // c, -((-s) // c))
+
+
+def kmeans_int8(emb_ds, k: int = 8, iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd k-means over int8-quantized vectors, exact
+    integers end to end — the clustering primitive of data-curation
+    pipelines (cluster-balanced sampling, SemDeDup-style pruning,
+    IVF coarse quantizers).
+
+    Pinned contract (identical on both engines, no floats anywhere
+    after quantization):
+    - vectors quantized per-row by :func:`quantize_int8`;
+    - initial centroids = the quantized vectors of the ``k`` smallest
+      ids, numbered 0..k-1 in id order;
+    - assignment = argmin integer squared L2, ties to the lowest
+      cluster (one ``min(d2 * k + cl)`` composite);
+    - update = elementwise trunc-division mean (DuckDB ``//``
+      semantics via :func:`_trunc_div`); empty clusters keep their
+      previous centroid;
+    - ``iters`` update rounds, then one final assignment.
+
+    100-TB shape: each round is ONE streaming pass — per batch a
+    (k x dim) int64 partial-sum table leaves (never rows), merged on
+    the driver at O(blocks * k) cost; centroids travel by ray.put.
+    -> pa.Table (id, cluster, dist2) sorted by id.
+    """
+    import ray
+
+    def _quant_batch(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        col = t.column(id_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        from ..dsutil import list_col_matrix
+
+        m = list_col_matrix(t.column(vec_col))
+        return ids, quantize_int8(m).astype(np.int64)
+
+    # --- init: the k smallest ids (per-batch prune, tiny global sort)
+    def smallest(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t.column(id_col))[:k]
+        return t.take(idx).select([id_col, vec_col])
+
+    seed = (emb_ds.map_batches(smallest, batch_format="pyarrow")
+            .sort(id_col).limit(k))
+    seed_t = pa.Table.from_pylist(seed.take_all())
+    _, cent = _quant_batch(seed_t)
+
+    def _round(cent_np: np.ndarray, want_assign: bool):
+        ref = ray.put(cent_np)
+
+        def assign_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            import ray as _r
+
+            C = _r.get(_ref)
+            ids, Q = _quant_batch(t)
+            if len(ids) == 0:
+                if want_assign:
+                    return pa.table({id_col: pa.array([], pa.int64()),
+                                     "cluster": pa.array([], pa.int64()),
+                                     "dist2": pa.array([], pa.int64())})
+                return pa.table({"cl": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.list_(pa.int64()))})
+            # ||x-c||^2 for all pairs; composite min pins the tie rule
+            d2 = ((Q * Q).sum(1)[:, None]
+                  - 2 * (Q @ C.T)
+                  + (C * C).sum(1)[None, :])
+            comp = (d2 * k + np.arange(k)[None, :]).min(1)
+            cl = comp % k
+            if want_assign:
+                return pa.table({id_col: pa.array(ids, pa.int64()),
+                                 "cluster": pa.array(cl, pa.int64()),
+                                 "dist2": pa.array(comp // k, pa.int64())})
+            sums = np.zeros((k, Q.shape[1]), dtype=np.int64)
+            np.add.at(sums, cl, Q)
+            n = np.bincount(cl, minlength=k).astype(np.int64)
+            used = np.nonzero(n)[0]
+            return pa.table({
+                "cl": pa.array(used, pa.int64()),
+                "n": pa.array(n[used], pa.int64()),
+                "s": pa.array([sums[c].tolist() for c in used],
+                              pa.list_(pa.int64()))})
+
+        return emb_ds.map_batches(assign_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    for _ in range(iters):
+        rows = _round(cent, want_assign=False).take_all()
+        dim = cent.shape[1]
+        sums = np.zeros((k, dim), dtype=np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cl"]] += np.asarray(r["s"], dtype=np.int64)
+            n[r["cl"]] += r["n"]
+        new_cent = cent.copy()
+        nz = n > 0
+        new_cent[nz] = _trunc_div(sums[nz], n[nz][:, None])
+        cent = new_cent
+
+    final = _round(cent, want_assign=True).sort(id_col)
+    return pa.Table.from_pylist(
+        final.take_all(),
+        schema=pa.schema([(id_col, pa.int64()), ("cluster", pa.int64()),
+                          ("dist2", pa.int64())]))
+
+
+def sql_kmeans_int8(k: int = 8, iters: int = 2, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    rel: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`kmeans_int8` — chained MATERIALIZED
+    CTE rounds (the BPE-levels pattern), native ``//`` trunc-division
+    centroid means, the same composite argmin."""
+    quant = f"""
+    qi AS MATERIALIZED (
+      SELECT {id_col} AS vid,
+             list_transform(
+               CASE WHEN ma = 0
+                    THEN list_transform({vec_col}, x -> 0.0)
+                    ELSE list_transform({vec_col},
+                         x -> floor(CAST(x AS DOUBLE)
+                                    * CAST(127.0 AS DOUBLE)
+                                    / CAST(ma AS DOUBLE))) END,
+               x -> CAST(x AS BIGINT)) AS qv
+      FROM (SELECT {id_col}, {vec_col},
+                   list_aggregate(list_transform({vec_col},
+                                                 y -> abs(y)), 'max')
+                       AS ma
+            FROM {rel})),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cl,
+             qv AS cv
+      FROM (SELECT vid, qv FROM qi ORDER BY vid LIMIT {k}))"""
+    d2 = (f"list_aggregate(list_transform(generate_series(1, {dim}), "
+          f"i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), 'sum')")
+    parts = [quant]
+    prev_c = "c0"
+    for r in range(iters):
+        parts.append(f"""
+    a{r} AS MATERIALIZED (
+      SELECT vid, min(d2 * {k} + cl) % {k} AS cl
+      FROM (SELECT q.vid, c.cl, {d2} AS d2
+            FROM qi q CROSS JOIN {prev_c} c)
+      GROUP BY vid)""")
+        parts.append(f"""
+    u{r} AS MATERIALIZED (
+      SELECT cl, list(sd ORDER BY i) AS cv FROM (
+        SELECT a.cl, i.i,
+               CAST(CASE WHEN sum(q.qv[i.i]) >= 0
+                    THEN sum(q.qv[i.i]) // count(*)
+                    ELSE -((-sum(q.qv[i.i])) // count(*)) END
+                    AS BIGINT) AS sd
+        FROM a{r} a JOIN qi q USING (vid)
+        CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) i
+        GROUP BY a.cl, i.i) GROUP BY cl)""")
+        parts.append(f"""
+    c{r + 1} AS MATERIALIZED (
+      SELECT p.cl, coalesce(u.cv, p.cv) AS cv
+      FROM {prev_c} p LEFT JOIN u{r} u USING (cl))""")
+        prev_c = f"c{r + 1}"
+    return f"""
+    WITH {','.join(parts)}
+    SELECT vid AS {id_col},
+           CAST(min(d2 * {k} + cl) % {k} AS BIGINT) AS cluster,
+           CAST(min(d2 * {k} + cl) // {k} AS BIGINT) AS dist2
+    FROM (SELECT q.vid, c.cl, {d2} AS d2
+          FROM qi q CROSS JOIN {prev_c} c)
+    GROUP BY vid
+    ORDER BY vid
+    """

@@ -1705,3 +1705,33 @@ def test_snapshot_diff_statuses(ray_session):
                         rd.from_arrow(new).repartition(2)).take_all()
     assert [(r["doc_id"], r["status"]) for r in got] == \
         [(2, "changed"), (3, "removed"), (9, "added")]
+
+
+def test_kmeans_int8_matches_oracle(ray_session, sf_dir):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import kmeans_int8, sql_kmeans_int8
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    got = kmeans_int8(rd.from_arrow(tbl).repartition(4), k=8, iters=2)
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    want = con.execute(sql_kmeans_int8(k=8, iters=2, dim=64)).fetchall()
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    # sanity: more than one cluster survives, assignments cover all ids
+    assert len({r["cluster"] for r in got.to_pylist()}) > 1
+    assert got.num_rows == tbl.num_rows
+
+
+def test_kmeans_trunc_div_matches_duckdb_on_negatives():
+    import duckdb
+
+    from k_gap_ray.functions.similarity import _trunc_div
+
+    con = duckdb.connect()
+    for s, c in [(-7, 2), (7, 2), (-8, 2), (-9, 4), (9, 4), (0, 3)]:
+        want = con.execute(f"select {s} // {c}").fetchone()[0]
+        assert _trunc_div(np.array([s]), np.array([c]))[0] == want, (s, c)
