@@ -2840,7 +2840,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hourly": rel.q_events_hourly,
         "q_events_hourly_pivot": rel.q_events_hourly_pivot,
         "q_events_sliding": rel.q_events_sliding,
-        "q_events_ntile": rel.q_events_ntile,
         "q_events_value_delta": rel.q_events_value_delta,
         "q_events_watermark": rel.q_events_watermark,
         "q_events_hll_users": _events_hll_users,
@@ -2854,7 +2853,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_anti_join": rel.q_bloom_anti_join,
         "q_topk_orders": rel.q_topk_orders,
         "q_top_orders_per_priority": rel.q_top_orders_per_priority,
-        "q_orders_rank": rel.q_orders_rank,
         "q_events_median_by_type": rel.q_events_median_by_type,
         "q_events_p90_by_type": rel.q_events_p90_by_type,
         "q_sort_limit_offset": rel.q_sort_limit_offset,
