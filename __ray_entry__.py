@@ -464,6 +464,20 @@ def _events_retention(sf_dir: str):
     return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _events_transitions(sf_dir: str):
+    """User-journey Markov matrix: (prev_type, next_type) counts over
+    each user's (ts, id)-ordered stream. Hot-key-safe via the
+    (user, day-bucket) pre-split — at most |types|^2 slim rows leave a
+    bucket, seams stitched from O(users x buckets) summaries."""
+    from k_gap_ray.functions.windows import transition_counts
+    from k_gap_ray.relational import _read
+
+    return transition_counts(
+        _read(sf_dir, "events",
+              ["event_id", "user_id", "event_type", "ts"]),
+        "user_id", "ts", "event_id", "event_type")
+
+
 def _emb_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over int8-quantized vectors, exact
     integers end to end (trunc-division centroid means — DuckDB's
@@ -2774,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bigram_lm": _doc_bigram_lm,
         "q_doc_snapshot_diff": _doc_snapshot_diff,
         "q_emb_kmeans": _emb_kmeans,
+        "q_events_transitions": _events_transitions,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2899,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
     from k_gap_ray.functions import shuffle as _sh
     from k_gap_ray.functions import quantiles as _q
     from k_gap_ray.functions import textstats as _ts
+    from k_gap_ray.functions import windows as _wd
 
     return {
         # float SUMs use fixed-point (x10000 int64) on both sides: exact
@@ -3086,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_collocations": _cl.sql_collocations(k=30),
         "q_doc_bigram_lm": _cl.sql_bigram_lm_score(top_pairs=2000),
         "q_emb_kmeans": _sim.sql_kmeans_int8(k=8, iters=2, dim=64),
+        "q_events_transitions": _wd.sql_transition_counts(),
         "q_doc_snapshot_diff": _sn.sql_snapshot_diff(
             "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2)",
             "(SELECT doc_id, CASE WHEN doc_id % 10 = 5 "

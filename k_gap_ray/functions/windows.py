@@ -432,3 +432,132 @@ def sessions_bucketed(ds, key_col: str, ts_col: str, id_col: str,
     middle = middle.map_batches(
         lambda t: t.select(cols), batch_format="pyarrow")
     return middle.union(stitched)
+
+
+def transition_counts(ds, key_col: str, ts_col: str, id_col: str,
+                      type_col: str) -> pa.Table:
+    """Per-key event-transition (Markov) counts: for every pair of
+    CONSECUTIVE events in a key's (ts, id)-ordered stream, count
+    (prev_type, next_type) over all keys — the user-journey matrix
+    funnels and sessionization are read against.
+
+    Shape: ONE range-shuffle sort of the slim (key, ts, id, type)
+    projection, then a fully vectorized per-batch pass.  Every batch
+    of a sorted Dataset is a contiguous slice of the total order, so
+    in-batch pairs are exact and the only missing pairs are the batch
+    SEAMS — each batch also emits its first/last row as a summary, and
+    the driver reconstructs seam pairs by re-sorting the O(batches)
+    summaries by their first key (disjoint ranges sort back into
+    stream order).  Hot keys are safe by construction: the sort splits
+    a key across blocks freely; no task ever holds a whole key.
+    -> pa.Table (prev_type, next_type, n) sorted.
+
+    (First cut used the (key, day-bucket) map_groups pre-split of the
+    other ops here: oracle-exact but 55 s at sf0.1 — thousands of
+    tiny pandas groups are pure per-group overhead.  The sort+seam
+    design is the same exactness with one shuffle and no Python-level
+    groups; see BENCH/NOTES.md session 4.)
+    """
+    from ray.data.aggregate import Sum
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(t.column(key_col), pa.string()),
+            "ts_us": pc.cast(pc.cast(t.column(ts_col),
+                                     pa.timestamp("us")), pa.int64()),
+            "i": pc.cast(t.column(id_col), pa.int64()),
+            "y": pc.cast(t.column(type_col), pa.string())})
+
+    s = (ds.map_batches(slim, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .sort(["k", "ts_us", "i"]))
+
+    def pairs_and_summary(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.string()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "y2": pa.array([], pa.string())})
+        k = t.column("k").combine_chunks() if isinstance(
+            t.column("k"), pa.ChunkedArray) else t.column("k")
+        y = t.column("y").combine_chunks() if isinstance(
+            t.column("y"), pa.ChunkedArray) else t.column("y")
+        same = pc.equal(k.slice(0, n - 1), k.slice(1, n))
+        pair = pc.filter(
+            pc.binary_join_element_wise(y.slice(0, n - 1),
+                                        y.slice(1, n), _SEP),
+            same)
+        vc = pc.value_counts(pair)
+        inner = pa.table({
+            "kind": pa.array([0] * len(vc), pa.int64()),
+            "pair": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+            "k": pa.array([""] * len(vc), pa.string()),
+            "ts_us": pa.array([0] * len(vc), pa.int64()),
+            "i": pa.array([0] * len(vc), pa.int64()),
+            "y2": pa.array([""] * len(vc), pa.string())})
+        summ = pa.table({
+            "kind": pa.array([1], pa.int64()),
+            "pair": pa.array([y[n - 1].as_py()], pa.string()),  # last y
+            "n": pa.array([0], pa.int64()),
+            "k": pa.array([k[0].as_py()], pa.string()),
+            "ts_us": pa.array([t.column("ts_us")[0].as_py()], pa.int64()),
+            "i": pa.array([t.column("i")[0].as_py()], pa.int64()),
+            "y2": pa.array([y[0].as_py()], pa.string()),   # first y
+        })
+        # summary also needs the LAST row's key to pair across a seam
+        summ = summ.append_column("k_last",
+                                  pa.array([k[n - 1].as_py()],
+                                           pa.string()))
+        inner = inner.append_column("k_last",
+                                    pa.array([""] * len(vc), pa.string()))
+        return pa.concat_tables([inner, summ])
+
+    from ..dsutil import drop_empty_blocks
+
+    # sort can emit zero-row blocks that BYPASS map_batches with the
+    # pre-map schema (no "kind" column) — scrub before filtering
+    both = drop_empty_blocks(
+        s.map_batches(pairs_and_summary,
+                      batch_format="pyarrow").materialize())
+    inner = (both.filter(expr="kind == 0")
+             .groupby("pair").aggregate(Sum("n", alias_name="n"))
+             .take_all())                      # <= |types|^2 rows
+    counts: dict[tuple[str, str], int] = {}
+    for r in inner:
+        a, b = r["pair"].split(_SEP, 1)
+        counts[(a, b)] = counts.get((a, b), 0) + int(r["n"])
+    summaries = both.filter(expr="kind == 1").take_all()  # O(batches)
+    summaries.sort(key=lambda r: (r["k"], r["ts_us"], r["i"]))
+    for prev, nxt in zip(summaries, summaries[1:]):
+        if prev["k_last"] == nxt["k"]:
+            key = (prev["pair"], nxt["y2"])    # last type -> first type
+            counts[key] = counts.get(key, 0) + 1
+    out = sorted(counts.items())
+    return pa.table({
+        "prev_type": pa.array([a for (a, _), _ in out], pa.string()),
+        "next_type": pa.array([b for (_, b), _ in out], pa.string()),
+        "n": pa.array([v for _, v in out], pa.int64())})
+
+
+def sql_transition_counts(key_col: str = "user_id", ts_col: str = "ts",
+                          id_col: str = "event_id",
+                          type_col: str = "event_type",
+                          rel: str = "events") -> str:
+    """DuckDB mirror of :func:`transition_counts` (lead() over the
+    same (ts, id) per-key order)."""
+    return f"""
+        WITH seq AS (
+          SELECT {type_col} AS prev_type,
+                 lead({type_col}) OVER (PARTITION BY {key_col}
+                                        ORDER BY {ts_col}, {id_col})
+                     AS next_type
+          FROM {rel})
+        SELECT prev_type, next_type, count(*)::BIGINT AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

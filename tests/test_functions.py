@@ -1735,3 +1735,52 @@ def test_kmeans_trunc_div_matches_duckdb_on_negatives():
     for s, c in [(-7, 2), (7, 2), (-8, 2), (-9, 4), (9, 4), (0, 3)]:
         want = con.execute(f"select {s} // {c}").fetchone()[0]
         assert _trunc_div(np.array([s]), np.array([c]))[0] == want, (s, c)
+
+
+def test_transition_counts_matches_oracle_and_stitches_seams(
+        ray_session, sf_dir):
+    import datetime as dt
+
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.windows import (transition_counts,
+                                             sql_transition_counts)
+
+    # hand case: user 10's stream crosses three day-buckets (seam
+    # transitions b->c and c->d must appear), user 20 has one event
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (0, 10, "a", 0), (1, 10, "b", 1),          # day 0: a->b
+        (2, 10, "c", 25),                           # day 1 (seam b->c)
+        (3, 10, "d", 49), (4, 10, "a", 50),         # day 2 (seam c->d)
+        (5, 20, "a", 3),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([base + dt.timedelta(hours=r[3]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    got = transition_counts(rd.from_arrow(tbl).repartition(3),
+                            "user_id", "ts", "event_id", "event_type")
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(sql_transition_counts()).fetchall()
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    as_map = {(r["prev_type"], r["next_type"]): r["n"]
+              for r in got.to_pylist()}
+    assert as_map[("b", "c")] == 1 and as_map[("c", "d")] == 1
+
+    # corpus case vs oracle
+    etbl = pq.read_table(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts"])
+    got2 = transition_counts(rd.from_arrow(etbl).repartition(4),
+                             "user_id", "ts", "event_id", "event_type")
+    con2 = duckdb.connect()
+    con2.register("events", etbl)
+    want2 = con2.execute(sql_transition_counts()).fetchall()
+    assert [tuple(r.values()) for r in got2.to_pylist()] == want2
