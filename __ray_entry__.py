@@ -464,6 +464,18 @@ def _events_retention(sf_dir: str):
     return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _events_wau(sf_dir: str):
+    """Rolling 7-day active users: distinct (user, day) and distinct
+    (user, window-end) both ride single composite int keys; every
+    exchange is bounded by users x days x window, the payload never
+    moves."""
+    from k_gap_ray.functions.funnel import rolling_active_users
+    from k_gap_ray.relational import _read
+
+    return rolling_active_users(_read(sf_dir, "events",
+                                      ["user_id", "ts"]), window_days=7)
+
+
 def _events_transitions(sf_dir: str):
     """User-journey Markov matrix: (prev_type, next_type) counts over
     each user's (ts, id)-ordered stream. Hot-key-safe via the
@@ -2789,6 +2801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_snapshot_diff": _doc_snapshot_diff,
         "q_emb_kmeans": _emb_kmeans,
         "q_events_transitions": _events_transitions,
+        "q_events_wau": _events_wau,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3103,6 +3116,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_bigram_lm": _cl.sql_bigram_lm_score(top_pairs=2000),
         "q_emb_kmeans": _sim.sql_kmeans_int8(k=8, iters=2, dim=64),
         "q_events_transitions": _wd.sql_transition_counts(),
+        "q_events_wau": _fn.sql_rolling_active_users(7),
         "q_doc_snapshot_diff": _sn.sql_snapshot_diff(
             "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2)",
             "(SELECT doc_id, CASE WHEN doc_id % 10 = 5 "

@@ -329,3 +329,98 @@ def sql_retention(rel: str = "events") -> str:
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
+
+
+def rolling_active_users(events_ds, window_days: int = 7,
+                         user_col: str = "user_id", ts_col: str = "ts"):
+    """Rolling-window active users (the DAU/WAU/MAU family): for each
+    epoch-day ``e`` in the corpus range, the count of DISTINCT users
+    active in ``[e - window_days + 1, e]``.
+
+    Shape: distinct (user, day) pairs ride ONE composite int key
+    (no multi-key groupby), each pair then fans out to the at most
+    ``window_days`` window end-days it contributes to (clipped to the
+    corpus max day), a second composite-key groupby dedupes
+    (user, end-day) — a user active twice inside one window counts
+    once — and a per-batch partial + tiny groupby counts users per
+    end-day.  All exchanges are bounded by users x days x window, the
+    payload never moves.  -> Dataset (day, wau) sorted by day.
+    """
+    from ray.data.aggregate import Sum
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        us = _ts_us(t.column(ts_col))
+        day = pc.divide(us, pa.scalar(_US_PER_DAY, pa.int64()))
+        u = t.column(user_col).combine_chunks() \
+            if isinstance(t.column(user_col), pa.ChunkedArray) \
+            else t.column(user_col)
+        u_np = u.to_numpy(zero_copy_only=False)
+        d_np = day.to_numpy(zero_copy_only=False)
+        if len(u_np) and (u_np.min() < 0 or u_np.max() >= 1 << 42
+                          or d_np.min() < 0 or d_np.max() >= 1 << _DAY_BITS):
+            raise ValueError("user/day outside composite-key range")
+        ckey = np.unique((u_np << _DAY_BITS) | d_np)
+        return pa.table({"ckey": pa.array(ckey, pa.int64())})
+
+    act = (events_ds.map_batches(to_pairs, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+           .groupby("ckey").count().materialize())
+
+    # corpus max day: O(blocks) driver merge of per-batch partials
+    parts = act.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [int(pc.max(pc.bit_wise_and(
+                t.column("ckey"),
+                pa.scalar((1 << _DAY_BITS) - 1, pa.int64()))).as_py())]
+            if t.num_rows else [], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    if not parts:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"day": pa.array([], pa.int64()),
+                                       "wau": pa.array([], pa.int64())}))
+    max_day = max(r["m"] for r in parts)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        ck = t.column("ckey").to_numpy(zero_copy_only=False)
+        u = ck >> _DAY_BITS
+        d = ck & ((1 << _DAY_BITS) - 1)
+        offs = np.arange(window_days, dtype=np.int64)
+        e = (d[:, None] + offs[None, :]).ravel()
+        ue = np.repeat(u, window_days)
+        keep = e <= max_day
+        ck2 = np.unique((ue[keep] << _DAY_BITS) | e[keep])
+        return pa.table({"ckey2": pa.array(ck2, pa.int64())})
+
+    win = (act.map_batches(fan_out, batch_format="pyarrow")
+           .groupby("ckey2").count())
+
+    def per_day(t: pa.Table) -> pa.Table:
+        ck = t.column("ckey2").to_numpy(zero_copy_only=False)
+        days, n = np.unique(ck & ((1 << _DAY_BITS) - 1),
+                            return_counts=True)
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "n_p": pa.array(n, pa.int64())})
+
+    agg = (win.map_batches(per_day, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("n_p", alias_name="wau")))
+    return (agg.map_batches(
+        lambda t: pa.table({"day": t.column("day"),
+                            "wau": pc.cast(t.column("wau"), pa.int64())}),
+        batch_format="pyarrow").sort("day"))
+
+
+def sql_rolling_active_users(window_days: int = 7,
+                             rel: str = "events") -> str:
+    """DuckDB mirror of :func:`rolling_active_users`."""
+    return f"""
+        WITH act AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // {_US_PER_DAY} AS d
+                     FROM {rel})
+        SELECT e AS day, count(DISTINCT user_id)::BIGINT AS wau
+        FROM (SELECT user_id, d + o AS e
+              FROM act CROSS JOIN
+                   (SELECT unnest(generate_series(0, {window_days - 1}))
+                        AS o))
+        WHERE e <= (SELECT max(d) FROM act)
+        GROUP BY e ORDER BY e
+    """

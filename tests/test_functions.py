@@ -1784,3 +1784,31 @@ def test_transition_counts_matches_oracle_and_stitches_seams(
     con2.register("events", etbl)
     want2 = con2.execute(sql_transition_counts()).fetchall()
     assert [tuple(r.values()) for r in got2.to_pylist()] == want2
+
+
+def test_rolling_active_users_matches_oracle(ray_session, sf_dir):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.funnel import (rolling_active_users,
+                                            sql_rolling_active_users)
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"])
+    got = rolling_active_users(rd.from_arrow(tbl).repartition(4),
+                               window_days=7).take_all()
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(sql_rolling_active_users(7)).fetchall()
+    assert [(r["day"], r["wau"]) for r in got] == want
+    # WAU must dominate DAU and never exceed total users
+    dau = dict(con.execute(
+        "SELECT epoch_us(ts)//86400000000, count(DISTINCT user_id) "
+        "FROM events GROUP BY 1").fetchall())
+    total = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    for r in got:
+        assert r["wau"] <= total
+        if r["day"] in dau:
+            assert r["wau"] >= dau[r["day"]]
