@@ -16,17 +16,20 @@ of one user's stream, then repairs the seams:
 - as-of forward-carry: per-bucket local carry with a sentinel for
   "no prior match in this bucket"; the per-bucket last-match summary
   chains into carry-ins the same way; only sentinel rows are patched.
-- sessions: per-bucket sessions with first/last flags; only a
-  bucket's FIRST and LAST session can merge across the seam, so the
-  stitch pass sees <= 2 rows per (user, bucket) and re-applies the
-  same gap rule; middle sessions stream through untouched.
-
 Group summaries ride ALONG the data rows (a __kind marker column,
 split by filter downstream) so each operator pays exactly one
 composite-key shuffle plus one O(users x buckets) slim pass — no
 second scan of the events. Carry tables are broadcast below
 ``broadcast_cap`` (users x buckets, slim) with a documented join
 fallback above it.
+
+Sessions and transition counts use the newer SORT + SEAM design
+instead (one range-shuffle sort, vectorized per-batch local pass,
+O(batches) driver stitch): same exactness and hot-key-safety, fewer
+exchanges, and no per-group pandas overhead — measured 5-10x faster
+(BENCH/NOTES.md session 4). The bucketed shape remains the right fit
+for running-sum/as-of, whose outputs are per-EVENT (a per-batch patch
+pass needs the carry-in lookup either way).
 """
 
 from __future__ import annotations
@@ -358,80 +361,133 @@ def ntile_bucketed(ds, key_col: str, value_col: str, id_col: str,
     return both.map_batches(patch, batch_format="pyarrow")
 
 
-def sessions_bucketed(ds, key_col: str, ts_col: str, id_col: str,
-                      value_col: str, gap_hours: int = 2,
-                      scale: int = 100, bucket_us: int = DAY_US,
-                      broadcast_cap: int = 2_000_000):
-    """Gap-based session windows, hot-key-safe: per-bucket sessions
-    with first/last flags, then a per-key stitch over ONLY the
-    boundary sessions (<= 2 per bucket) re-applying the same gap rule
-    across seams; middle sessions stream through untouched.
-
-    The boundary set is O(keys x buckets); below ``broadcast_cap`` it
-    stitches on the driver (one pandas groupby — saves the second Ray
-    groupby shuffle, ~5-6 s fixed cost at sf0.1), above it the stitch
-    runs as a distributed groupby(key).map_groups over the slim
-    boundary rows."""
-    keyed = _with_bucket_key(ds, key_col, ts_col, bucket_us,
-                             [id_col, key_col, ts_col, value_col])
-    gap_ns = np.timedelta64(gap_hours, "h")
-
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, id_col], kind="mergesort")
-        gap = df[ts_col].diff() > gap_ns
-        sess = gap.cumsum()
-        vs = np.rint(df[value_col].to_numpy() * scale).astype("int64")
-        df = df.assign(_sess=sess, _vs=vs)
-        out = df.groupby("_sess").agg(
-            **{key_col: (key_col, "first"),
-               "session_start": (ts_col, "min"),
-               "session_end": (ts_col, "max"),
-               "n_events": (id_col, "size"),
-               "value_s": ("_vs", "sum")}).reset_index(drop=True)
-        out["n_events"] = out["n_events"].astype("int64")
-        n = len(out)
-        out["__boundary"] = [(i == 0 or i == n - 1) for i in range(n)]
-        return out
-
-    sess = keyed.groupby("__k").map_groups(
-        local, batch_format="pandas").materialize()
-    middle = sess.filter(expr="__boundary == False")
-
-    def stitch(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["session_start", "session_end"],
-                            kind="mergesort")
-        rows = df.to_dict("records")
-        merged = [dict(rows[0])]
-        for r in rows[1:]:
+def _chain_merge_sessions(rows: list[dict], key_col: str,
+                          gap_us: int) -> list[dict]:
+    """Driver-side seam stitch: boundary sessions in (key, start)
+    order chain-merge when the same key's next session starts within
+    ``gap_us`` of the current end — the same gap rule the local pass
+    applies, so a session spanning MANY batches folds left to right."""
+    rows = sorted(rows, key=lambda r: (r[key_col], r["start_us"],
+                                       r["end_us"]))
+    merged: list[dict] = []
+    for r in rows:
+        if merged:
             cur = merged[-1]
-            if (r["session_start"] - cur["session_end"]) <= gap_ns:
-                cur["session_end"] = max(cur["session_end"],
-                                         r["session_end"])
+            if (r[key_col] == cur[key_col]
+                    and r["start_us"] - cur["end_us"] <= gap_us):
+                cur["end_us"] = max(cur["end_us"], r["end_us"])
                 cur["n_events"] += r["n_events"]
                 cur["value_s"] += r["value_s"]
-            else:
-                merged.append(dict(r))
-        out = pd.DataFrame(merged)
-        return out[[key_col, "session_start", "session_end",
-                    "n_events", "value_s"]]
+                continue
+        merged.append(dict(r))
+    return merged
 
-    cols = [key_col, "session_start", "session_end", "n_events", "value_s"]
-    boundary = sess.filter(expr="__boundary == True").materialize()
-    if boundary.count() <= broadcast_cap:
-        import ray.data as rd
 
-        bdf = boundary.to_pandas()
-        parts = [stitch(g) for _, g in bdf.groupby(key_col, sort=False)]
-        stitched = rd.from_arrow(pa.Table.from_pandas(
-            pd.concat(parts, ignore_index=True)[cols],
-            preserve_index=False))
-    else:
-        stitched = boundary \
-            .groupby(key_col).map_groups(stitch, batch_format="pandas") \
-            .map_batches(lambda t: t.select(cols), batch_format="pyarrow")
-    middle = middle.map_batches(
-        lambda t: t.select(cols), batch_format="pyarrow")
-    return middle.union(stitched)
+def sessions_sorted(ds, key_col: str, ts_col: str, id_col: str,
+                    value_col: str, gap_hours: int = 2,
+                    scale: int = 100):
+    """Gap-based session windows via ONE global sort + seam stitching.
+
+    Sort by (key, ts, id) makes every batch a contiguous slice of the
+    total order; the per-batch pass sessionizes VECTORIZED (one
+    boolean diff + reduceat aggregates — no pandas groups) and only a
+    batch's FIRST and LAST sessions can continue across a seam, so
+    interior sessions stream straight to the output and the driver
+    chain-merges O(2 x batches) boundary rows — independent of key
+    count, day span, and skew (a hot key is split freely by the sort;
+    a session spanning many batches folds in the ordered driver scan).
+
+    Replaces the (key x day-bucket) map_groups pre-split of earlier
+    rounds: same exactness and hot-key-safety, but one range shuffle
+    instead of a composite groupby of thousands of tiny pandas groups,
+    and the driver set is O(batches), not O(keys x buckets) — both
+    measured wins (BENCH/NOTES.md session 4).
+
+    -> Dataset (key_col, session_start, session_end, n_events,
+    value_s) with timestamp[us] bounds and fixed-point int64 sums.
+    """
+    import ray.data as rd
+
+    from ..dsutil import drop_empty_blocks
+
+    gap_us = int(gap_hours) * 3_600_000_000
+
+    def slim(t: pa.Table) -> pa.Table:
+        # DuckDB round() = half away from zero; Arrow's name for it is
+        # half_towards_infinity (BENCH/NOTES.md round-4)
+        vs = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(value_col), pa.float64()),
+            pa.scalar(float(scale))), round_mode="half_towards_infinity"),
+            pa.int64())
+        return pa.table({
+            "k": pc.cast(t.column(key_col), pa.int64()),
+            "ts_us": pc.cast(pc.cast(t.column(ts_col),
+                                     pa.timestamp("us")), pa.int64()),
+            "i": pc.cast(t.column(id_col), pa.int64()),
+            "vs": vs})
+
+    s = (ds.map_batches(slim, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .sort(["k", "ts_us", "i"]))
+
+    def local(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table({
+            "kind": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "start_us": pa.array([], pa.int64()),
+            "end_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "value_s": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        vs = t.column("vs").to_numpy(zero_copy_only=False)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (k[1:] != k[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        idx = np.flatnonzero(new)              # session start offsets
+        ends = np.r_[idx[1:], n] - 1
+        m = len(idx)
+        kind = np.zeros(m, dtype=np.int64)
+        kind[0] = kind[-1] = 1                 # seam candidates
+        return pa.table({
+            "kind": pa.array(kind, pa.int64()),
+            "k": pa.array(k[idx], pa.int64()),
+            "start_us": pa.array(ts[idx], pa.int64()),
+            "end_us": pa.array(ts[ends], pa.int64()),
+            "n_events": pa.array(np.diff(np.r_[idx, n]), pa.int64()),
+            "value_s": pa.array(np.add.reduceat(vs, idx), pa.int64())})
+
+    # sort can emit zero-row blocks that BYPASS map_batches with the
+    # pre-map schema — scrub before the kind filter
+    both = drop_empty_blocks(
+        s.map_batches(local, batch_format="pyarrow").materialize())
+    boundary = both.filter(expr="kind == 1").take_all()  # O(2 x batches)
+    stitched = _chain_merge_sessions(boundary, "k", gap_us)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t.column("k"),
+            "session_start": pc.cast(t.column("start_us"),
+                                     pa.timestamp("us")),
+            "session_end": pc.cast(t.column("end_us"),
+                                   pa.timestamp("us")),
+            "n_events": t.column("n_events"),
+            "value_s": t.column("value_s")})
+
+    interior = both.filter(expr="kind == 0") \
+        .map_batches(finish, batch_format="pyarrow")
+    st = pa.table({
+        "k": pa.array([r["k"] for r in stitched], pa.int64()),
+        "start_us": pa.array([r["start_us"] for r in stitched],
+                             pa.int64()),
+        "end_us": pa.array([r["end_us"] for r in stitched], pa.int64()),
+        "n_events": pa.array([r["n_events"] for r in stitched],
+                             pa.int64()),
+        "value_s": pa.array([r["value_s"] for r in stitched],
+                            pa.int64())})
+    return interior.union(rd.from_arrow(finish(st)))
 
 
 def transition_counts(ds, key_col: str, ts_col: str, id_col: str,

@@ -243,28 +243,18 @@ def q_events_sliding(sf_dir: str):
 def q_events_sessions(sf_dir: str, gap_hours: int = 24):
     """Session windows (gap-based): per user, events closer than
     `gap_hours` chain into one session. Ray Data has no session-window
-    primitive; the composition is the HOT-KEY-SAFE composite
-    (user x day-bucket) pre-split with boundary stitching
-    (functions/windows.py:sessions_bucketed) — exact semantics (the
-    stitch re-applies the same gap rule across bucket seams), and no
-    task ever holds more than one day of one user's stream. Values
-    are fixed-point int64."""
-    from k_gap_ray.functions.windows import sessions_bucketed
+    primitive; the composition is ONE global (user, ts, id) sort +
+    vectorized per-batch sessionization + an O(batches) driver seam
+    stitch (functions/windows.py:sessions_sorted) — exact semantics
+    (the stitch re-applies the same gap rule across batch seams),
+    hot-key-safe (the sort splits a user's stream freely), and no
+    per-group pandas overhead. Values are fixed-point int64."""
+    from k_gap_ray.functions.windows import sessions_sorted
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    out = sessions_bucketed(ds, key_col="user_id", ts_col="ts",
-                            id_col="event_id", value_col="value",
-                            gap_hours=gap_hours, scale=100)
-    return out.map_batches(
-        lambda t: (t.set_column(t.column_names.index("session_start"),
-                                "session_start",
-                                pc.cast(t.column("session_start"),
-                                        pa.timestamp("us")))
-                   .set_column(t.column_names.index("session_end"),
-                               "session_end",
-                               pc.cast(t.column("session_end"),
-                                       pa.timestamp("us")))),
-        batch_format="pyarrow")  # ns->us for the oracle compare
+    return sessions_sorted(ds, key_col="user_id", ts_col="ts",
+                           id_col="event_id", value_col="value",
+                           gap_hours=gap_hours, scale=100)
 
 
 def q_events_asof_click(sf_dir: str):

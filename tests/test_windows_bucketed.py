@@ -9,7 +9,7 @@ import pyarrow as pa
 
 from k_gap_ray.functions.windows import (DAY_US, asof_carry_bucketed,
                                          running_sum_bucketed,
-                                         sessions_bucketed)
+                                         sessions_sorted)
 
 
 def _skewed_events(n: int = 4000, seed: int = 7) -> pd.DataFrame:
@@ -89,10 +89,10 @@ def test_sessions_stitch_across_bucket_seams(ray_session):
     rows.append((eid + 1, 6, np.datetime64("2024-01-03T09:00:00", "us"), 3.0))
     df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
 
-    out = sessions_bucketed(
-        rd.from_arrow(pa.Table.from_pandas(df)), key_col="user_id",
-        ts_col="ts", id_col="event_id", value_col="value",
-        gap_hours=2, bucket_us=DAY_US).take_all()
+    out = sessions_sorted(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="value", gap_hours=2).take_all()
     by_user = {}
     for r in out:
         by_user.setdefault(r["user_id"], []).append(r)
@@ -106,10 +106,10 @@ def test_sessions_match_single_pass_under_skew(ray_session):
     import ray.data as rd
 
     df = _skewed_events(n=2000)
-    out = sessions_bucketed(
-        rd.from_arrow(pa.Table.from_pandas(df)), key_col="user_id",
-        ts_col="ts", id_col="event_id", value_col="value",
-        gap_hours=2, bucket_us=DAY_US).take_all()
+    out = sessions_sorted(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(8),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="value", gap_hours=2).take_all()
     mine = sorted((r["user_id"], pd.Timestamp(r["session_start"]),
                    pd.Timestamp(r["session_end"]), r["n_events"],
                    r["value_s"]) for r in out)
@@ -194,3 +194,35 @@ def test_ntile_matches_single_pass_under_skew(ray_session):
         for rid, t in zip(g["rid"], tiles):
             ref[int(rid)] = int(t)
     assert len(mine) == len(df) and mine == ref
+
+
+def test_chain_merge_folds_sessions_spanning_many_batches():
+    """Driver-side seam stitch in isolation: one user's session split
+    across FOUR batch boundaries must fold into one row; a gap wider
+    than the threshold must not merge; different keys never merge."""
+    from k_gap_ray.functions.windows import _chain_merge_sessions
+
+    gap = 2 * 3_600_000_000
+    h = 3_600_000_000
+    rows = [
+        # user 1: four boundary fragments, each 1h after the previous
+        {"k": 1, "start_us": 0 * h, "end_us": 1 * h,
+         "n_events": 2, "value_s": 10},
+        {"k": 1, "start_us": 2 * h, "end_us": 3 * h,
+         "n_events": 1, "value_s": 5},
+        {"k": 1, "start_us": 4 * h, "end_us": 5 * h,
+         "n_events": 3, "value_s": 7},
+        {"k": 1, "start_us": 6 * h, "end_us": 6 * h,
+         "n_events": 1, "value_s": 1},
+        # user 1 again after a 10h gap: separate session
+        {"k": 1, "start_us": 16 * h, "end_us": 17 * h,
+         "n_events": 2, "value_s": 4},
+        # user 2 adjacent in time to user 1's chain: never merges
+        {"k": 2, "start_us": 5 * h, "end_us": 5 * h,
+         "n_events": 1, "value_s": 9},
+    ]
+    out = _chain_merge_sessions(rows, "k", gap)
+    assert len(out) == 3
+    merged = [r for r in out if r["k"] == 1 and r["start_us"] == 0][0]
+    assert merged["end_us"] == 6 * h
+    assert merged["n_events"] == 7 and merged["value_s"] == 23
