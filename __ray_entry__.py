@@ -464,6 +464,20 @@ def _events_retention(sf_dir: str):
     return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+_PHRASE = "table hash"
+
+
+def _doc_phrase(sf_dir: str):
+    """Quoted-phrase search (the FTS idiom TF-IDF ranking can't
+    express): per-doc occurrence counts of a consecutive token
+    sequence, one zero-shuffle vectorized n-gram equality pass."""
+    from k_gap_ray.functions.search import phrase_search
+    from k_gap_ray.relational import _read
+
+    return phrase_search(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         _PHRASE)
+
+
 def _events_wau(sf_dir: str):
     """Rolling 7-day active users: distinct (user, day) and distinct
     (user, window-end) both ride single composite int keys; every
@@ -2802,6 +2816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_kmeans": _emb_kmeans,
         "q_events_transitions": _events_transitions,
         "q_events_wau": _events_wau,
+        "q_doc_phrase": _doc_phrase,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -2926,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
     from k_gap_ray.functions import snapshot as _sn
     from k_gap_ray.functions import shuffle as _sh
     from k_gap_ray.functions import quantiles as _q
+    from k_gap_ray.functions import search as _se
     from k_gap_ray.functions import textstats as _ts
     from k_gap_ray.functions import windows as _wd
 
@@ -3117,6 +3133,7 @@ def oracle_sql() -> dict[str, str]:
         "q_emb_kmeans": _sim.sql_kmeans_int8(k=8, iters=2, dim=64),
         "q_events_transitions": _wd.sql_transition_counts(),
         "q_events_wau": _fn.sql_rolling_active_users(7),
+        "q_doc_phrase": _se.sql_phrase_search(_PHRASE),
         "q_doc_snapshot_diff": _sn.sql_snapshot_diff(
             "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2)",
             "(SELECT doc_id, CASE WHEN doc_id % 10 = 5 "

@@ -210,6 +210,10 @@ def run_bench() -> dict:
     timed("q_media_avi_frames", em.queries()["q_media_avi_frames"])
     timed("q_doc_epoch_shuffle", em.queries()["q_doc_epoch_shuffle"])
     timed("q_doc_bpe_train", em.queries()["q_doc_bpe_train"])
+    timed("q_events_sessions", em.queries()["q_events_sessions"])
+    timed("q_doc_collocations", em.queries()["q_doc_collocations"])
+    timed("q_emb_kmeans", em.queries()["q_emb_kmeans"])
+    timed("q_events_transitions", em.queries()["q_events_transitions"])
 
     ray.shutdown()
     return result()

@@ -205,3 +205,71 @@ def sql_tfidf_search(terms: list[str], k: int = 10,
         ORDER BY score DESC, tf.doc_id
         LIMIT {k}
     """
+
+
+def phrase_search(ds, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Exact phrase match over the pinned space tokenization: docs
+    containing the CONSECUTIVE token sequence ``phrase``, with the
+    occurrence count — the quoted-query operator of any search
+    surface (and the FTS idiom TF-IDF ranking can't express).
+
+    One zero-shuffle vectorized pass: the corpus's token |phrase|-gram
+    stream (textstats._batch_ngram_positions — shifted flat-slice
+    joins, doc-boundary-masked) is compared against the single query
+    gram and counted per doc.  -> Dataset (doc_id, n_hits) for
+    matching docs, sorted by doc_id.
+    """
+    import numpy as np
+
+    from .textstats import _batch_ngram_positions
+
+    toks = phrase.split(" ")
+    n = len(toks)
+    if n == 0 or any(t == "" for t in toks):
+        raise ValueError("phrase must be non-empty space-separated "
+                         "tokens")
+    target = " ".join(toks)
+
+    def f(t: pa.Table) -> pa.Table:
+        pos, grams = _batch_ngram_positions(t, n, text_col)
+        if len(pos) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        hit = pc.equal(grams, pa.scalar(target)) \
+            .to_numpy(zero_copy_only=False)
+        nrows = t.num_rows
+        per_doc = np.bincount(pos[hit], minlength=nrows).astype(np.int64)
+        docs = np.nonzero(per_doc)[0]
+        ids = pc.take(t.column(id_col), pa.array(docs, pa.int64()))
+        return pa.table({id_col: pc.cast(ids, pa.int64()),
+                         "n_hits": pa.array(per_doc[docs], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True).sort(id_col)
+
+
+def sql_phrase_search(phrase: str, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      rel: str = "documents") -> str:
+    """DuckDB mirror of :func:`phrase_search` (list-slice n-grams,
+    same doc-boundary semantics)."""
+    toks = phrase.split(" ")
+    n = len(toks)
+    lit = " ".join(toks).replace("'", "''")
+    return f"""
+        WITH toks AS (
+          SELECT {id_col}, string_split({text_col}, ' ') AS l
+          FROM {rel}
+        ), grams AS (
+          SELECT {id_col},
+                 unnest(list_transform(
+                     generate_series(1, len(l) - {n - 1}),
+                     i -> array_to_string(l[i:i + {n - 1}], ' ')))
+                     AS gram
+          FROM toks WHERE len(l) >= {n}
+        )
+        SELECT {id_col}, count(*)::BIGINT AS n_hits
+        FROM grams WHERE gram = '{lit}'
+        GROUP BY {id_col} ORDER BY {id_col}
+    """

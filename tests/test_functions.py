@@ -1812,3 +1812,23 @@ def test_rolling_active_users_matches_oracle(ray_session, sf_dir):
         assert r["wau"] <= total
         if r["day"] in dau:
             assert r["wau"] >= dau[r["day"]]
+
+
+def test_phrase_search_counts_and_boundaries(ray_session):
+    import ray.data as rd
+
+    from k_gap_ray.functions.search import phrase_search
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": [
+            "big cat sat big cat ran",        # 2 hits
+            "big big cat",                    # 1 hit (overlap start)
+            "cat big",                        # 0 (wrong order)
+            "big",                            # 0 (doc shorter than gram)
+            "ends with big",                  # 0: flat-adjacent to the
+            "cat starts here",                #    next doc's 'cat' —
+        ],                                    #    boundary mask blocks it
+    })
+    out = phrase_search(rd.from_arrow(docs), "big cat").take_all()
+    assert [(r["doc_id"], r["n_hits"]) for r in out] == [(0, 2), (1, 1)]
