@@ -424,3 +424,82 @@ def sql_rolling_active_users(window_days: int = 7,
         WHERE e <= (SELECT max(d) FROM act)
         GROUP BY e ORDER BY e
     """
+
+
+def burst_scores(events_ds, type_col: str = "event_type",
+                 ts_col: str = "ts", window_days: int = 7,
+                 driver_cap: int = 2_000_000):
+    """Burst detection: per (type, day) the event count against the
+    trailing ``window_days`` baseline, as the exact integer ratio
+    ``burst_permille = n * 1000 * window_days // baseline`` (baseline
+    = summed counts over the previous ``window_days`` calendar days,
+    absent days counting 0; days with an empty baseline are omitted —
+    there is nothing to compare against).  The day a type's volume
+    spikes, the ratio leaves 1000.
+
+    Shape: per-batch Arrow hash-agg (type, day) partials merged
+    DIRECTLY on the driver over <= batches x |types| x |days| slim
+    rows (guarded by ``driver_cap``, a loud refusal, not truncation)
+    — the result lands on the driver anyway, so a Ray groupby would
+    only add its multi-second fixed aggregate cost
+    (the ngram_prefix_bands pattern, BENCH/NOTES.md round-3).
+    -> pa.Table (event_type, day, n, baseline, burst_permille) sorted.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = _ts_us(t.column(ts_col))
+        day = pc.divide(us, pa.scalar(_US_PER_DAY, pa.int64()))
+        g = (pa.table({"ty": pc.cast(t.column(type_col), pa.string()),
+                       "d": day})
+             .group_by(["ty", "d"]).aggregate([([], "count_all")]))
+        return pa.table({"ty": g.column("ty"),
+                         "d": pc.cast(g.column("d"), pa.int64()),
+                         "n_p": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    rows = events_ds.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    if len(rows) > driver_cap:
+        raise ValueError(f"{len(rows)} (type, day) partial rows exceed "
+                         f"driver_cap={driver_cap}")
+    per: dict[str, dict[int, int]] = {}
+    for r in rows:
+        days = per.setdefault(r["ty"], {})
+        days[int(r["d"])] = days.get(int(r["d"]), 0) + int(r["n_p"])
+    out = []
+    for ty in sorted(per):
+        days = per[ty]
+        for d in sorted(days):
+            baseline = sum(days.get(p, 0)
+                           for p in range(d - window_days, d))
+            if baseline > 0:
+                out.append((ty, d, days[d], baseline,
+                            days[d] * 1000 * window_days // baseline))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "day": pa.array([r[1] for r in out], pa.int64()),
+        "n": pa.array([r[2] for r in out], pa.int64()),
+        "baseline": pa.array([r[3] for r in out], pa.int64()),
+        "burst_permille": pa.array([r[4] for r in out], pa.int64())})
+
+
+def sql_burst_scores(window_days: int = 7, rel: str = "events") -> str:
+    """DuckDB mirror of :func:`burst_scores` (RANGE window frame over
+    the integer day key reproduces the trailing calendar baseline)."""
+    return f"""
+        WITH c AS (SELECT event_type,
+                          epoch_us(ts) // {_US_PER_DAY} AS day,
+                          count(*)::BIGINT AS n
+                   FROM {rel} GROUP BY 1, 2),
+             b AS (SELECT event_type, day, n,
+                          CAST(coalesce(sum(n) OVER (
+                              PARTITION BY event_type ORDER BY day
+                              RANGE BETWEEN {window_days} PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT)
+                              AS baseline
+                   FROM c)
+        SELECT event_type, day, n, baseline,
+               n * 1000 * {window_days} // baseline AS burst_permille
+        FROM b WHERE baseline > 0
+        ORDER BY event_type, day
+    """

@@ -1832,3 +1832,40 @@ def test_phrase_search_counts_and_boundaries(ray_session):
     })
     out = phrase_search(rd.from_arrow(docs), "big cat").take_all()
     assert [(r["doc_id"], r["n_hits"]) for r in out] == [(0, 2), (1, 1)]
+
+
+def test_burst_scores_matches_oracle_and_flags_spikes(ray_session, sf_dir):
+    import datetime as dt
+
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.funnel import burst_scores, sql_burst_scores
+
+    # hand case: 1/day baseline for 7 days, then a 10x spike
+    base = dt.datetime(2024, 5, 1)
+    rows = [(i, "err", base + dt.timedelta(days=i)) for i in range(7)]
+    rows += [(100 + j, "err", base + dt.timedelta(days=7, hours=j))
+             for j in range(10)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us"))})
+    got = burst_scores(rd.from_arrow(tbl).repartition(3))
+    spike = got.to_pylist()[-1]
+    assert spike["n"] == 10 and spike["baseline"] == 7
+    assert spike["burst_permille"] == 10_000      # 10x the baseline rate
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(sql_burst_scores()).fetchall()
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+    # corpus case
+    etbl = pq.read_table(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    got2 = burst_scores(rd.from_arrow(etbl).repartition(4))
+    con2 = duckdb.connect()
+    con2.register("events", etbl)
+    want2 = con2.execute(sql_burst_scores()).fetchall()
+    assert [tuple(r.values()) for r in got2.to_pylist()] == want2
