@@ -464,6 +464,18 @@ def _events_retention(sf_dir: str):
     return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _events_gap_hist(sf_dir: str):
+    """Inter-arrival-time histogram: log-bucketed per-user consecutive
+    gaps (bucket = bit_length(gap_seconds + 1)) via the sort+seam
+    shape — one range shuffle, vectorized diffs, O(batches) stitch."""
+    from k_gap_ray.functions.windows import interevent_gap_hist
+    from k_gap_ray.relational import _read
+
+    return interevent_gap_hist(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        "user_id", "ts", "event_id")
+
+
 def _events_bursts(sf_dir: str):
     """Burst detection: per (type, day) counts vs the trailing 7-day
     baseline as an exact integer permille ratio; one composite-key
@@ -2829,6 +2841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_wau": _events_wau,
         "q_doc_phrase": _doc_phrase,
         "q_events_bursts": _events_bursts,
+        "q_events_gap_hist": _events_gap_hist,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3147,6 +3160,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_wau": _fn.sql_rolling_active_users(7),
         "q_doc_phrase": _se.sql_phrase_search(_PHRASE),
         "q_events_bursts": _fn.sql_burst_scores(7),
+        "q_events_gap_hist": _wd.sql_interevent_gap_hist(),
         "q_doc_snapshot_diff": _sn.sql_snapshot_diff(
             "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2)",
             "(SELECT doc_id, CASE WHEN doc_id % 10 = 5 "

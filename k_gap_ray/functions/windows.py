@@ -617,3 +617,104 @@ def sql_transition_counts(key_col: str = "user_id", ts_col: str = "ts",
         FROM seq WHERE next_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def interevent_gap_hist(ds, key_col: str, ts_col: str, id_col: str):
+    """Log-bucketed histogram of the gaps between a key's CONSECUTIVE
+    events — the inter-arrival-time distribution sessionization gap
+    thresholds and burst monitors are tuned against.
+
+    Bucket contract (exact integers on both engines): the gap in
+    whole seconds ``g = (ts2 - ts1) // 1e6 us`` falls in bucket
+    ``length(bin(g + 1))`` == ``bit_length(g + 1)`` — bucket 1 holds
+    sub-second gaps, each next bucket doubles the range.
+
+    Same SORT + SEAM shape as :func:`transition_counts`: one range
+    shuffle, vectorized in-batch diffs, O(batches) first/last
+    summaries stitched on the driver.  -> pa.Table (bucket, n) sorted.
+    """
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(t.column(key_col), pa.int64()),
+            "ts_us": pc.cast(pc.cast(t.column(ts_col),
+                                     pa.timestamp("us")), pa.int64()),
+            "i": pc.cast(t.column(id_col), pa.int64())})
+
+    s = (ds.map_batches(slim, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .sort(["k", "ts_us", "i"]))
+
+    def local(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "last_k": pa.array([], pa.int64()),
+                             "last_us": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64())})
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        same = k[1:] == k[:-1]
+        g = (ts[1:] - ts[:-1])[same] // 1_000_000
+        _, e = np.frexp(np.maximum(g + 1, 1).astype(np.float64))
+        b, c = np.unique(e.astype(np.int64), return_counts=True)
+        inner = pa.table({
+            "kind": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            "bucket": pa.array(b, pa.int64()),
+            "n_p": pa.array(c, pa.int64()),
+            "k": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            "ts_us": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            "last_k": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            "last_us": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            "i": pa.array(np.zeros(len(b), np.int64), pa.int64())})
+        summ = pa.table({
+            "kind": pa.array([1], pa.int64()),
+            "bucket": pa.array([0], pa.int64()),
+            "n_p": pa.array([0], pa.int64()),
+            "k": pa.array([int(k[0])], pa.int64()),
+            "ts_us": pa.array([int(ts[0])], pa.int64()),
+            "last_k": pa.array([int(k[-1])], pa.int64()),
+            "last_us": pa.array([int(ts[-1])], pa.int64()),
+            "i": pa.array([int(t.column("i")[0].as_py())], pa.int64())})
+        return pa.concat_tables([inner, summ])
+
+    from ..dsutil import drop_empty_blocks
+
+    both = drop_empty_blocks(
+        s.map_batches(local, batch_format="pyarrow").materialize())
+    hist: dict[int, int] = {}
+    for r in both.filter(expr="kind == 0").take_all():
+        hist[r["bucket"]] = hist.get(r["bucket"], 0) + int(r["n_p"])
+    summaries = both.filter(expr="kind == 1").take_all()
+    summaries.sort(key=lambda r: (r["k"], r["ts_us"], r["i"]))
+    for prev, nxt in zip(summaries, summaries[1:]):
+        if prev["last_k"] == nxt["k"]:
+            g = (nxt["ts_us"] - prev["last_us"]) // 1_000_000
+            b = int(g + 1).bit_length()
+            hist[b] = hist.get(b, 0) + 1
+    out = sorted(hist.items())
+    return pa.table({"bucket": pa.array([b for b, _ in out], pa.int64()),
+                     "n": pa.array([v for _, v in out], pa.int64())})
+
+
+def sql_interevent_gap_hist(key_col: str = "user_id",
+                            ts_col: str = "ts",
+                            id_col: str = "event_id",
+                            rel: str = "events") -> str:
+    """DuckDB mirror of :func:`interevent_gap_hist`."""
+    return f"""
+        WITH g AS (
+          SELECT (epoch_us({ts_col})
+                  - lag(epoch_us({ts_col})) OVER (
+                        PARTITION BY {key_col}
+                        ORDER BY {ts_col}, {id_col})) // 1000000 AS gap
+          FROM {rel})
+        SELECT length(bin(gap + 1))::BIGINT AS bucket,
+               count(*)::BIGINT AS n
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """

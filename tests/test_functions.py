@@ -1869,3 +1869,25 @@ def test_burst_scores_matches_oracle_and_flags_spikes(ray_session, sf_dir):
     con2.register("events", etbl)
     want2 = con2.execute(sql_burst_scores()).fetchall()
     assert [tuple(r.values()) for r in got2.to_pylist()] == want2
+
+
+def test_interevent_gap_hist_matches_oracle(ray_session, sf_dir):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.windows import (interevent_gap_hist,
+                                             sql_interevent_gap_hist)
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts"])
+    got = interevent_gap_hist(rd.from_arrow(tbl).repartition(4),
+                              "user_id", "ts", "event_id")
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(sql_interevent_gap_hist()).fetchall()
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    # total gaps = events - distinct users
+    n, u = con.execute("SELECT count(*), count(DISTINCT user_id) "
+                       "FROM events").fetchone()
+    assert sum(r["n"] for r in got.to_pylist()) == n - u
