@@ -92,6 +92,41 @@ def _doc_langid(sf_dir: str):
     return lang_id(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _doc_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: declared lang vs stopword-count
+    prediction, counted. Per-batch Arrow pair counts merge on the
+    driver (<= |langs|^2 x blocks slim rows — a Ray groupby would only
+    add its fixed aggregate cost)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from k_gap_ray.functions.textstats import lang_id
+
+    preds = lang_id(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                    keep_cols=("lang",))
+
+    def part(t: _pa.Table) -> _pa.Table:
+        g = (_pa.table({"lang": t.column("lang"),
+                        "pred_lang": t.column("pred_lang")})
+             .group_by(["lang", "pred_lang"])
+             .aggregate([([], "count_all")]))
+        return _pa.table({
+            "lang": g.column("lang"),
+            "pred_lang": g.column("pred_lang"),
+            "n_p": _pc.cast(g.column("count_all"), _pa.int64())})
+
+    rows = preds.map_batches(part, batch_format="pyarrow").take_all()
+    agg: dict[tuple[str, str], int] = {}
+    for r in rows:
+        k = (r["lang"], r["pred_lang"])
+        agg[k] = agg.get(k, 0) + int(r["n_p"])
+    out = sorted(agg.items())
+    return _pa.table({
+        "lang": _pa.array([k[0] for k, _ in out], _pa.string()),
+        "pred_lang": _pa.array([k[1] for k, _ in out], _pa.string()),
+        "n": _pa.array([v for _, v in out], _pa.int64())})
+
+
 def _doc_quality(sf_dir: str):
     from k_gap_ray.functions.textstats import quality_scores
 
@@ -2842,6 +2877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_phrase": _doc_phrase,
         "q_events_bursts": _events_bursts,
         "q_events_gap_hist": _events_gap_hist,
+        "q_doc_lang_confusion": _doc_lang_confusion,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4159,6 +4195,11 @@ def _text_analysis_oracles() -> dict[str, str]:
             FROM documents
         """,
         "q_doc_langid": langid,
+        "q_doc_lang_confusion": f"""
+            SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
+            FROM documents d JOIN ({langid}) p USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "q_doc_quality": quality,
         "q_doc_bpe_tokens": bpe,
         "q_doc_fingerprints": fingerprint,

@@ -699,13 +699,14 @@ def bpe_token_counts(ds, concurrency=(1, 4)):
                           zero_copy_batch=True)
 
 
-def lang_id(ds):
+def lang_id(ds, keep_cols: tuple[str, ...] = ()):
     """Stopword-count language ID over space-split lowercase tokens.
 
     Vectorized: one is_in per language over the flat token array, then
     a segmented sum per doc. Prediction = alphabetically-first language
     with the max score when positive, else 'und' — mirrored by the
-    CASE chain in the SQL oracle."""
+    CASE chain in the SQL oracle. ``keep_cols`` pass through unchanged
+    (e.g. the declared lang for a confusion matrix)."""
     langs = sorted(_STOPWORDS)
     stop_arrs = {lg: pa.array(sorted(_STOPWORDS[lg]), pa.string())
                  for lg in langs}
@@ -722,8 +723,11 @@ def lang_id(ds):
         best = np.argmax(scores, axis=1)  # first max wins (alphabetical)
         top = scores[np.arange(n_docs), best] if n_docs else best
         pred = np.where(top > 0, np.array(langs, dtype=object)[best], "und")
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "pred_lang": pa.array(pred, pa.string())})
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "pred_lang": pa.array(pred, pa.string())})
+        for c in keep_cols:
+            out = out.append_column(c, t.column(c))
+        return out
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
