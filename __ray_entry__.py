@@ -575,6 +575,22 @@ def _emb_kmeans(sf_dir: str):
                              ["vec_id", "embedding"]), k=8, iters=2)
 
 
+def _emb_cluster_sample(sf_dir: str):
+    """Cluster-balanced sampling (the SemDeDup/DoReMi curation move):
+    k-means assignments stream straight into the per-stratum cap
+    sampler — at most 40 vectors per cluster by seeded 31-bit mix
+    rank. Pure composition of two verified operators; the oracle
+    nests the kmeans CTE under the window-rank cap."""
+    from k_gap_ray.functions.shuffle import stratified_cap
+    from k_gap_ray.functions.similarity import kmeans_int8
+    from k_gap_ray.relational import _read
+
+    assigns = kmeans_int8(_read(sf_dir, "embeddings",
+                                ["vec_id", "embedding"]), k=8, iters=2)
+    return stratified_cap(assigns, key_col="cluster", id_col="vec_id",
+                          cap=40, seed=11)
+
+
 def _doc_snapshot_diff(sf_dir: str):
     """Incremental-crawl delta: both engines derive the same OLD
     (drop ids %10==2) and NEW (drop %10==8, append ' v2' to %10==5)
@@ -2878,6 +2894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_bursts": _events_bursts,
         "q_events_gap_hist": _events_gap_hist,
         "q_doc_lang_confusion": _doc_lang_confusion,
+        "q_emb_cluster_sample": _emb_cluster_sample,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3192,6 +3209,10 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_collocations": _cl.sql_collocations(k=30),
         "q_doc_bigram_lm": _cl.sql_bigram_lm_score(top_pairs=2000),
         "q_emb_kmeans": _sim.sql_kmeans_int8(k=8, iters=2, dim=64),
+        "q_emb_cluster_sample": _sh.sql_stratified_cap(
+            cap=40, seed=11,
+            table=f"({_sim.sql_kmeans_int8(k=8, iters=2, dim=64)})",
+            key_col="cluster", id_col="vec_id"),
         "q_events_transitions": _wd.sql_transition_counts(),
         "q_events_wau": _fn.sql_rolling_active_users(7),
         "q_doc_phrase": _se.sql_phrase_search(_PHRASE),

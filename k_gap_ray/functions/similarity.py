@@ -697,7 +697,8 @@ def kmeans_int8(emb_ds, k: int = 8, iters: int = 2,
     100-TB shape: each round is ONE streaming pass — per batch a
     (k x dim) int64 partial-sum table leaves (never rows), merged on
     the driver at O(blocks * k) cost; centroids travel by ray.put.
-    -> pa.Table (id, cluster, dist2) sorted by id.
+    The final assignment STREAMS (corpus-sized — it must never land
+    on the driver).  -> Dataset (id, cluster, dist2) sorted by id.
     """
     import ray
 
@@ -773,11 +774,7 @@ def kmeans_int8(emb_ds, k: int = 8, iters: int = 2,
         new_cent[nz] = _trunc_div(sums[nz], n[nz][:, None])
         cent = new_cent
 
-    final = _round(cent, want_assign=True).sort(id_col)
-    return pa.Table.from_pylist(
-        final.take_all(),
-        schema=pa.schema([(id_col, pa.int64()), ("cluster", pa.int64()),
-                          ("dist2", pa.int64())]))
+    return _round(cent, want_assign=True).sort(id_col)
 
 
 def sql_kmeans_int8(k: int = 8, iters: int = 2, dim: int = 64,

@@ -1716,14 +1716,15 @@ def test_kmeans_int8_matches_oracle(ray_session, sf_dir):
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
-    got = kmeans_int8(rd.from_arrow(tbl).repartition(4), k=8, iters=2)
+    got = kmeans_int8(rd.from_arrow(tbl).repartition(4),
+                      k=8, iters=2).take_all()
     con = duckdb.connect()
     con.register("embeddings", tbl)
     want = con.execute(sql_kmeans_int8(k=8, iters=2, dim=64)).fetchall()
-    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    assert [(r["vec_id"], r["cluster"], r["dist2"]) for r in got] == want
     # sanity: more than one cluster survives, assignments cover all ids
-    assert len({r["cluster"] for r in got.to_pylist()}) > 1
-    assert got.num_rows == tbl.num_rows
+    assert len({r["cluster"] for r in got}) > 1
+    assert len(got) == tbl.num_rows
 
 
 def test_kmeans_trunc_div_matches_duckdb_on_negatives():
