@@ -575,6 +575,47 @@ def _emb_kmeans(sf_dir: str):
                              ["vec_id", "embedding"]), k=8, iters=2)
 
 
+def _emb_medoids(sf_dir: str):
+    """Cluster exemplars: per k-means cluster the vector closest to
+    its centroid (ties to lowest id) — the inspection/labeling handle
+    for each cluster. One composite argmin over the streaming
+    assignments: min(dist2 * 2^20 + vec_id) per cluster, decomposed
+    back; dist2 < 64 * 254^2 and vec_id < 2^20 keep the key exact."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from k_gap_ray.functions.similarity import kmeans_int8
+    from k_gap_ray.relational import _read
+    from ray.data.aggregate import Min
+
+    assigns = kmeans_int8(_read(sf_dir, "embeddings",
+                                ["vec_id", "embedding"]), k=8, iters=2)
+
+    def pack(t: _pa.Table) -> _pa.Table:
+        if t.num_rows and (_pc.max(t.column("vec_id")).as_py()
+                           >= 1 << 20):
+            raise ValueError("vec_id outside the 2^20 composite range")
+        comp = _pc.add(_pc.multiply(t.column("dist2"),
+                                    _pa.scalar(1 << 20, _pa.int64())),
+                       t.column("vec_id"))
+        return _pa.table({"cluster": t.column("cluster"), "comp": comp})
+
+    agg = (assigns.map_batches(pack, batch_format="pyarrow")
+           .groupby("cluster").aggregate(Min("comp", alias_name="comp")))
+
+    def unpack(t: _pa.Table) -> _pa.Table:
+        comp = _pc.cast(t.column("comp"), _pa.int64())
+        return _pa.table({
+            "cluster": _pc.cast(t.column("cluster"), _pa.int64()),
+            "vec_id": _pc.bit_wise_and(comp,
+                                       _pa.scalar((1 << 20) - 1,
+                                                  _pa.int64())),
+            "dist2": _pc.shift_right(comp, _pa.scalar(20, _pa.int64()))})
+
+    return (agg.map_batches(unpack, batch_format="pyarrow")
+            .sort("cluster"))
+
+
 def _emb_cluster_sample(sf_dir: str):
     """Cluster-balanced sampling (the SemDeDup/DoReMi curation move):
     k-means assignments stream straight into the per-stratum cap
@@ -2895,6 +2936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_gap_hist": _events_gap_hist,
         "q_doc_lang_confusion": _doc_lang_confusion,
         "q_emb_cluster_sample": _emb_cluster_sample,
+        "q_emb_medoids": _emb_medoids,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3209,6 +3251,15 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_collocations": _cl.sql_collocations(k=30),
         "q_doc_bigram_lm": _cl.sql_bigram_lm_score(top_pairs=2000),
         "q_emb_kmeans": _sim.sql_kmeans_int8(k=8, iters=2, dim=64),
+        "q_emb_medoids": f"""
+            SELECT cluster,
+                   CAST(min(dist2 * 1048576 + vec_id) % 1048576
+                        AS BIGINT) AS vec_id,
+                   CAST(min(dist2 * 1048576 + vec_id) // 1048576
+                        AS BIGINT) AS dist2
+            FROM ({_sim.sql_kmeans_int8(k=8, iters=2, dim=64)})
+            GROUP BY cluster ORDER BY cluster
+        """,
         "q_emb_cluster_sample": _sh.sql_stratified_cap(
             cap=40, seed=11,
             table=f"({_sim.sql_kmeans_int8(k=8, iters=2, dim=64)})",
