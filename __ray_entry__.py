@@ -2069,6 +2069,42 @@ def _sparql_docs_update(sf_dir: str):
                            ("emp", _pa.string())]))
 
 
+DOCS_SPARQL_CLEAR = """
+PREFIX kp: <urn:kgap:pred:>
+PREFIX ke: <urn:kgap:entity:>
+INSERT DATA {
+  ke:clear_probe kp:locatedIn "marine clear probe site" .
+} ;
+CLEAR GRAPH <urn:kgap:web:src3.example> ;
+DELETE WHERE { ?a kp:coordinates ?c }
+"""
+
+DOCS_SPARQL_AFTER_CLEAR = """
+SELECT ?g (COUNT(?s) AS ?n) WHERE {
+  GRAPH ?g { ?s ?p ?o . }
+} GROUP BY ?g ORDER BY ?g
+"""
+
+
+def _sparql_docs_clear(sf_dir: str):
+    """CLEAR GRAPH (the 'clear my graph' mutation the round-3 verdict
+    flagged as a k-gap user's first UPDATE): insert a probe, drop one
+    source's named graph, delete a predicate store-wide, then count
+    quads per graph — sensitive to all three statements. The engine
+    CLEAR is one vectorized graph filter; the oracle mirrors it as a
+    WHERE-filter CTE in the chained-update compilation."""
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+    from k_gap_ray.sparql_update import apply_update
+
+    mutated = apply_update(_docs_quads(sf_dir), DOCS_SPARQL_CLEAR)
+    res = sparql_select(mutated, DOCS_SPARQL_AFTER_CLEAR)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("g", _pa.string()), ("n", _pa.int64())]))
+
+
 DOCS_SPARQL_FTS = """
 PREFIX kfts: <urn:kgap:fts:>
 SELECT ?e ?score WHERE {
@@ -2937,6 +2973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_lang_confusion": _doc_lang_confusion,
         "q_emb_cluster_sample": _emb_cluster_sample,
         "q_emb_medoids": _emb_medoids,
+        "q_sparql_docs_clear": _sparql_docs_clear,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3621,6 +3658,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sparql_docs_countdistinct":
             _sql_sparql_docs_q(DOCS_SPARQL_COUNTDISTINCT),
         "q_sparql_docs_update": _sql_sparql_docs_update(),
+        "q_sparql_docs_clear": _sql_sparql_docs_clear(),
         "q_sparql_docs_fts": _sql_sparql_docs_fts(),
         "q_sparql_docs_avg": _sql_sparql_docs_q(DOCS_SPARQL_AVG),
         "q_sparql_docs_groupconcat":
@@ -3726,6 +3764,18 @@ def _sql_sparql_docs_update() -> str:
                                         quads_rel="quads")
     return (_sql_ctes("documents") + _sql_quads_cte() + ",\n" + frag
             + "\n" + sparql_to_sql(DOCS_SPARQL_AFTER_UPDATE,
+                                   quads_rel=final))
+
+
+def _sql_sparql_docs_clear() -> str:
+    from k_gap_ray.pipelines.docs_kg import _sql_ctes, _sql_quads_cte
+    from k_gap_ray.sparql import sparql_to_sql
+    from k_gap_ray.sparql_update import sparql_update_cte_sql
+
+    frag, final = sparql_update_cte_sql(DOCS_SPARQL_CLEAR,
+                                        quads_rel="quads")
+    return (_sql_ctes("documents") + _sql_quads_cte() + ",\n" + frag
+            + "\n" + sparql_to_sql(DOCS_SPARQL_AFTER_CLEAR,
                                    quads_rel=final))
 
 

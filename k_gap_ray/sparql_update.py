@@ -11,6 +11,8 @@ separated by ``;``)::
     DELETE WHERE { bgp }
     DELETE { tmpl } INSERT { tmpl } WHERE { bgp [FILTER ...] }
         (either the DELETE or the INSERT part may be omitted)
+    CLEAR [SILENT] GRAPH <iri>   (drop every quad of one graph)
+    CLEAR [SILENT] ALL           (empty the store, schema preserved)
 
 Engine subset, defined so BOTH backends implement the same rule:
 
@@ -67,6 +69,7 @@ class UpdateOp:
     insert_templates: list[Pattern] = field(default_factory=list)
     delete_templates: list[Pattern] = field(default_factory=list)
     where: SparqlQuery | None = None  # None => ground DATA form
+    clear_graph: str | None = None    # iri, or "*" for CLEAR ALL
 
 
 # ---------------------------------------------------------------------------
@@ -178,9 +181,23 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                 ops.append(UpdateOp(
                     insert_templates=ins, delete_templates=dels,
                     where=_mk_where(pats, flts, dels + ins)))
+        elif p.kw("CLEAR"):
+            p.kw("SILENT")  # accepted and ignored (store never errors)
+            if p.kw("ALL"):
+                ops.append(UpdateOp(clear_graph="*"))
+            elif p.kw("GRAPH"):
+                g = p.term()
+                if g.kind != "iri":
+                    raise ValueError("CLEAR GRAPH needs an IRI")
+                ops.append(UpdateOp(clear_graph=g.value))
+            else:
+                k, v = p.peek()
+                raise ValueError(
+                    f"CLEAR supports GRAPH <iri> or ALL, got {v!r}")
         else:
             k, v = p.peek()
-            raise ValueError(f"expected INSERT or DELETE, got {v!r}")
+            raise ValueError(f"expected INSERT, DELETE or CLEAR, "
+                             f"got {v!r}")
         if p.i < len(p.toks) and p.peek() == ("op", ";"):
             p.next()
     return ops
@@ -398,6 +415,20 @@ def _apply_one(quads, op: UpdateOp, broadcast_cap: int):
 
     columns = [c for c in QUAD_COLS if c in quads.schema().names]
 
+    if op.clear_graph is not None:
+        if op.clear_graph == "*":
+            # typed-empty blocks (schema preserved) — downstream ops
+            # keep their count() probes happy
+            return quads.map_batches(lambda t: t.slice(0, 0),
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        g = op.clear_graph
+        return quads.map_batches(
+            lambda t, _g=g: t.filter(
+                pc.not_equal(pc.fill_null(t.column("graph"), ""),
+                             pa.scalar(_g))),
+            batch_format="pyarrow", zero_copy_batch=True)
+
     if op.where is None:
         del_tbl = (_ground_table(op.delete_templates, ["subj", "pred", "obj"])
                    if op.delete_templates else None)
@@ -549,6 +580,14 @@ def sparql_update_cte_sql(ops, quads_rel: str = "quads",
                  f"FROM {quads_rel})")
     prev = "qU0"
     for i, op in enumerate(ops, start=1):
+        if op.clear_graph is not None:
+            cond = ("FALSE" if op.clear_graph == "*"
+                    else f"coalesce(graph, '') <> "
+                         f"{_sql_str(op.clear_graph)}")
+            parts.append(f"qU{i} AS MATERIALIZED (SELECT {col_list} "
+                         f"FROM {prev} WHERE {cond})")
+            prev = f"qU{i}"
+            continue
         if op.where is not None:
             bsql = sparql_to_sql(op.where, quads_rel=prev)
             parts.append(f"b{i} AS MATERIALIZED (\n{bsql})")

@@ -180,3 +180,58 @@ def test_apply_update_store_buckets(ray_session, tmp_path):
     back = sorted((r["subj"], r["pred"], r["obj"])
                   for r in read_store(store).take_all())
     assert back == EXPECTED
+
+
+def test_clear_graph_and_clear_all(ray_session):
+    """CLEAR GRAPH drops exactly one named graph (inserted-this-
+    sequence rows in other graphs survive); CLEAR ALL empties the
+    store but keeps the schema so later statements still apply."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_quads_table())
+    out = apply_update(ds, """
+        PREFIX p: <urn:p:>
+        PREFIX e: <urn:e:>
+        INSERT DATA { e:probe p:name "probe" . } ;
+        CLEAR GRAPH <g1>
+    """).take_all()
+    graphs = {r["graph"] for r in out}
+    assert "g1" not in graphs
+    assert {r["subj"] for r in out} == {"urn:e:c", "urn:e:probe"}
+
+    # CLEAR ALL then insert: only the new row remains
+    out2 = apply_update(ds, """
+        PREFIX p: <urn:p:>
+        PREFIX e: <urn:e:>
+        CLEAR ALL ;
+        INSERT DATA { e:only p:name "solo" . }
+    """).take_all()
+    assert [r["subj"] for r in out2] == ["urn:e:only"]
+
+    # SILENT accepted; parser rejects unsupported targets
+    ops = parse_sparql_update("CLEAR SILENT GRAPH <g2>")
+    assert ops[0].clear_graph == "g2"
+    with pytest.raises(ValueError):
+        parse_sparql_update("CLEAR NAMED")
+
+
+def test_clear_graph_sql_mirror_matches(ray_session):
+    import ray.data as rd
+
+    script = """
+        PREFIX p: <urn:p:>
+        PREFIX e: <urn:e:>
+        INSERT DATA { e:probe p:name "probe" . } ;
+        CLEAR GRAPH <g1> ;
+        DELETE WHERE { ?a p:name ?n }
+    """
+    got = sorted((r["subj"], r["pred"], r["obj"], r["graph"])
+                 for r in apply_update(rd.from_arrow(_quads_table()),
+                                       script).take_all())
+    frag, final = sparql_update_cte_sql(script, quads_rel="base")
+    con = duckdb.connect()
+    con.register("base", _quads_table())
+    want = sorted(map(tuple, con.execute(
+        f"WITH {frag} SELECT subj, pred, obj, graph FROM {final} "
+        f"ORDER BY 1, 2, 3").fetchall()))
+    assert got == want
