@@ -13,6 +13,7 @@ separated by ``;``)::
         (either the DELETE or the INSERT part may be omitted)
     CLEAR [SILENT] GRAPH <iri>   (drop every quad of one graph)
     CLEAR [SILENT] ALL           (empty the store, schema preserved)
+    DROP  [SILENT] GRAPH <iri> | ALL   (== CLEAR: no empty-graph state)
 
 Engine subset, defined so BOTH backends implement the same rule:
 
@@ -181,19 +182,21 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                 ops.append(UpdateOp(
                     insert_templates=ins, delete_templates=dels,
                     where=_mk_where(pats, flts, dels + ins)))
-        elif p.kw("CLEAR"):
+        elif p.kw("CLEAR") or p.kw("DROP"):
+            # DROP == CLEAR here: the store tracks no empty graphs, so
+            # removing a graph's quads IS removing the graph
             p.kw("SILENT")  # accepted and ignored (store never errors)
             if p.kw("ALL"):
                 ops.append(UpdateOp(clear_graph="*"))
             elif p.kw("GRAPH"):
                 g = p.term()
                 if g.kind != "iri":
-                    raise ValueError("CLEAR GRAPH needs an IRI")
+                    raise ValueError("CLEAR/DROP GRAPH needs an IRI")
                 ops.append(UpdateOp(clear_graph=g.value))
             else:
                 k, v = p.peek()
                 raise ValueError(
-                    f"CLEAR supports GRAPH <iri> or ALL, got {v!r}")
+                    f"CLEAR/DROP supports GRAPH <iri> or ALL, got {v!r}")
         else:
             k, v = p.peek()
             raise ValueError(f"expected INSERT, DELETE or CLEAR, "

@@ -211,6 +211,8 @@ def test_clear_graph_and_clear_all(ray_session):
     # SILENT accepted; parser rejects unsupported targets
     ops = parse_sparql_update("CLEAR SILENT GRAPH <g2>")
     assert ops[0].clear_graph == "g2"
+    ops = parse_sparql_update("DROP GRAPH <g2> ; DROP SILENT ALL")
+    assert [o.clear_graph for o in ops] == ["g2", "*"]
     with pytest.raises(ValueError):
         parse_sparql_update("CLEAR NAMED")
 
