@@ -2974,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_cluster_sample": _emb_cluster_sample,
         "q_emb_medoids": _emb_medoids,
         "q_sparql_docs_clear": _sparql_docs_clear,
+        "q_sssp_dist": _sssp_dist,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3676,6 +3677,7 @@ def oracle_sql() -> dict[str, str]:
             _sql_sparql_direct_q(DOCS_SPARQL_DATETIME),
         "q_triangles": _sql_docs_triangles(),
         "q_bfs_depths": _sql_docs_bfs(),
+        "q_sssp_dist": _sql_docs_sssp(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -3832,10 +3834,50 @@ def _sql_docs_triangles() -> str:
     return sql_docs_triangles(_TRI_PREDS)
 
 
+def _sssp_dist(sf_dir: str):
+    """Weighted shortest paths (semi-naive Bellman-Ford) over the
+    docs funding graph: weights are the pinned deterministic
+    1 + (|src| + |dst|) % 9 so a cheaper-but-longer route can beat
+    the hop-minimal one (the case BFS cannot express); per round one
+    frontier⋈edges join + one groupby-Min + one improved-node left
+    join. Oracle: hop-bounded recursive CTE + GROUP BY min."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.graph import sssp_int
+
+    quads = _docs_quads(sf_dir)
+
+    def edge_scan(t):
+        m = pc.equal(t.column("pred"), "urn:kgap:pred:funds")
+        s = t.column("subj").filter(m)
+        o = t.column("obj").filter(m)
+        tot = pc.cast(pc.add(pc.utf8_length(s), pc.utf8_length(o)),
+                      pa.int64())
+        mod9 = pc.subtract(tot, pc.multiply(
+            pc.divide(tot, pa.scalar(9, pa.int64())),
+            pa.scalar(9, pa.int64())))
+        return pa.table({"src": s, "dst": o,
+                         "w": pc.add(mod9, pa.scalar(1, pa.int64()))})
+
+    edges = quads.map_batches(edge_scan, batch_format="pyarrow")
+    seeds = quads.map_batches(
+        lambda t: pa.table({"node": t.column("subj").filter(
+            pc.equal(t.column("pred"), "urn:kgap:pred:manages"))}),
+        batch_format="pyarrow")
+    return sssp_int(edges, seeds, num_partitions=4).sort("node")
+
+
 def _sql_docs_bfs() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_bfs
 
     return sql_docs_bfs("urn:kgap:pred:funds", "urn:kgap:pred:manages")
+
+
+def _sql_docs_sssp() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_sssp
+
+    return sql_docs_sssp("urn:kgap:pred:funds", "urn:kgap:pred:manages")
 
 
 def _sql_docs_ask() -> str:

@@ -467,3 +467,96 @@ def sql_bfs_depths(edges_sql: str, seeds_sql: str,
   WHERE b.d < {max_depth}
 )
 SELECT node, min(d) AS depth FROM __bfs GROUP BY node"""
+
+
+def sssp_int(edges_ds, seeds_ds, max_hops: int = 12,
+             num_partitions: int | None = None):
+    """Weighted shortest paths from a seed SET (semi-naive
+    Bellman-Ford): Dataset(node, dist) with the exact minimum integer
+    cost over walks of at most ``max_hops`` edges — which IS the true
+    shortest-path cost once an iteration improves nothing (standard
+    Bellman-Ford convergence), and the engine stops right there.
+    Edges carry a non-negative int64 ``w``; seeds are dist 0.
+
+    Same per-round shape as :func:`bfs_depths` — ONE hash join
+    (frontier ⋈ edges on src) + ONE groupby-Min — plus one left join
+    against the previous distances to find the IMPROVED nodes (the
+    weighted case can re-relax an already-visited node, so "new this
+    round" is dist-based, not round-tagged).  Per-round work is
+    proportional to the frontier; cycles terminate because a cycle of
+    non-negative weight never improves a distance.
+
+    DuckDB oracle: :func:`sql_sssp` (hop-bounded recursive CTE with
+    UNION set semantics, reduced by GROUP BY min).
+    """
+    from ray.data.aggregate import Min
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    def min_dist(ds):
+        return drop_empty_blocks(
+            ds.groupby("node").aggregate(Min("dist", alias_name="dist"))
+            .map_batches(lambda t: t.select(["node", "dist"]),
+                         batch_format="pyarrow").materialize())
+
+    visited = min_dist(seeds_ds.map_batches(
+        lambda t: pa.table({
+            "node": pc.cast(t.column("node"), pa.string()),
+            "dist": pa.array([0] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow"))
+    frontier = visited
+    if visited.count() == 0:
+        return visited
+    edges = drop_empty_blocks(edges_ds.map_batches(
+        lambda t: pa.table({"src": pc.cast(t.column("src"), pa.string()),
+                            "dst": pc.cast(t.column("dst"), pa.string()),
+                            "w": pc.cast(t.column("w"), pa.int64())}),
+        batch_format="pyarrow").materialize())
+    if edges.count() == 0:
+        return visited
+    for _ in range(max_hops):
+        cand = join_datasets(
+            frontier, edges, on="node", right_on="src",
+            num_partitions=num_partitions,
+            scrub_left=False, scrub_right=False) \
+            .map_batches(lambda t: pa.table({
+                "node": t.column("dst"),
+                "dist": pc.add(t.column("dist"), t.column("w"))}),
+                batch_format="pyarrow")
+        new_visited = min_dist(visited.union(cand))
+        old = visited.map_batches(
+            lambda t: t.rename_columns(["node", "old"]),
+            batch_format="pyarrow")
+        j = join_datasets(new_visited, old, on="node",
+                          join_type="left_outer",
+                          num_partitions=num_partitions,
+                          scrub_left=True, scrub_right=True)
+        frontier = drop_empty_blocks(j.map_batches(
+            lambda t: t.filter(pc.or_(
+                pc.is_null(t.column("old")),
+                pc.less(t.column("dist"),
+                        pc.fill_null(t.column("old"),
+                                     pa.scalar(0, pa.int64())))))
+            .select(["node", "dist"]),
+            batch_format="pyarrow").materialize())
+        visited = new_visited
+        if frontier.count() == 0:
+            break
+    return visited
+
+
+def sql_sssp(edges_sql: str, seeds_sql: str, max_hops: int = 12,
+             lead: str = "WITH RECURSIVE") -> str:
+    """DuckDB oracle for :func:`sssp_int`: hop-bounded recursive CTE
+    over (node, dist, hops) with UNION set semantics, GROUP BY min.
+    ``edges_sql`` yields (src, dst, w); ``seeds_sql`` yields (node)."""
+    return f"""{lead} __sp(node, dist, h) AS (
+  SELECT DISTINCT CAST(node AS VARCHAR), CAST(0 AS BIGINT), 0
+  FROM ({seeds_sql}) __s
+  UNION
+  SELECT CAST(e.dst AS VARCHAR), p.dist + e.w, p.h + 1
+  FROM __sp p JOIN ({edges_sql}) e ON CAST(e.src AS VARCHAR) = p.node
+  WHERE p.h < {max_hops}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM __sp GROUP BY node"""

@@ -463,3 +463,22 @@ men AS (
 SELECT entity AS entity_id, COUNT(*) AS n_mentions
 FROM men GROUP BY entity
 """
+
+
+def sql_docs_sssp(edge_pred: str, seed_pred: str, max_hops: int = 12,
+                  docs_table: str = "documents") -> str:
+    """DuckDB oracle for weighted shortest paths over the docs-derived
+    quads: graph = ``edge_pred`` edges with the deterministic integer
+    weight ``1 + (length(src) + length(dst)) % 9`` (pinned identically
+    on the Ray side — codepoint lengths of the endpoint IRIs), seeds =
+    distinct subjects of ``seed_pred``, closed by the hop-bounded
+    recursive CTE from functions/graph.py:sql_sssp."""
+    from k_gap_ray.functions.graph import sql_sssp
+
+    edges = ("SELECT subj AS src, obj AS dst, "
+             "1 + (length(subj) + length(obj)) % 9 AS w "
+             "FROM quads WHERE pred = " + _q(edge_pred))
+    seeds = ("SELECT DISTINCT subj AS node FROM quads WHERE pred = "
+             + _q(seed_pred))
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sql_sssp(edges, seeds, max_hops=max_hops, lead=","))

@@ -1892,3 +1892,30 @@ def test_interevent_gap_hist_matches_oracle(ray_session, sf_dir):
     n, u = con.execute("SELECT count(*), count(DISTINCT user_id) "
                        "FROM events").fetchone()
     assert sum(r["n"] for r in got.to_pylist()) == n - u
+
+
+def test_sssp_prefers_cheap_long_route_and_matches_sql(ray_session):
+    """a->z direct costs 10; a->b->c->z costs 3 hops x 1 = 3: the
+    weighted relaxation must keep improving an ALREADY-visited node
+    (z enters at dist 10 on round 1, drops to 3 on round 3). A
+    back-edge cycle must not loop."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import sql_sssp, sssp_int
+
+    edges = pa.table({
+        "src": ["a", "a", "b", "c", "z"],
+        "dst": ["z", "b", "c", "z", "a"],   # z->a closes a cycle
+        "w": pa.array([10, 1, 1, 1, 1], pa.int64())})
+    seeds = pa.table({"node": ["a"]})
+    got = {r["node"]: r["dist"] for r in
+           sssp_int(rd.from_arrow(edges).repartition(2),
+                    rd.from_arrow(seeds)).take_all()}
+    assert got == {"a": 0, "b": 1, "c": 2, "z": 3}
+    con = duckdb.connect()
+    con.register("e", edges)
+    con.register("s", seeds)
+    want = dict(con.execute(sql_sssp("SELECT * FROM e",
+                                     "SELECT node FROM s")).fetchall())
+    assert got == want
