@@ -488,6 +488,22 @@ def _events_funnel(sf_dir: str):
                          _FUNNEL_STEPS)
 
 
+_FUNNEL_WINDOW_US = 48 * 3_600_000_000
+
+
+def _events_funnel_windowed(sf_dir: str):
+    """Funnel with a 48h conversion window: greedy-earliest is NOT
+    exact under expiry, so each pass carries the full feasible-time
+    set (bounded by the step's event count) and gates the next step
+    by a two-key searchsorted against the broadcast arrays."""
+    from k_gap_ray.functions.funnel import funnel_windowed
+    from k_gap_ray.relational import _read
+
+    return funnel_windowed(_read(sf_dir, "events",
+                                 ["user_id", "event_type", "ts"]),
+                           _FUNNEL_STEPS, window_us=_FUNNEL_WINDOW_US)
+
+
 def _events_retention(sf_dir: str):
     """Retention cohorts: first-event epoch-day cohort x day-offset
     distinct-active-user counts. Distinct (user, day) rides a
@@ -2975,6 +2991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_medoids": _emb_medoids,
         "q_sparql_docs_clear": _sparql_docs_clear,
         "q_sssp_dist": _sssp_dist,
+        "q_events_funnel_windowed": _events_funnel_windowed,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3285,6 +3302,8 @@ def oracle_sql() -> dict[str, str]:
         "q_events_props_stats": _jx.sql_json_field_stats(
             "props", "k", by="event_type"),
         "q_events_funnel": _fn.sql_funnel(_FUNNEL_STEPS),
+        "q_events_funnel_windowed": _fn.sql_funnel_windowed(
+            _FUNNEL_STEPS, _FUNNEL_WINDOW_US),
         "q_events_retention": _fn.sql_retention(),
         "q_doc_collocations": _cl.sql_collocations(k=30),
         "q_doc_bigram_lm": _cl.sql_bigram_lm_score(top_pairs=2000),

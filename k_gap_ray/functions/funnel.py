@@ -503,3 +503,158 @@ def sql_burst_scores(window_days: int = 7, rel: str = "events") -> str:
         FROM b WHERE baseline > 0
         ORDER BY event_type, day
     """
+
+
+def funnel_windowed(events_ds, steps: list[str], window_us: int,
+                    user_col: str = "user_id", type_col: str = "event_type",
+                    ts_col: str = "ts",
+                    broadcast_cap: int = 2_000_000) -> pa.Table:
+    """Funnel with a CONVERSION WINDOW: a user completes step k iff
+    some step-k event falls within ``(t', t' + window_us]`` of a
+    FEASIBLE step-(k-1) event time t'.  Greedy earliest-completion is
+    NOT exact here (the earliest step-1 event may expire while a later
+    one converts), so each pass carries the full FEASIBLE-TIME SET:
+
+    - feasible_1 = all step-1 event times;
+    - feasible_k = step-k event times with a qualifying predecessor —
+      and the LARGEST feasible t' below ts is the decisive candidate
+      (if any t' < ts has ts <= t' + W, the largest such t' does too),
+      so the check is one searchsorted against the broadcast
+      (user, t')-sorted feasible arrays.
+
+    Distribution: pass k filters the event stream and prunes
+    duplicates per batch (one lexsort + consecutive mask); the
+    feasible set — bounded by that STEP's event count, not by users —
+    lands on the driver under ``broadcast_cap`` rows and broadcasts
+    into the next pass.  Above the cap the exact fallback is a range
+    join per step — not wired; the loud error names it.
+    -> pa.Table (step, event_type, users).
+    """
+    import ray
+
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+
+    def typed_pairs(st):
+        def f(t: pa.Table, _st=st) -> pa.Table:
+            m = pc.equal(t.column(type_col), pa.scalar(_st))
+            t = t.filter(m)
+            u = t.column(user_col).combine_chunks() \
+                if isinstance(t.column(user_col), pa.ChunkedArray) \
+                else t.column(user_col)
+            us = u.to_numpy(zero_copy_only=False)
+            ts = _ts_us(t.column(ts_col)).to_numpy(zero_copy_only=False)
+            order = np.lexsort((ts, us))
+            us, ts = us[order], ts[order]
+            keep = np.ones(len(us), dtype=bool)   # in-batch dedupe
+            keep[1:] = (us[1:] != us[:-1]) | (ts[1:] != ts[:-1])
+            return pa.table({user_col: pa.array(us[keep], pa.int64()),
+                             "ts_us": pa.array(ts[keep], pa.int64())})
+        return f
+
+    counts: list[int] = []
+    prev_u = prev_t = None          # (user, ts)-lexsorted feasible set
+    for k, st in enumerate(steps):
+        stream = events_ds.map_batches(typed_pairs(st),
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        if k > 0:
+            if len(prev_u) == 0:
+                counts.append(0)
+                continue
+            ref = ray.put((prev_u, prev_t))
+
+            def gated(t: pa.Table, _ref=ref) -> pa.Table:
+                import ray as _r
+
+                pu, pt = _r.get(_ref)
+                us = t.column(user_col).to_numpy(zero_copy_only=False)
+                ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+                # largest feasible (user, t') strictly below (user, ts)
+                # in the (u, t)-lexsorted arrays: classic two-key
+                # searchsorted via a per-user offset walk
+                idx = _pair_searchsorted(pu, pt, us, ts) - 1
+                ok = idx >= 0
+                idx_c = np.maximum(idx, 0)
+                ok &= (pu[idx_c] == us) & (pt[idx_c] < ts) \
+                    & (ts <= pt[idx_c] + window_us)
+                return pa.table({
+                    user_col: pa.array(us[ok], pa.int64()),
+                    "ts_us": pa.array(ts[ok], pa.int64())})
+
+            stream = stream.map_batches(gated, batch_format="pyarrow")
+
+        rows = stream.take_all()    # <= step event count, under cap
+        if len(rows) > broadcast_cap:
+            raise NotImplementedError(
+                f"feasible set {len(rows)} rows exceeds broadcast_cap; "
+                "wire the range-join fallback for this step")
+        u = np.array([r[user_col] for r in rows], dtype=np.int64)
+        t = np.array([r["ts_us"] for r in rows], dtype=np.int64)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        keep = np.ones(len(u), dtype=bool)        # cross-batch dedupe
+        keep[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+        prev_u, prev_t = u[keep], t[keep]
+        counts.append(int(len(np.unique(prev_u))))
+
+    return pa.table({
+        "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+        "event_type": pa.array(list(steps), pa.string()),
+        "users": pa.array(counts, pa.int64())})
+
+
+def _pair_searchsorted(pu: np.ndarray, pt: np.ndarray,
+                       us: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """For each query pair (us[i], ts[i]) the insertion index into
+    the (pu, pt)-lexsorted pair arrays (side='left') — vectorized:
+    user-block bounds via two searchsorteds on pu, then a bounded
+    searchsorted per DISTINCT query user's block (loop over distinct
+    users present in the batch, not rows)."""
+    out = np.zeros(len(us), dtype=np.int64)
+    if len(pu) == 0 or len(us) == 0:
+        return out
+    lo = np.searchsorted(pu, us, side="left")
+    hi = np.searchsorted(pu, us, side="right")
+    order = np.argsort(us, kind="stable")
+    us_o = us[order]
+    block_start = np.ones(len(us_o), dtype=bool)
+    block_start[1:] = us_o[1:] != us_o[:-1]
+    for s in np.flatnonzero(block_start):
+        e = s + 1
+        while e < len(us_o) and us_o[e] == us_o[s]:
+            e += 1
+        rows = order[s:e]
+        l, h = lo[rows[0]], hi[rows[0]]
+        out[rows] = l + np.searchsorted(pt[l:h], ts[rows], side="left")
+    return out
+
+
+def sql_funnel_windowed(steps: list[str], window_us: int,
+                        rel: str = "events") -> str:
+    """DuckDB mirror of :func:`funnel_windowed` — per-step EXISTS
+    against the previous feasible set."""
+    ctes = []
+    for i, st in enumerate(steps):
+        name, s = f"f{i + 1}", st.replace("'", "''")
+        if i == 0:
+            ctes.append(
+                f"{name} AS (SELECT DISTINCT user_id, "
+                f"epoch_us(ts) AS t FROM {rel} "
+                f"WHERE event_type = '{s}')")
+        else:
+            prev = f"f{i}"
+            ctes.append(
+                f"{name} AS (SELECT DISTINCT e.user_id, "
+                f"epoch_us(e.ts) AS t FROM {rel} e "
+                f"WHERE e.event_type = '{s}' AND EXISTS ("
+                f"SELECT 1 FROM {prev} p WHERE p.user_id = e.user_id "
+                f"AND p.t < epoch_us(e.ts) "
+                f"AND epoch_us(e.ts) <= p.t + {window_us}))")
+    arms = [
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, "
+        f"'{st.replace(chr(39), chr(39) * 2)}' AS event_type, "
+        f"count(DISTINCT user_id)::BIGINT AS users FROM f{i + 1}"
+        for i, st in enumerate(steps)]
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT * FROM ("
+            + " UNION ALL ".join(arms) + ") ORDER BY step")

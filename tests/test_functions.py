@@ -1919,3 +1919,52 @@ def test_sssp_prefers_cheap_long_route_and_matches_sql(ray_session):
     want = dict(con.execute(sql_sssp("SELECT * FROM e",
                                      "SELECT node FROM s")).fetchall())
     assert got == want
+
+
+def test_funnel_windowed_expiry_and_oracle(ray_session, sf_dir):
+    """Windowed funnel where greedy-earliest FAILS: user 1's first
+    signup expires before the view, but a later signup qualifies;
+    user 2 has view->purchase outside the window (stops at view)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.funnel import (funnel_windowed,
+                                            sql_funnel_windowed)
+
+    W = 2 * 3_600_000_000   # 2h window
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "signup", 0), (1, "signup", 10), (1, "view", 11),
+        (1, "purchase", 12),
+        (2, "signup", 0), (2, "view", 1), (2, "purchase", 20),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([base + dt.timedelta(hours=r[2]) for r in rows],
+                       pa.timestamp("us"))})
+    got = funnel_windowed(rd.from_arrow(tbl).repartition(3),
+                          ["signup", "view", "purchase"], window_us=W)
+    assert got.column("users").to_pylist() == [2, 2, 1]
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(sql_funnel_windowed(
+        ["signup", "view", "purchase"], W)).fetchall()
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+
+    # corpus case at the sf tier
+    etbl = pq.read_table(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts"])
+    W2 = 48 * 3_600_000_000
+    got2 = funnel_windowed(rd.from_arrow(etbl).repartition(4),
+                           ["signup", "view", "purchase"], window_us=W2)
+    con2 = duckdb.connect()
+    con2.register("events", etbl)
+    want2 = con2.execute(sql_funnel_windowed(
+        ["signup", "view", "purchase"], W2)).fetchall()
+    assert [tuple(r.values()) for r in got2.to_pylist()] == want2
