@@ -865,6 +865,48 @@ def _pagerank(sf_dir: str):
     return pagerank_int(edges, iters=3, num_partitions=8)
 
 
+def _ppr(sf_dir: str):
+    """Personalized PageRank (seed-biased ranking, the entity-
+    recommendation idiom): teleport mass and initial rank land only on
+    the seed nodes — every 97th order — so rank flows outward from the
+    personalization set; nodes unreachable from seeds rank 0. Same
+    exact-integer recurrence and chained-CTE oracle as q_pagerank."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.graph import pagerank_int
+    from k_gap_ray.relational import _read
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(lambda t: pa.table({
+            "src": pc.multiply(pc.cast(t.column("l_orderkey"), pa.int64()),
+                               pa.scalar(2, pa.int64())),
+            "dst": pc.add(
+                pc.multiply(pc.cast(t.column("l_partkey"), pa.int64()),
+                            pa.scalar(2, pa.int64())),
+                pa.scalar(1, pa.int64()))}),
+            batch_format="pyarrow")
+
+    def seed_scan(t: pa.Table) -> pa.Table:
+        col = t.column("l_orderkey")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        k = pc.cast(col, pa.int64())
+        mod = pc.subtract(k, pc.multiply(
+            pc.divide(k, pa.scalar(97, pa.int64())),
+            pa.scalar(97, pa.int64())))
+        hit = pc.filter(k, pc.equal(mod, pa.scalar(0, pa.int64())))
+        return pa.table({"node": pc.unique(pc.multiply(
+            hit, pa.scalar(2, pa.int64())))})
+
+    # the personalization vector is by contract driver-provided
+    # (inherently query-sized); derive it here deterministically
+    seed_rows = _read(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(seed_scan, batch_format="pyarrow").take_all()
+    seeds = sorted({r["node"] for r in seed_rows})
+    return pagerank_int(edges, iters=3, num_partitions=8, seeds=seeds)
+
+
 def _emb_near_dup(sf_dir: str):
     import ray.data as rd
 
@@ -2992,6 +3034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sparql_docs_clear": _sparql_docs_clear,
         "q_sssp_dist": _sssp_dist,
         "q_events_funnel_windowed": _events_funnel_windowed,
+        "q_ppr": _ppr,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4480,6 +4523,11 @@ def _text_analysis_oracles() -> dict[str, str]:
         "q_pagerank": sql_pagerank(
             "SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst "
             "FROM lineitem", iters=3),
+        "q_ppr": sql_pagerank(
+            "SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst "
+            "FROM lineitem", iters=3,
+            seeds_sql="SELECT DISTINCT l_orderkey * 2 AS node "
+                      "FROM lineitem WHERE l_orderkey % 97 = 0"),
         "q_emb_near_dup": emb_near_dup,
         "q_emb_sim_join": emb_sim_join,
         "q_emb_dedup_survivors": f"""

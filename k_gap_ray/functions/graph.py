@@ -54,7 +54,8 @@ def _distinct_nodes(edges_ds):
 def pagerank_int(edges_ds, iters: int = 5, scale: int = 1_000_000,
                  damping_num: int = 85, damping_den: int = 100,
                  num_partitions: int | None = None,
-                 driver_cap: int = 2_000_000):
+                 driver_cap: int = 2_000_000,
+                 seeds: list[str] | None = None):
     """Edge list Dataset(src, dst) -> Dataset(node, rank) after
     ``iters`` exact-integer PageRank iterations.
 
@@ -69,6 +70,13 @@ def pagerank_int(edges_ds, iters: int = 5, scale: int = 1_000_000,
     groupby whose multi-second FIXED cost dwarfs the arithmetic at
     gate scale (measured 55.6 s -> ~4 s at sf0.01). The Dataset path
     above the cap is byte-identical in arithmetic.
+
+    ``seeds`` switches to PERSONALIZED PageRank (the seed-biased
+    ranking entity recommendation runs): the teleport mass lands only
+    on seed nodes and the initial rank is ``scale`` on seeds / 0
+    elsewhere — the unnormalized integer variant, pinned identically
+    in the SQL mirror. ``None`` keeps classic uniform PageRank,
+    bit-for-bit as before.
     """
     from ray.data.aggregate import Sum
 
@@ -98,17 +106,51 @@ def pagerank_int(edges_ds, iters: int = 5, scale: int = 1_000_000,
         s_idx, d_idx = inv[:len(src)], inv[len(src):]
         deg = np.bincount(s_idx, minlength=len(uniq)).astype(np.int64)
         deg_safe = np.maximum(deg, 1)  # sink nodes never indexed via src
-        ranks = np.full(len(uniq), scale, dtype=np.int64)
+        if seeds is None:
+            tp = np.full(len(uniq), teleport, dtype=np.int64)
+            ranks = np.full(len(uniq), scale, dtype=np.int64)
+        else:
+            is_seed = np.isin(uniq, np.array(sorted(set(seeds))))
+            tp = np.where(is_seed, teleport, 0).astype(np.int64)
+            ranks = np.where(is_seed, scale, 0).astype(np.int64)
         for _ in range(iters):
             contrib = ranks[s_idx] // deg_safe[s_idx]
             insum = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(insum, d_idx, contrib)
-            ranks = teleport + (damping_num * insum) // damping_den
+            ranks = tp + (damping_num * insum) // damping_den
         return rd.from_arrow(pa.table({
             "node": pa.array(uniq), "rank": pa.array(ranks, pa.int64())}))
 
     teleport = (scale * (damping_den - damping_num)) // damping_den
     np_kw = {"num_partitions": num_partitions}
+
+    if seeds is None:
+        def tp_of(node_col) -> pa.Array:
+            return pa.array([teleport] * len(node_col), pa.int64())
+
+        def init_of(node_col) -> pa.Array:
+            return pa.array([scale] * len(node_col), pa.int64())
+    else:
+        import ray as _ray
+
+        _seed_ref = _ray.put(pa.array(sorted(set(seeds)), pa.string()))
+
+        def _member(node_col) -> pa.Array:
+            import ray as _r
+
+            col = node_col.combine_chunks() \
+                if isinstance(node_col, pa.ChunkedArray) else node_col
+            return pc.is_in(col, value_set=_r.get(_seed_ref))
+
+        def tp_of(node_col) -> pa.Array:
+            return pc.if_else(_member(node_col),
+                              pa.scalar(teleport, pa.int64()),
+                              pa.scalar(0, pa.int64()))
+
+        def init_of(node_col) -> pa.Array:
+            return pc.if_else(_member(node_col),
+                              pa.scalar(scale, pa.int64()),
+                              pa.scalar(0, pa.int64()))
 
     deg = (edges_ds.groupby("src").count()
            .map_batches(lambda t: pa.table({
@@ -138,14 +180,14 @@ def pagerank_int(edges_ds, iters: int = 5, scale: int = 1_000_000,
         .map_batches(
             lambda t: pa.table({
                 "node": t.column("node"),
-                "rank": pa.array([teleport] * t.num_rows, pa.int64()),
+                "rank": tp_of(t.column("node")),
             }).filter(pc.is_null(t.column("has_in"))),
             batch_format="pyarrow").materialize()
 
     ranks = nodes.map_batches(
         lambda t: pa.table({
             "node": t.column("node"),
-            "rank": pa.array([scale] * t.num_rows, pa.int64())}),
+            "rank": init_of(t.column("node"))}),
         batch_format="pyarrow")
 
     for _ in range(iters):
@@ -169,7 +211,7 @@ def pagerank_int(edges_ds, iters: int = 5, scale: int = 1_000_000,
             lambda t: pa.table({
                 "node": t.column("node"),
                 "rank": pc.add(
-                    pa.scalar(teleport, pa.int64()),
+                    tp_of(t.column("node")),
                     pc.divide(
                         pc.multiply(
                             pa.scalar(damping_num, pa.int64()),
@@ -181,22 +223,36 @@ def pagerank_int(edges_ds, iters: int = 5, scale: int = 1_000_000,
 
 
 def sql_pagerank(edges_sql: str, iters: int = 5, scale: int = 1_000_000,
-                 damping_num: int = 85, damping_den: int = 100) -> str:
+                 damping_num: int = 85, damping_den: int = 100,
+                 seeds_sql: str | None = None) -> str:
     """DuckDB oracle for :func:`pagerank_int`: ``iters`` chained CTEs
     with the identical integer recurrence.  ``edges_sql`` is a SELECT
-    yielding (src, dst)."""
+    yielding (src, dst); ``seeds_sql`` (a SELECT yielding (node))
+    switches to the personalized variant — seed-only teleport, seed-
+    only initial mass — mirroring the engine's ``seeds`` parameter."""
     teleport = (scale * (damping_den - damping_num)) // damping_den
     parts = [f"WITH e AS ({edges_sql}),",
              "nodes AS (SELECT src AS node FROM e UNION "
              "SELECT dst FROM e),",
              "deg AS (SELECT src, count(*)::BIGINT AS deg FROM e "
-             "GROUP BY src),",
-             f"r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)"]
+             "GROUP BY src),"]
+    if seeds_sql is None:
+        tp = f"{teleport}::BIGINT"
+        parts.append(
+            f"r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)")
+    else:
+        parts.append(f"sd AS (SELECT DISTINCT node FROM ({seeds_sql})),")
+        tp = (f"(CASE WHEN n.node IN (SELECT node FROM sd) "
+              f"THEN {teleport} ELSE 0 END)::BIGINT")
+        parts.append(
+            f"r0 AS (SELECT n.node, "
+            f"(CASE WHEN n.node IN (SELECT node FROM sd) "
+            f"THEN {scale} ELSE 0 END)::BIGINT AS rank FROM nodes n)")
     for i in range(1, iters + 1):
         parts.append(f""",
 r{i} AS (
   SELECT n.node,
-         ({teleport}::BIGINT
+         ({tp}
           + ({damping_num}::BIGINT * COALESCE(s.insum, 0))
             // {damping_den})::BIGINT AS rank
   FROM nodes n LEFT JOIN (

@@ -482,3 +482,4 @@ def sql_docs_sssp(edge_pred: str, seed_pred: str, max_hops: int = 12,
              + _q(seed_pred))
     return (_sql_ctes(docs_table) + _sql_quads_cte()
             + sql_sssp(edges, seeds, max_hops=max_hops, lead=","))
+

@@ -1968,3 +1968,28 @@ def test_funnel_windowed_expiry_and_oracle(ray_session, sf_dir):
     want2 = con2.execute(sql_funnel_windowed(
         ["signup", "view", "purchase"], W2)).fetchall()
     assert [tuple(r.values()) for r in got2.to_pylist()] == want2
+
+
+def test_personalized_pagerank_localizes_mass(ray_session):
+    """PPR with seed {a}: nodes unreachable from a rank 0; classic
+    PageRank (seeds=None) over the same graph gives them mass. Both
+    paths (driver-cap and Dataset) must agree with the SQL mirror."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import pagerank_int, sql_pagerank
+
+    edges = pa.table({"src": ["a", "b", "x"], "dst": ["b", "c", "y"]})
+    con = duckdb.connect()
+    con.register("edges_t", edges)
+    for cap in (2_000_000, 0):   # driver path, then Dataset path
+        got = {r["node"]: r["rank"] for r in
+               pagerank_int(rd.from_arrow(edges).repartition(2),
+                            iters=3, seeds=["a"], driver_cap=cap,
+                            num_partitions=2).take_all()}
+        want = dict(con.execute(sql_pagerank(
+            "SELECT src, dst FROM edges_t", iters=3,
+            seeds_sql="SELECT 'a' AS node")).fetchall())
+        assert got == want, cap
+        assert got["x"] == 0 and got["y"] == 0     # not seed-reachable
+        assert got["b"] > 0 and got["c"] > 0
