@@ -907,6 +907,29 @@ def _ppr(sf_dir: str):
     return pagerank_int(edges, iters=3, num_partitions=8, seeds=seeds)
 
 
+def _hits(sf_dir: str):
+    """Unnormalized integer HITS over the order->part bipartite graph
+    (hubs = diversified orders, authorities = popular parts): exact
+    int64 recurrence, chained-CTE mirror, same node-id space as
+    q_pagerank."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.graph import hits_int
+    from k_gap_ray.relational import _read
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(lambda t: pa.table({
+            "src": pc.multiply(pc.cast(t.column("l_orderkey"), pa.int64()),
+                               pa.scalar(2, pa.int64())),
+            "dst": pc.add(
+                pc.multiply(pc.cast(t.column("l_partkey"), pa.int64()),
+                            pa.scalar(2, pa.int64())),
+                pa.scalar(1, pa.int64()))}),
+            batch_format="pyarrow")
+    return hits_int(edges, iters=3, num_partitions=8)
+
+
 def _emb_near_dup(sf_dir: str):
     import ray.data as rd
 
@@ -3035,6 +3058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sssp_dist": _sssp_dist,
         "q_events_funnel_windowed": _events_funnel_windowed,
         "q_ppr": _ppr,
+        "q_hits": _hits,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3969,7 +3993,7 @@ def _sql_sparql_docs_agg() -> str:
 
 
 def _text_analysis_oracles() -> dict[str, str]:
-    from k_gap_ray.functions.graph import sql_pagerank
+    from k_gap_ray.functions.graph import sql_hits, sql_pagerank
     from k_gap_ray.functions.redact import sql_redact
     from k_gap_ray.functions.search import sql_tfidf_search
     from k_gap_ray.functions.textstats import (
@@ -4528,6 +4552,9 @@ def _text_analysis_oracles() -> dict[str, str]:
             "FROM lineitem", iters=3,
             seeds_sql="SELECT DISTINCT l_orderkey * 2 AS node "
                       "FROM lineitem WHERE l_orderkey % 97 = 0"),
+        "q_hits": sql_hits(
+            "SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst "
+            "FROM lineitem", iters=3),
         "q_emb_near_dup": emb_near_dup,
         "q_emb_sim_join": emb_sim_join,
         "q_emb_dedup_survivors": f"""

@@ -616,3 +616,144 @@ def sql_sssp(edges_sql: str, seeds_sql: str, max_hops: int = 12,
 )
 SELECT node, CAST(min(dist) AS BIGINT) AS dist
 FROM __sp GROUP BY node"""
+
+
+def hits_int(edges_ds, iters: int = 3,
+             num_partitions: int | None = None,
+             driver_cap: int = 2_000_000):
+    """UNNORMALIZED integer HITS (Kleinberg 1999, public algorithm):
+    after ``iters`` rounds of  a_t(v) = sum_{u->v} h_{t-1}(u)  and
+    h_t(u) = sum_{u->v} a_t(v)  with h_0 = 1 on every node, return
+    Dataset(node, hub, auth).  Dropping the classical L2 normalization
+    keeps every value an exact int64 (magnitudes grow like
+    (d_in * d_out)^iters — with the default 3 rounds that is safe to
+    ~10^6 mean degree product), so the chained-CTE DuckDB mirror is
+    value-identical; rankings are unchanged by normalization.
+
+    Below ``driver_cap`` edges the rounds run as numpy gathers on the
+    driver (the pagerank_int economics — a distributed round is two
+    hash joins + two groupbys whose fixed cost dwarfs the arithmetic
+    at gate scale); above it, the same recurrence runs as Dataset
+    joins, sparse within rounds (absent node == 0 contributes
+    nothing) and densified once at the end.
+    """
+    from ray.data.aggregate import Sum
+
+    from k_gap_ray.dsutil import join_datasets
+
+    n_edges = edges_ds.count()
+    if n_edges <= driver_cap:
+        import ray
+        import ray.data as rd
+
+        parts = []
+        for p in ray.get(edges_ds.materialize().to_arrow_refs()):
+            if not isinstance(p, pa.Table):
+                p = pa.Table.from_pandas(p, preserve_index=False)
+            if p.num_rows:
+                parts.append(p.select(["src", "dst"]))
+        if not parts:
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.string()),
+                "hub": pa.array([], pa.int64()),
+                "auth": pa.array([], pa.int64())}))
+        t = pa.concat_tables(parts).combine_chunks()
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.concatenate([src, dst]),
+                              return_inverse=True)
+        s_idx, d_idx = inv[:len(src)], inv[len(src):]
+        h = np.ones(len(uniq), dtype=np.int64)
+        a = np.zeros(len(uniq), dtype=np.int64)
+        for _ in range(iters):
+            a = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(a, d_idx, h[s_idx])
+            h = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(h, s_idx, a[d_idx])
+        return rd.from_arrow(pa.table({
+            "node": pa.array(uniq),
+            "hub": pa.array(h, pa.int64()),
+            "auth": pa.array(a, pa.int64())}))
+
+    np_kw = {"num_partitions": num_partitions}
+    edges = edges_ds.map_batches(
+        lambda t: t.select(["src", "dst"]),
+        batch_format="pyarrow").materialize()
+    nodes = _distinct_nodes(edges).materialize()
+    h = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "v": pa.array([1] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow")
+    a = None
+    for _ in range(iters):
+        h_src = h.map_batches(
+            lambda t: pa.table({"src": t.column("node"),
+                                "v": t.column("v")}),
+            batch_format="pyarrow")
+        a = (join_datasets(edges, h_src, on="src",
+                           scrub_left=False, scrub_right=False, **np_kw)
+             .map_batches(lambda t: pa.table({"node": t.column("dst"),
+                                              "v": t.column("v")}),
+                          batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("v", alias_name="v"))
+             .map_batches(lambda t: pa.table({
+                 "node": t.column("node"),
+                 "v": pc.cast(t.column("v"), pa.int64())}),
+                 batch_format="pyarrow"))
+        a_dst = a.map_batches(
+            lambda t: pa.table({"dst": t.column("node"),
+                                "v": t.column("v")}),
+            batch_format="pyarrow")
+        h = (join_datasets(edges, a_dst, on="dst",
+                           scrub_left=False, scrub_right=False, **np_kw)
+             .map_batches(lambda t: pa.table({"node": t.column("src"),
+                                              "v": t.column("v")}),
+                          batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("v", alias_name="v"))
+             .map_batches(lambda t: pa.table({
+                 "node": t.column("node"),
+                 "v": pc.cast(t.column("v"), pa.int64())}),
+                 batch_format="pyarrow"))
+    h_r = h.map_batches(lambda t: t.rename_columns(["node", "hub"]),
+                        batch_format="pyarrow")
+    a_r = a.map_batches(lambda t: t.rename_columns(["node", "auth"]),
+                        batch_format="pyarrow")
+    # h_r/a_r descend from groupbys (zero-row empty-schema blocks
+    # bypass the rename map) -> scrub those sides; the second join's
+    # left side descends from a join, which cannot carry them
+    out = join_datasets(nodes, h_r, on="node", join_type="left_outer",
+                        scrub_left=False, scrub_right=True, **np_kw)
+    out = join_datasets(out, a_r, on="node", join_type="left_outer",
+                        scrub_left=False, scrub_right=True, **np_kw)
+    return out.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "hub": pc.fill_null(pc.cast(t.column("hub"), pa.int64()), 0),
+            "auth": pc.fill_null(pc.cast(t.column("auth"), pa.int64()),
+                                 0)}),
+        batch_format="pyarrow")
+
+
+def sql_hits(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB oracle for :func:`hits_int` — the identical integer
+    recurrence as chained CTEs."""
+    parts = [f"WITH e AS ({edges_sql}),",
+             "nodes AS (SELECT src AS node FROM e UNION "
+             "SELECT dst FROM e),",
+             "h0 AS (SELECT node, 1::BIGINT AS v FROM nodes)"]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS (
+  SELECT e.dst AS node, SUM(h.v)::BIGINT AS v
+  FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst),
+h{i} AS (
+  SELECT e.src AS node, SUM(a.v)::BIGINT AS v
+  FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)""")
+    parts.append(f"""
+SELECT n.node,
+       COALESCE(h.v, 0)::BIGINT AS hub,
+       COALESCE(a.v, 0)::BIGINT AS auth
+FROM nodes n
+LEFT JOIN h{iters} h ON n.node = h.node
+LEFT JOIN a{iters} a ON n.node = a.node""")
+    return "".join(parts)

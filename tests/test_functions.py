@@ -1993,3 +1993,30 @@ def test_personalized_pagerank_localizes_mass(ray_session):
         assert got == want, cap
         assert got["x"] == 0 and got["y"] == 0     # not seed-reachable
         assert got["b"] > 0 and got["c"] > 0
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_hits_matches_sql_and_ranks_hubs(ray_session, cap):
+    """Unnormalized integer HITS on a two-hub bipartite graph: the
+    node linking to both popular targets out-hubs the single-linker;
+    pure authorities carry hub 0. Driver and Dataset paths agree with
+    the chained-CTE mirror."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import hits_int, sql_hits
+
+    edges = pa.table({
+        "src": ["u1", "u1", "u2", "u3", "u3", "u3"],
+        "dst": ["p1", "p2", "p1", "p1", "p2", "p3"]})
+    got = {r["node"]: (r["hub"], r["auth"]) for r in
+           hits_int(rd.from_arrow(edges).repartition(2),
+                    iters=3, driver_cap=cap,
+                    num_partitions=2).take_all()}
+    con = duckdb.connect()
+    con.register("edges_t", edges)
+    want = {n: (h, a) for n, h, a in con.execute(
+        sql_hits("SELECT src, dst FROM edges_t", iters=3)).fetchall()}
+    assert got == want, cap
+    assert got["u3"][0] > got["u2"][0]          # 3-linker out-hubs
+    assert got["p1"][0] == 0 and got["p1"][1] > got["p3"][1]
