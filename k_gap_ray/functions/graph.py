@@ -1,4 +1,6 @@
-"""Iterative graph analytics over edge-list Datasets: PageRank.
+"""Iterative graph analytics over edge-list Datasets: PageRank (and
+its personalized variant), HITS, multi-source BFS, weighted shortest
+paths, triangle counting.
 
 Complements the connected-components operator (`ops/canonicalize.py`)
 with the other classic KG analytics primitive (the reference platform
