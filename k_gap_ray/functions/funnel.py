@@ -519,18 +519,21 @@ def funnel_windowed(events_ds, steps: list[str], window_us: int,
     - feasible_k = step-k event times with a qualifying predecessor —
       and the LARGEST feasible t' below ts is the decisive candidate
       (if any t' < ts has ts <= t' + W, the largest such t' does too),
-      so the check is one searchsorted against the broadcast
+      so the broadcast check is one searchsorted against the
       (user, t')-sorted feasible arrays.
 
-    Distribution: pass k filters the event stream and prunes
-    duplicates per batch (one lexsort + consecutive mask); the
-    feasible set — bounded by that STEP's event count, not by users —
-    lands on the driver under ``broadcast_cap`` rows and broadcasts
-    into the next pass.  Above the cap the exact fallback is a range
-    join per step — not wired; the loud error names it.
+    Distribution: the feasible set is bounded by that STEP's event
+    count, not by users.  Below ``broadcast_cap`` rows it gates the
+    next pass as driver-sorted broadcast arrays; ABOVE the cap it
+    stays a Dataset and the gate runs as a distributed RANGE JOIN
+    (functions/rangejoin.py — each feasible time becomes the interval
+    ``[t'+1, t'+W+1)``, integer-us-exact for ``(t', t'+W]``), with
+    per-batch dedup and a user-keyed distinct count.  Both paths are
+    oracle-identical (tests force each).
     -> pa.Table (step, event_type, users).
     """
     import ray
+    from ray.data.aggregate import Count  # noqa: F401 (distinct shape)
 
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -552,51 +555,85 @@ def funnel_windowed(events_ds, steps: list[str], window_us: int,
                              "ts_us": pa.array(ts[keep], pa.int64())})
         return f
 
+    def batch_dedupe(t: pa.Table) -> pa.Table:
+        us = t.column(user_col).to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, us))
+        us, ts = us[order], ts[order]
+        keep = np.ones(len(us), dtype=bool)
+        keep[1:] = (us[1:] != us[:-1]) | (ts[1:] != ts[:-1])
+        return pa.table({user_col: pa.array(us[keep], pa.int64()),
+                         "ts_us": pa.array(ts[keep], pa.int64())})
+
     counts: list[int] = []
-    prev_u = prev_t = None          # (user, ts)-lexsorted feasible set
+    feas = None              # materialized Dataset[(user, ts_us)]
+    feas_n = -1              # its row count (upper bound w/ dupes)
     for k, st in enumerate(steps):
         stream = events_ds.map_batches(typed_pairs(st),
                                        batch_format="pyarrow",
                                        zero_copy_batch=True)
         if k > 0:
-            if len(prev_u) == 0:
+            if feas_n == 0:
                 counts.append(0)
                 continue
-            ref = ray.put((prev_u, prev_t))
+            if feas_n <= broadcast_cap:
+                rows = feas.take_all()
+                u = np.array([r[user_col] for r in rows], np.int64)
+                t_ = np.array([r["ts_us"] for r in rows], np.int64)
+                order = np.lexsort((t_, u))
+                u, t_ = u[order], t_[order]
+                keep = np.ones(len(u), dtype=bool)
+                keep[1:] = (u[1:] != u[:-1]) | (t_[1:] != t_[:-1])
+                ref = ray.put((u[keep], t_[keep]))
 
-            def gated(t: pa.Table, _ref=ref) -> pa.Table:
-                import ray as _r
+                def gated(t: pa.Table, _ref=ref) -> pa.Table:
+                    import ray as _r
 
-                pu, pt = _r.get(_ref)
-                us = t.column(user_col).to_numpy(zero_copy_only=False)
-                ts = t.column("ts_us").to_numpy(zero_copy_only=False)
-                # largest feasible (user, t') strictly below (user, ts)
-                # in the (u, t)-lexsorted arrays: classic two-key
-                # searchsorted via a per-user offset walk
-                idx = _pair_searchsorted(pu, pt, us, ts) - 1
-                ok = idx >= 0
-                idx_c = np.maximum(idx, 0)
-                ok &= (pu[idx_c] == us) & (pt[idx_c] < ts) \
-                    & (ts <= pt[idx_c] + window_us)
-                return pa.table({
-                    user_col: pa.array(us[ok], pa.int64()),
-                    "ts_us": pa.array(ts[ok], pa.int64())})
+                    pu, pt = _r.get(_ref)
+                    us = t.column(user_col) \
+                        .to_numpy(zero_copy_only=False)
+                    ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+                    # largest feasible (user, t') strictly below
+                    # (user, ts) in the lexsorted arrays
+                    idx = _pair_searchsorted(pu, pt, us, ts) - 1
+                    ok = idx >= 0
+                    idx_c = np.maximum(idx, 0)
+                    ok &= (pu[idx_c] == us) & (pt[idx_c] < ts) \
+                        & (ts <= pt[idx_c] + window_us)
+                    return pa.table({
+                        user_col: pa.array(us[ok], pa.int64()),
+                        "ts_us": pa.array(ts[ok], pa.int64())})
 
-            stream = stream.map_batches(gated, batch_format="pyarrow")
+                stream = stream.map_batches(gated,
+                                            batch_format="pyarrow")
+            else:
+                from .rangejoin import range_join
 
-        rows = stream.take_all()    # <= step event count, under cap
-        if len(rows) > broadcast_cap:
-            raise NotImplementedError(
-                f"feasible set {len(rows)} rows exceeds broadcast_cap; "
-                "wire the range-join fallback for this step")
-        u = np.array([r[user_col] for r in rows], dtype=np.int64)
-        t = np.array([r["ts_us"] for r in rows], dtype=np.int64)
-        order = np.lexsort((t, u))
-        u, t = u[order], t[order]
-        keep = np.ones(len(u), dtype=bool)        # cross-batch dedupe
-        keep[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
-        prev_u, prev_t = u[keep], t[keep]
-        counts.append(int(len(np.unique(prev_u))))
+                intervals = feas.map_batches(
+                    lambda t: pa.table({
+                        user_col: t.column(user_col),
+                        "win_start": pc.add(t.column("ts_us"),
+                                            pa.scalar(1, pa.int64())),
+                        "win_end": pc.add(
+                            t.column("ts_us"),
+                            pa.scalar(window_us + 1, pa.int64()))}),
+                    batch_format="pyarrow")
+                j = range_join(stream, intervals, on=user_col,
+                               point_ts="ts_us",
+                               granularity_us=max(window_us, 1),
+                               max_span=4)
+                stream = j.map_batches(
+                    lambda t: batch_dedupe(t.select([user_col,
+                                                     "ts_us"])),
+                    batch_format="pyarrow")
+        feas = stream.materialize()
+        feas_n = feas.count()
+        if feas_n <= broadcast_cap:
+            rows = feas.take_all()
+            counts.append(int(len({r[user_col] for r in rows})))
+        else:
+            counts.append(int(
+                feas.groupby(user_col).count().count()))
 
     return pa.table({
         "step": pa.array(range(1, len(steps) + 1), pa.int64()),

@@ -1921,7 +1921,8 @@ def test_sssp_prefers_cheap_long_route_and_matches_sql(ray_session):
     assert got == want
 
 
-def test_funnel_windowed_expiry_and_oracle(ray_session, sf_dir):
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_funnel_windowed_expiry_and_oracle(ray_session, sf_dir, cap):
     """Windowed funnel where greedy-earliest FAILS: user 1's first
     signup expires before the view, but a later signup qualifies;
     user 2 has view->purchase outside the window (stops at view)."""
@@ -1948,7 +1949,8 @@ def test_funnel_windowed_expiry_and_oracle(ray_session, sf_dir):
         "ts": pa.array([base + dt.timedelta(hours=r[2]) for r in rows],
                        pa.timestamp("us"))})
     got = funnel_windowed(rd.from_arrow(tbl).repartition(3),
-                          ["signup", "view", "purchase"], window_us=W)
+                          ["signup", "view", "purchase"], window_us=W,
+                          broadcast_cap=cap)
     assert got.column("users").to_pylist() == [2, 2, 1]
     con = duckdb.connect()
     con.register("events", tbl)
@@ -1962,7 +1964,8 @@ def test_funnel_windowed_expiry_and_oracle(ray_session, sf_dir):
                                   "ts"])
     W2 = 48 * 3_600_000_000
     got2 = funnel_windowed(rd.from_arrow(etbl).repartition(4),
-                           ["signup", "view", "purchase"], window_us=W2)
+                           ["signup", "view", "purchase"], window_us=W2,
+                           broadcast_cap=cap)
     con2 = duckdb.connect()
     con2.register("events", etbl)
     want2 = con2.execute(sql_funnel_windowed(
