@@ -85,6 +85,62 @@ def _carry_map(summaries: list[dict], key_col: str,
     return out
 
 
+def _carry_ds(both, key_col: str, mode: str):
+    """Distributed twin of :func:`_carry_map` for carry tables ABOVE
+    the broadcast cap: per-key map_groups over the slim summary rows
+    (O(buckets) per key) -> Dataset(__k, __carry), scrubbed and
+    arrow-rebuilt for the join that patches the data rows."""
+    from ..dsutil import drop_empty_blocks
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("__b", kind="mergesort")
+        acc = 0 if mode == "prefix_sum" else -1
+        key = str(df[key_col].iloc[0])
+        ks, cs = [], []
+        for b, v in zip(df["__b"], df["__local"]):
+            ks.append(f"{key}{_SEP}{int(b)}")
+            cs.append(acc)
+            if mode == "prefix_sum":
+                acc += int(v)
+            elif v != -1:
+                acc = int(v)
+        return pd.DataFrame({"__k": ks,
+                             "__carry": pd.array(cs, dtype="int64")})
+
+    carried = (both.filter(expr="__kind == 1")
+               .groupby(key_col).map_groups(per_user,
+                                            batch_format="pandas")
+               .map_batches(lambda t: t.select(["__k", "__carry"]),
+                            batch_format="pyarrow"))
+    return drop_empty_blocks(carried.materialize())
+
+
+def _patch_by_join(both, carry_ds, id_col: str, fix):
+    """LEFT-join the per-bucket carry onto the kind-0 data rows and
+    apply ``fix(local, carry_or_null) -> out`` — the above-cap twin of
+    the broadcast index_in patch."""
+    from ..dsutil import drop_empty_blocks, join_datasets
+
+    data = (both.filter(expr="__kind == 0")
+            .map_batches(lambda t: t.select([id_col, "__local", "__k"]),
+                         batch_format="pyarrow"))
+    data = drop_empty_blocks(data.materialize())
+    j = join_datasets(data, carry_ds, on="__k",
+                      join_type="left_outer",
+                      scrub_left=False, scrub_right=False)
+    return j.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            "__out": fix(t.column("__local"),
+                                         t.column("__carry"))}),
+        batch_format="pyarrow")
+
+
+def _add_fix(local_v, carry):
+    """offset patch: local + carry (0 when the key-bucket had no
+    earlier buckets — the left join found no carry row)."""
+    return pc.add(local_v, pc.fill_null(pc.cast(carry, pa.int64()), 0))
+
+
 def running_sum_bucketed(ds, key_col: str, ts_col: str, id_col: str,
                          value_col: str, out_col: str = "running_value_s",
                          scale: int = 100, bucket_us: int = DAY_US,
@@ -113,11 +169,14 @@ def running_sum_bucketed(ds, key_col: str, ts_col: str, id_col: str,
 
     both = keyed.groupby("__k").map_groups(
         local, batch_format="pandas").materialize()
+    if both.filter(expr="__kind == 1").count() > broadcast_cap:
+        # distributed fallback: per-key carry pass + key-join patch
+        return _patch_by_join(
+            both, _carry_ds(both, key_col, "prefix_sum"), id_col,
+            _add_fix).map_batches(
+                lambda t: t.rename_columns([id_col, out_col]),
+                batch_format="pyarrow")
     summaries = [r for r in both.filter(expr="__kind == 1").take_all()]
-    if len(summaries) > broadcast_cap:
-        raise NotImplementedError(
-            "carry table exceeds broadcast_cap; wire the join fallback "
-            f"({len(summaries)} > {broadcast_cap})")
     carry = _carry_map(summaries, key_col, "__local", "prefix_sum")
     keys = pa.array(list(carry.keys()), pa.string())
     vals = pa.array(list(carry.values()), pa.int64())
@@ -174,11 +233,21 @@ def asof_carry_bucketed(ds, key_col: str, ts_col: str, id_col: str,
 
     both = keyed.groupby("__k").map_groups(
         local, batch_format="pandas").materialize()
+    n_summaries = both.filter(expr="__kind == 1").count()
+    if n_summaries > broadcast_cap:
+        # distributed fallback: per-key carry pass + key-join patch
+        def fix(local_v, carry):
+            cin = pc.fill_null(pc.cast(carry, pa.int64()), -1)
+            return pc.if_else(
+                pc.equal(local_v, pa.scalar(-1, pa.int64())),
+                cin, local_v)
+
+        out = _patch_by_join(both, _carry_ds(both, key_col, "last"),
+                             id_col, fix)
+        return out.map_batches(
+            lambda t: t.rename_columns([id_col, out_col]),
+            batch_format="pyarrow")
     summaries = [r for r in both.filter(expr="__kind == 1").take_all()]
-    if len(summaries) > broadcast_cap:
-        raise NotImplementedError(
-            "carry table exceeds broadcast_cap; wire the join fallback "
-            f"({len(summaries)} > {broadcast_cap})")
     carry = _carry_map(summaries, key_col, "__local", "last")
     keys = pa.array(list(carry.keys()), pa.string())
     vals = pa.array(list(carry.values()), pa.int64())
@@ -265,11 +334,14 @@ def dense_rank_bucketed(ds, key_col: str, value_col: str, id_col: str,
 
     both = keyed.groupby("__k").map_groups(
         local, batch_format="pandas").materialize()
+    if both.filter(expr="__kind == 1").count() > broadcast_cap:
+        # distributed fallback: per-key carry pass + key-join patch
+        return _patch_by_join(
+            both, _carry_ds(both, key_col, "prefix_sum"), id_col,
+            _add_fix).map_batches(
+                lambda t: t.rename_columns([id_col, out_col]),
+                batch_format="pyarrow")
     summaries = [r for r in both.filter(expr="__kind == 1").take_all()]
-    if len(summaries) > broadcast_cap:
-        raise NotImplementedError(
-            "carry table exceeds broadcast_cap; wire the join fallback "
-            f"({len(summaries)} > {broadcast_cap})")
     carry = _carry_map(summaries, key_col, "__local", "prefix_sum")
     keys = pa.array(list(carry.keys()), pa.string())
     vals = pa.array(list(carry.values()), pa.int64())
@@ -320,11 +392,56 @@ def ntile_bucketed(ds, key_col: str, value_col: str, id_col: str,
 
     both = keyed.groupby("__k").map_groups(
         local, batch_format="pandas").materialize()
+    if both.filter(expr="__kind == 1").count() > broadcast_cap:
+        # distributed fallback: carry join on the composite bucket key
+        # + per-key totals join, tile arithmetic vectorized per batch
+        from ray.data.aggregate import Sum
+
+        from ..dsutil import drop_empty_blocks, join_datasets
+
+        totals_ds = drop_empty_blocks(
+            (both.filter(expr="__kind == 1")
+             .map_batches(lambda t: pa.table({
+                 "__tk": pc.cast(t.column(key_col), pa.string()),
+                 "n_p": pc.cast(t.column("__local"), pa.int64())}),
+                 batch_format="pyarrow")
+             .groupby("__tk").aggregate(Sum("n_p", alias_name="__n"))
+             .map_batches(lambda t: t.select(["__tk", "__n"]),
+                          batch_format="pyarrow")).materialize())
+        data = drop_empty_blocks(
+            both.filter(expr="__kind == 0").map_batches(
+                lambda t: pa.table({
+                    id_col: pc.cast(t.column(id_col), pa.int64()),
+                    "__local": pc.cast(t.column("__local"), pa.int64()),
+                    "__k": pc.cast(t.column("__k"), pa.string()),
+                    "__tk": pc.cast(t.column(key_col), pa.string())}),
+                batch_format="pyarrow").materialize())
+        j = join_datasets(data, _carry_ds(both, key_col, "prefix_sum"),
+                          on="__k", join_type="left_outer",
+                          scrub_left=False, scrub_right=False)
+        # consecutive joins: scrub BETWEEN them (BENCH/NOTES.md rule)
+        j = join_datasets(drop_empty_blocks(j.materialize()), totals_ds,
+                          on="__tk", join_type="left_outer",
+                          scrub_left=False, scrub_right=False)
+
+        def tile_fix(t: pa.Table) -> pa.Table:
+            off = pc.fill_null(pc.cast(t.column("__carry"), pa.int64()),
+                               0).to_numpy(zero_copy_only=False)
+            n = pc.cast(t.column("__n"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            pos = t.column("__local").to_numpy(zero_copy_only=False) \
+                + off
+            base, rem = n // k, n % k
+            boundary = rem * (base + 1)
+            base_safe = np.maximum(base, 1)
+            tile = np.where(pos <= boundary,
+                            (pos - 1) // (base + 1) + 1,
+                            rem + (pos - boundary - 1) // base_safe + 1)
+            return pa.table({id_col: t.column(id_col),
+                             out_col: pa.array(tile.astype("int64"))})
+
+        return j.map_batches(tile_fix, batch_format="pyarrow")
     summaries = [r for r in both.filter(expr="__kind == 1").take_all()]
-    if len(summaries) > broadcast_cap:
-        raise NotImplementedError(
-            "carry table exceeds broadcast_cap; wire the join fallback "
-            f"({len(summaries)} > {broadcast_cap})")
     carry = _carry_map(summaries, key_col, "__local", "prefix_sum")
     totals: dict[str, int] = {}
     for r in summaries:

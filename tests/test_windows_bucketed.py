@@ -6,6 +6,7 @@ half the events) and with sessions spanning bucket seams."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from k_gap_ray.functions.windows import (DAY_US, asof_carry_bucketed,
                                          running_sum_bucketed,
@@ -29,14 +30,15 @@ def _skewed_events(n: int = 4000, seed: int = 7) -> pd.DataFrame:
     })
 
 
-def test_running_sum_matches_single_pass_under_skew(ray_session):
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_running_sum_matches_single_pass_under_skew(ray_session, cap):
     import ray.data as rd
 
     df = _skewed_events()
     out = running_sum_bucketed(
         rd.from_arrow(pa.Table.from_pandas(df)), key_col="user_id",
         ts_col="ts", id_col="event_id", value_col="value",
-        bucket_us=DAY_US).take_all()
+        bucket_us=DAY_US, broadcast_cap=cap).take_all()
     mine = {r["event_id"]: r["running_value_s"] for r in out}
 
     ref = {}
@@ -48,7 +50,8 @@ def test_running_sum_matches_single_pass_under_skew(ray_session):
     assert mine == ref
 
 
-def test_asof_matches_single_pass_under_skew(ray_session):
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_asof_matches_single_pass_under_skew(ray_session, cap):
     import ray.data as rd
 
     df = _skewed_events()
@@ -56,7 +59,7 @@ def test_asof_matches_single_pass_under_skew(ray_session):
         rd.from_arrow(pa.Table.from_pandas(df)), key_col="user_id",
         ts_col="ts", id_col="event_id", type_col="event_type",
         probe_type="error", match_type="click",
-        bucket_us=DAY_US).take_all()
+        bucket_us=DAY_US, broadcast_cap=cap).take_all()
     mine = {r["event_id"]: r["click_event_id"] for r in out}
 
     ref = {}
@@ -126,7 +129,8 @@ def test_sessions_match_single_pass_under_skew(ray_session):
     assert mine == sorted(ref)
 
 
-def test_dense_rank_matches_single_pass_under_skew(ray_session):
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_dense_rank_matches_single_pass_under_skew(ray_session, cap):
     """Dense rank (desc) over a skewed frame: one group owns 60% of
     rows AND one hot value repeats heavily (ties must share a rank).
     bucket_width=50 forces many value buckets so the carry stitch is
@@ -146,7 +150,7 @@ def test_dense_rank_matches_single_pass_under_skew(ray_session):
     out = dense_rank_bucketed(
         rd.from_arrow(pa.Table.from_pandas(df)), key_col="grp",
         value_col="val", id_col="rid", out_col="r", scale=100,
-        bucket_width=50, descending=True).take_all()
+        bucket_width=50, descending=True, broadcast_cap=cap).take_all()
     mine = {r["rid"]: r["r"] for r in out}
 
     ref = {}
@@ -158,7 +162,8 @@ def test_dense_rank_matches_single_pass_under_skew(ray_session):
     assert len(mine) == n and mine == ref
 
 
-def test_ntile_matches_single_pass_under_skew(ray_session):
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_ntile_matches_single_pass_under_skew(ray_session, cap):
     """NTILE(4) ordered by (value, id) under the same skew; SQL fill
     rule (first n%k tiles take the extra row). Small groups (n < k)
     exercise the base==0 branch."""
@@ -180,7 +185,7 @@ def test_ntile_matches_single_pass_under_skew(ray_session):
     out = ntile_bucketed(
         rd.from_arrow(pa.Table.from_pandas(df)), key_col="grp",
         value_col="val", id_col="rid", k=4, out_col="q", scale=100,
-        bucket_width=64).take_all()
+        bucket_width=64, broadcast_cap=cap).take_all()
     mine = {r["rid"]: r["q"] for r in out}
 
     ref = {}
