@@ -907,6 +907,20 @@ def _ppr(sf_dir: str):
     return pagerank_int(edges, iters=3, num_partitions=8, seeds=seeds)
 
 
+def _part_affinity(sf_dir: str):
+    """Market-basket association rules over order->part baskets:
+    top pairs by support with integer confidence/lift (nested
+    divisions, int64-exact to ~4.6e15 baskets). Co-occurrence is a
+    distributed self hash join on the basket key — no per-basket
+    task, no seams; pair counts pre-reduce per batch."""
+    from k_gap_ray.functions.basket import association_rules
+    from k_gap_ray.relational import _read
+
+    return association_rules(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        "l_orderkey", "l_partkey", k=20)
+
+
 def _hits(sf_dir: str):
     """Unnormalized integer HITS over the order->part bipartite graph
     (hubs = diversified orders, authorities = popular parts): exact
@@ -3059,6 +3073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_funnel_windowed": _events_funnel_windowed,
         "q_ppr": _ppr,
         "q_hits": _hits,
+        "q_part_affinity": _part_affinity,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3993,6 +4008,7 @@ def _sql_sparql_docs_agg() -> str:
 
 
 def _text_analysis_oracles() -> dict[str, str]:
+    from k_gap_ray.functions.basket import sql_association_rules
     from k_gap_ray.functions.graph import sql_hits, sql_pagerank
     from k_gap_ray.functions.redact import sql_redact
     from k_gap_ray.functions.search import sql_tfidf_search
@@ -4555,6 +4571,8 @@ def _text_analysis_oracles() -> dict[str, str]:
         "q_hits": sql_hits(
             "SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst "
             "FROM lineitem", iters=3),
+        "q_part_affinity": sql_association_rules(
+            "l_orderkey", "l_partkey", k=20),
         "q_emb_near_dup": emb_near_dup,
         "q_emb_sim_join": emb_sim_join,
         "q_emb_dedup_survivors": f"""

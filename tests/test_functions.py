@@ -2023,3 +2023,46 @@ def test_hits_matches_sql_and_ranks_hubs(ray_session, cap):
     assert got == want, cap
     assert got["u3"][0] > got["u2"][0]          # 3-linker out-hubs
     assert got["p1"][0] == 0 and got["p1"][1] > got["p3"][1]
+
+
+def test_association_rules_matches_oracle(ray_session, sf_dir):
+    """Market-basket rules on a hand case (lift must rank the
+    always-together pair above the popular-but-independent one) and
+    value-exact vs the SQL mirror on the sf lineitem table."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.functions.basket import (association_rules,
+                                            sql_association_rules)
+
+    # baskets: items 1,2 always together (3x); item 9 in every basket
+    rows = [(1, 1), (1, 2), (1, 9), (2, 1), (2, 2), (2, 9),
+            (3, 1), (3, 2), (3, 9), (4, 9), (5, 9), (6, 9),
+            (4, 7), (5, 7)]
+    tbl = pa.table({"bk": pa.array([r[0] for r in rows], pa.int64()),
+                    "it": pa.array([r[1] for r in rows], pa.int64())})
+    got = association_rules(rd.from_arrow(tbl).repartition(3),
+                            "bk", "it", k=10, min_support=2)
+    con = duckdb.connect()
+    con.register("basket_t", tbl)
+    want = con.execute(sql_association_rules(
+        "bk", "it", k=10, min_support=2, rel="basket_t")).fetchall()
+    assert [tuple(r.values()) for r in got.to_pylist()] == want
+    by_pair = {(r["item_a"], r["item_b"]): r for r in got.to_pylist()}
+    # (1,2) always co-occur: confidence 1000, lift 2x (6 baskets / 3)
+    assert by_pair[(1, 2)]["conf_permille"] == 1000
+    assert by_pair[(1, 2)]["lift_scaled"] == 2000
+    # (1,9): 9 is universal -> lift exactly 1000 (independence)
+    assert by_pair[(1, 9)]["lift_scaled"] == 1000
+
+    # corpus case: order->part baskets
+    etbl = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    got2 = association_rules(rd.from_arrow(etbl).repartition(4),
+                             "l_orderkey", "l_partkey", k=15)
+    con2 = duckdb.connect()
+    con2.register("lineitem", etbl)
+    want2 = con2.execute(sql_association_rules(
+        "l_orderkey", "l_partkey", k=15)).fetchall()
+    assert [tuple(r.values()) for r in got2.to_pylist()] == want2
