@@ -1453,6 +1453,72 @@ def _triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _collab_edges(sf_dir: str):
+    """The docs-derived collaboration graph (collaboratesWith ∪
+    partnersWith) as a (src, dst) Dataset — the shared edge set of the
+    undirected-structure family (triangles / k-core / clustering /
+    link prediction)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return _docs_quads(sf_dir).map_batches(
+        lambda t: (lambda m: pa.table(
+            {"src": t.column("subj").filter(m),
+             "dst": t.column("obj").filter(m)}))(
+            pc.is_in(t.column("pred"),
+                     value_set=pa.array(_TRI_PREDS))),
+        batch_format="pyarrow")
+
+
+def _kcore(sf_dir: str):
+    """A8-family graph analytics: fixed-round k-core peeling over the
+    collaboration graph (the dense-collaborator subgraph a KG analyst
+    extracts before community analysis). k=2, 6 peeling rounds pinned
+    on both engines; output = degree table of the surviving subgraph.
+    Oracle: chained peeling CTEs (pipelines/docs_kg.sql_docs_kcore)."""
+    from k_gap_ray.functions.graph import kcore_nodes
+
+    return kcore_nodes(_collab_edges(sf_dir), k=2, rounds=6)
+
+
+def _clustering(sf_dir: str):
+    """Per-node local clustering coefficient (integer permille) over
+    the collaboration graph: degree-ordered compact-forward wedge join
+    crediting all three triangle nodes. Oracle: orientation-free
+    triple self-join (pipelines/docs_kg.sql_docs_clustering) — a
+    different algorithm, identical integers."""
+    from k_gap_ray.functions.graph import clustering_coef
+
+    return clustering_coef(_collab_edges(sf_dir))
+
+
+_LP_PREDS = ("urn:kgap:pred:employs", "urn:kgap:pred:foundedIn")
+
+
+def _link_pred(sf_dir: str):
+    """Resource-Allocation link prediction over the employs∪foundedIn
+    affiliation graph (org—person/place incidence, so distance-2
+    candidates are orgs sharing staff or founders — the classic
+    who-should-link suggestion): top-20 non-adjacent pairs by the
+    exact-integer RA score sum(scale // deg(w)). The denser
+    collaboration graph is the WRONG input here — at 15 entities it is
+    near-complete, leaving no non-adjacent distance-2 pairs. Hub
+    centers above center_cap are skipped on both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.graph import ra_link_pred
+
+    edges = _docs_quads(sf_dir).map_batches(
+        lambda t: (lambda m: pa.table(
+            {"src": t.column("subj").filter(m),
+             "dst": t.column("obj").filter(m)}))(
+            pc.is_in(t.column("pred"),
+                     value_set=pa.array(_LP_PREDS))),
+        batch_format="pyarrow")
+    return ra_link_pred(edges, topk=20)
+
+
 def _bfs_depths(sf_dir: str):
     """J5-family multi-source BFS with min-depth labels over the
     docs-derived funding graph: seeds = all managers (subjects of
@@ -3074,6 +3140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ppr": _ppr,
         "q_hits": _hits,
         "q_part_affinity": _part_affinity,
+        "q_kcore": _kcore,
+        "q_clustering": _clustering,
+        "q_link_pred": _link_pred,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3779,6 +3848,9 @@ def oracle_sql() -> dict[str, str]:
         "q_triangles": _sql_docs_triangles(),
         "q_bfs_depths": _sql_docs_bfs(),
         "q_sssp_dist": _sql_docs_sssp(),
+        "q_kcore": _sql_docs_kcore(),
+        "q_clustering": _sql_docs_clustering(),
+        "q_link_pred": _sql_docs_link_pred(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -3979,6 +4051,24 @@ def _sql_docs_sssp() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_sssp
 
     return sql_docs_sssp("urn:kgap:pred:funds", "urn:kgap:pred:manages")
+
+
+def _sql_docs_kcore() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_kcore
+
+    return sql_docs_kcore(_TRI_PREDS, k=2, rounds=6)
+
+
+def _sql_docs_clustering() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_clustering
+
+    return sql_docs_clustering(_TRI_PREDS)
+
+
+def _sql_docs_link_pred() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_link_pred
+
+    return sql_docs_link_pred(_LP_PREDS, topk=20)
 
 
 def _sql_docs_ask() -> str:

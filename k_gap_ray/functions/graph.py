@@ -759,3 +759,621 @@ FROM nodes n
 LEFT JOIN h{iters} h ON n.node = h.node
 LEFT JOIN a{iters} a ON n.node = a.node""")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Undirected-graph structure family: k-core peeling, local clustering
+# coefficients, resource-allocation link prediction.  All three share
+# the canonical distinct-undirected-pair edge representation (the
+# triangle_count canonicalization) and the exact-integer conventions of
+# this module: fixed round counts, int64 floor arithmetic, pinned total
+# orderings — so each has a value-identical DuckDB mirror.
+# ---------------------------------------------------------------------------
+
+def _undirected_pairs(edges_ds):
+    """Dataset(src, dst) -> Dataset(a, b): the DISTINCT undirected pair
+    set with a < b, self-loops dropped (one slim groupby on the joined
+    pair key — the triangle_count canonicalization, factored for the
+    k-core / clustering / link-prediction family)."""
+    from ray.data.aggregate import Min
+
+    _S = "\x1f"
+
+    def canon(t: pa.Table) -> pa.Table:
+        src = pc.cast(t.column("src"), pa.string())
+        dst = pc.cast(t.column("dst"), pa.string())
+        keep = pc.not_equal(src, dst)
+        src, dst = src.filter(keep), dst.filter(keep)
+        lo = pc.if_else(pc.less(src, dst), src, dst)
+        hi = pc.if_else(pc.less(src, dst), dst, src)
+        return pa.table({"a": lo, "b": hi,
+                         "__k": pc.binary_join_element_wise(lo, hi, _S)})
+
+    return (edges_ds.map_batches(canon, batch_format="pyarrow")
+            .groupby("__k").aggregate(Min("a", alias_name="a"),
+                                      Min("b", alias_name="b"))
+            .map_batches(lambda t: t.select(["a", "b"]),
+                         batch_format="pyarrow"))
+
+
+def _pair_degrees(und):
+    """Degree per node over an (a, b) pair Dataset: per-batch
+    value-count partials, one slim (node, dp) shuffle."""
+    def node_partials(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t.column("a").combine_chunks(),
+                                 t.column("b").combine_chunks()])
+        vc = both.value_counts()
+        return pa.table({"node": vc.field("values"),
+                         "dp": pc.cast(vc.field("counts"), pa.int64())})
+
+    return (und.map_batches(node_partials, batch_format="pyarrow")
+            .groupby("node").sum("dp").rename_columns({"sum(dp)": "deg"}))
+
+
+def kcore_nodes(edges_ds, k: int = 2, rounds: int = 6,
+                num_partitions: int | None = None,
+                driver_cap: int = _TRI_DRIVER_CAP):
+    """Fixed-round k-core peeling: run EXACTLY ``rounds`` rounds of
+    (degree -> keep nodes with deg >= k -> drop edges touching a
+    removed node) over the distinct undirected pair set, then return
+    Dataset(node, deg) — the degree table of the surviving subgraph.
+
+    A FIXED round count (not run-to-convergence) is the pinned
+    contract: both engines execute the same rounds, so outputs are
+    value-identical even on adversarial inputs where peeling has not
+    stabilized (long path graphs); web-ish graphs stabilize in a few
+    rounds, and callers size ``rounds`` to theirs.  Note the output is
+    the surviving EDGE set's degree table: a node kept in the final
+    round that lost all its edges to removed neighbors simply
+    disappears (no zero-degree rows) — identically in the SQL mirror
+    (:func:`sql_kcore`).
+
+    Scale shape: each round is one partial-agg degree shuffle plus two
+    hash semi-joins keyed on the endpoints; the edge set only shrinks,
+    so round cost is monotonically decreasing.  Below ``driver_cap``
+    pairs the peeling runs as numpy bincounts on the collected pair
+    list (the pagerank_int driver-path economics: a distributed round
+    costs three multi-second fixed-cost shuffles at gate scale).
+    """
+    import ray
+    import ray.data as rd
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "deg": pa.array([], pa.int64())})
+    und = _undirected_pairs(edges_ds).materialize()
+    n_und = und.count()
+    if n_und == 0:
+        return rd.from_arrow(empty)
+    und = drop_empty_blocks(und)
+
+    if n_und <= driver_cap:
+        parts = []
+        for p in ray.get(und.to_arrow_refs()):
+            if not isinstance(p, pa.Table):
+                p = pa.Table.from_pandas(p, preserve_index=False)
+            if p.num_rows:
+                parts.append(p.select(["a", "b"]))
+        t = pa.concat_tables(parts).combine_chunks()
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.concatenate([a, b]),
+                              return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        alive = np.ones(len(ai), dtype=bool)
+        for _ in range(rounds):
+            deg = (np.bincount(ai[alive], minlength=len(uniq))
+                   + np.bincount(bi[alive], minlength=len(uniq)))
+            keep = deg >= k
+            alive &= keep[ai] & keep[bi]
+        deg = (np.bincount(ai[alive], minlength=len(uniq))
+               + np.bincount(bi[alive], minlength=len(uniq))
+               ).astype(np.int64)
+        m = deg > 0
+        if not m.any():
+            return rd.from_arrow(empty)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(uniq[m]),
+            "deg": pa.array(deg[m], pa.int64())}))
+
+    edges = und
+    for _ in range(rounds):
+        deg = _pair_degrees(edges)
+        keep = deg.map_batches(
+            lambda t: pa.table({"node": t.column("node").filter(
+                pc.greater_equal(t.column("deg"),
+                                 pa.scalar(k, pa.int64())))}),
+            batch_format="pyarrow")
+        # keep descends from a groupby (and the deg>=k filter can empty
+        # every block): scrub + emptiness guard before joining
+        keep = keep.materialize()
+        if keep.count() == 0:
+            return rd.from_arrow(empty)
+        keep = drop_empty_blocks(keep)
+        edges = join_datasets(edges, keep, on="a", right_on="node",
+                              num_partitions=num_partitions,
+                              scrub_left=False, scrub_right=False)
+        # first join's output feeds the second: scrub_left per the
+        # join-descended-side rule (BENCH/NOTES.md)
+        edges = join_datasets(edges, keep, on="b", right_on="node",
+                              num_partitions=num_partitions,
+                              scrub_left=True, scrub_right=False)
+        edges = edges.map_batches(lambda t: t.select(["a", "b"]),
+                                  batch_format="pyarrow").materialize()
+        if edges.count() == 0:
+            return rd.from_arrow(empty)
+        edges = drop_empty_blocks(edges)
+    out = _pair_degrees(edges)
+    return out.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "deg": pc.cast(t.column("deg"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_kcore(edges_sql: str, k: int = 2, rounds: int = 6,
+              lead: str = "WITH") -> str:
+    """DuckDB oracle for :func:`kcore_nodes`: the identical fixed-round
+    peeling as chained CTEs (round i: degree over e{i-1}, keep deg>=k,
+    filter both endpoints)."""
+    # every __e{i} is referenced 3x by round i+1: without MATERIALIZED
+    # DuckDB inlines CTEs and the reference tree back to the base scan
+    # grows 3^rounds (measured: file-handle exhaustion at 6 rounds)
+    parts = [f"""{lead} __und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({edges_sql}) __e WHERE src <> dst
+),
+__e0 AS MATERIALIZED (SELECT a, b FROM __und)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+__k{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT a AS node FROM __e{i - 1}
+    UNION ALL SELECT b FROM __e{i - 1}) __n
+  GROUP BY node HAVING COUNT(*) >= {k}),
+__e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM __e{i - 1} e
+  JOIN __k{i} x ON e.a = x.node
+  JOIN __k{i} y ON e.b = y.node)""")
+    parts.append(f"""
+SELECT node, COUNT(*)::BIGINT AS deg FROM (
+  SELECT a AS node FROM __e{rounds}
+  UNION ALL SELECT b FROM __e{rounds}) __f
+GROUP BY node""")
+    return "".join(parts)
+
+
+def clustering_coef(edges_ds, scale: int = 1000,
+                    num_partitions: int | None = None,
+                    driver_cap: int = _TRI_DRIVER_CAP):
+    """Local clustering coefficient per node, exact-integer permille:
+    Dataset(node, deg, tri, cc_permille) for every node with deg >= 2,
+    where ``tri`` is the number of triangles through the node and
+
+        cc_permille = (2 * tri * scale) // (deg * (deg - 1))
+
+    (int64 floor division — ``scale * deg^2`` must fit int64, fine to
+    ~10^7-degree hubs at the default scale).  Triangles are found by
+    the same degree-ordered compact-forward scheme as
+    :func:`triangle_count` (every out-neighborhood O(sqrt(m)) even on
+    hub-skewed graphs), but each closed wedge credits all THREE of its
+    nodes; the per-node tally is a flat-map to 3 rows + one partial-agg
+    shuffle.  DuckDB oracle :func:`sql_clustering_coef` uses the
+    orientation-free triple self-join — a different algorithm, the
+    same integer outputs.
+    """
+    import ray
+    import ray.data as rd
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    _S = "\x1f"
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "deg": pa.array([], pa.int64()),
+                      "tri": pa.array([], pa.int64()),
+                      "cc_permille": pa.array([], pa.int64())})
+    und = _undirected_pairs(edges_ds).materialize()
+    n_und = und.count()
+    if n_und == 0:
+        return rd.from_arrow(empty)
+    und = drop_empty_blocks(und)
+
+    if n_und <= driver_cap:
+        parts = []
+        for p in ray.get(und.to_arrow_refs()):
+            if not isinstance(p, pa.Table):
+                p = pa.Table.from_pandas(p, preserve_index=False)
+            if p.num_rows:
+                parts.append(p.select(["a", "b"]))
+        t = pa.concat_tables(parts).combine_chunks()
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.concatenate([a, b]),
+                              return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        deg = (np.bincount(ai, minlength=len(uniq))
+               + np.bincount(bi, minlength=len(uniq))).astype(np.int64)
+        a_first = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
+        u = np.where(a_first, ai, bi)
+        v = np.where(a_first, bi, ai)
+        out: dict[int, set] = {}
+        for uu, vv in zip(u.tolist(), v.tolist()):
+            out.setdefault(uu, set()).add(vv)
+        tri = np.zeros(len(uniq), dtype=np.int64)
+        for uu, nbrs in out.items():
+            for vv in nbrs:
+                common = nbrs & out.get(vv, _EMPTY_SET)
+                if common:
+                    c = len(common)
+                    tri[uu] += c
+                    tri[vv] += c
+                    for ww in common:
+                        tri[ww] += 1
+        m = deg >= 2
+        if not m.any():
+            return rd.from_arrow(empty)
+        d, tr = deg[m], tri[m]
+        return rd.from_arrow(pa.table({
+            "node": pa.array(uniq[m]),
+            "deg": pa.array(d, pa.int64()),
+            "tri": pa.array(tr, pa.int64()),
+            "cc_permille": pa.array(
+                (2 * tr * scale) // (d * (d - 1)), pa.int64())}))
+
+    deg = drop_empty_blocks(_pair_degrees(und).materialize())
+
+    wa = join_datasets(und, deg, on="a", right_on="node",
+                       num_partitions=num_partitions,
+                       scrub_left=False, scrub_right=False) \
+        .map_batches(lambda t: pa.table(
+            {"a": t.column("a"), "b": t.column("b"),
+             "da": t.column("deg")}), batch_format="pyarrow")
+    wab = join_datasets(wa, deg, on="b", right_on="node",
+                        num_partitions=num_partitions,
+                        scrub_left=True, scrub_right=False)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a, b = t.column("a"), t.column("b")
+        da, db = t.column("da"), t.column("deg")
+        a_first = pc.or_(pc.less(da, db),
+                         pc.and_(pc.equal(da, db), pc.less(a, b)))
+        return pa.table({
+            "u": pc.if_else(a_first, a, b),
+            "v": pc.if_else(a_first, b, a),
+            "dv": pc.if_else(a_first, db, da)})
+
+    ori = drop_empty_blocks(
+        wab.map_batches(orient, batch_format="pyarrow").materialize())
+
+    left = ori.map_batches(lambda t: pa.table(
+        {"u": t.column("u"), "v1": t.column("v"), "dv1": t.column("dv")}),
+        batch_format="pyarrow")
+    right = ori.map_batches(lambda t: pa.table(
+        {"u": t.column("u"), "v2": t.column("v"), "dv2": t.column("dv")}),
+        batch_format="pyarrow")
+    wedges = join_datasets(left, right, on="u",
+                           num_partitions=num_partitions,
+                           scrub_left=False, scrub_right=False)
+
+    def wedge_rows(t: pa.Table) -> pa.Table:
+        lt = pc.or_(pc.less(t.column("dv1"), t.column("dv2")),
+                    pc.and_(pc.equal(t.column("dv1"), t.column("dv2")),
+                            pc.less(t.column("v1"), t.column("v2"))))
+        t = t.filter(lt)
+        return pa.table({
+            "u": t.column("u"), "v1": t.column("v1"),
+            "v2": t.column("v2"),
+            "__ek": pc.binary_join_element_wise(
+                t.column("v1"), t.column("v2"), _S)})
+
+    def zero_out():
+        # no closed wedges: every node's tri is 0, cc_permille is 0
+        def f(t: pa.Table) -> pa.Table:
+            d = pc.cast(t.column("deg"), pa.int64())
+            kept = t.filter(pc.greater_equal(d, pa.scalar(2, pa.int64())))
+            zeros = pa.array([0] * kept.num_rows, pa.int64())
+            return pa.table({
+                "node": kept.column("node"),
+                "deg": pc.cast(kept.column("deg"), pa.int64()),
+                "tri": zeros, "cc_permille": zeros})
+        return deg.map_batches(f, batch_format="pyarrow")
+
+    cand = wedges.map_batches(wedge_rows,
+                              batch_format="pyarrow").materialize()
+    if cand.count() == 0:
+        return zero_out()
+    cand = drop_empty_blocks(cand)
+    ekeys = ori.map_batches(lambda t: pa.table(
+        {"__ek": pc.binary_join_element_wise(
+            t.column("u"), t.column("v"), _S)}), batch_format="pyarrow")
+    closed = join_datasets(cand, ekeys, on="__ek",
+                           num_partitions=num_partitions,
+                           scrub_left=False, scrub_right=False) \
+        .materialize()
+    if closed.count() == 0:
+        return zero_out()
+    closed = drop_empty_blocks(closed)
+
+    def tri_partials(t: pa.Table) -> pa.Table:
+        all3 = pa.concat_arrays([t.column("u").combine_chunks(),
+                                 t.column("v1").combine_chunks(),
+                                 t.column("v2").combine_chunks()])
+        vc = all3.value_counts()
+        return pa.table({"node": vc.field("values"),
+                         "tp": pc.cast(vc.field("counts"), pa.int64())})
+
+    tpn = (closed.map_batches(tri_partials, batch_format="pyarrow")
+           .groupby("node").sum("tp").rename_columns({"sum(tp)": "tri"}))
+    tpn = drop_empty_blocks(tpn.materialize())
+
+    out = join_datasets(deg, tpn, on="node", join_type="left_outer",
+                        num_partitions=num_partitions,
+                        scrub_left=False, scrub_right=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("deg"), pa.int64())
+        m = pc.greater_equal(d, pa.scalar(2, pa.int64()))
+        t = t.filter(m)
+        d = pc.cast(t.column("deg"), pa.int64())
+        tr = pc.fill_null(pc.cast(t.column("tri"), pa.int64()), 0)
+        den = pc.multiply(d, pc.subtract(d, pa.scalar(1, pa.int64())))
+        num = pc.multiply(tr, pa.scalar(2 * scale, pa.int64()))
+        return pa.table({"node": t.column("node"), "deg": d, "tri": tr,
+                         "cc_permille": pc.divide(num, den)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_clustering_coef(edges_sql: str, scale: int = 1000,
+                        lead: str = "WITH") -> str:
+    """DuckDB oracle for :func:`clustering_coef`: orientation-free
+    a<b<c triple self-join for the triangle list, 3-way unnest for the
+    per-node tally, the identical integer permille."""
+    return f"""{lead} __und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({edges_sql}) __e WHERE src <> dst
+),
+__deg AS (
+  SELECT node, COUNT(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM __und UNION ALL SELECT b FROM __und) __n
+  GROUP BY node),
+__tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM __und e1
+  JOIN __und e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN __und e3 ON e3.a = e1.b AND e3.b = e2.b),
+__tpn AS (
+  SELECT node, COUNT(*)::BIGINT AS tri FROM (
+    SELECT x AS node FROM __tris
+    UNION ALL SELECT y FROM __tris
+    UNION ALL SELECT z FROM __tris) __t
+  GROUP BY node)
+SELECT d.node, d.deg, COALESCE(t.tri, 0)::BIGINT AS tri,
+       ((2 * COALESCE(t.tri, 0) * {scale})
+        // (d.deg * (d.deg - 1)))::BIGINT AS cc_permille
+FROM __deg d LEFT JOIN __tpn t ON d.node = t.node
+WHERE d.deg >= 2"""
+
+
+def ra_link_pred(edges_ds, topk: int = 20, scale: int = 1_000_000,
+                 center_cap: int = 100_000,
+                 num_partitions: int | None = None,
+                 driver_cap: int = _TRI_DRIVER_CAP):
+    """Resource-Allocation link prediction (Zhou/Lu/Zhang 2009, the
+    integer-exact cousin of Adamic-Adar): for every NON-adjacent node
+    pair {u, v} at distance 2, count common neighbors and score
+
+        ra_score(u, v) = sum over common neighbors w of scale // deg(w)
+
+    (int64 floor division — order-independent, so value-identical to
+    the SQL mirror :func:`sql_ra_link_pred`).  Returns the top
+    ``topk`` pairs as a driver-sized pa.Table(u, v, common, ra_score),
+    ordered by (ra_score DESC, u, v) — a total order, so the cutoff is
+    unambiguous on both engines.
+
+    Skew guard: a wedge center of degree d contributes d^2 pairs, so
+    hub centers explode quadratically; centers with degree >
+    ``center_cap`` are SKIPPED on BOTH engines (the standard candidate-
+    generation cap — a hub shared by everyone carries no signal, the
+    same reasoning as the dedup family's df prefix cuts).  The wedge
+    join is keyed on the center; pair aggregation pre-reduces per batch
+    on the composite key before its one slim shuffle.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    _S = "\x1f"
+    empty = pa.table({"u": pa.array([], pa.string()),
+                      "v": pa.array([], pa.string()),
+                      "common": pa.array([], pa.int64()),
+                      "ra_score": pa.array([], pa.int64())})
+    und = _undirected_pairs(edges_ds).materialize()
+    n_und = und.count()
+    if n_und == 0:
+        return empty
+    und = drop_empty_blocks(und)
+
+    if n_und <= driver_cap:
+        parts = []
+        for p in ray.get(und.to_arrow_refs()):
+            if not isinstance(p, pa.Table):
+                p = pa.Table.from_pandas(p, preserve_index=False)
+            if p.num_rows:
+                parts.append(p.select(["a", "b"]))
+        t = pa.concat_tables(parts).combine_chunks()
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.concatenate([a, b]),
+                              return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        deg = (np.bincount(ai, minlength=len(uniq))
+               + np.bincount(bi, minlength=len(uniq))).astype(np.int64)
+        nbrs: dict[int, list] = {}
+        for x, y in zip(ai.tolist(), bi.tolist()):
+            nbrs.setdefault(x, []).append(y)
+            nbrs.setdefault(y, []).append(x)
+        edge_set = set(zip(ai.tolist(), bi.tolist()))
+        common: dict[tuple, int] = {}
+        ra: dict[tuple, int] = {}
+        for w, nb in nbrs.items():
+            d = deg[w]
+            if d < 2 or d > center_cap:
+                continue
+            contrib = int(scale // d)
+            nb = sorted(nb)
+            for i in range(len(nb) - 1):
+                ui = nb[i]
+                for vj in nb[i + 1:]:
+                    key = (ui, vj)
+                    common[key] = common.get(key, 0) + 1
+                    ra[key] = ra.get(key, 0) + contrib
+        cands = [(uniq[p[0]], uniq[p[1]], c, ra[p])
+                 for p, c in common.items() if p not in edge_set]
+        cands.sort(key=lambda r: (-r[3], r[0], r[1]))
+        cands = cands[:topk]
+        if not cands:
+            return empty
+        return pa.table({
+            "u": pa.array([r[0] for r in cands]),
+            "v": pa.array([r[1] for r in cands]),
+            "common": pa.array([r[2] for r in cands], pa.int64()),
+            "ra_score": pa.array([r[3] for r in cands], pa.int64())})
+
+    deg = drop_empty_blocks(_pair_degrees(und).materialize())
+
+    # bidirectional (center, neighbor) incidence joined with the
+    # center's degree, hub centers cut
+    bi = und.map_batches(lambda t: pa.table({
+        "s": pa.concat_arrays([t.column("a").combine_chunks(),
+                               t.column("b").combine_chunks()]),
+        "t": pa.concat_arrays([t.column("b").combine_chunks(),
+                               t.column("a").combine_chunks()])}),
+        batch_format="pyarrow")
+    bid = join_datasets(bi, deg, on="s", right_on="node",
+                        num_partitions=num_partitions,
+                        scrub_left=False, scrub_right=False) \
+        .map_batches(lambda t: (lambda m: pa.table({
+            "s": t.column("s").filter(m), "t": t.column("t").filter(m),
+            "deg": pc.cast(t.column("deg").filter(m), pa.int64())}))(
+            pc.and_(pc.greater_equal(pc.cast(t.column("deg"), pa.int64()),
+                                     pa.scalar(2, pa.int64())),
+                    pc.less_equal(pc.cast(t.column("deg"), pa.int64()),
+                                  pa.scalar(center_cap, pa.int64())))),
+            batch_format="pyarrow")
+    bid = bid.materialize()
+    if bid.count() == 0:
+        return empty
+    bid = drop_empty_blocks(bid)
+    left = bid.map_batches(lambda t: pa.table(
+        {"s": t.column("s"), "t1": t.column("t"), "deg": t.column("deg")}),
+        batch_format="pyarrow")
+    right = bid.map_batches(lambda t: pa.table(
+        {"s": t.column("s"), "t2": t.column("t")}),
+        batch_format="pyarrow")
+    wedges = join_datasets(left, right, on="s",
+                           num_partitions=num_partitions,
+                           scrub_left=False, scrub_right=False)
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        m = pc.less(t.column("t1"), t.column("t2"))
+        t = t.filter(m)
+        if t.num_rows == 0:
+            return pa.table({"__k": pa.array([], pa.string()),
+                             "cp": pa.array([], pa.int64()),
+                             "rp": pa.array([], pa.int64())})
+        key = pc.binary_join_element_wise(
+            t.column("t1"), t.column("t2"), _S).combine_chunks()
+        contrib = pc.divide(pa.scalar(scale, pa.int64()),
+                            pc.cast(t.column("deg"), pa.int64()))
+        enc = pc.dictionary_encode(key)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnp = contrib.combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(contrib, pa.ChunkedArray) \
+            else contrib.to_numpy(zero_copy_only=False)
+        n = len(enc.dictionary)
+        cp = np.bincount(codes, minlength=n).astype(np.int64)
+        # int64-exact partial sums (bincount's weights= path is float64)
+        rp = np.zeros(n, dtype=np.int64)
+        np.add.at(rp, codes, cnp.astype(np.int64))
+        return pa.table({"__k": enc.dictionary,
+                         "cp": pa.array(cp, pa.int64()),
+                         "rp": pa.array(rp, pa.int64())})
+
+    sc = (wedges.map_batches(pair_partials, batch_format="pyarrow")
+          .groupby("__k").aggregate(Sum("cp", alias_name="common"),
+                                    Sum("rp", alias_name="ra_score")))
+    sc = sc.materialize()
+    if sc.count() == 0:
+        return empty
+    sc = drop_empty_blocks(sc)
+    ekeys = und.map_batches(lambda t: pa.table(
+        {"__k": pc.binary_join_element_wise(
+            t.column("a"), t.column("b"), _S),
+         "__adj": pa.array([1] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow")
+    out = join_datasets(sc, ekeys, on="__k", join_type="left_outer",
+                        num_partitions=num_partitions,
+                        scrub_left=False, scrub_right=False)
+    # join output feeds a SORT shuffle: scrub the empty-schema blocks
+    # an empty hash partition can emit (BENCH/NOTES.md sharp edge)
+    out = drop_empty_blocks(out.materialize())
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("__adj")))
+        key = t.column("__k").combine_chunks() \
+            if isinstance(t.column("__k"), pa.ChunkedArray) \
+            else t.column("__k")
+        split = pc.split_pattern(key, _S)
+        return pa.table({
+            "u": pc.list_element(split, 0),
+            "v": pc.list_element(split, 1),
+            "common": pc.cast(t.column("common"), pa.int64()),
+            "ra_score": pc.cast(t.column("ra_score"), pa.int64())})
+
+    ranked = (out.map_batches(finish, batch_format="pyarrow")
+              .sort(["ra_score", "u", "v"],
+                    descending=[True, False, False])
+              .limit(topk))
+    rows = ranked.take_all()
+    if not rows:
+        return empty
+    return pa.table({
+        "u": pa.array([r["u"] for r in rows]),
+        "v": pa.array([r["v"] for r in rows]),
+        "common": pa.array([r["common"] for r in rows], pa.int64()),
+        "ra_score": pa.array([r["ra_score"] for r in rows], pa.int64())})
+
+
+def sql_ra_link_pred(edges_sql: str, topk: int = 20,
+                     scale: int = 1_000_000, center_cap: int = 100_000,
+                     lead: str = "WITH") -> str:
+    """DuckDB oracle for :func:`ra_link_pred`: bidirectional incidence,
+    wedge self-join on the center (same degree window), NOT EXISTS
+    adjacency cut, the identical integer RA sum and total order."""
+    return f"""{lead} __und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({edges_sql}) __e WHERE src <> dst
+),
+__bi AS MATERIALIZED (SELECT a AS s, b AS t FROM __und
+         UNION ALL SELECT b, a FROM __und),
+__degc AS (SELECT s AS node, COUNT(*)::BIGINT AS deg
+           FROM __bi GROUP BY s),
+__w AS (
+  SELECT b1.t AS u, b2.t AS v, d.deg AS deg
+  FROM __bi b1
+  JOIN __bi b2 ON b1.s = b2.s AND b1.t < b2.t
+  JOIN __degc d ON d.node = b1.s
+  WHERE d.deg >= 2 AND d.deg <= {center_cap}),
+__sc AS (
+  SELECT u, v, COUNT(*)::BIGINT AS common,
+         SUM({scale} // deg)::BIGINT AS ra_score
+  FROM __w GROUP BY u, v)
+SELECT u, v, common, ra_score FROM __sc
+WHERE NOT EXISTS (SELECT 1 FROM __und e
+                  WHERE e.a = __sc.u AND e.b = __sc.v)
+ORDER BY ra_score DESC, u, v LIMIT {topk}"""

@@ -483,3 +483,44 @@ def sql_docs_sssp(edge_pred: str, seed_pred: str, max_hops: int = 12,
     return (_sql_ctes(docs_table) + _sql_quads_cte()
             + sql_sssp(edges, seeds, max_hops=max_hops, lead=","))
 
+
+
+def _edges_in(preds: tuple[str, ...]) -> str:
+    in_list = ", ".join(_q(p) for p in preds)
+    return ("SELECT subj AS src, obj AS dst FROM quads "
+            f"WHERE pred IN ({in_list})")
+
+
+def sql_docs_kcore(preds: tuple[str, ...], k: int = 2, rounds: int = 6,
+                   docs_table: str = "documents") -> str:
+    """DuckDB oracle for fixed-round k-core peeling over the
+    docs-derived quads restricted to ``preds`` (undirected): the shared
+    KG-reconstruction CTEs feed ``quads``, then
+    functions/graph.py:sql_kcore appends its chained peeling rounds."""
+    from k_gap_ray.functions.graph import sql_kcore
+
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sql_kcore(_edges_in(preds), k=k, rounds=rounds, lead=","))
+
+
+def sql_docs_clustering(preds: tuple[str, ...], scale: int = 1000,
+                        docs_table: str = "documents") -> str:
+    """DuckDB oracle for per-node local clustering coefficients over
+    the docs-derived quads restricted to ``preds``."""
+    from k_gap_ray.functions.graph import sql_clustering_coef
+
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sql_clustering_coef(_edges_in(preds), scale=scale,
+                                  lead=","))
+
+
+def sql_docs_link_pred(preds: tuple[str, ...], topk: int = 20,
+                       scale: int = 1_000_000, center_cap: int = 100_000,
+                       docs_table: str = "documents") -> str:
+    """DuckDB oracle for resource-allocation link prediction over the
+    docs-derived quads restricted to ``preds``."""
+    from k_gap_ray.functions.graph import sql_ra_link_pred
+
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sql_ra_link_pred(_edges_in(preds), topk=topk, scale=scale,
+                               center_cap=center_cap, lead=","))

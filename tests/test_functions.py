@@ -2066,3 +2066,109 @@ def test_association_rules_matches_oracle(ray_session, sf_dir):
     want2 = con2.execute(sql_association_rules(
         "l_orderkey", "l_partkey", k=15)).fetchall()
     assert [tuple(r.values()) for r in got2.to_pylist()] == want2
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_kcore_fixed_round_peeling_matches_sql(ray_session, cap):
+    """k-core peeling on a triangle with a pendant path: round 1 peels
+    the path tail-first (FIXED rounds, so the partially-peeled
+    intermediate is pinned too); the 2-core is exactly the triangle.
+    Driver and Dataset paths agree with the chained-CTE mirror; a
+    path graph (empty 2-core) returns zero rows on both."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import kcore_nodes, sql_kcore
+
+    edges = pa.table({
+        "src": ["a", "b", "c", "c", "d", "e"],
+        "dst": ["b", "c", "a", "d", "e", "f"]})
+    con = duckdb.connect()
+    con.register("edges_t", edges)
+    got = {r["node"]: r["deg"] for r in
+           kcore_nodes(rd.from_arrow(edges).repartition(2), k=2,
+                       rounds=4, driver_cap=cap,
+                       num_partitions=2).take_all()}
+    want = dict(con.execute(sql_kcore(
+        "SELECT src, dst FROM edges_t", k=2, rounds=4)).fetchall())
+    assert got == want == {"a": 2, "b": 2, "c": 2}, cap
+
+    path = pa.table({"src": ["a", "b", "c"], "dst": ["b", "c", "d"]})
+    con.register("path_t", path)
+    assert kcore_nodes(rd.from_arrow(path), k=2, rounds=3,
+                       driver_cap=cap).take_all() == []
+    assert con.execute(sql_kcore("SELECT src, dst FROM path_t",
+                                 k=2, rounds=3)).fetchall() == []
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_clustering_coef_matches_sql(ray_session, cap):
+    """Local clustering permille on a kite graph (triangle + tail):
+    the shared-edge nodes see their wedge closed, the tail node's
+    wedge stays open; deg-1 nodes are excluded. Driver and Dataset
+    paths agree with the orientation-free triple-join mirror."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import (clustering_coef,
+                                           sql_clustering_coef)
+
+    # triangle a-b-c plus tail c-d: cc(a)=cc(b)=1000, cc(c)=333
+    edges = pa.table({
+        "src": ["a", "b", "c", "c"],
+        "dst": ["b", "c", "a", "d"]})
+    con = duckdb.connect()
+    con.register("edges_t", edges)
+    got = {r["node"]: (r["deg"], r["tri"], r["cc_permille"]) for r in
+           clustering_coef(rd.from_arrow(edges).repartition(2),
+                           driver_cap=cap,
+                           num_partitions=2).take_all()}
+    want = {n: (d, tr, ccp) for n, d, tr, ccp in con.execute(
+        sql_clustering_coef("SELECT src, dst FROM edges_t"))
+        .fetchall()}
+    assert got == want, cap
+    assert got["a"] == (2, 1, 1000)
+    assert got["c"] == (3, 1, 333)
+    assert "d" not in got                       # deg-1 excluded
+
+    # wedge-free graph: every deg>=2 node reports zero triangles
+    path = pa.table({"src": ["a", "b"], "dst": ["b", "c"]})
+    got_p = {r["node"]: r["cc_permille"] for r in
+             clustering_coef(rd.from_arrow(path),
+                             driver_cap=cap).take_all()}
+    assert got_p == {"b": 0}
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_ra_link_pred_matches_sql_and_caps_hubs(ray_session, cap):
+    """RA link prediction on a bipartite affiliation graph: two orgs
+    sharing two people outscore a pair sharing one; adjacent pairs
+    are excluded; a hub center above center_cap contributes nothing
+    (the skew guard, forced on both engines)."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import ra_link_pred, sql_ra_link_pred
+
+    edges = pa.table({
+        "src": ["o1", "o1", "o2", "o2", "o3", "o1"],
+        "dst": ["p1", "p2", "p1", "p2", "p2", "o2"]})
+    con = duckdb.connect()
+    con.register("edges_t", edges)
+    got = ra_link_pred(rd.from_arrow(edges).repartition(2), topk=10,
+                       driver_cap=cap, num_partitions=2).to_pylist()
+    want = [dict(zip(("u", "v", "common", "ra_score"), r))
+            for r in con.execute(sql_ra_link_pred(
+                "SELECT src, dst FROM edges_t", topk=10)).fetchall()]
+    assert got == want, cap
+    pairs = {(r["u"], r["v"]): r for r in got}
+    assert ("o1", "o2") not in pairs            # adjacent: excluded
+    assert ("o1", "o3") in pairs and ("o2", "o3") in pairs
+
+    # center_cap=1 kills every wedge (all centers have deg >= 2)
+    got_cap = ra_link_pred(rd.from_arrow(edges), topk=10,
+                           center_cap=1, driver_cap=cap).to_pylist()
+    want_cap = con.execute(sql_ra_link_pred(
+        "SELECT src, dst FROM edges_t", topk=10,
+        center_cap=1)).fetchall()
+    assert got_cap == [] and want_cap == []
