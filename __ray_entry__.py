@@ -1042,6 +1042,33 @@ def _doc_len_quantiles_by_lang(sf_dir: str):
                              "lang", "n_chars")
 
 
+def _doc_winnow(sf_dir: str):
+    """Winnowing fingerprints (the MOSS sketch, Schleimer et al. 2003)
+    per document: rightmost-min selection over 5-gram-hash windows,
+    composite-key exact on both engines; output = per-doc fingerprint
+    count + hash sum. One stateless map_batches pass, no shuffle."""
+    from k_gap_ray.functions.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir, ["doc_id", "text"]),
+                               k=4, w=5)
+
+
+def _doc_sim_pairs(sf_dir: str):
+    """TF-IDF weighted document-similarity join over 4-gram shingles:
+    top-20 pairs by the integer weighted-overlap score
+    sum(min(tf_a, tf_b) * idf_int) over shared shingles with
+    2 <= df <= 100 (the PPJoin-style frequency cut that bounds pair
+    fan-out and drops boilerplate). The min-tf form stays int64-exact
+    where an integer tf-idf dot product overflows at ~1e5 docs. n=4
+    (not 3) is the scale choice: 3-gram df on this corpus is dense
+    enough that the pair join degenerates toward all-pairs at the
+    5000-doc tier (measured 38.8s vs 5.8s, both oracle-identical)."""
+    from k_gap_ray.functions.search import tfidf_sim_pairs
+
+    return tfidf_sim_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                           topk=20, df_cap=100, n=4)
+
+
 def _doc_oov(sf_dir: str):
     """Per-doc out-of-vocabulary stats vs the corpus top-500
     vocabulary (vocabulary-coverage quality filter): two streaming
@@ -3143,6 +3170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kcore": _kcore,
         "q_clustering": _clustering,
         "q_link_pred": _link_pred,
+        "q_doc_winnow": _doc_winnow,
+        "q_doc_sim_pairs": _doc_sim_pairs,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3444,6 +3473,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q_doc_oov": _ts.sql_oov_rate(vocab_size=500),
+        "q_doc_winnow": _ts.sql_winnow_fingerprints(k=4, w=5),
+        "q_doc_sim_pairs": _sql_doc_sim_pairs(),
         "q_doc_chunks": _chk.sql_chunk_spans(size=32, stride=24),
         "q_events_cms_users": _sk.sql_cms_estimates(
             "user_id", _CMS_PROBES),
@@ -4051,6 +4082,12 @@ def _sql_docs_sssp() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_sssp
 
     return sql_docs_sssp("urn:kgap:pred:funds", "urn:kgap:pred:manages")
+
+
+def _sql_doc_sim_pairs() -> str:
+    from k_gap_ray.functions.search import sql_tfidf_sim_pairs
+
+    return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
 
 
 def _sql_docs_kcore() -> str:

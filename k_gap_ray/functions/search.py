@@ -273,3 +273,219 @@ def sql_phrase_search(phrase: str, id_col: str = "doc_id",
         FROM grams WHERE gram = '{lit}'
         GROUP BY {id_col} ORDER BY {id_col}
     """
+
+
+def _gram_postings_partial(t: pa.Table, id_col: str, text_col: str,
+                           n: int) -> pa.Table:
+    """In-batch (term, doc_id, tf) over token ``n``-gram shingles —
+    exact, because each document lives wholly in one row."""
+    from k_gap_ray.functions.textstats import _batch_ngram_positions
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "tf": pa.array([], pa.int64())})
+    row_idx, grams = _batch_ngram_positions(t, n, text_col)
+    if len(grams) == 0:
+        return empty
+    doc_ids = pc.cast(t.column(id_col), pa.int64()).combine_chunks() \
+        .to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(grams)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    pair = row_idx * len(vocab) + codes
+    uniq, tf = np.unique(pair, return_counts=True)
+    return pa.table({
+        "term": pc.take(vocab, pa.array(uniq % len(vocab))),
+        "doc_id": pa.array(doc_ids[uniq // len(vocab)], pa.int64()),
+        "tf": pa.array(tf.astype(np.int64), pa.int64())})
+
+
+def tfidf_sim_pairs(ds, topk: int = 20, df_cap: int = 100, n: int = 3,
+                    idf_scale: int = 1000,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    num_partitions: int | None = None):
+    """TF-IDF weighted document-similarity join over token ``n``-gram
+    SHINGLES: the top ``topk`` doc pairs by the exact-integer
+    WEIGHTED-OVERLAP score
+
+        score(a, b) = sum over shared shingles t of
+                      min(tf(a,t), tf(b,t)) * idf_int(t)
+        idf_int(t)  = (N * idf_scale) // df(t)
+
+    ordered by (score DESC, doc_id_a, doc_id_b) — a total order, so
+    the cutoff is unambiguous on both engines.  ``min`` (not the tf
+    product) keeps every partial sum bounded by doc_len * tf * idf —
+    int64-safe at any corpus size, where a dot product of integer
+    tf-idf weights overflows at ~10^5 docs.  Shingles (not unigrams)
+    are the term space because near-dup similarity needs phrase-level
+    evidence — and a web-ish corpus's unigram df is boilerplate-heavy
+    (on the synthetic docs table EVERY unigram exceeds any useful
+    df_cap at the 5000-doc tier, leaving zero candidate pairs).
+    Returns a driver-sized pa.Table(doc_id_a, doc_id_b, n_shared,
+    score).
+
+    Scale shape: the postings stream is exact per batch (each doc
+    lives wholly in its row), df is one slim (term) shuffle, and the
+    pair join only touches shingles with 2 <= df <= ``df_cap`` — the
+    PPJoin-style frequency cut that bounds each shingle's pair fan-out
+    at df_cap^2 and drops boilerplate that carries no signal
+    (identical cut in the SQL mirror :func:`sql_tfidf_sim_pairs`).
+    Pair partials pre-reduce per batch on the composite key before the
+    one (pair) shuffle.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    _S = "\x1f"
+    empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
+                      "doc_id_b": pa.array([], pa.int64()),
+                      "n_shared": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+    n_docs = ds.count()
+    if n_docs == 0:
+        return empty
+    posts = ds.map_batches(
+        lambda t: _gram_postings_partial(t, id_col, text_col, n),
+        batch_format="pyarrow").materialize()
+    if posts.count() == 0:
+        return empty
+    posts = drop_empty_blocks(posts)
+
+    def idf_of(t: pa.Table) -> pa.Table:
+        dfv = pc.cast(t.column("count()"), pa.int64())
+        m = pc.and_(pc.greater_equal(dfv, pa.scalar(2, pa.int64())),
+                    pc.less_equal(dfv, pa.scalar(df_cap, pa.int64())))
+        t = t.filter(m)
+        dfv = pc.cast(t.column("count()"), pa.int64())
+        return pa.table({
+            "term": t.column("term"),
+            "idf": pc.divide(pa.scalar(n_docs * idf_scale, pa.int64()),
+                             dfv)})
+
+    idf = (posts.groupby("term").count()
+           .map_batches(idf_of, batch_format="pyarrow")).materialize()
+    if idf.count() == 0:
+        return empty
+    idf = drop_empty_blocks(idf)
+
+    wp = join_datasets(posts, idf, on="term",
+                       num_partitions=num_partitions,
+                       scrub_left=False, scrub_right=False)
+    wp = drop_empty_blocks(wp.materialize())
+    left = wp.map_batches(lambda t: pa.table(
+        {"term": t.column("term"), "da": t.column(id_col),
+         "tfa": t.column("tf"), "idf": t.column("idf")}),
+        batch_format="pyarrow")
+    right = wp.map_batches(lambda t: pa.table(
+        {"term": t.column("term"), "db": t.column(id_col),
+         "tfb": t.column("tf")}), batch_format="pyarrow")
+    pairs = join_datasets(left, right, on="term",
+                          num_partitions=num_partitions,
+                          scrub_left=False, scrub_right=False)
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        da = pc.cast(t.column("da"), pa.int64())
+        db = pc.cast(t.column("db"), pa.int64())
+        m = pc.less(da, db)
+        t = t.filter(m)
+        if t.num_rows == 0:
+            return pa.table({"__k": pa.array([], pa.string()),
+                             "np_": pa.array([], pa.int64()),
+                             "sp": pa.array([], pa.int64())})
+        da = pc.cast(t.column("da"), pa.int64())
+        db = pc.cast(t.column("db"), pa.int64())
+        key = pc.binary_join_element_wise(
+            pc.cast(da, pa.string()), pc.cast(db, pa.string()), _S)
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) \
+            else key
+        contrib = pc.multiply(
+            pc.min_element_wise(pc.cast(t.column("tfa"), pa.int64()),
+                                pc.cast(t.column("tfb"), pa.int64())),
+            pc.cast(t.column("idf"), pa.int64()))
+        enc = pc.dictionary_encode(key)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnp = contrib.combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(contrib, pa.ChunkedArray) \
+            else contrib.to_numpy(zero_copy_only=False)
+        n = len(enc.dictionary)
+        npx = np.bincount(codes, minlength=n).astype(np.int64)
+        sp = np.zeros(n, dtype=np.int64)
+        np.add.at(sp, codes, cnp.astype(np.int64))
+        return pa.table({"__k": enc.dictionary,
+                         "np_": pa.array(npx, pa.int64()),
+                         "sp": pa.array(sp, pa.int64())})
+
+    sc = (pairs.map_batches(pair_partials, batch_format="pyarrow")
+          .groupby("__k").aggregate(Sum("np_", alias_name="n_shared"),
+                                    Sum("sp", alias_name="score")))
+    sc = sc.materialize()
+    if sc.count() == 0:
+        return empty
+    sc = drop_empty_blocks(sc)
+
+    def finish(t: pa.Table) -> pa.Table:
+        key = t.column("__k").combine_chunks() \
+            if isinstance(t.column("__k"), pa.ChunkedArray) \
+            else t.column("__k")
+        split = pc.split_pattern(key, _S)
+        return pa.table({
+            "doc_id_a": pc.cast(pc.list_element(split, 0), pa.int64()),
+            "doc_id_b": pc.cast(pc.list_element(split, 1), pa.int64()),
+            "n_shared": pc.cast(t.column("n_shared"), pa.int64()),
+            "score": pc.cast(t.column("score"), pa.int64())})
+
+    ranked = (sc.map_batches(finish, batch_format="pyarrow")
+              .sort(["score", "doc_id_a", "doc_id_b"],
+                    descending=[True, False, False])
+              .limit(topk))
+    rows = ranked.take_all()
+    if not rows:
+        return empty
+    return pa.table({
+        "doc_id_a": pa.array([r["doc_id_a"] for r in rows], pa.int64()),
+        "doc_id_b": pa.array([r["doc_id_b"] for r in rows], pa.int64()),
+        "n_shared": pa.array([r["n_shared"] for r in rows], pa.int64()),
+        "score": pa.array([r["score"] for r in rows], pa.int64())})
+
+
+def sql_tfidf_sim_pairs(topk: int = 20, df_cap: int = 100, n: int = 3,
+                        idf_scale: int = 1000, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        rel: str = "documents") -> str:
+    """DuckDB oracle for :func:`tfidf_sim_pairs`: the identical
+    shingle postings, df window, integer idf and min-tf weighted
+    overlap."""
+    return f"""
+    WITH __toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {rel}
+    ), __grams AS (
+      SELECT {id_col},
+             unnest(list_transform(
+                 generate_series(1, len(l) - {n - 1}),
+                 i -> array_to_string(l[i:i + {n - 1}], ' '))) AS term
+      FROM __toks WHERE len(l) >= {n}
+    ), __posts AS MATERIALIZED (
+      SELECT term, {id_col} AS d, COUNT(*)::BIGINT AS tf
+      FROM __grams GROUP BY term, {id_col}
+    ), __idf AS (
+      SELECT term,
+             ((SELECT COUNT(*) FROM {rel}) * {idf_scale}
+              // COUNT(*))::BIGINT AS idf
+      FROM __posts GROUP BY term
+      HAVING COUNT(*) BETWEEN 2 AND {df_cap}
+    )
+    SELECT a.d AS doc_id_a, b.d AS doc_id_b,
+           COUNT(*)::BIGINT AS n_shared,
+           SUM(LEAST(a.tf, b.tf) * i.idf)::BIGINT AS score
+    FROM __posts a
+    JOIN __posts b ON a.term = b.term AND a.d < b.d
+    JOIN __idf i ON i.term = a.term
+    GROUP BY a.d, b.d
+    ORDER BY score DESC, doc_id_a, doc_id_b LIMIT {topk}
+    """

@@ -892,3 +892,126 @@ def sql_stopword_count(text_col: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
     return (f"len(list_filter(string_split(lower({text_col}), ' '), "
             f"w -> w IN ({words})))")
+
+
+_WINNOW_POS_CAP = 1 << 20
+
+
+def winnow_fingerprints(ds, k: int = 4, w: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every token ``k``-gram, then
+    in each window of ``w`` consecutive gram hashes select the MINIMUM,
+    breaking ties by RIGHTMOST position.  Guarantees at least one
+    fingerprint per window (unlike 0-mod-p sampling) while selecting
+    ~2/(w+1) of all grams — the standard near-dup sketch when position
+    coverage matters.  Returns Dataset(id_col, n_fp, fp_sum): the count
+    of selected (distinct) positions and the int64 sum of their gram
+    hashes; docs with fewer than ``k + w - 1`` tokens (no full window)
+    are absent.
+
+    Exact-integer contract: gram hash = the pinned rolling codepoint
+    hash (H1_BASE/H1_MOD, < 2^32); the rightmost-min tie-break is
+    encoded in one composite int64 key ``h * 2^20 + (2^20 - 1 - pos)``
+    whose per-window MIN selects (min h, max pos) — the identical key
+    the SQL mirror (:func:`sql_winnow_fingerprints`) minimizes, so the
+    selected sets are value-identical.  Documents above 2^20 grams
+    would corrupt the tie-break and raise (structural guard; split
+    such docs upstream with functions/chunking).
+
+    Scale shape: ONE stateless map_batches pass, no shuffle — each
+    document lives wholly in its row, the sliding-window min is a
+    vectorized stride-trick view masked at doc boundaries, and the
+    per-doc aggregation is two bincounts.
+    """
+
+    def fp(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], t.column(id_col).type),
+                          "n_fp": pa.array([], pa.int64()),
+                          "fp_sum": pa.array([], pa.int64())})
+        row_idx, grams = _batch_ngram_positions(t, k, text_col)
+        n = len(grams)
+        if n < w:
+            return empty
+        h = hash_tokens(grams, H1_BASE, H1_MOD).astype(np.int64)
+        # 1-based gram position WITHIN its doc (pinned to the SQL
+        # mirror's generate_series(1, ...))
+        new_doc = np.flatnonzero(np.diff(row_idx)) + 1
+        run_start = np.zeros(n, dtype=np.int64)
+        run_start[new_doc] = new_doc
+        np.maximum.accumulate(run_start, out=run_start)
+        pos1 = np.arange(n, dtype=np.int64) - run_start + 1
+        if pos1.max() >= _WINNOW_POS_CAP:
+            raise ValueError(
+                f"winnow_fingerprints: a document has >= "
+                f"{_WINNOW_POS_CAP} {k}-grams; the composite rightmost-"
+                f"min key needs pos < 2^20 — chunk the document first")
+        key = h * _WINNOW_POS_CAP + (_WINNOW_POS_CAP - 1 - pos1)
+        swv = np.lib.stride_tricks.sliding_window_view(key, w)
+        mins = swv.min(axis=1)
+        # window starting at flat i is a real window iff its last gram
+        # is still in the same document
+        valid = row_idx[: n - w + 1] == row_idx[w - 1:]
+        mins = mins[valid]
+        docs = row_idx[: n - w + 1][valid]
+        if len(mins) == 0:
+            return empty
+        # distinct (doc, selected key): the key embeds the position,
+        # so distinct keys == distinct selected positions
+        order = np.lexsort((mins, docs))
+        docs, mins = docs[order], mins[order]
+        keep = np.ones(len(mins), dtype=bool)
+        keep[1:] = (docs[1:] != docs[:-1]) | (mins[1:] != mins[:-1])
+        docs, mins = docs[keep], mins[keep]
+        sel_h = mins // _WINNOW_POS_CAP
+        n_fp = np.bincount(docs, minlength=t.num_rows).astype(np.int64)
+        fp_sum = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(fp_sum, docs, sel_h)
+        m = n_fp > 0
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(m)),
+            "n_fp": pa.array(n_fp[m], pa.int64()),
+            "fp_sum": pa.array(fp_sum[m], pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def sql_winnow_fingerprints(k: int = 4, w: int = 5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            table: str = "documents") -> str:
+    """DuckDB oracle for :func:`winnow_fingerprints`: positions via
+    generate_series, the identical composite key, per-window MIN as a
+    window function, DISTINCT selected keys, then the per-doc count +
+    hash sum."""
+    gram_hash = sql_token_hash_expr("gram", H1_BASE, H1_MOD)
+    cap = _WINNOW_POS_CAP
+    return f"""
+    WITH __toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {table}
+    ), __grams AS (
+      SELECT {id_col}, pos,
+             array_to_string(l[pos:pos + {k - 1}], ' ') AS gram
+      FROM (SELECT {id_col}, l,
+                   unnest(generate_series(1, len(l) - {k - 1})) AS pos
+            FROM __toks WHERE len(l) >= {k}) __g
+    ), __keyed AS (
+      SELECT {id_col}, pos,
+             ({gram_hash}) * {cap} + ({cap} - 1 - pos) AS key
+      FROM __grams
+    ), __wmin AS (
+      SELECT {id_col},
+             min(key) OVER (PARTITION BY {id_col} ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {w - 1} FOLLOWING) AS mk,
+             pos,
+             count(*) OVER (PARTITION BY {id_col}) AS cnt
+      FROM __keyed
+    ), __sel AS (
+      SELECT DISTINCT {id_col}, mk
+      FROM __wmin WHERE pos <= cnt - {w - 1}
+    )
+    SELECT {id_col}, count(*)::BIGINT AS n_fp,
+           SUM(mk // {cap})::BIGINT AS fp_sum
+    FROM __sel GROUP BY {id_col}
+    """

@@ -2172,3 +2172,72 @@ def test_ra_link_pred_matches_sql_and_caps_hubs(ray_session, cap):
         "SELECT src, dst FROM edges_t", topk=10,
         center_cap=1)).fetchall()
     assert got_cap == [] and want_cap == []
+
+
+def test_winnow_fingerprints_matches_sql_and_pins_tiebreak(ray_session):
+    """Winnowing (rightmost-min over gram-hash windows): a constant
+    doc ('a a a ...') forces every window to tie on hash, so the
+    selected set exists only if the RIGHTMOST tie-break is pinned
+    identically on both engines; docs shorter than k+w-1 tokens emit
+    nothing; a two-doc batch must not leak windows across the doc
+    boundary."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.textstats import (sql_winnow_fingerprints,
+                                               winnow_fingerprints)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a a a a a a a a a a",            # all-tie: rightmost wins
+            "the quick brown fox jumps over the lazy dog today",
+            "a b c",                           # < k tokens: no grams
+            "x y z w v u t",                   # grams but no full window
+        ])})
+    con = duckdb.connect()
+    con.register("hdocs", docs)
+    got = {r["doc_id"]: (r["n_fp"], r["fp_sum"]) for r in
+           winnow_fingerprints(rd.from_arrow(docs).repartition(2),
+                               k=4, w=5).take_all()}
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        sql_winnow_fingerprints(k=4, w=5, table="hdocs")).fetchall()}
+    assert got == want
+    assert 3 not in got and 4 not in got
+    # constant doc: 7 grams, 3 full windows, rightmost-min selects the
+    # LAST position of each window -> positions 5, 6, 7
+    assert got[1][0] == 3
+
+
+def test_tfidf_sim_pairs_matches_sql_and_cuts_df(ray_session):
+    """Shingle weighted-overlap similarity join: min(tf) credits a
+    twice-shared shingle over a once-shared one; the 'w w w'
+    boilerplate shingle present in every doc (df > df_cap) contributes
+    nothing, so the doc sharing ONLY boilerplate appears in no pair."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.search import (sql_tfidf_sim_pairs,
+                                            tfidf_sim_pairs)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "w w w a b c a b c",            # tf('a b c') = 2
+            "w w w a b c x y z a b c",      # tf('a b c') = 2
+            "w w w a b c d e f",            # tf('a b c') = 1
+            "w w w p q r s t u",            # shares only boilerplate
+        ])})
+    con = duckdb.connect()
+    con.register("hdocs", docs)
+    got = tfidf_sim_pairs(rd.from_arrow(docs).repartition(2), topk=10,
+                          df_cap=3, n=3).to_pylist()
+    want = [dict(zip(("doc_id_a", "doc_id_b", "n_shared", "score"), r))
+            for r in con.execute(sql_tfidf_sim_pairs(
+                topk=10, df_cap=3, n=3, rel="hdocs")).fetchall()]
+    assert got == want
+    by_pair = {(r["doc_id_a"], r["doc_id_b"]): r for r in got}
+    # min(tf): docs 1&2 both repeat 'a b c' (min 2), doc 3 has it once
+    assert by_pair[(1, 2)]["score"] > by_pair[(1, 3)]["score"]
+    # 'w w w' has df=4 > cap: doc 4 is in no pair
+    assert all(4 not in p for p in by_pair)
