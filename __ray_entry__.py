@@ -1546,6 +1546,28 @@ def _link_pred(sf_dir: str):
     return ra_link_pred(edges, topk=20)
 
 
+def _walks(sf_dir: str):
+    """Deterministic hash-argmin 'random' walks (the reproducible
+    node2vec/DeepWalk sampling primitive) over the directed
+    collaboration graph, seeded at the manager entities: at step i the
+    walk moves to the out-neighbor minimizing the seeded 31-bit mix of
+    (node-hash, step, neighbor-hash), ties to the lexicographically
+    smallest — bit-identical trajectories on any engine or cluster
+    size. Oracle: chained candidate-join/argmin CTEs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.graph import deterministic_walks
+
+    quads = _docs_quads(sf_dir)
+    seeds = quads.map_batches(
+        lambda t: pa.table({"node": t.column("subj").filter(
+            pc.equal(t.column("pred"), "urn:kgap:pred:manages"))}),
+        batch_format="pyarrow")
+    return deterministic_walks(_collab_edges(sf_dir), seeds,
+                               steps=5, seed=4)
+
+
 def _bfs_depths(sf_dir: str):
     """J5-family multi-source BFS with min-depth labels over the
     docs-derived funding graph: seeds = all managers (subjects of
@@ -3172,6 +3194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_link_pred": _link_pred,
         "q_doc_winnow": _doc_winnow,
         "q_doc_sim_pairs": _doc_sim_pairs,
+        "q_walks": _walks,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3882,6 +3905,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kcore": _sql_docs_kcore(),
         "q_clustering": _sql_docs_clustering(),
         "q_link_pred": _sql_docs_link_pred(),
+        "q_walks": _sql_docs_walks(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -4088,6 +4112,13 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_docs_walks() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_walks
+
+    return sql_docs_walks(_TRI_PREDS, "urn:kgap:pred:manages",
+                          steps=5, seed=4)
 
 
 def _sql_docs_kcore() -> str:

@@ -1377,3 +1377,248 @@ SELECT u, v, common, ra_score FROM __sc
 WHERE NOT EXISTS (SELECT 1 FROM __und e
                   WHERE e.a = __sc.u AND e.b = __sc.v)
 ORDER BY ra_score DESC, u, v LIMIT {topk}"""
+
+
+def _node_hash(arr):
+    """Pinned 32-bit string hash of node IRIs (the textstats rolling
+    codepoint hash, SQL-mirrored by sql_token_hash_expr)."""
+    from k_gap_ray.functions.textstats import H1_BASE, H1_MOD, hash_tokens
+
+    return hash_tokens(arr, H1_BASE, H1_MOD).astype(np.int64)
+
+
+def _walk_key(hv: np.ndarray, step: int, hw: np.ndarray,
+              seed: int) -> np.ndarray:
+    """Per-candidate selection key: combine (current node, step,
+    neighbor) into the 31-bit domain, then the seeded shuffle mix.
+    Every intermediate stays < 2**62 (hv < 2**32, so hv*131 < 2**39)
+    — the DuckDB mirror runs the identical expression tree with no
+    BIGINT overflow."""
+    from k_gap_ray.functions.shuffle import _M, _mix
+
+    c = (hv * 131 + step * 7919 + hw) % _M
+    return _mix(c, seed)
+
+
+def deterministic_walks(edges_ds, seeds_ds, steps: int = 5,
+                        seed: int = 0,
+                        num_partitions: int | None = None,
+                        driver_cap: int = _TRI_DRIVER_CAP):
+    """Deterministic 'random' walks over a directed edge list — the
+    graph-sampling primitive (node2vec/DeepWalk-style corpus walks)
+    made REPRODUCIBLE: from each seed node, at step i the walk moves
+    to the out-neighbor w minimizing the seeded integer key
+
+        key = mix31((h(v) * 131 + i * 7919 + h(w)) % 2^31, seed)
+
+    with ties broken by lexicographically smallest w — a pure function
+    of (graph, seeds, steps, seed), so two engines (or two cluster
+    sizes) produce bit-identical trajectories, and the DuckDB mirror
+    (:func:`sql_deterministic_walks`) value-matches.  h is the pinned
+    rolling codepoint hash, mix31 the seeded 31-bit shuffle mix
+    (functions/shuffle.py) — both already SQL-mirrored.
+
+    Returns Dataset(seed_node, step, node): step 0 is the seed itself;
+    a walk reaching a sink (no out-edges) simply stops emitting.
+    Parallel duplicate edges are harmless (duplicate candidates share
+    one key; the argmin is unchanged — identically in SQL).
+
+    Scale shape: one hash join (frontier ⋈ edges on the current node)
+    + two slim groupbys (min key per seed, then min-w tie-break) per
+    step; the frontier never exceeds |seeds| rows.  Below
+    ``driver_cap`` edges the walk runs as numpy/dict steps on the
+    driver (the pagerank_int economics).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    out_schema = pa.schema([("seed_node", pa.string()),
+                            ("step", pa.int64()),
+                            ("node", pa.string())])
+    empty = pa.table({"seed_node": pa.array([], pa.string()),
+                      "step": pa.array([], pa.int64()),
+                      "node": pa.array([], pa.string())})
+
+    def seeds_table():
+        parts = []
+        for p in ray.get(seeds_ds.materialize().to_arrow_refs()):
+            if not isinstance(p, pa.Table):
+                p = pa.Table.from_pandas(p, preserve_index=False)
+            if p.num_rows:
+                parts.append(p.select(["node"]))
+        if not parts:
+            return None
+        t = pa.concat_tables(parts).combine_chunks()
+        return np.unique(t.column("node").to_numpy(zero_copy_only=False))
+
+    n_edges = edges_ds.count()
+    if n_edges <= driver_cap:
+        sd = seeds_table()
+        if sd is None:
+            return rd.from_arrow(empty)
+        parts = []
+        for p in ray.get(edges_ds.materialize().to_arrow_refs()):
+            if not isinstance(p, pa.Table):
+                p = pa.Table.from_pandas(p, preserve_index=False)
+            if p.num_rows:
+                parts.append(p.select(["src", "dst"]))
+        src = np.concatenate(
+            [p.column("src").to_numpy(zero_copy_only=False)
+             for p in parts]) if parts else np.array([], dtype=object)
+        dst = np.concatenate(
+            [p.column("dst").to_numpy(zero_copy_only=False)
+             for p in parts]) if parts else np.array([], dtype=object)
+        uniq = np.unique(np.concatenate([src, dst, sd]))
+        hcode = _node_hash(pa.array(uniq, pa.string()))
+        code = {n: i for i, n in enumerate(uniq.tolist())}
+        adj: dict[int, list] = {}
+        for s, d in zip(src.tolist(), dst.tolist()):
+            adj.setdefault(code[s], []).append(code[d])
+        rows_seed, rows_step, rows_node = [], [], []
+        for s in sd.tolist():
+            cur = code[s]
+            rows_seed.append(s)
+            rows_step.append(0)
+            rows_node.append(s)
+            for i in range(1, steps + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                nb = np.array(nbrs, dtype=np.int64)
+                keys = _walk_key(np.full(len(nb), hcode[cur]), i,
+                                 hcode[nb], seed)
+                kmin = keys.min()
+                # tie-break: lexicographically smallest neighbor name
+                best = min(uniq[nb[keys == kmin]].tolist())
+                cur = code[best]
+                rows_seed.append(s)
+                rows_step.append(i)
+                rows_node.append(best)
+        return rd.from_arrow(pa.table({
+            "seed_node": pa.array(rows_seed, pa.string()),
+            "step": pa.array(rows_step, pa.int64()),
+            "node": pa.array(rows_node, pa.string())}))
+
+    # distributed path: frontier ⋈ edges per step + argmin groupbys
+    edges = drop_empty_blocks(edges_ds.map_batches(
+        lambda t: pa.table({"src": pc.cast(t.column("src"), pa.string()),
+                            "dst": pc.cast(t.column("dst"), pa.string())}),
+        batch_format="pyarrow").materialize())
+    seeds = seeds_ds.map_batches(
+        lambda t: pa.table({"node": pc.cast(t.column("node"),
+                                            pa.string())}),
+        batch_format="pyarrow") \
+        .groupby("node").count().select_columns(["node"])
+    seeds = seeds.materialize()
+    if seeds.count() == 0 or edges.count() == 0:
+        if seeds.count() == 0:
+            return rd.from_arrow(empty)
+    seeds = drop_empty_blocks(seeds)
+    frontier = seeds.map_batches(
+        lambda t: pa.table({"seed_node": t.column("node"),
+                            "node": t.column("node")}),
+        batch_format="pyarrow")
+    outs = [frontier.map_batches(
+        lambda t: pa.table({"seed_node": t.column("seed_node"),
+                            "step": pa.array([0] * t.num_rows, pa.int64()),
+                            "node": t.column("node")}),
+        batch_format="pyarrow")]
+    frontier = drop_empty_blocks(frontier.materialize())
+    for i in range(1, steps + 1):
+        if edges.count() == 0:
+            break
+        cand = join_datasets(frontier, edges, on="node", right_on="src",
+                             num_partitions=num_partitions,
+                             scrub_left=False, scrub_right=False)
+
+        def keyed(t: pa.Table, step=i) -> pa.Table:
+            hv = _node_hash(t.column("node").combine_chunks())
+            hw = _node_hash(t.column("dst").combine_chunks())
+            return pa.table({
+                "seed_node": t.column("seed_node"),
+                "dst": t.column("dst"),
+                "h": pa.array(_walk_key(hv, step, hw, seed), pa.int64())})
+
+        cand = cand.map_batches(keyed, batch_format="pyarrow") \
+            .materialize()
+        if cand.count() == 0:
+            break
+        cand = drop_empty_blocks(cand)
+        m = cand.groupby("seed_node").aggregate(Min("h", alias_name="mh"))
+        m = drop_empty_blocks(m.materialize())
+        best = join_datasets(cand, m, on="seed_node",
+                             num_partitions=num_partitions,
+                             scrub_left=False, scrub_right=False)
+
+        def tie(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("h"), t.column("mh"))
+            t = t.filter(keep)
+            return pa.table({"seed_node": t.column("seed_node"),
+                             "dst": t.column("dst")})
+
+        nxt = (best.map_batches(tie, batch_format="pyarrow")
+               .groupby("seed_node").aggregate(Min("dst",
+                                                   alias_name="node")))
+        nxt = nxt.materialize()
+        if nxt.count() == 0:
+            break
+        nxt = drop_empty_blocks(nxt)
+        frontier = nxt
+        outs.append(frontier.map_batches(
+            lambda t, step=i: pa.table({
+                "seed_node": t.column("seed_node"),
+                "step": pa.array([step] * t.num_rows, pa.int64()),
+                "node": t.column("node")}),
+            batch_format="pyarrow"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
+
+
+def sql_deterministic_walks(edges_sql: str, seeds_sql: str,
+                            steps: int = 5, seed: int = 0,
+                            lead: str = "WITH") -> str:
+    """DuckDB oracle for :func:`deterministic_walks`: node hashes once
+    in a MATERIALIZED CTE, then per step the identical candidate join,
+    per-seed min key, and min-dst tie-break as chained CTEs."""
+    from k_gap_ray.functions.shuffle import _M, _mix_sql
+    from k_gap_ray.functions.textstats import (H1_BASE, H1_MOD,
+                                               sql_token_hash_expr)
+
+    nh = sql_token_hash_expr("node", H1_BASE, H1_MOD)
+    parts = [f"""{lead} __e AS MATERIALIZED (SELECT src, dst
+  FROM ({edges_sql}) __e0),
+__sd AS MATERIALIZED (SELECT DISTINCT node FROM ({seeds_sql}) __s0),
+__nodes AS (
+  SELECT src AS node FROM __e UNION
+  SELECT dst FROM __e UNION SELECT node FROM __sd),
+__nh AS MATERIALIZED (SELECT node, ({nh}) AS h FROM __nodes),
+__w0 AS (SELECT node AS seed_node, node FROM __sd)"""]
+    for i in range(1, steps + 1):
+        mix = _mix_sql("c", seed)
+        parts.append(f""",
+__c{i} AS MATERIALIZED (
+  SELECT seed_node, dst, {mix} AS h FROM (
+    SELECT w.seed_node, e.dst,
+           (hv.h * 131 + {i * 7919} + hd.h) % {_M} AS c
+    FROM __w{i - 1} w
+    JOIN __e e ON e.src = w.node
+    JOIN __nh hv ON hv.node = w.node
+    JOIN __nh hd ON hd.node = e.dst) __r),
+__m{i} AS (SELECT seed_node, MIN(h) AS mh
+           FROM __c{i} GROUP BY seed_node),
+__w{i} AS MATERIALIZED (
+  SELECT c.seed_node, MIN(c.dst) AS node
+  FROM __c{i} c JOIN __m{i} m
+    ON c.seed_node = m.seed_node AND c.h = m.mh
+  GROUP BY c.seed_node)""")
+    sel = ["SELECT seed_node, 0::BIGINT AS step, node FROM __w0"]
+    for i in range(1, steps + 1):
+        sel.append(f"SELECT seed_node, {i}::BIGINT AS step, node "
+                   f"FROM __w{i}")
+    parts.append("\n" + "\nUNION ALL\n".join(sel))
+    return "".join(parts)

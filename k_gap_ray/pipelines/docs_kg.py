@@ -524,3 +524,18 @@ def sql_docs_link_pred(preds: tuple[str, ...], topk: int = 20,
     return (_sql_ctes(docs_table) + _sql_quads_cte()
             + sql_ra_link_pred(_edges_in(preds), topk=topk, scale=scale,
                                center_cap=center_cap, lead=","))
+
+
+def sql_docs_walks(preds: tuple[str, ...], seed_pred: str,
+                   steps: int = 5, seed: int = 0,
+                   docs_table: str = "documents") -> str:
+    """DuckDB oracle for deterministic hash-argmin walks over the
+    docs-derived quads restricted to ``preds``, seeded at the distinct
+    subjects of ``seed_pred`` edges."""
+    from k_gap_ray.functions.graph import sql_deterministic_walks
+
+    seeds = ("SELECT DISTINCT subj AS node FROM quads WHERE pred = "
+             + _q(seed_pred))
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sql_deterministic_walks(_edges_in(preds), seeds,
+                                      steps=steps, seed=seed, lead=","))

@@ -2241,3 +2241,50 @@ def test_tfidf_sim_pairs_matches_sql_and_cuts_df(ray_session):
     assert by_pair[(1, 2)]["score"] > by_pair[(1, 3)]["score"]
     # 'w w w' has df=4 > cap: doc 4 is in no pair
     assert all(4 not in p for p in by_pair)
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_deterministic_walks_match_sql_and_stop_at_sinks(ray_session,
+                                                         cap):
+    """Hash-argmin walks: trajectories are a pure function of (graph,
+    seeds, steps, seed) — driver and Dataset paths reproduce the
+    chained-CTE mirror exactly; a sink stops the walk (step-0 row
+    only for an isolated seed); changing the seed changes at least
+    one trajectory on a branching graph."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import (deterministic_walks,
+                                           sql_deterministic_walks)
+
+    edges = pa.table({
+        "src": ["a", "a", "a", "b", "b", "c", "d"],
+        "dst": ["b", "c", "d", "c", "d", "a", "a"]})
+    seeds = pa.table({"node": ["a", "b", "iso"]})
+    con = duckdb.connect()
+    con.register("e", edges)
+    con.register("s", seeds)
+    got = sorted((r["seed_node"], r["step"], r["node"]) for r in
+                 deterministic_walks(rd.from_arrow(edges).repartition(2),
+                                     rd.from_arrow(seeds), steps=4,
+                                     seed=9, driver_cap=cap,
+                                     num_partitions=2).take_all())
+    want = sorted(con.execute(sql_deterministic_walks(
+        "SELECT src, dst FROM e", "SELECT node FROM s",
+        steps=4, seed=9)).fetchall())
+    assert got == want, cap
+    by_seed = {}
+    for s, i, n in got:
+        by_seed.setdefault(s, []).append((i, n))
+    assert by_seed["iso"] == [(0, "iso")]       # sink: walk stops
+    assert len(by_seed["a"]) == 5               # full walk, no sinks
+    # a different seed diverges somewhere (branching at a and b)
+    other = sorted((r["seed_node"], r["step"], r["node"]) for r in
+                   deterministic_walks(rd.from_arrow(edges),
+                                       rd.from_arrow(seeds), steps=4,
+                                       seed=10,
+                                       driver_cap=cap).take_all())
+    want_other = sorted(con.execute(sql_deterministic_walks(
+        "SELECT src, dst FROM e", "SELECT node FROM s",
+        steps=4, seed=10)).fetchall())
+    assert other == want_other, cap
