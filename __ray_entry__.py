@@ -1069,6 +1069,42 @@ def _doc_sim_pairs(sf_dir: str):
                            topk=20, df_cap=100, n=4)
 
 
+def _doc_incr_dedup(sf_dir: str):
+    """Incremental dedup against a PERSISTED fingerprint store (the
+    cross-poll D1 'no duplicate ingestion' semantics): the store is
+    built from 'yesterday's' docs (doc_id % 3 != 0) as hash-bucketed
+    parquet, then 'today's' batch (doc_id % 3 == 0) streams against it
+    — one store hash join + one first-occurrence groupby — and novel
+    fingerprints are appended. Fingerprint = sha256 of the first-8-
+    token head key (bit-identical to DuckDB's sha256), statuses pinned
+    to dup_store > novel/dup_batch."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from k_gap_ray.state.fingerprints import (incremental_dedup,
+                                              init_fingerprint_store)
+
+    def split(want_zero: bool):
+        def f(t):
+            import pyarrow as pa
+
+            k = pc.cast(t.column("doc_id"), pa.int64())
+            mod = pc.subtract(k, pc.multiply(
+                pc.divide(k, pa.scalar(3, pa.int64())),
+                pa.scalar(3, pa.int64())))
+            m = pc.equal(mod, pa.scalar(0, pa.int64()))
+            return t.filter(m if want_zero else pc.invert(m))
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow")
+
+    old = split(False)
+    new = split(True)
+    store = tempfile.mkdtemp(prefix="kgap_fp_store_")
+    init_fingerprint_store(old, store, prefix_tokens=8)
+    return incremental_dedup(new, store, prefix_tokens=8)
+
+
 def _doc_oov(sf_dir: str):
     """Per-doc out-of-vocabulary stats vs the corpus top-500
     vocabulary (vocabulary-coverage quality filter): two streaming
@@ -3195,6 +3231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_winnow": _doc_winnow,
         "q_doc_sim_pairs": _doc_sim_pairs,
         "q_walks": _walks,
+        "q_doc_incr_dedup": _doc_incr_dedup,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3498,6 +3535,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_oov": _ts.sql_oov_rate(vocab_size=500),
         "q_doc_winnow": _ts.sql_winnow_fingerprints(k=4, w=5),
         "q_doc_sim_pairs": _sql_doc_sim_pairs(),
+        "q_doc_incr_dedup": _sql_doc_incr_dedup(),
         "q_doc_chunks": _chk.sql_chunk_spans(size=32, stride=24),
         "q_events_cms_users": _sk.sql_cms_estimates(
             "user_id", _CMS_PROBES),
@@ -4106,6 +4144,13 @@ def _sql_docs_sssp() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_sssp
 
     return sql_docs_sssp("urn:kgap:pred:funds", "urn:kgap:pred:manages")
+
+
+def _sql_doc_incr_dedup() -> str:
+    from k_gap_ray.state.fingerprints import sql_incremental_dedup
+
+    return sql_incremental_dedup("doc_id % 3 <> 0", "doc_id % 3 = 0",
+                                 prefix_tokens=8)
 
 
 def _sql_doc_sim_pairs() -> str:

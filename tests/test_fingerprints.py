@@ -1,0 +1,80 @@
+"""Persisted fingerprint store + incremental dedup (state/fingerprints).
+
+Covers the cross-batch contract the in-run oracle cannot see: the
+store GROWS by each batch's novel set (batch 3 sees batch 2's novels
+as dup_store), and re-running a batch is idempotent for membership.
+"""
+import pyarrow as pa
+import pytest
+
+
+def _statuses(res):
+    return {r["doc_id"]: r["status"] for r in res.take_all()}
+
+
+def test_incremental_dedup_statuses_and_store_growth(ray_session,
+                                                     tmp_path):
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.state.fingerprints import (incremental_dedup,
+                                              init_fingerprint_store,
+                                              sql_incremental_dedup)
+
+    store = str(tmp_path / "fp_store")
+    b1 = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                   "text": pa.array(["alpha beta", "gamma delta",
+                                     "alpha beta"])})
+    b2 = pa.table({"doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                   "text": pa.array(["alpha beta",      # in store
+                                     "epsilon zeta",    # novel
+                                     "epsilon zeta",    # dup within b2
+                                     "eta theta"])})    # novel
+    init_fingerprint_store(rd.from_arrow(b1), store)
+    got = _statuses(incremental_dedup(rd.from_arrow(b2), store))
+    assert got == {10: "dup_store", 11: "novel",
+                   12: "dup_batch", 13: "novel"}
+
+    # the oracle CASE over old=b1 / new=b2 agrees exactly
+    con = duckdb.connect()
+    both = pa.concat_tables([b1, b2])
+    con.register("documents", both)
+    want = dict(con.execute(sql_incremental_dedup(
+        "doc_id < 10", "doc_id >= 10")).fetchall())
+    assert got == want
+
+    # batch 3: b2's novels are NOW in the store; re-sent b2 rows too
+    b3 = pa.table({"doc_id": pa.array([20, 21, 22], pa.int64()),
+                   "text": pa.array(["epsilon zeta",    # b2 novel
+                                     "eta theta",       # b2 novel
+                                     "iota kappa"])})   # new
+    got3 = _statuses(incremental_dedup(rd.from_arrow(b3), store))
+    assert got3 == {20: "dup_store", 21: "dup_store", 22: "novel"}
+
+    # idempotence: re-running b3 classifies everything dup_store and
+    # appends nothing new (membership is EXISTS, not counts)
+    got3b = _statuses(incremental_dedup(rd.from_arrow(b3), store))
+    assert set(got3b.values()) == {"dup_store"}
+
+
+def test_incremental_dedup_prefix_key_and_empty_store(ray_session,
+                                                      tmp_path):
+    import ray.data as rd
+
+    from k_gap_ray.state.fingerprints import incremental_dedup
+
+    store = str(tmp_path / "no_store")   # never initialized
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([
+                      "a b c SUFFIX-ONE extra tail",
+                      "a b c SUFFIX-TWO other tail",
+                      "totally different head text"])})
+    # prefix_tokens=3: docs 1 and 2 share the head key; empty store ->
+    # everything resolves within the batch
+    got = _statuses(incremental_dedup(rd.from_arrow(b), store,
+                                      prefix_tokens=3))
+    assert got == {1: "novel", 2: "dup_batch", 3: "novel"}
+    # second run: the appended novels now match by prefix
+    got2 = _statuses(incremental_dedup(rd.from_arrow(b), store,
+                                       prefix_tokens=3))
+    assert got2 == {1: "dup_store", 2: "dup_store", 3: "dup_store"}
