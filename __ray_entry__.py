@@ -1069,6 +1069,18 @@ def _doc_sim_pairs(sf_dir: str):
                            topk=20, df_cap=100, n=4)
 
 
+def _doc_top_terms(sf_dir: str):
+    """Per-language top-5 tokens by count (the grouped heavy-hitters
+    report): composite-key partial counts -> one groupby sum; after
+    that exact aggregation a per-batch top-k cut is a sound superset
+    filter, so the driver merge sees k x groups x blocks rows, never
+    the vocabulary. Rank pinned by (count DESC, token ASC) on both
+    engines."""
+    from k_gap_ray.functions.textstats import top_terms_by_group
+
+    return top_terms_by_group(_docs(sf_dir, ["lang", "text"]), k=5)
+
+
 def _doc_incr_dedup(sf_dir: str):
     """Incremental dedup against a PERSISTED fingerprint store (the
     cross-poll D1 'no duplicate ingestion' semantics): the store is
@@ -3232,6 +3244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_sim_pairs": _doc_sim_pairs,
         "q_walks": _walks,
         "q_doc_incr_dedup": _doc_incr_dedup,
+        "q_doc_top_terms": _doc_top_terms,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3536,6 +3549,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_winnow": _ts.sql_winnow_fingerprints(k=4, w=5),
         "q_doc_sim_pairs": _sql_doc_sim_pairs(),
         "q_doc_incr_dedup": _sql_doc_incr_dedup(),
+        "q_doc_top_terms": _ts.sql_top_terms_by_group(k=5),
         "q_doc_chunks": _chk.sql_chunk_spans(size=32, stride=24),
         "q_events_cms_users": _sk.sql_cms_estimates(
             "user_id", _CMS_PROBES),

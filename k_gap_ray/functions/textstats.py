@@ -1015,3 +1015,118 @@ def sql_winnow_fingerprints(k: int = 4, w: int = 5,
            SUM(mk // {cap})::BIGINT AS fp_sum
     FROM __sel GROUP BY {id_col}
     """
+
+
+def top_terms_by_group(ds, k: int = 5, group_col: str = "lang",
+                       text_col: str = "text"):
+    """Per-group top-``k`` tokens by count (the per-language
+    vocabulary report): returns a driver-sized pa.Table(group, token,
+    c, rank) with rank 1..k per group under the pinned total order
+    (count DESC, token ASC) — ties at the cutoff are unambiguous on
+    both engines.
+
+    Scale shape: per-batch (group, token) partial counts (one
+    composite dictionary-encode + bincount, no Python loop) feed ONE
+    composite-key groupby sum; after that exact aggregation every
+    (group, token) appears exactly once, so a per-batch top-k cut is
+    a SOUND superset filter (k rows per group per batch) and the
+    driver merge handles at most k x groups x blocks rows — never the
+    vocabulary.  The multi-key groupby is avoided per the house rule:
+    the shuffle key is the joined (group, token) string.
+    """
+    from ray.data.aggregate import Sum
+
+    _S = "\x1f"
+
+    def partials(t: pa.Table) -> pa.Table:
+        flat, counts, _ = _tokens_of(t.column(text_col))
+        if len(flat) == 0:
+            return pa.table({"__k": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        grp = pc.cast(t.column(group_col), pa.string()).combine_chunks()
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        key = pc.binary_join_element_wise(
+            pc.take(grp, pa.array(doc_idx)), flat, _S)
+        enc = pc.dictionary_encode(key.combine_chunks()
+                                   if isinstance(key, pa.ChunkedArray)
+                                   else key)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        c = np.bincount(codes,
+                        minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"__k": enc.dictionary,
+                         "c": pa.array(c, pa.int64())})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("__k").aggregate(Sum("c", alias_name="c")))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        key = t.column("__k").combine_chunks() \
+            if isinstance(t.column("__k"), pa.ChunkedArray) \
+            else t.column("__k")
+        split = pc.split_pattern(key, _S)
+        g = pc.list_element(split, 0).to_numpy(zero_copy_only=False)
+        tok = pc.list_element(split, 1).to_numpy(zero_copy_only=False)
+        c = pc.cast(t.column("c"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((tok, -c, g))      # g asc, c desc, tok asc
+        g, tok, c = g[order], tok[order], c[order]
+        new_g = np.ones(len(g), dtype=bool)
+        new_g[1:] = g[1:] != g[:-1]
+        run_start = np.zeros(len(g), dtype=np.int64)
+        idx = np.flatnonzero(new_g)
+        run_start[idx] = idx
+        np.maximum.accumulate(run_start, out=run_start)
+        rank = np.arange(len(g), dtype=np.int64) - run_start + 1
+        m = rank <= k
+        return pa.table({"group": pa.array(g[m]),
+                         "token": pa.array(tok[m]),
+                         "c": pa.array(c[m], pa.int64())})
+
+    cut = agg.map_batches(batch_topk, batch_format="pyarrow")
+    rows = cut.take_all()
+    if not rows:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "token": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    rows.sort(key=lambda r: (r["group"], -r["c"], r["token"]))
+    out_g, out_t, out_c, out_r = [], [], [], []
+    prev, rnk = None, 0
+    for r in rows:
+        rnk = rnk + 1 if r["group"] == prev else 1
+        prev = r["group"]
+        if rnk <= k:
+            out_g.append(r["group"])
+            out_t.append(r["token"])
+            out_c.append(r["c"])
+            out_r.append(rnk)
+    return pa.table({group_col: pa.array(out_g, pa.string()),
+                     "token": pa.array(out_t, pa.string()),
+                     "c": pa.array(out_c, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
+
+
+def sql_top_terms_by_group(k: int = 5, group_col: str = "lang",
+                           text_col: str = "text",
+                           table: str = "documents") -> str:
+    """DuckDB oracle for :func:`top_terms_by_group`: window row_number
+    under the identical (count DESC, token ASC) order."""
+    return f"""
+    WITH __t AS (
+      SELECT {group_col}, unnest(string_split({text_col}, ' ')) AS token
+      FROM {table}
+    ), __c AS (
+      SELECT {group_col}, token, COUNT(*)::BIGINT AS c
+      FROM __t GROUP BY {group_col}, token
+    ), __r AS (
+      SELECT {group_col}, token, c,
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY c DESC, token) AS rnk
+      FROM __c
+    )
+    SELECT {group_col}, token, c, rnk::BIGINT AS rank
+    FROM __r WHERE rnk <= {k}
+    """

@@ -2288,3 +2288,38 @@ def test_deterministic_walks_match_sql_and_stop_at_sinks(ray_session,
         "SELECT src, dst FROM e", "SELECT node FROM s",
         steps=4, seed=10)).fetchall())
     assert other == want_other, cap
+
+
+def test_top_terms_by_group_matches_sql_with_cutoff_ties(ray_session):
+    """Grouped top-k terms: the rank order (count DESC, token ASC)
+    pins ties AT the k cutoff — group 'x' has three count-2 tokens
+    competing for ranks 2..3 with k=3, so an engine breaking ties any
+    other way diverges; multi-batch input must not double-count."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.textstats import (sql_top_terms_by_group,
+                                               top_terms_by_group)
+
+    docs = pa.table({
+        "lang": pa.array(["x", "x", "x", "y", "y"]),
+        "text": pa.array([
+            "top top top beta beta",
+            "alpha alpha gamma gamma",
+            "top zeta",
+            "solo",
+            "solo duo",
+        ])})
+    con = duckdb.connect()
+    con.register("hdocs", docs)
+    got = top_terms_by_group(rd.from_arrow(docs).repartition(3), k=3,
+                             group_col="lang").to_pylist()
+    want = [dict(zip(("lang", "token", "c", "rank"), r))
+            for r in con.execute(sql_top_terms_by_group(
+                k=3, table="hdocs")).fetchall()]
+    assert sorted(got, key=lambda r: (r["lang"], r["rank"])) == \
+        sorted(want, key=lambda r: (r["lang"], r["rank"]))
+    x = {r["rank"]: r for r in got if r["lang"] == "x"}
+    # 'top' x4 leads; count-2 ties resolve alphabetically: alpha, beta
+    assert x[1]["token"] == "top" and x[1]["c"] == 4
+    assert x[2]["token"] == "alpha" and x[3]["token"] == "beta"
