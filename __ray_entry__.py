@@ -1069,6 +1069,42 @@ def _doc_sim_pairs(sf_dir: str):
                            topk=20, df_cap=100, n=4)
 
 
+def _doc_incr_neardup(sf_dir: str):
+    """Incremental NEAR-dup against a persisted MinHash band index:
+    'yesterday's' docs (doc_id % 3 != 0) are banded into
+    bucket-partitioned parquet, 'today's' batch probes it with one
+    band_key hash join, and only candidates reach the exact-Jaccard
+    verification (threshold 0.5, 3-gram shingles — the pinned minhash
+    shape). Oracle: brute-force exact Jaccard across the split; LSH
+    recall at 64x2 banding is full on this corpus, the same contract
+    q_doc_minhash_pairs relies on."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from k_gap_ray.state.fingerprints import (incremental_near_dup,
+                                              init_band_index)
+
+    def split(want_zero: bool):
+        def f(t):
+            import pyarrow as pa
+
+            k = pc.cast(t.column("doc_id"), pa.int64())
+            mod = pc.subtract(k, pc.multiply(
+                pc.divide(k, pa.scalar(3, pa.int64())),
+                pa.scalar(3, pa.int64())))
+            m = pc.equal(mod, pa.scalar(0, pa.int64()))
+            return t.filter(m if want_zero else pc.invert(m))
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow")
+
+    index = tempfile.mkdtemp(prefix="kgap_band_index_")
+    init_band_index(split(False), index)
+    return incremental_near_dup(split(True), index,
+                                _docs(sf_dir, ["doc_id", "text"]),
+                                threshold=0.5, append=False)
+
+
 def _doc_top_terms(sf_dir: str):
     """Per-language top-5 tokens by count (the grouped heavy-hitters
     report): composite-key partial counts -> one groupby sum; after
@@ -3245,6 +3281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_walks": _walks,
         "q_doc_incr_dedup": _doc_incr_dedup,
         "q_doc_top_terms": _doc_top_terms,
+        "q_doc_incr_neardup": _doc_incr_neardup,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3550,6 +3587,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_sim_pairs": _sql_doc_sim_pairs(),
         "q_doc_incr_dedup": _sql_doc_incr_dedup(),
         "q_doc_top_terms": _ts.sql_top_terms_by_group(k=5),
+        "q_doc_incr_neardup": _sql_doc_incr_neardup(),
         "q_doc_chunks": _chk.sql_chunk_spans(size=32, stride=24),
         "q_events_cms_users": _sk.sql_cms_estimates(
             "user_id", _CMS_PROBES),
@@ -4158,6 +4196,12 @@ def _sql_docs_sssp() -> str:
     from k_gap_ray.pipelines.docs_kg import sql_docs_sssp
 
     return sql_docs_sssp("urn:kgap:pred:funds", "urn:kgap:pred:manages")
+
+
+def _sql_doc_incr_neardup() -> str:
+    from k_gap_ray.state.fingerprints import sql_incremental_near_dup
+
+    return sql_incremental_near_dup("doc_id % 3 <> 0", "doc_id % 3 = 0")
 
 
 def _sql_doc_incr_dedup() -> str:

@@ -222,14 +222,19 @@ def attach_pair_payload(pairs_ds, items_ds, id_col: str, payload_cols: list,
         return items_ds.select_columns([id_col] + payload_cols) \
             .rename_columns(mapping)
 
-    # only the pairs side needs the empty-block scrub (it came out of
-    # a groupby); payload sides are map/read-produced, and the second
-    # join's left is itself a join output
+    # the pairs side needs the empty-block scrub (it came out of a
+    # groupby) — and so does the FIRST join's output feeding the
+    # second join: an empty hash partition emits a zero-row
+    # EMPTY-SCHEMA block, and a second-join partition receiving only
+    # those crashes with "No match ... FieldRef" (guaranteed whenever
+    # the candidate set is smaller than num_partitions; the scrub rule
+    # from BENCH/NOTES.md). Cost is one materialize of candidates x
+    # payload_a — bounded by the candidate set.
     out = join_datasets(pairs_ds, rename("a"), on=f"{id_col}_a",
                         num_partitions=num_partitions, scrub_right=False)
     return join_datasets(out, rename("b"), on=f"{id_col}_b",
                          num_partitions=num_partitions,
-                         scrub_left=False, scrub_right=False)
+                         scrub_left=True, scrub_right=False)
 
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = 0.8,

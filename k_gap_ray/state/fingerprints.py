@@ -217,3 +217,157 @@ def sql_incremental_dedup(old_where: str, new_where: str,
                 ELSE 'dup_batch' END AS status
     FROM __new n JOIN __firsts f ON f.h = n.h
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup: a persisted MinHash band index probed per batch
+# ---------------------------------------------------------------------------
+
+BAND_BUCKETS = 64
+
+
+def init_band_index(ds, index_dir: str, shingle_k: int = 3,
+                    id_col: str = "doc_id",
+                    n_buckets: int = BAND_BUCKETS) -> str:
+    """Persist a corpus's MinHash band index (functions/dedup.py
+    banding: 128 perms, 64 bands of 2 rows, int64 band keys) as
+    bucket-partitioned parquet — bucket = band_key % n_buckets, so a
+    batch probe reads only the buckets its own band keys hash into."""
+    from k_gap_ray.dsutil import drop_empty_blocks
+    from k_gap_ray.functions.dedup import minhash_doc_bands
+
+    bands = minhash_doc_bands(ds, shingle_k=shingle_k, id_col=id_col)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bk = pc.cast(t.column("band_key"), pa.int64())
+        bucket = pc.subtract(bk, pc.multiply(
+            pc.divide(bk, pa.scalar(n_buckets, pa.int64())),
+            pa.scalar(n_buckets, pa.int64())))
+        return t.append_column("bucket", bucket)
+
+    bands = drop_empty_blocks(
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .materialize())
+    if bands.count():
+        bands.write_parquet(index_dir, partition_cols=["bucket"])
+    else:
+        os.makedirs(index_dir, exist_ok=True)
+    return index_dir
+
+
+def incremental_near_dup(new_ds, index_dir: str, docs_ds,
+                         threshold: float = 0.5, shingle_k: int = 3,
+                         id_col: str = "doc_id", append: bool = True):
+    """Near-dup an incoming batch against the PERSISTED band index:
+    band the batch, hash-join its bands against the stored bands (the
+    LSH probe — only shared band keys produce candidates), dedupe the
+    candidate (new, indexed) pairs, then verify each candidate's EXACT
+    shingle Jaccard against the payload table — the same
+    evidence-integer verification as the in-corpus minhash join, so
+    the result is (doc_id_a=new, doc_id_b=indexed, n_common, n_union)
+    with den*n_common >= num*n_union.
+
+    ``append=True`` folds the batch's bands into the index afterward,
+    so the NEXT batch also dedups against this one — the store grows
+    by O(batch bands), never rewrites, and re-running a batch is
+    harmless (duplicate band rows cannot create new distinct pairs).
+
+    Scale shape: the probe is ONE hash join keyed on band_key (the
+    bucket layout keeps it partition-prunable), candidates dedupe in
+    one slim composite-key groupby, and only candidates reach the
+    per-pair exact verification.
+    """
+    import ray.data as rd
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+    from k_gap_ray.functions.dedup import (minhash_doc_bands,
+                                           verify_jaccard_pairs)
+
+    _S = "\x1f"
+    empty = pa.table({f"{id_col}_a": pa.array([], pa.int64()),
+                      f"{id_col}_b": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64()),
+                      "n_union": pa.array([], pa.int64())})
+    new_bands = minhash_doc_bands(new_ds, shingle_k=shingle_k,
+                                  id_col=id_col).materialize()
+    if new_bands.count() == 0 or not _store_files(index_dir):
+        if append and new_bands.count():
+            init_band_index(new_ds, index_dir, shingle_k=shingle_k,
+                            id_col=id_col)
+        return rd.from_arrow(empty)
+    new_bands = drop_empty_blocks(new_bands)
+    index = rd.read_parquet(index_dir, columns=["band_key", id_col]) \
+        .rename_columns({id_col: "__old"})
+    cand = join_datasets(new_bands, index, on="band_key",
+                         scrub_left=False, scrub_right=False)
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(id_col), pa.int64())
+        b = pc.cast(t.column("__old"), pa.int64())
+        # a batch re-run probes its own appended bands: drop self-pairs
+        m = pc.not_equal(a, b)
+        a, b = a.filter(m), b.filter(m)
+        return pa.table({"__k": pc.binary_join_element_wise(
+            pc.cast(a, pa.string()), pc.cast(b, pa.string()), _S)})
+
+    keys = cand.map_batches(pair_key, batch_format="pyarrow") \
+        .materialize()
+    if keys.count() == 0:
+        if append:
+            init_band_index(new_ds, index_dir, shingle_k=shingle_k,
+                            id_col=id_col)
+        return rd.from_arrow(empty)
+    keys = drop_empty_blocks(keys)
+    pairs = (keys.groupby("__k").count()
+             .map_batches(lambda t: (lambda split: pa.table({
+                 f"{id_col}_a": pc.cast(pc.list_element(split, 0),
+                                        pa.int64()),
+                 f"{id_col}_b": pc.cast(pc.list_element(split, 1),
+                                        pa.int64())}))(
+                 pc.split_pattern(
+                     t.column("__k").combine_chunks()
+                     if isinstance(t.column("__k"), pa.ChunkedArray)
+                     else t.column("__k"), _S)),
+                 batch_format="pyarrow"))
+    out = verify_jaccard_pairs(pairs, docs_ds, threshold=threshold,
+                               shingle_k=shingle_k, id_col=id_col)
+    out = out.materialize()
+    if append:
+        init_band_index(new_ds, index_dir, shingle_k=shingle_k,
+                        id_col=id_col)
+    return out
+
+
+def sql_incremental_near_dup(old_where: str, new_where: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             table: str = "documents") -> str:
+    """DuckDB oracle for :func:`incremental_near_dup` at threshold 0.5
+    / 3-gram shingles (the pinned minhash shingle shape): brute-force
+    exact Jaccard between the batch and the indexed split — LSH
+    banding at 64x2 has full recall on this corpus (the same contract
+    the in-corpus q_doc_minhash_pairs oracle relies on)."""
+    return f"""
+    WITH __toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS tk FROM {table}
+    ), __sh AS (
+      SELECT {id_col},
+             CASE WHEN len(tk) >= 3 THEN
+                 list_distinct(list_transform(
+                     range(1, len(tk) - 1),
+                     i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+      FROM __toks)
+    SELECT {id_col}_a, {id_col}_b, n_common, n_union FROM (
+        SELECT a.{id_col} AS {id_col}_a, b.{id_col} AS {id_col}_b,
+               len(list_intersect(a.s, b.s)) AS n_common,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                   AS n_union
+        FROM __sh a JOIN __sh b
+          ON (a.{id_col} % 3 = 0) AND (b.{id_col} % 3 <> 0)
+        WHERE a.{id_col} IN (SELECT {id_col} FROM {table}
+                             WHERE {new_where})
+          AND b.{id_col} IN (SELECT {id_col} FROM {table}
+                             WHERE {old_where})) __p
+    WHERE 2 * n_common >= n_union
+    """

@@ -78,3 +78,60 @@ def test_incremental_dedup_prefix_key_and_empty_store(ray_session,
     got2 = _statuses(incremental_dedup(rd.from_arrow(b), store,
                                        prefix_tokens=3))
     assert got2 == {1: "dup_store", 2: "dup_store", 3: "dup_store"}
+
+
+def test_incremental_near_dup_probes_and_grows_index(ray_session,
+                                                     tmp_path):
+    """Band-index near-dup: batch 2 finds its near-dup of an indexed
+    doc (exact-Jaccard verified evidence integers); with append=True
+    batch 3 then matches batch 2's doc too — the index grew; an
+    unrelated doc produces no pair; re-probing is idempotent for the
+    pair set."""
+    import ray.data as rd
+
+    from k_gap_ray.state.fingerprints import (incremental_near_dup,
+                                              init_band_index)
+
+    idx = str(tmp_path / "band_index")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "naps in the warm afternoon sun near the old barn")
+    b1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array([
+                       base,
+                       "completely different content about databases "
+                       "and distributed systems running on clusters"])})
+    init_band_index(rd.from_arrow(b1), idx)
+
+    # batch 2: one near-dup of doc 1 (one word changed), one novel
+    b2 = pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                   "text": pa.array([
+                       base.replace("lazy", "sleepy"),
+                       "unrelated poetry about mountains rivers and "
+                       "the slow march of glaciers under moonlight"])})
+    docs_all = pa.concat_tables([b1, b2])
+    got = incremental_near_dup(rd.from_arrow(b2), idx,
+                               rd.from_arrow(docs_all),
+                               threshold=0.5).take_all()
+    pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in got}
+    assert pairs == {(10, 1)}
+    ev = got[0]
+    assert ev["n_common"] > 0 and ev["n_union"] > ev["n_common"]
+    assert 2 * ev["n_common"] >= ev["n_union"]
+
+    # append=True folded batch 2 in: batch 3's near-dup of DOC 10
+    # (not in batch 1!) is found via the grown index
+    b3 = pa.table({"doc_id": pa.array([20], pa.int64()),
+                   "text": pa.array([
+                       base.replace("lazy", "sleepy")
+                           .replace("barn", "shed")])})
+    docs_all3 = pa.concat_tables([docs_all, b3])
+    got3 = incremental_near_dup(rd.from_arrow(b3), idx,
+                                rd.from_arrow(docs_all3),
+                                threshold=0.5, append=False).take_all()
+    pairs3 = {(r["doc_id_a"], r["doc_id_b"]) for r in got3}
+    assert (20, 10) in pairs3 and (20, 1) in pairs3
+    # re-probe: identical pair set (no state mutated with append=False)
+    got3b = incremental_near_dup(rd.from_arrow(b3), idx,
+                                 rd.from_arrow(docs_all3),
+                                 threshold=0.5, append=False).take_all()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in got3b} == pairs3
