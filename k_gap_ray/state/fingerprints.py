@@ -371,3 +371,58 @@ def sql_incremental_near_dup(old_where: str, new_where: str,
                              WHERE {old_where})) __p
     WHERE 2 * n_common >= n_union
     """
+
+
+def compact_store(store_dir: str, partition_prefix: str = "bucket=",
+                  dedup_cols: tuple[str, ...] | None = None) -> dict:
+    """Compact an append-grown bucketed store: merge each bucket
+    directory's small parquet files into one, optionally dropping
+    duplicate rows (``dedup_cols`` — e.g. ``("h",)`` for the
+    fingerprint store, ``("band_key", "doc_id")`` for the band index,
+    both of which tolerate duplicate appended rows semantically but
+    pay them in probe-join fan-out).
+
+    Atomic per bucket (temp file + rename, then unlink the old files)
+    — a reader that races a compaction sees either the old files or
+    the merged one, and a crashed compaction leaves a readable store.
+    Runs one Ray task per bucket (bounded by bucket count, not store
+    size). Returns {"buckets": n, "files_before": x, "files_after": y}.
+    """
+    import glob
+
+    import ray
+
+    @ray.remote
+    def compact_bucket(bdir: str) -> tuple[int, int]:
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+        if len(files) <= 1:
+            return (len(files), len(files))
+        merged = pa.concat_tables([pq.read_table(f) for f in files])
+        if dedup_cols:
+            import pandas as pd
+
+            df = merged.to_pandas()
+            df = df.drop_duplicates(subset=list(dedup_cols),
+                                    keep="first")
+            merged = pa.Table.from_pandas(df, preserve_index=False)
+        tmp = os.path.join(bdir, ".compact.tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, os.path.join(bdir, "compacted-0.parquet"))
+        for f in files:
+            if os.path.basename(f) != "compacted-0.parquet":
+                try:
+                    os.unlink(f)
+                except FileNotFoundError:
+                    pass
+        return (len(files), 1)
+
+    buckets = [os.path.join(store_dir, d)
+               for d in sorted(os.listdir(store_dir))
+               if d.startswith(partition_prefix)
+               and os.path.isdir(os.path.join(store_dir, d))]
+    results = ray.get([compact_bucket.remote(b) for b in buckets])
+    return {"buckets": len(buckets),
+            "files_before": sum(r[0] for r in results),
+            "files_after": sum(r[1] for r in results)}

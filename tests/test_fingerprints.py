@@ -135,3 +135,45 @@ def test_incremental_near_dup_probes_and_grows_index(ray_session,
                                  rd.from_arrow(docs_all3),
                                  threshold=0.5, append=False).take_all()
     assert {(r["doc_id_a"], r["doc_id_b"]) for r in got3b} == pairs3
+
+
+def test_compact_store_merges_files_and_preserves_semantics(ray_session,
+                                                            tmp_path):
+    """Three appended batches leave multiple files per bucket;
+    compaction merges each bucket to one file, dedups the fingerprint
+    rows, and the NEXT batch classifies identically against the
+    compacted store."""
+    import glob
+
+    import ray.data as rd
+
+    from k_gap_ray.state.fingerprints import (compact_store,
+                                              incremental_dedup,
+                                              init_fingerprint_store)
+
+    store = str(tmp_path / "fp")
+    texts = [["aa bb", "cc dd"], ["ee ff", "aa bb"], ["gg hh"]]
+    next_id = 0
+    for batch in texts:
+        t = pa.table({
+            "doc_id": pa.array(range(next_id, next_id + len(batch)),
+                               pa.int64()),
+            "text": pa.array(batch)})
+        next_id += len(batch)
+        if next_id == len(texts[0]):
+            init_fingerprint_store(rd.from_arrow(t), store)
+        else:
+            incremental_dedup(rd.from_arrow(t), store)
+
+    before = len(glob.glob(f"{store}/bucket=*/*.parquet"))
+    stats = compact_store(store, dedup_cols=("h",))
+    after = len(glob.glob(f"{store}/bucket=*/*.parquet"))
+    assert stats["files_after"] <= stats["files_before"]
+    assert after <= before
+
+    probe = pa.table({"doc_id": pa.array([100, 101], pa.int64()),
+                      "text": pa.array(["aa bb", "zz zz"])})
+    got = {r["doc_id"]: r["status"] for r in
+           incremental_dedup(rd.from_arrow(probe), store,
+                             append=False).take_all()}
+    assert got == {100: "dup_store", 101: "novel"}
