@@ -3282,6 +3282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_incr_dedup": _doc_incr_dedup,
         "q_doc_top_terms": _doc_top_terms,
         "q_doc_incr_neardup": _doc_incr_neardup,
+        "q_shipping_priority": rel.q_shipping_priority,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3588,6 +3589,24 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_incr_dedup": _sql_doc_incr_dedup(),
         "q_doc_top_terms": _ts.sql_top_terms_by_group(k=5),
         "q_doc_incr_neardup": _sql_doc_incr_neardup(),
+        "q_shipping_priority": """
+            SELECT l_orderkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)) / 10000.0
+                       AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 10000) AS BIGINT)) DESC,
+                     o_orderdate, l_orderkey
+            LIMIT 10
+        """,
         "q_doc_chunks": _chk.sql_chunk_spans(size=32, stride=24),
         "q_events_cms_users": _sk.sql_cms_estimates(
             "user_id", _CMS_PROBES),

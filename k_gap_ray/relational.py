@@ -1200,3 +1200,91 @@ def q_orders_priority_share(sf_dir: str):
         rows, schema=pa.schema([("o_orderpriority", pa.string()),
                                 ("n", pa.int64())]))).map_batches(
         finish, batch_format="pyarrow")
+
+
+def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                        cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3-shaped 3-table composite (the multi-join + group +
+    top-k shape the single-purpose join queries don't chain): orders
+    of one customer segment placed BEFORE ``cutoff``, revenue from
+    their lineitems shipped AFTER it, top-``k`` orders by revenue.
+
+    Scale shape: the customer segment filter broadcasts its custkey
+    set (ray.put once, is_in per batch — customers are the small dim);
+    the lineitem fact side is date-filtered AND pre-aggregated to one
+    revenue row per orderkey BEFORE the hash join with filtered orders
+    (the combine-then-join rule) — the join moves O(qualifying
+    orders), never O(lineitems).  Revenue is the house fixed-point
+    cents-of-basis-points int64 (exact, order-independent), and the
+    top-k order (revenue_s DESC, o_orderdate, l_orderkey) is total, so
+    the SQL mirror's cutoff is unambiguous."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from k_gap_ray.dsutil import join_datasets
+
+    cut = pa.compute.strptime(cutoff, format="%Y-%m-%d", unit="us")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda t: pa.table({"c_custkey": pc.cast(
+                t.column("c_custkey").filter(
+                    pc.equal(t.column("c_mktsegment"), segment)),
+                pa.int64())}),
+            batch_format="pyarrow")
+    ckeys = [r["c_custkey"] for r in cust.take_all()]
+    ckeys_ref = ray.put(pa.array(sorted(ckeys), pa.int64()))
+
+    def orders_scan(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        keep = pc.and_(
+            pc.less(t.column("o_orderdate"), pa.scalar(cut)),
+            pc.is_in(pc.cast(t.column("o_custkey"), pa.int64()),
+                     value_set=_r.get(ckeys_ref)))
+        t = t.filter(keep)
+        return pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderpriority": t.column("o_orderpriority")})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]) \
+        .map_batches(orders_scan, batch_format="pyarrow")
+
+    def line_scan(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cut)))
+        out = pa.table({"l_orderkey": pc.cast(t.column("l_orderkey"),
+                                              pa.int64())})
+        return scaled_int_col(
+            out, "revenue_s",
+            pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    t.column("l_discount"))),
+            10_000)
+
+    rev = (_read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+           .map_batches(line_scan, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("revenue_s", alias_name="revenue_s")))
+    joined = join_datasets(rev, orders, on="l_orderkey",
+                           right_on="o_orderkey",
+                           scrub_left=True, scrub_right=False)
+    # the join output feeds a SORT shuffle: scrub the empty-schema
+    # blocks empty hash partitions can emit (BENCH/NOTES.md)
+    from k_gap_ray.dsutil import drop_empty_blocks
+
+    joined = drop_empty_blocks(joined.materialize())
+    top = (joined.sort(["revenue_s", "o_orderdate", "l_orderkey"],
+                       descending=[True, False, False]).limit(k))
+    rows = top.take_all()
+    return pa.table({
+        "l_orderkey": pa.array([r["l_orderkey"] for r in rows],
+                               pa.int64()),
+        "revenue": pa.array([r["revenue_s"] / 10_000.0 for r in rows],
+                            pa.float64()),
+        "o_orderdate": pa.array([r["o_orderdate"] for r in rows]),
+        "o_orderpriority": pa.array([r["o_orderpriority"] for r in rows],
+                                    pa.string())})

@@ -185,3 +185,39 @@ def test_lineitem_cube_matches_oracle(ray_session):
     e = eng.fillna("~").sort_values(key).reset_index(drop=True)
     o = ora.fillna("~").sort_values(key).reset_index(drop=True)
     assert e.to_dict("records") == o.to_dict("records")
+
+
+def test_shipping_priority_composite(ray_session, sf_dir):
+    """TPC-H Q3 shape: broadcast segment filter + pre-aggregated fact
+    join + pinned total-order top-k matches the three-table SQL on a
+    tier where every stage has rows; revenue is the exact fixed-point
+    sum (no float drift at the cutoff)."""
+    import duckdb
+
+    from k_gap_ray.relational import q_shipping_priority
+
+    got = q_shipping_priority(sf_dir).to_pylist()
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
+    want = [dict(zip(("l_orderkey", "revenue", "o_orderdate",
+                      "o_orderpriority"), r)) for r in con.execute("""
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount)
+                              * 10000) AS BIGINT)) / 10000.0 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) DESC,
+                 o_orderdate, l_orderkey
+        LIMIT 10""").fetchall()]
+    assert len(got) == 10
+    assert [(g["l_orderkey"], g["revenue"]) for g in got] == \
+        [(w["l_orderkey"], w["revenue"]) for w in want]
