@@ -3283,6 +3283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_top_terms": _doc_top_terms,
         "q_doc_incr_neardup": _doc_incr_neardup,
         "q_shipping_priority": rel.q_shipping_priority,
+        "q_local_supplier_volume": rel.q_local_supplier_volume,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -3606,6 +3607,25 @@ def oracle_sql() -> dict[str, str]:
                                     * 10000) AS BIGINT)) DESC,
                      o_orderdate, l_orderkey
             LIMIT 10
+        """,
+        "q_local_supplier_volume": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)) / 10000.0
+                       AS revenue
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+                         AND s_nationkey = c_nationkey
+            WHERE r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 10000) AS BIGINT)) DESC, n_name
         """,
         "q_doc_chunks": _chk.sql_chunk_spans(size=32, stride=24),
         "q_events_cms_users": _sk.sql_cms_estimates(

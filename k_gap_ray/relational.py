@@ -1288,3 +1288,112 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         "o_orderdate": pa.array([r["o_orderdate"] for r in rows]),
         "o_orderpriority": pa.array([r["o_orderpriority"] for r in rows],
                                     pa.string())})
+
+
+def q_local_supplier_volume(sf_dir: str, region: str = "EUROPE",
+                            date_lo: str = "1996-01-01",
+                            date_hi: str = "1998-01-01"):
+    """TPC-H Q5-shaped 6-table composite — revenue by nation where the
+    supplier and the ordering customer share the nation, within one
+    region and order-date window.  The only use of the SUPPLIER table
+    in the catalog, and the deepest dim chain (region→nation→customer
+    + supplier) the relational family exercises.
+
+    Scale shape: ONE hash join total (lineitem revenue rows ⋈
+    date-filtered orders, keyed on orderkey).  Everything else is a
+    broadcast attach: region→nation names, custkey→nationkey and
+    suppkey→nationkey lookups are dimension-sized (10^2..10^7 rows at
+    any SF — orders/lineitem dwarf them by 3-4 orders of magnitude),
+    shipped once via ray.put and applied per batch as index_in+take
+    dictionary joins.  The same-nation condition filters AFTER the
+    join, vectorized; revenue is the house fixed-point int64; output
+    order (revenue_s DESC, n_name) is total."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    lo = pa.compute.strptime(date_lo, format="%Y-%m-%d", unit="us")
+    hi = pa.compute.strptime(date_hi, format="%Y-%m-%d", unit="us")
+    nation = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    nat = nation.merge(reg, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    nat = nat[nat["r_name"] == region]
+    nkeys = pa.array(nat["n_nationkey"].tolist(), pa.int64())
+    nnames = pa.array(nat["n_name"].tolist(), pa.string())
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat["n_nationkey"])]
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    lookup_ref = ray.put((
+        nkeys, nnames,
+        pa.array(cust["c_custkey"].tolist(), pa.int64()),
+        pa.array(cust["c_nationkey"].tolist(), pa.int64()),
+        pa.array(supp["s_suppkey"].tolist(), pa.int64()),
+        pa.array(supp["s_nationkey"].tolist(), pa.int64())))
+
+    def orders_scan(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        _, _, ck, cn, _, _ = _r.get(lookup_ref)
+        t = t.filter(pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(t.column("o_orderdate"), pa.scalar(hi))))
+        idx = pc.index_in(pc.cast(t.column("o_custkey"), pa.int64()),
+                          value_set=ck)
+        out = pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "c_nationkey": pc.take(cn, idx)})
+        return out.filter(pc.is_valid(out.column("c_nationkey")))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_scan, batch_format="pyarrow")
+
+    def line_scan(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        _, _, _, _, sk, sn = _r.get(lookup_ref)
+        idx = pc.index_in(pc.cast(t.column("l_suppkey"), pa.int64()),
+                          value_set=sk)
+        out = pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "s_nationkey": pc.take(sn, idx)})
+        out = scaled_int_col(
+            out, "revenue_s",
+            pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    t.column("l_discount"))),
+            10_000)
+        return out.filter(pc.is_valid(out.column("s_nationkey")))
+
+    rev = _read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(line_scan, batch_format="pyarrow")
+    joined = join_datasets(rev, orders, on="l_orderkey",
+                           right_on="o_orderkey",
+                           scrub_left=False, scrub_right=False)
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        nk, nn, _, _, _, _ = _r.get(lookup_ref)
+        t = t.filter(pc.equal(t.column("s_nationkey"),
+                              t.column("c_nationkey")))
+        idx = pc.index_in(t.column("c_nationkey"), value_set=nk)
+        return pa.table({"n_name": pc.take(nn, idx),
+                         "revenue_s": t.column("revenue_s")})
+
+    out = (joined.map_batches(same_nation, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("revenue_s", alias_name="revenue_s")))
+    out = drop_empty_blocks(out.materialize())
+    rows = sorted(out.take_all(),
+                  key=lambda r: (-r["revenue_s"], r["n_name"]))
+    return pa.table({
+        "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+        "revenue": pa.array([r["revenue_s"] / 10_000.0 for r in rows],
+                            pa.float64())})

@@ -221,3 +221,40 @@ def test_shipping_priority_composite(ray_session, sf_dir):
     assert len(got) == 10
     assert [(g["l_orderkey"], g["revenue"]) for g in got] == \
         [(w["l_orderkey"], w["revenue"]) for w in want]
+
+
+def test_local_supplier_volume_composite(ray_session, sf_dir):
+    """TPC-H Q5 shape: one fact hash join + broadcast dim attaches,
+    same-nation filter AFTER the join; the supplier table's only
+    catalog exercise. Exact fixed-point revenue matches the 6-table
+    SQL including the descending order."""
+    import duckdb
+
+    from k_gap_ray.relational import q_local_supplier_volume
+
+    got = q_local_supplier_volume(sf_dir).to_pylist()
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "orders", "lineitem",
+              "supplier"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
+    want = con.execute("""
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice * (1 - l_discount)
+                              * 10000) AS BIGINT)) / 10000.0 AS revenue
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+                     AND s_nationkey = c_nationkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) DESC, n_name
+        """).fetchall()
+    assert [(g["n_name"], g["revenue"]) for g in got] == want
+    assert len(got) > 0
