@@ -54,6 +54,37 @@ def _hash_batch(t: pa.Table, key_col: str, id_col: str,
                      "bucket": pa.array(bucket, pa.int64())})
 
 
+def _probe_paths(store_dir: str, batch_ds, bucket_col: str) -> list:
+    """Partition pruning for store probes: the batch's distinct bucket
+    values (a bounded driver set — at most n_buckets rows, collected
+    from per-batch uniques) select only the matching ``bucket=K/``
+    directories, so a small batch against a huge store reads
+    O(touched buckets), not O(store).  Buckets the store has never
+    seen (all-novel batches) simply aren't on disk and are skipped;
+    an empty selection falls back to the store root (the caller
+    guarded non-emptiness already)."""
+    seen: set = set()
+    uniq = batch_ds.map_batches(
+        lambda t: pa.table({bucket_col: pc.unique(
+            pc.cast(t.column(bucket_col), pa.int64()).combine_chunks()
+            if isinstance(t.column(bucket_col), pa.ChunkedArray)
+            else pc.cast(t.column(bucket_col), pa.int64()))}),
+        batch_format="pyarrow")
+    for r in uniq.take_all():
+        seen.add(int(r[bucket_col]))
+    import glob
+
+    paths = []
+    for b in sorted(seen):
+        bdir = os.path.join(store_dir, f"{bucket_col}={b}")
+        if os.path.isdir(bdir):
+            # Ray's read_parquet accepts one directory but a LIST must
+            # be files — expand each selected bucket's parquet files
+            paths.extend(sorted(glob.glob(
+                os.path.join(bdir, "*.parquet"))))
+    return paths if paths else [store_dir]
+
+
 def _store_files(store_dir: str) -> bool:
     if not os.path.isdir(store_dir):
         return False
@@ -126,7 +157,8 @@ def incremental_dedup(new_ds, store_dir: str, key_col: str = "text",
     if _store_files(store_dir):
         import ray.data as rd
 
-        store = rd.read_parquet(store_dir, columns=["h"])
+        store = rd.read_parquet(
+            _probe_paths(store_dir, hashed, "bucket"), columns=["h"])
         marks = (store.groupby("h").count()
                  .map_batches(lambda t: pa.table({
                      "h": t.column("h"),
@@ -296,7 +328,16 @@ def incremental_near_dup(new_ds, index_dir: str, docs_ds,
                             id_col=id_col)
         return rd.from_arrow(empty)
     new_bands = drop_empty_blocks(new_bands)
-    index = rd.read_parquet(index_dir, columns=["band_key", id_col]) \
+    nb_buckets = new_bands.map_batches(
+        lambda t: (lambda bk: pa.table({"bucket": pc.subtract(
+            bk, pc.multiply(pc.divide(bk, pa.scalar(BAND_BUCKETS,
+                                                    pa.int64())),
+                            pa.scalar(BAND_BUCKETS, pa.int64())))}))(
+            pc.cast(t.column("band_key"), pa.int64())),
+        batch_format="pyarrow")
+    index = rd.read_parquet(
+        _probe_paths(index_dir, nb_buckets, "bucket"),
+        columns=["band_key", id_col]) \
         .rename_columns({id_col: "__old"})
     cand = join_datasets(new_bands, index, on="band_key",
                          scrub_left=False, scrub_right=False)

@@ -177,3 +177,35 @@ def test_compact_store_merges_files_and_preserves_semantics(ray_session,
            incremental_dedup(rd.from_arrow(probe), store,
                              append=False).take_all()}
     assert got == {100: "dup_store", 101: "novel"}
+
+
+def test_probe_paths_prune_to_touched_buckets(ray_session, tmp_path):
+    """A one-doc probe against a multi-bucket store reads only the
+    bucket files its fingerprint hashes into (the O(touched) claim),
+    and an all-novel batch whose bucket dir doesn't exist yet skips
+    it without error."""
+    import ray.data as rd
+
+    from k_gap_ray.state.fingerprints import (_hash_batch, _probe_paths,
+                                              incremental_dedup,
+                                              init_fingerprint_store)
+
+    store = str(tmp_path / "fp")
+    corpus = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([f"document number {i} body" for i in range(40)])})
+    init_fingerprint_store(rd.from_arrow(corpus), store)
+
+    probe = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["document number 0 body"])})
+    hashed = rd.from_arrow(_hash_batch(probe, "text", "doc_id", None, 16))
+    paths = _probe_paths(store, hashed, "bucket")
+    assert len(paths) >= 1
+    assert all(p.endswith(".parquet") for p in paths)
+    # exactly the one bucket this fingerprint hashes into
+    assert len({p.split("bucket=")[1].split("/")[0] for p in paths}) == 1
+    # and the probe still classifies correctly through the pruned read
+    got = {r["doc_id"]: r["status"] for r in
+           incremental_dedup(rd.from_arrow(probe), store,
+                             append=False).take_all()}
+    assert got == {0: "dup_store"}
