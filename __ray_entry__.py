@@ -1652,6 +1652,17 @@ def _walks(sf_dir: str):
                                steps=5, seed=4)
 
 
+def _kg_negatives(sf_dir: str):
+    """Deterministic corrupted-triple negative sampling over the docs
+    KG (the TransE/DistMult training-data op): object vocabulary
+    hash-bucketed, each triple draws its corruption bucket from the
+    seeded mix of its own hashes, filtered setting drops true-triple
+    collisions — reproducible on any engine or cluster size."""
+    from k_gap_ray.functions.graph import negative_samples
+
+    return negative_samples(_docs_quads(sf_dir), seed=11, n_buckets=16)
+
+
 def _bfs_depths(sf_dir: str):
     """J5-family multi-source BFS with min-depth labels over the
     docs-derived funding graph: seeds = all managers (subjects of
@@ -3284,6 +3295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_incr_neardup": _doc_incr_neardup,
         "q_shipping_priority": rel.q_shipping_priority,
         "q_local_supplier_volume": rel.q_local_supplier_volume,
+        "q_kg_negatives": _kg_negatives,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4035,6 +4047,7 @@ def oracle_sql() -> dict[str, str]:
         "q_clustering": _sql_docs_clustering(),
         "q_link_pred": _sql_docs_link_pred(),
         "q_walks": _sql_docs_walks(),
+        "q_kg_negatives": _sql_docs_negatives(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -4254,6 +4267,12 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_docs_negatives() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_negatives
+
+    return sql_docs_negatives(seed=11, n_buckets=16)
 
 
 def _sql_docs_walks() -> str:

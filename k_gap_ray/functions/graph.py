@@ -1622,3 +1622,148 @@ __w{i} AS MATERIALIZED (
                    f"FROM __w{i}")
     parts.append("\n" + "\nUNION ALL\n".join(sel))
     return "".join(parts)
+
+
+def negative_samples(triples_ds, seed: int = 0, n_buckets: int = 64,
+                     num_partitions: int | None = None):
+    """Deterministic corrupted-triple generation — the negative-
+    sampling op a KG-embedding trainer (TransE/DistMult family) runs
+    over the materialized graph, made REPRODUCIBLE and shuffle-light:
+
+    - the distinct object vocabulary is hash-bucketed into
+      ``n_buckets`` groups, each represented by its MIN object (one
+      slim groupby; the representative table is <= n_buckets rows —
+      broadcast state, never vocabulary-scale),
+    - each triple (s, p, o) draws its corruption bucket from the
+      seeded 31-bit mix of (h(s)*131 + h(p)*257 + h(o)) % 2^31 and
+      replaces o with that bucket's representative,
+    - the FILTERED setting: corruptions that equal the true object or
+      collide with a REAL (s, p, o') triple are dropped (one marker
+      left join on the composite key), as are triples whose drawn
+      bucket holds no object.
+
+    Returns Dataset(subj, pred, obj, neg_obj).  Diversity note: all
+    triples drawing one bucket share its representative — with
+    ``n_buckets`` sized to the object vocabulary this is the standard
+    determinism-for-uniformity trade (a trainer wanting k negatives
+    per triple calls this k times with different seeds).  The DuckDB
+    mirror (:func:`sql_negative_samples`) runs the identical hashes,
+    bucket min, and NOT-EXISTS filter."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from k_gap_ray.dsutil import drop_empty_blocks
+    from k_gap_ray.functions.shuffle import _M, _mix
+
+    _S = "\x1f"
+
+    def obj_partials(t: pa.Table) -> pa.Table:
+        return pa.table({"obj": pc.unique(
+            pc.cast(t.column("obj"), pa.string()).combine_chunks())})
+
+    def rep_key(t: pa.Table) -> pa.Table:
+        o = t.column("obj").combine_chunks() \
+            if isinstance(t.column("obj"), pa.ChunkedArray) \
+            else t.column("obj")
+        b = _mix(_node_hash(o), seed) % n_buckets
+        return pa.table({"b": pa.array(b, pa.int64()), "obj": o})
+
+    reps = (triples_ds.map_batches(obj_partials, batch_format="pyarrow")
+            .groupby("obj").count().select_columns(["obj"])
+            .map_batches(rep_key, batch_format="pyarrow")
+            .groupby("b").aggregate(Min("obj", alias_name="rep")))
+    rep_rows = {r["b"]: r["rep"] for r in reps.take_all()}
+    rep_arr = pa.array([rep_rows.get(b) for b in range(n_buckets)],
+                       pa.string())
+    rep_ref = ray.put(rep_arr)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        rep = _r.get(rep_ref)
+        s = pc.cast(t.column("subj"), pa.string()).combine_chunks()
+        p = pc.cast(t.column("pred"), pa.string()).combine_chunks()
+        o = pc.cast(t.column("obj"), pa.string()).combine_chunks()
+        hs, hp, ho = _node_hash(s), _node_hash(p), _node_hash(o)
+        c = (hs * 131 + hp * 257 + ho) % _M
+        tb = _mix(c, seed) % n_buckets
+        neg = pc.take(rep, pa.array(tb, pa.int64()))
+        out = pa.table({"subj": s, "pred": p, "obj": o, "neg_obj": neg})
+        keep = pc.and_(pc.is_valid(out.column("neg_obj")),
+                       pc.not_equal(out.column("neg_obj"),
+                                    out.column("obj")))
+        return out.filter(keep)
+
+    cand = triples_ds.map_batches(corrupt, batch_format="pyarrow") \
+        .materialize()
+    import ray.data as rd
+
+    empty = pa.table({"subj": pa.array([], pa.string()),
+                      "pred": pa.array([], pa.string()),
+                      "obj": pa.array([], pa.string()),
+                      "neg_obj": pa.array([], pa.string())})
+    if cand.count() == 0:
+        return rd.from_arrow(empty)
+    cand = drop_empty_blocks(cand)
+
+    from k_gap_ray.dsutil import join_datasets
+
+    keyed = cand.map_batches(
+        lambda t: t.append_column("__k", pc.binary_join_element_wise(
+            t.column("subj"), t.column("pred"), t.column("neg_obj"),
+            _S)),
+        batch_format="pyarrow")
+    real = triples_ds.map_batches(
+        lambda t: pa.table({
+            "__k": pc.binary_join_element_wise(
+                pc.cast(t.column("subj"), pa.string()),
+                pc.cast(t.column("pred"), pa.string()),
+                pc.cast(t.column("obj"), pa.string()), _S),
+            "__real": pa.array([1] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby("__k").aggregate(Min("__real", alias_name="__real"))
+    out = join_datasets(keyed, real, on="__k", join_type="left_outer",
+                        num_partitions=num_partitions,
+                        scrub_left=False, scrub_right=True)
+    out = drop_empty_blocks(out.materialize())
+    return out.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("__real")))
+        .select(["subj", "pred", "obj", "neg_obj"]),
+        batch_format="pyarrow")
+
+
+def sql_negative_samples(triples_sql: str, seed: int = 0,
+                         n_buckets: int = 64,
+                         lead: str = "WITH") -> str:
+    """DuckDB oracle for :func:`negative_samples`: identical hashes,
+    bucket representatives, and filtered-setting NOT EXISTS."""
+    from k_gap_ray.functions.shuffle import _M, _mix_sql
+    from k_gap_ray.functions.textstats import (H1_BASE, H1_MOD,
+                                               sql_token_hash_expr)
+
+    oh = sql_token_hash_expr("obj", H1_BASE, H1_MOD)
+    mix_ob = _mix_sql("c", seed)
+    mix_tb = _mix_sql("c", seed)
+    return f"""{lead} __tr AS MATERIALIZED (
+  SELECT subj, pred, obj FROM ({triples_sql}) __t0),
+__objs AS (SELECT DISTINCT obj FROM __tr),
+__obk AS (SELECT obj, ({mix_ob}) % {n_buckets} AS b FROM (
+    SELECT obj, ({oh}) % {_M} AS c FROM __objs) __o),
+__reps AS MATERIALIZED (
+  SELECT b, MIN(obj) AS rep FROM __obk GROUP BY b),
+__hh AS (
+  SELECT subj, pred, obj,
+         (({sql_token_hash_expr('subj', H1_BASE, H1_MOD)}) * 131
+          + ({sql_token_hash_expr('pred', H1_BASE, H1_MOD)}) * 257
+          + ({oh})) % {_M} AS c
+  FROM __tr),
+__cand AS (
+  SELECT h.subj, h.pred, h.obj, r.rep AS neg_obj
+  FROM (SELECT subj, pred, obj,
+               ({mix_tb}) % {n_buckets} AS tb FROM __hh) h
+  JOIN __reps r ON r.b = h.tb
+  WHERE r.rep <> h.obj)
+SELECT subj, pred, obj, neg_obj FROM __cand c
+WHERE NOT EXISTS (SELECT 1 FROM __tr t
+                  WHERE t.subj = c.subj AND t.pred = c.pred
+                    AND t.obj = c.neg_obj)"""

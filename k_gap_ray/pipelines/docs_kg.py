@@ -539,3 +539,15 @@ def sql_docs_walks(preds: tuple[str, ...], seed_pred: str,
     return (_sql_ctes(docs_table) + _sql_quads_cte()
             + sql_deterministic_walks(_edges_in(preds), seeds,
                                       steps=steps, seed=seed, lead=","))
+
+
+def sql_docs_negatives(seed: int = 0, n_buckets: int = 64,
+                       docs_table: str = "documents") -> str:
+    """DuckDB oracle for deterministic negative sampling over the full
+    docs-derived quad set."""
+    from k_gap_ray.functions.graph import sql_negative_samples
+
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sql_negative_samples(
+                "SELECT subj, pred, obj FROM quads",
+                seed=seed, n_buckets=n_buckets, lead=","))

@@ -2323,3 +2323,42 @@ def test_top_terms_by_group_matches_sql_with_cutoff_ties(ray_session):
     # 'top' x4 leads; count-2 ties resolve alphabetically: alpha, beta
     assert x[1]["token"] == "top" and x[1]["c"] == 4
     assert x[2]["token"] == "alpha" and x[3]["token"] == "beta"
+
+
+def test_negative_samples_filtered_and_seeded(ray_session):
+    """Corrupted triples: every emitted neg_obj is a real object from
+    the vocabulary, differs from the true object, and never recreates
+    a real triple (the filtered setting); the result is a pure
+    function of the seed and matches the SQL mirror; two seeds
+    diverge."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import (negative_samples,
+                                           sql_negative_samples)
+
+    tri = pa.table({
+        "subj": ["a", "a", "b", "c", "d", "e", "f", "g"],
+        "pred": ["p", "q", "p", "p", "q", "p", "q", "p"],
+        "obj":  ["x", "y", "x", "z", "w", "x", "y", "v"]})
+    con = duckdb.connect()
+    con.register("tr", tri)
+    objs = set(tri.column("obj").to_pylist())
+    real = set(zip(tri.column("subj").to_pylist(),
+                   tri.column("pred").to_pylist(),
+                   tri.column("obj").to_pylist()))
+    outs = {}
+    for seed in (3, 4):
+        got = sorted((r["subj"], r["pred"], r["obj"], r["neg_obj"])
+                     for r in negative_samples(
+                         rd.from_arrow(tri).repartition(2), seed=seed,
+                         n_buckets=4).take_all())
+        want = sorted(con.execute(sql_negative_samples(
+            "SELECT subj, pred, obj FROM tr", seed=seed,
+            n_buckets=4)).fetchall())
+        assert got == want, seed
+        for s, p, o, n in got:
+            assert n in objs and n != o
+            assert (s, p, n) not in real
+        outs[seed] = got
+    assert outs[3] != outs[4]
