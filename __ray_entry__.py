@@ -1652,6 +1652,29 @@ def _walks(sf_dir: str):
                                steps=5, seed=4)
 
 
+def _degree_hist(sf_dir: str):
+    """Log2-bucketed degree histogram over the order-part bipartite
+    graph — the power-law shape report run before sizing shuffles and
+    hub caps on a new graph. Exact integer buckets (shift-verified
+    log2 on the engine, length(bin(deg))-1 in SQL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.graph import degree_histogram
+    from k_gap_ray.relational import _read
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(lambda t: pa.table({
+            "src": pc.multiply(pc.cast(t.column("l_orderkey"), pa.int64()),
+                               pa.scalar(2, pa.int64())),
+            "dst": pc.add(
+                pc.multiply(pc.cast(t.column("l_partkey"), pa.int64()),
+                            pa.scalar(2, pa.int64())),
+                pa.scalar(1, pa.int64()))}),
+            batch_format="pyarrow")
+    return degree_histogram(edges)
+
+
 def _kg_negatives(sf_dir: str):
     """Deterministic corrupted-triple negative sampling over the docs
     KG (the TransE/DistMult training-data op): object vocabulary
@@ -3296,6 +3319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shipping_priority": rel.q_shipping_priority,
         "q_local_supplier_volume": rel.q_local_supplier_volume,
         "q_kg_negatives": _kg_negatives,
+        "q_degree_hist": _degree_hist,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4048,6 +4072,7 @@ def oracle_sql() -> dict[str, str]:
         "q_link_pred": _sql_docs_link_pred(),
         "q_walks": _sql_docs_walks(),
         "q_kg_negatives": _sql_docs_negatives(),
+        "q_degree_hist": _sql_degree_hist(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -4267,6 +4292,14 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_degree_hist() -> str:
+    from k_gap_ray.functions.graph import sql_degree_histogram
+
+    return sql_degree_histogram(
+        "SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst "
+        "FROM lineitem")
 
 
 def _sql_docs_negatives() -> str:

@@ -2362,3 +2362,38 @@ def test_negative_samples_filtered_and_seeded(ray_session):
             assert (s, p, n) not in real
         outs[seed] = got
     assert outs[3] != outs[4]
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_degree_histogram_paths_match_sql(ray_session, cap):
+    """Log2 degree buckets on a star + triangle: the hub's degree 4
+    lands in bucket 2, triangle nodes in bucket 1, leaves in bucket 0.
+    Integer-id edges take the int-key path (driver merge under cap,
+    int groupby above); string ids take the generic canonicalization
+    — all match the length(bin(deg))-1 mirror."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import (degree_histogram,
+                                           sql_degree_histogram)
+
+    edges_i = pa.table({
+        "src": pa.array([1, 1, 1, 1, 2, 3, 2], pa.int64()),
+        "dst": pa.array([2, 3, 4, 5, 3, 2, 3], pa.int64())})
+    con = duckdb.connect()
+    con.register("ei", edges_i)
+    want = dict(con.execute(sql_degree_histogram(
+        "SELECT src, dst FROM ei")).fetchall())
+    got = {r["bucket"]: r["n_nodes"] for r in
+           degree_histogram(rd.from_arrow(edges_i).repartition(2),
+                            driver_cap=cap).take_all()}
+    assert got == want == {0: 2, 1: 2, 2: 1}, cap
+
+    edges_s = pa.table({
+        "src": pa.array([str(x) for x in
+                         edges_i.column("src").to_pylist()]),
+        "dst": pa.array([str(x) for x in
+                         edges_i.column("dst").to_pylist()])})
+    got_s = {r["bucket"]: r["n_nodes"] for r in
+             degree_histogram(rd.from_arrow(edges_s)).take_all()}
+    assert got_s == want
