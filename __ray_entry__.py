@@ -1105,6 +1105,16 @@ def _doc_incr_neardup(sf_dir: str):
                                 threshold=0.5, append=False)
 
 
+def _doc_kwic(sf_dir: str):
+    """Keyword-in-context concordance for 'spark' with ±3 tokens of
+    clamped context — the notebook analyst's mention-inspection
+    surface. One shuffle-free map_batches pass; only hit rows pay the
+    context join (term-frequency-bounded)."""
+    from k_gap_ray.functions.search import kwic
+
+    return kwic(_docs(sf_dir, ["doc_id", "text"]), "spark", window=3)
+
+
 def _doc_top_terms(sf_dir: str):
     """Per-language top-5 tokens by count (the grouped heavy-hitters
     report): composite-key partial counts -> one groupby sum; after
@@ -3320,6 +3330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_local_supplier_volume": rel.q_local_supplier_volume,
         "q_kg_negatives": _kg_negatives,
         "q_degree_hist": _degree_hist,
+        "q_doc_kwic": _doc_kwic,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4073,6 +4084,7 @@ def oracle_sql() -> dict[str, str]:
         "q_walks": _sql_docs_walks(),
         "q_kg_negatives": _sql_docs_negatives(),
         "q_degree_hist": _sql_degree_hist(),
+        "q_doc_kwic": _sql_doc_kwic(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -4292,6 +4304,12 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_doc_kwic() -> str:
+    from k_gap_ray.functions.search import sql_kwic
+
+    return sql_kwic("spark", window=3)
 
 
 def _sql_degree_hist() -> str:

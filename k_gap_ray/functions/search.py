@@ -489,3 +489,80 @@ def sql_tfidf_sim_pairs(topk: int = 20, df_cap: int = 100, n: int = 3,
     GROUP BY a.d, b.d
     ORDER BY score DESC, doc_id_a, doc_id_b LIMIT {topk}
     """
+
+
+def kwic(ds, term: str, window: int = 3, id_col: str = "doc_id",
+         text_col: str = "text"):
+    """Keyword-in-context concordance — the notebook analyst's 'show
+    me every mention with surrounding words' surface: every position
+    whose token equals ``term``, with up to ``window`` tokens of left
+    and right context (clamped at document edges).  Returns
+    Dataset(id_col, pos, left_ctx, right_ctx) with 1-based positions
+    pinned to the SQL mirror's generate_series.
+
+    Scale shape: one stateless map_batches pass, no shuffle; the hit
+    mask is a vectorized equality over the flat token array, and only
+    HIT rows pay the per-hit context join (bounded by term frequency,
+    not corpus size)."""
+    from k_gap_ray.functions.textstats import _tokens_of
+
+    def f(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "left_ctx": pa.array([], pa.string()),
+                          "right_ctx": pa.array([], pa.string())})
+        flat, counts, starts = _tokens_of(t.column(text_col))
+        n = len(flat)
+        if n == 0:
+            return empty
+        hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        hit_idx = np.flatnonzero(hit)
+        if len(hit_idx) == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        ids = pc.cast(t.column(id_col), pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        docs = doc_idx[hit_idx]
+        pos1 = hit_idx - starts[docs] + 1
+        # context joins only for hit rows (term-frequency-bounded):
+        # slice the flat token list around each hit, clamped to the
+        # document's own [start, start+count) range
+        toks = flat.to_pylist()
+        lefts, rights = [], []
+        for h, d in zip(hit_idx.tolist(), docs.tolist()):
+            s0, c0 = int(starts[d]), int(counts[d])
+            lo = max(s0, h - window)
+            hi = min(s0 + c0, h + window + 1)
+            lefts.append(" ".join(toks[lo:h]))
+            rights.append(" ".join(toks[h + 1:hi]))
+        return pa.table({
+            id_col: pa.array(ids[docs], pa.int64()),
+            "pos": pa.array(pos1, pa.int64()),
+            "left_ctx": pa.array(lefts, pa.string()),
+            "right_ctx": pa.array(rights, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_kwic(term: str, window: int = 3, id_col: str = "doc_id",
+             text_col: str = "text", rel: str = "documents") -> str:
+    """DuckDB oracle for :func:`kwic`: list slices clamped with
+    greatest(), the identical 1-based positions."""
+    lit = term.replace("'", "''")
+    return f"""
+    WITH __toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {rel}
+    ), __hits AS (
+      SELECT {id_col}, l,
+             unnest(generate_series(1, len(l))) AS pos
+      FROM __toks
+    )
+    SELECT {id_col}, pos,
+           COALESCE(array_to_string(
+               l[greatest(1, pos - {window}):pos - 1], ' '), '')
+               AS left_ctx,
+           COALESCE(array_to_string(l[pos + 1:pos + {window}], ' '),
+                    '') AS right_ctx
+    FROM __hits WHERE l[pos] = '{lit}'
+    """

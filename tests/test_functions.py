@@ -2397,3 +2397,34 @@ def test_degree_histogram_paths_match_sql(ray_session, cap):
     got_s = {r["bucket"]: r["n_nodes"] for r in
              degree_histogram(rd.from_arrow(edges_s)).take_all()}
     assert got_s == want
+
+
+def test_kwic_clamps_edges_and_matches_sql(ray_session):
+    """Concordance contexts clamp at document edges (first/last-token
+    hits emit empty-string context, matching the COALESCE'd SQL
+    slice), positions are 1-based, and a term-free doc emits
+    nothing."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.search import kwic, sql_kwic
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "hit a b c hit",               # edge hits both sides
+            "x y z hit p q r",             # interior hit
+            "no match here",
+        ])})
+    con = duckdb.connect()
+    con.register("hdocs", docs)
+    got = sorted((r["doc_id"], r["pos"], r["left_ctx"], r["right_ctx"])
+                 for r in kwic(rd.from_arrow(docs).repartition(2),
+                               "hit", window=2).take_all())
+    want = sorted(con.execute(
+        sql_kwic("hit", window=2, rel="hdocs")).fetchall())
+    assert got == want
+    assert (1, 1, "", "a b") in got
+    assert (1, 5, "b c", "") in got
+    assert (2, 4, "y z", "p q") in got
+    assert not any(d == 3 for d, *_ in got)
