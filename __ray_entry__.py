@@ -1105,6 +1105,34 @@ def _doc_incr_neardup(sf_dir: str):
                                 threshold=0.5, append=False)
 
 
+def _doc_weighted_sample(sf_dir: str):
+    """Per-row weighted Bernoulli downsampling (the CCNet-style
+    quality-proportional keep, here length-proportional): keep
+    probability permille = min(1000, 10 * n_tokens), decided by the
+    seeded 31-bit mix of doc_id — deterministic, shuffle-free, and
+    re-derivable per row for audits."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.ops.transform import weighted_hash_sample
+
+    def add_w(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        spaces = pc.count_substring(text, pattern=" ")
+        nonempty = pc.cast(pc.greater(pc.utf8_length(text), 0),
+                           pa.int64())
+        n = pc.add(pc.cast(spaces, pa.int64()), nonempty)
+        w = pc.min_element_wise(pa.scalar(1000, pa.int64()),
+                                pc.multiply(n, pa.scalar(10, pa.int64())))
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"),
+                                           pa.int64()),
+                         "w": w})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_w, batch_format="pyarrow")
+    return weighted_hash_sample(ds, "doc_id", "w", seed=5)
+
+
 def _doc_kwic(sf_dir: str):
     """Keyword-in-context concordance for 'spark' with ±3 tokens of
     clamped context — the notebook analyst's mention-inspection
@@ -3331,6 +3359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kg_negatives": _kg_negatives,
         "q_degree_hist": _degree_hist,
         "q_doc_kwic": _doc_kwic,
+        "q_doc_weighted_sample": _doc_weighted_sample,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4085,6 +4114,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kg_negatives": _sql_docs_negatives(),
         "q_degree_hist": _sql_degree_hist(),
         "q_doc_kwic": _sql_doc_kwic(),
+        "q_doc_weighted_sample": _sql_doc_weighted_sample(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -4304,6 +4334,19 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_doc_weighted_sample() -> str:
+    from k_gap_ray.ops.transform import sql_weighted_hash_sample
+
+    w = ("least(1000, 10 * (length(text) - "
+         "length(replace(text, ' ', '')) "
+         "+ CASE WHEN length(text) > 0 THEN 1 ELSE 0 END))")
+    keep = sql_weighted_hash_sample(w, id_col="doc_id", seed=5)
+    return f"""
+        SELECT doc_id, {w}::BIGINT AS w
+        FROM documents WHERE {keep}
+    """
 
 
 def _sql_doc_kwic() -> str:

@@ -270,3 +270,41 @@ def synth_feed_members(n_entities: int = 20, versions: int = 3,
                 })
             batch_no = (batch_no + 1) if rng.random() < 0.3 else batch_no
     return pa.Table.from_pylist(rows, schema=FEED_MEMBERS)
+
+
+def weighted_hash_sample(ds, id_col: str, weight_col: str,
+                         seed: int = 0, modulus: int = 1000):
+    """Per-row weighted Bernoulli sampling, deterministically: keep a
+    row iff ``mix31(id, seed) % modulus < weight`` — the
+    quality/length-proportional downsampling an LLM-data pipeline runs
+    (CCNet-style: keep high-quality documents with probability
+    weight/modulus) without RNG state, so any engine or cluster size
+    keeps the SAME rows and the keep decision is re-derivable row-by-
+    row for audits.  ``weight_col`` must be an int column in
+    [0, modulus] (0 = always drop, modulus = always keep).  One
+    stateless map_batches pass, no shuffle; the SQL mirror
+    (:func:`sql_weighted_hash_sample`) runs the identical mix."""
+    import numpy as np
+
+    from k_gap_ray.functions.shuffle import _mix
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        w = pc.cast(t.column(weight_col), pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        keep = (_mix(ids, seed) % modulus) < w
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_weighted_hash_sample(weight_expr: str, id_col: str = "doc_id",
+                             seed: int = 0, modulus: int = 1000) -> str:
+    """DuckDB keep-predicate for :func:`weighted_hash_sample`:
+    ``(mix({id_col}) % modulus) < ({weight_expr})`` — compose into a
+    WHERE clause."""
+    from k_gap_ray.functions.shuffle import _mix_sql
+
+    return (f"(({_mix_sql(id_col, seed)}) % {modulus})"
+            f" < ({weight_expr})")

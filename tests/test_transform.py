@@ -536,3 +536,42 @@ def test_assign_splits(ray_session, sf_dir):
     assert kept == {d for d, s in out.items() if s == "train"}
     with pytest.raises(ValueError, match="sum"):
         assign_splits(docs, "doc_id", splits=[("a", 50), ("b", 20)])
+
+
+def test_weighted_hash_sample_is_proportional_and_deterministic(
+        ray_session):
+    """Weighted Bernoulli keep: weight 0 drops everything, the
+    modulus keeps everything, a mid weight keeps roughly its share
+    over many ids; two runs agree row-for-row (no RNG state), the
+    SQL keep-predicate matches exactly."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.ops.transform import (sql_weighted_hash_sample,
+                                         weighted_hash_sample)
+
+    n = 2000
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "w": pa.array([0, 250, 1000] * (n // 3) +
+                                [0] * (n % 3), pa.int64())})
+    kept = weighted_hash_sample(rd.from_arrow(t).repartition(3),
+                                "doc_id", "w", seed=2).take_all()
+    by_w = {}
+    for r in kept:
+        by_w.setdefault(r["w"], []).append(r["doc_id"])
+    assert 0 not in by_w                       # w=0: never kept
+    assert len(by_w[1000]) == n // 3           # w=modulus: always kept
+    frac = len(by_w[250]) / (n // 3)
+    assert 0.15 < frac < 0.35                  # ~25% of the w=250 rows
+
+    con = duckdb.connect()
+    con.register("t", t)
+    keep = sql_weighted_hash_sample("w", id_col="doc_id", seed=2)
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT doc_id FROM t WHERE {keep}").fetchall())
+    assert sorted(r["doc_id"] for r in kept) == want
+    again = sorted(r["doc_id"] for r in
+                   weighted_hash_sample(rd.from_arrow(t), "doc_id",
+                                        "w", seed=2).take_all())
+    assert again == want
