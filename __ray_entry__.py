@@ -1105,6 +1105,23 @@ def _doc_incr_neardup(sf_dir: str):
                                 threshold=0.5, append=False)
 
 
+def _profile_orders(sf_dir: str):
+    """ANALYZE-style per-column profile of the orders table (A7
+    statistics-report family): row/null/exact-distinct counts and
+    min/max in one pinned int64 encoding (floats as cents, timestamps
+    as epoch micros; strings report min_str/max_str). ONE streaming
+    pass, no shuffle; distinct sets driver-merged under an explicit
+    cap."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.profile import profile_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    return profile_table(ds, cols)
+
+
 def _doc_weighted_sample(sf_dir: str):
     """Per-row weighted Bernoulli downsampling (the CCNet-style
     quality-proportional keep, here length-proportional): keep
@@ -3360,6 +3377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_degree_hist": _degree_hist,
         "q_doc_kwic": _doc_kwic,
         "q_doc_weighted_sample": _doc_weighted_sample,
+        "q_profile_orders": _profile_orders,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4115,6 +4133,7 @@ def oracle_sql() -> dict[str, str]:
         "q_degree_hist": _sql_degree_hist(),
         "q_doc_kwic": _sql_doc_kwic(),
         "q_doc_weighted_sample": _sql_doc_weighted_sample(),
+        "q_profile_orders": _sql_profile_orders(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -4334,6 +4353,15 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_profile_orders() -> str:
+    from k_gap_ray.functions.profile import sql_profile_table
+
+    return sql_profile_table("orders", {
+        "o_orderkey": "int", "o_custkey": "int",
+        "o_orderstatus": "str", "o_totalprice": "float",
+        "o_orderdate": "ts", "o_orderpriority": "str"})
 
 
 def _sql_doc_weighted_sample() -> str:
