@@ -1315,6 +1315,28 @@ def _knn_filtered(sf_dir: str):
     return knn_filtered(ds, q, labels=(1, 2), k=10, exclude_ids={0})
 
 
+def _knn_mmr(sf_dir: str):
+    """MMR diverse top-5 over the int8 top-20 retrieval (query =
+    vector 0): greedy rel-minus-max-sim re-ranking with exact integer
+    scores — the coverage-over-redundancy re-ranker, deterministic on
+    both engines via the pinned tie order."""
+    import numpy as np
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import mmr_select
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qrow = ds.map_batches(
+        lambda t: t.filter(_pa.compute.equal(t.column("vec_id"),
+                                             _pa.scalar(0))),
+        batch_format="pyarrow").take_all()
+    q = np.asarray(qrow[0]["embedding"], np.float64)
+    return mmr_select(ds, q, k_candidates=20, k_select=5,
+                      exclude_ids={0})
+
+
 def _knn_quantized(sf_dir: str):
     """int8-quantized top-k (the 4x-memory scale path): exact integer
     dot products over floor-quantized vectors, value-hash-identical to
@@ -3378,6 +3400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_kwic": _doc_kwic,
         "q_doc_weighted_sample": _doc_weighted_sample,
         "q_profile_orders": _profile_orders,
+        "q_knn_mmr": _knn_mmr,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4134,6 +4157,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_kwic": _sql_doc_kwic(),
         "q_doc_weighted_sample": _sql_doc_weighted_sample(),
         "q_profile_orders": _sql_profile_orders(),
+        "q_knn_mmr": _sql_knn_mmr(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -4353,6 +4377,12 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_knn_mmr() -> str:
+    from k_gap_ray.functions.similarity import sql_mmr_select
+
+    return sql_mmr_select(k_candidates=20, k_select=5, query_vec_id=0)
 
 
 def _sql_profile_orders() -> str:

@@ -840,3 +840,117 @@ def sql_kmeans_int8(k: int = 8, iters: int = 2, dim: int = 64,
     GROUP BY vid
     ORDER BY vid
     """
+
+
+def mmr_select(emb_ds, query_vec: np.ndarray, k_candidates: int = 20,
+               k_select: int = 5, exclude_ids: set[int] | None = None):
+    """Maximal Marginal Relevance diverse top-k (Carbonell/Goldstein
+    1998) — the retrieval re-ranker that trades pure relevance for
+    coverage: after the distributed int8 top-``k_candidates``
+    retrieval, greedily select ``k_select`` items maximizing
+
+        mmr(d) = rel(d) - max over selected s of sim(d, s)
+
+    (the lambda=0.5 form with the 1/2 factored out — argmax-invariant)
+    where rel and sim are the EXACT integer quantized dot products, so
+    every pick is deterministic (ties to the smaller vec_id) and the
+    chained-CTE DuckDB mirror (:func:`sql_mmr_select`) value-matches.
+
+    Scale shape: the distributed part is the knn_quantized partial
+    top-k; the greedy loop runs on the driver over k_candidates rows
+    and their fetched vectors — O(k^2) integer dots, query-sized.
+    Returns pa.Table(rank, vec_id, rel, mmr); the first pick's mmr is
+    its relevance (empty selected set).
+    """
+    cand_rows = knn_quantized(emb_ds, query_vec, k=k_candidates,
+                              exclude_ids=exclude_ids).to_pylist()
+    if not cand_rows:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rel": pa.array([], pa.int64()),
+                         "mmr": pa.array([], pa.int64())})
+    rel = {r["vec_id"]: r["qscore"] for r in cand_rows}
+    ids = [r["vec_id"] for r in cand_rows]
+    idset = pa.array(ids, pa.int64())
+    vec_rows = emb_ds.map_batches(
+        lambda t: t.filter(pc.is_in(
+            pc.cast(t.column("vec_id"), pa.int64()), value_set=idset)),
+        batch_format="pyarrow").take_all()
+    q8 = {r["vec_id"]: quantize_int8(
+        np.asarray(r["embedding"], np.float64)[None, :])[0]
+        for r in vec_rows}
+    selected: list[int] = []
+    out = []
+    remaining = sorted(ids)
+    for rank in range(1, min(k_select, len(ids)) + 1):
+        best = None
+        for d in remaining:
+            if selected:
+                ms = max(int(q8[d] @ q8[s]) for s in selected)
+                score = rel[d] - ms
+            else:
+                score = rel[d]
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, score)
+        _, pick, score = best
+        selected.append(pick)
+        remaining.remove(pick)
+        out.append((rank, pick, rel[pick], score))
+    return pa.table({
+        "rank": pa.array([r[0] for r in out], pa.int64()),
+        "vec_id": pa.array([r[1] for r in out], pa.int64()),
+        "rel": pa.array([r[2] for r in out], pa.int64()),
+        "mmr": pa.array([r[3] for r in out], pa.int64())})
+
+
+def sql_mmr_select(k_candidates: int = 20, k_select: int = 5,
+                   query_vec_id: int = 0,
+                   table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`mmr_select` with the query = the
+    embedding of ``query_vec_id``: the q_knn_quantized quantization
+    CTE, the same pinned top-k candidate cut, then one chained
+    (pick, selected-set) CTE pair per greedy step with the identical
+    integer mmr and tie order."""
+    parts = [f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN ma = 0
+                  THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(
+                      embedding,
+                      x -> floor(CAST(x AS DOUBLE)
+                                 * CAST(127.0 AS DOUBLE)
+                                 / CAST(ma AS DOUBLE))) END AS qv
+      FROM (SELECT vec_id, embedding,
+                   list_aggregate(
+                       list_transform(embedding, y -> abs(y)),
+                       'max') AS ma
+            FROM {table})
+    ), cand AS MATERIALIZED (
+      SELECT a.vec_id,
+             CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS rel,
+             a.qv
+      FROM q a, q b
+      WHERE b.vec_id = {query_vec_id} AND a.vec_id <> {query_vec_id}
+      ORDER BY rel DESC, a.vec_id LIMIT {k_candidates}
+    ), s1 AS MATERIALIZED (
+      SELECT 1::BIGINT AS rank, vec_id, rel, rel AS mmr, qv
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ), sel1 AS (SELECT * FROM s1)"""]
+    for i in range(2, k_select + 1):
+        parts.append(f""",
+    s{i} AS MATERIALIZED (
+      SELECT {i}::BIGINT AS rank, c.vec_id, c.rel,
+             c.rel - (SELECT max(CAST(
+                 list_inner_product(c.qv, s.qv) AS BIGINT))
+                      FROM sel{i - 1} s) AS mmr,
+             c.qv
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ), sel{i} AS (SELECT * FROM sel{i - 1}
+                  UNION ALL SELECT * FROM s{i})""")
+    parts.append(f"""
+    SELECT rank, vec_id, rel, mmr FROM sel{k_select}""")
+    return "".join(parts)

@@ -2428,3 +2428,45 @@ def test_kwic_clamps_edges_and_matches_sql(ray_session):
     assert (1, 5, "b c", "") in got
     assert (2, 4, "y z", "p q") in got
     assert not any(d == 3 for d, *_ in got)
+
+
+def test_mmr_select_prefers_diversity(ray_session):
+    """MMR on a planted geometry: two near-identical highly-relevant
+    vectors and one moderately-relevant orthogonal vector — pure
+    relevance would pick the twins 1-2, MMR picks one twin then the
+    orthogonal vector (its sim penalty is ~0); matches the
+    chained-CTE mirror exactly."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import mmr_select, sql_mmr_select
+
+    dim = 8
+    q = np.zeros(dim); q[0] = 1.0
+    # twins share an off-query component (dim 2) so their mutual sim
+    # EXCEEDS their relevance — the penalty MMR exists to apply; the
+    # orthogonal pick's only overlap with a twin is the query axis
+    twin_a = np.zeros(dim); twin_a[0] = 0.9; twin_a[2] = 0.1
+    twin_b = np.zeros(dim); twin_b[0] = 0.89; twin_b[2] = 0.11
+    ortho = np.zeros(dim); ortho[0] = 0.4; ortho[1] = 1.0
+    far = np.zeros(dim); far[3] = 1.0
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([q.tolist(), twin_a.tolist(),
+                               twin_b.tolist(), ortho.tolist(),
+                               far.tolist()],
+                              pa.list_(pa.float32()))})
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    got = mmr_select(rd.from_arrow(tbl), q, k_candidates=4,
+                     k_select=3, exclude_ids={0}).to_pylist()
+    want = [dict(zip(("rank", "vec_id", "rel", "mmr"), r))
+            for r in con.execute(sql_mmr_select(
+                k_candidates=4, k_select=3)).fetchall()]
+    assert got == want
+    picks = [r["vec_id"] for r in got]
+    assert picks == [1, 3, 4]                 # twin 2 never selected
+    assert got[1]["mmr"] == 0                 # ortho: penalty == rel-axis
+    # twin_b's would-be mmr is NEGATIVE (sim to twin_a > its rel),
+    # which is exactly why it loses to the zero-scored diverse picks
