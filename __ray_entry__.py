@@ -1337,6 +1337,32 @@ def _knn_mmr(sf_dir: str):
                       exclude_ids={0})
 
 
+def _knn_rrf(sf_dir: str):
+    """Reciprocal Rank Fusion of two int8 retrievals (query vectors 0
+    and 1, top-20 each): the multi-query hybrid-search combiner —
+    integer RRF_SCALE // (60 + rank) partial scores summed per id,
+    fused top-10 by (score DESC, id). Rank-only fusion needs no score
+    calibration between the lists."""
+    import numpy as np
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from k_gap_ray.functions.similarity import knn_quantized, rrf_fuse
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qs = {}
+    for qid in (0, 1):
+        row = ds.map_batches(
+            lambda t, q=qid: t.filter(
+                _pa.compute.equal(t.column("vec_id"), _pa.scalar(q))),
+            batch_format="pyarrow").take_all()
+        qs[qid] = np.asarray(row[0]["embedding"], np.float64)
+    lists = [knn_quantized(ds, qs[qid], k=20, exclude_ids={0, 1})
+             for qid in (0, 1)]
+    return rrf_fuse(lists, topk=10)
+
+
 def _knn_quantized(sf_dir: str):
     """int8-quantized top-k (the 4x-memory scale path): exact integer
     dot products over floor-quantized vectors, value-hash-identical to
@@ -3401,6 +3427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_weighted_sample": _doc_weighted_sample,
         "q_profile_orders": _profile_orders,
         "q_knn_mmr": _knn_mmr,
+        "q_knn_rrf": _knn_rrf,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4158,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_weighted_sample": _sql_doc_weighted_sample(),
         "q_profile_orders": _sql_profile_orders(),
         "q_knn_mmr": _sql_knn_mmr(),
+        "q_knn_rrf": _sql_knn_rrf(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -4377,6 +4405,54 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_knn_rrf() -> str:
+    from k_gap_ray.functions.similarity import sql_rrf_fuse
+
+    def arm(qid: int) -> str:
+        return f"""
+        SELECT vec_id,
+               row_number() OVER (ORDER BY qscore DESC, vec_id) AS rank
+        FROM (
+          SELECT a.vec_id,
+                 CAST(list_inner_product(a.qv, b.qv) AS BIGINT)
+                     AS qscore
+          FROM (SELECT vec_id,
+                       CASE WHEN ma = 0
+                            THEN list_transform(embedding, x -> 0.0)
+                            ELSE list_transform(
+                                embedding,
+                                x -> floor(CAST(x AS DOUBLE)
+                                           * CAST(127.0 AS DOUBLE)
+                                           / CAST(ma AS DOUBLE))) END
+                           AS qv
+                FROM (SELECT vec_id, embedding,
+                             list_aggregate(
+                                 list_transform(embedding,
+                                                y -> abs(y)),
+                                 'max') AS ma
+                      FROM embeddings)) a,
+               (SELECT vec_id,
+                       CASE WHEN ma = 0
+                            THEN list_transform(embedding, x -> 0.0)
+                            ELSE list_transform(
+                                embedding,
+                                x -> floor(CAST(x AS DOUBLE)
+                                           * CAST(127.0 AS DOUBLE)
+                                           / CAST(ma AS DOUBLE))) END
+                           AS qv
+                FROM (SELECT vec_id, embedding,
+                             list_aggregate(
+                                 list_transform(embedding,
+                                                y -> abs(y)),
+                                 'max') AS ma
+                      FROM embeddings)) b
+          WHERE b.vec_id = {qid} AND a.vec_id NOT IN (0, 1)
+          ORDER BY qscore DESC, a.vec_id LIMIT 20)
+        """
+
+    return sql_rrf_fuse([arm(0), arm(1)], topk=10)
 
 
 def _sql_knn_mmr() -> str:

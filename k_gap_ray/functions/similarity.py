@@ -954,3 +954,61 @@ def sql_mmr_select(k_candidates: int = 20, k_select: int = 5,
     parts.append(f"""
     SELECT rank, vec_id, rel, mmr FROM sel{k_select}""")
     return "".join(parts)
+
+
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(rankings: list, topk: int = 10, k: int = 60,
+             id_col: str = "vec_id"):
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) — the
+    hybrid-search combiner: given N ranked candidate tables (each a
+    driver-sized top-k retrieval, rank = 1-based position), fuse by
+
+        score(d) = sum over lists containing d of RRF_SCALE // (k + rank_d)
+
+    (integer floor division — the float 1/(k+rank) made exact), then
+    top-``topk`` by (score DESC, id).  RRF needs no score calibration
+    between lists — only ranks — which is why it is the standard
+    lexical+vector fusion; the integer form keeps the mirror
+    (:func:`sql_rrf_fuse`) value-identical.
+
+    Scale shape: the heavy work is the input retrievals (already
+    distributed); fusion itself is O(sum of list lengths) driver
+    arithmetic.  Returns pa.Table(id, score, n_lists).
+    """
+    scores: dict = {}
+    hits: dict = {}
+    for tbl in rankings:
+        ids = tbl.column(id_col).to_pylist()
+        for rank, d in enumerate(ids, start=1):
+            scores[d] = scores.get(d, 0) + RRF_SCALE // (k + rank)
+            hits[d] = hits.get(d, 0) + 1
+    order = sorted(scores, key=lambda d: (-scores[d], d))[:topk]
+    return pa.table({
+        id_col: pa.array(order, pa.int64()),
+        "score": pa.array([scores[d] for d in order], pa.int64()),
+        "n_lists": pa.array([hits[d] for d in order], pa.int64())})
+
+
+def sql_rrf_fuse(ranking_sqls: list, topk: int = 10, k: int = 60,
+                 id_col: str = "vec_id") -> str:
+    """DuckDB oracle for :func:`rrf_fuse`: each ranking SQL must yield
+    rows in its OWN ranked order's defining columns — pass queries of
+    the form 'SELECT id, ... ORDER BY ...' wrapped so row_number()
+    reproduces the rank — here each arm is (id_col, rank) directly."""
+    arms = []
+    for i, rsql in enumerate(ranking_sqls):
+        arms.append(f"__r{i} AS MATERIALIZED ({rsql})")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {RRF_SCALE} // ({k} + rank) AS part, "
+        f"1::BIGINT AS hit FROM __r{i}"
+        for i in range(len(ranking_sqls)))
+    return f"""
+    WITH {', '.join(arms)},
+    __parts AS ({unions})
+    SELECT {id_col}, SUM(part)::BIGINT AS score,
+           SUM(hit)::BIGINT AS n_lists
+    FROM __parts GROUP BY {id_col}
+    ORDER BY score DESC, {id_col} LIMIT {topk}
+    """

@@ -2470,3 +2470,34 @@ def test_mmr_select_prefers_diversity(ray_session):
     assert got[1]["mmr"] == 0                 # ortho: penalty == rel-axis
     # twin_b's would-be mmr is NEGATIVE (sim to twin_a > its rel),
     # which is exactly why it loses to the zero-scored diverse picks
+
+
+def test_rrf_fuse_rewards_cross_list_agreement(ray_session):
+    """RRF: an id ranked mid in BOTH lists outscores the id that tops
+    one list but misses the other (1/(60+2)+1/(60+2) > 1/(60+1));
+    integer partial scores sum exactly and match the SQL mirror."""
+    import duckdb
+
+    from k_gap_ray.functions.similarity import (RRF_SCALE, rrf_fuse,
+                                                sql_rrf_fuse)
+
+    l1 = pa.table({"vec_id": pa.array([7, 3, 5], pa.int64())})
+    l2 = pa.table({"vec_id": pa.array([9, 3, 8], pa.int64())})
+    got = rrf_fuse([l1, l2], topk=5).to_pylist()
+    con = duckdb.connect()
+    con.register("l1r", pa.table({"vec_id": l1.column("vec_id"),
+                                  "rank": pa.array([1, 2, 3],
+                                                   pa.int64())}))
+    con.register("l2r", pa.table({"vec_id": l2.column("vec_id"),
+                                  "rank": pa.array([1, 2, 3],
+                                                   pa.int64())}))
+    want = [dict(zip(("vec_id", "score", "n_lists"), r))
+            for r in con.execute(sql_rrf_fuse(
+                ["SELECT vec_id, rank FROM l1r",
+                 "SELECT vec_id, rank FROM l2r"], topk=5)).fetchall()]
+    assert got == want
+    assert got[0]["vec_id"] == 3 and got[0]["n_lists"] == 2
+    assert got[0]["score"] == 2 * (RRF_SCALE // 62)
+    singles = {r["vec_id"]: r for r in got[1:]}
+    assert set(singles) == {7, 9, 5, 8}
+    assert all(r["n_lists"] == 1 for r in singles.values())
