@@ -1150,6 +1150,18 @@ def _doc_weighted_sample(sf_dir: str):
     return weighted_hash_sample(ds, "doc_id", "w", seed=5)
 
 
+def _doc_bm25(sf_dir: str):
+    """BM25-rational top-10 for the shared SEARCH_TERMS query: k1=6/5
+    and b=3/4 kept as exact fractions, the per-term score one int64
+    floor division with fractions cleared — the IR ranking function
+    tfidf_search's linear weighting cannot express (document-length
+    normalization + tf saturation), exact on both engines."""
+    from k_gap_ray.functions.search import bm25_search
+
+    return bm25_search(_docs(sf_dir, ["doc_id", "text"]),
+                       SEARCH_TERMS, k=10)
+
+
 def _doc_kwic(sf_dir: str):
     """Keyword-in-context concordance for 'spark' with ±3 tokens of
     clamped context — the notebook analyst's mention-inspection
@@ -3428,6 +3440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_profile_orders": _profile_orders,
         "q_knn_mmr": _knn_mmr,
         "q_knn_rrf": _knn_rrf,
+        "q_doc_bm25": _doc_bm25,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4186,6 +4199,7 @@ def oracle_sql() -> dict[str, str]:
         "q_profile_orders": _sql_profile_orders(),
         "q_knn_mmr": _sql_knn_mmr(),
         "q_knn_rrf": _sql_knn_rrf(),
+        "q_doc_bm25": _sql_doc_bm25(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -4405,6 +4419,12 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_doc_bm25() -> str:
+    from k_gap_ray.functions.search import sql_bm25_search
+
+    return sql_bm25_search(SEARCH_TERMS, k=10)
 
 
 def _sql_knn_rrf() -> str:

@@ -566,3 +566,174 @@ def sql_kwic(term: str, window: int = 3, id_col: str = "doc_id",
                     '') AS right_ctx
     FROM __hits WHERE l[pos] = '{lit}'
     """
+
+
+def bm25_search(ds, terms: list[str], k: int = 10,
+                id_col: str = "doc_id", text_col: str = "text",
+                idf_scale: int = 100):
+    """Exact-integer BM25 ranking (the rational-constant variant):
+    k1 = 6/5 and b = 3/4 are kept as EXACT fractions, so with
+    T = total corpus tokens and N = docs the per-term score
+
+        s(t, d) = idf_int(t) * tf * 44 * T
+                  // (20*T*tf + 6*T + 18*dl*N)
+
+    is one int64 floor division (the algebra: 44 = 20*(k1+1), the
+    denominator is 20*T*(tf + k1*(1-b) + k1*b*dl*N/T) cleared of
+    fractions), and the document score is the per-term sum — exact on
+    both engines, no float-boundary coin flips.  idf_int is the house
+    rational idf ``(N * idf_scale) // df`` (BM25's log-idf is
+    float-valued; the rational form preserves the df ordering and the
+    oracle exactness).  int64 bound: idf * tf * 44 * T must fit —
+    safe to T ≈ 2*10^8 corpus tokens at the default scale; shrink
+    ``idf_scale`` for larger corpora (the ranking is scale-invariant
+    in T).
+
+    Scale shape: ONE map_batches pass emits matched-term postings
+    (term, doc, tf, dl) — the stream is O(matching docs x query
+    terms) — plus per-batch (docs, tokens) totals; df/T/N collect
+    query-sized driver state; scoring is vectorized with the
+    broadcast idf table and the top-k is a tiny sort.  Returns
+    pa.Table(doc_id, score) (k rows).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from k_gap_ray.functions.textstats import _tokens_of
+
+    tset = pa.array(sorted(set(terms)), pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, counts, _ = _tokens_of(t.column(text_col))
+        ids = pc.cast(t.column(id_col), pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        base = pa.table({
+            "term": pa.array([None], pa.string()),
+            "d": pa.array([None], pa.int64()),
+            "tf": pa.array([None], pa.int64()),
+            "dl": pa.array([None], pa.int64()),
+            "docs_p": pa.array([t.num_rows], pa.int64()),
+            "toks_p": pa.array([int(counts.sum())], pa.int64())})
+        if len(flat) == 0:
+            return base
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        keep = pc.is_in(flat, value_set=tset).to_numpy(
+            zero_copy_only=False)
+        flat_m = flat.filter(pa.array(keep))
+        doc_m = doc_idx[keep]
+        if len(flat_m) == 0:
+            return base
+        enc = pc.dictionary_encode(flat_m)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = enc.dictionary
+        pair = doc_m * len(vocab) + codes
+        uniq, tf = np.unique(pair, return_counts=True)
+        docs_u = uniq // len(vocab)
+        n = len(uniq)
+        pad = pa.nulls(max(0, n - 1), pa.int64())
+        return pa.table({
+            "term": pc.take(vocab, pa.array(uniq % len(vocab))),
+            "d": pa.array(ids[docs_u], pa.int64()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            "dl": pa.array(counts[docs_u], pa.int64()),
+            "docs_p": pa.concat_arrays([
+                pa.array([t.num_rows], pa.int64()), pad]),
+            "toks_p": pa.concat_arrays([
+                pa.array([int(counts.sum())], pa.int64()), pad])})
+
+    posts = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+    # totals: one row per block; df: a <= |terms|-row groupby — both
+    # query-sized driver state, never the postings stream
+    tot_rows = posts.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("docs_p")))
+        .select(["docs_p", "toks_p"]), batch_format="pyarrow") \
+        .take_all()
+    n_docs = sum(r["docs_p"] for r in tot_rows)
+    t_tokens = sum(r["toks_p"] for r in tot_rows)
+    df_rows = posts.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("term")))
+        .select(["term"]), batch_format="pyarrow") \
+        .groupby("term").count().take_all()
+    df = {r["term"]: r["count()"] for r in df_rows}
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+    if not df or t_tokens == 0:
+        return empty
+    terms_arr = pa.array(sorted(df), pa.string())
+    idf_arr = pa.array([(n_docs * idf_scale) // df[t]
+                        for t in sorted(df)], pa.int64())
+    idf_ref = ray.put((terms_arr, idf_arr, n_docs, t_tokens))
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ta, ia, N, T = _r.get(idf_ref)
+        t = t.filter(pc.is_valid(t.column("term")))
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sp": pa.array([], pa.int64())})
+        pos = pc.index_in(t.column("term"), value_set=ta)
+        idf = pc.take(ia, pos).to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        dl = t.column("dl").to_numpy(zero_copy_only=False)
+        num = idf * tf * 44 * T
+        den = 20 * T * tf + 6 * T + 18 * dl * N
+        return pa.table({id_col: t.column("d"),
+                         "sp": pa.array(num // den, pa.int64())})
+
+    scored = (posts.map_batches(score, batch_format="pyarrow")
+              .groupby(id_col).aggregate(Sum("sp", alias_name="score")))
+    top = (scored.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            "score": pc.cast(t.column("score"),
+                                             pa.int64())}),
+        batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False]).limit(k))
+    rows = top.take_all()
+    if not rows:
+        return empty
+    return pa.table({
+        id_col: pa.array([r[id_col] for r in rows], pa.int64()),
+        "score": pa.array([r["score"] for r in rows], pa.int64())})
+
+
+def sql_bm25_search(terms: list[str], k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    rel: str = "documents",
+                    idf_scale: int = 100) -> str:
+    """DuckDB oracle for :func:`bm25_search`: identical postings,
+    totals, rational idf and the cleared-fraction BM25 division."""
+    in_list = ", ".join("'" + t.replace("'", "''") + "'"
+                        for t in sorted(set(terms)))
+    return f"""
+    WITH __tot AS (
+      SELECT count(*)::BIGINT AS n_docs,
+             SUM(len(string_split({text_col}, ' ')))::BIGINT AS t_toks
+      FROM {rel}
+    ), __toks AS (
+      SELECT {id_col}, len(l)::BIGINT AS dl, unnest(l) AS term
+      FROM (SELECT {id_col}, string_split({text_col}, ' ') AS l
+            FROM {rel}) __x
+    ), __posts AS (
+      SELECT term, {id_col} AS d, COUNT(*)::BIGINT AS tf,
+             MIN(dl)::BIGINT AS dl
+      FROM __toks WHERE term IN ({in_list})
+      GROUP BY term, {id_col}
+    ), __df AS (
+      SELECT term, COUNT(*)::BIGINT AS df FROM __posts GROUP BY term
+    )
+    SELECT d AS {id_col}, SUM(
+        ((SELECT n_docs FROM __tot) * {idf_scale} // f.df)
+        * p.tf * 44 * (SELECT t_toks FROM __tot)
+        // (20 * (SELECT t_toks FROM __tot) * p.tf
+            + 6 * (SELECT t_toks FROM __tot)
+            + 18 * p.dl * (SELECT n_docs FROM __tot)))::BIGINT AS score
+    FROM __posts p JOIN __df f ON f.term = p.term
+    GROUP BY d
+    ORDER BY score DESC, d LIMIT {k}
+    """

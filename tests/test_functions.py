@@ -2501,3 +2501,36 @@ def test_rrf_fuse_rewards_cross_list_agreement(ray_session):
     singles = {r["vec_id"]: r for r in got[1:]}
     assert set(singles) == {7, 9, 5, 8}
     assert all(r["n_lists"] == 1 for r in singles.values())
+
+
+def test_bm25_saturates_tf_and_normalizes_length(ray_session):
+    """BM25 vs linear TF-IDF behaviors on a planted corpus: a doc
+    repeating the query term 20x scores FAR less than 20x the
+    single-mention doc (tf saturation), and of two docs with one
+    mention each the SHORTER one scores higher (length
+    normalization); both engines agree exactly."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.search import bm25_search, sql_bm25_search
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            " ".join(["hash"] * 20),                     # spammy
+            "hash " + " ".join(["x"] * 3),               # short mention
+            "hash " + " ".join(["y"] * 40),              # long mention
+            " ".join(["z"] * 10),                        # no mention
+        ])})
+    con = duckdb.connect()
+    con.register("hdocs", docs)
+    got = bm25_search(rd.from_arrow(docs).repartition(2), ["hash"],
+                      k=4).to_pylist()
+    want = [dict(zip(("doc_id", "score"), r)) for r in con.execute(
+        sql_bm25_search(["hash"], k=4, rel="hdocs")).fetchall()]
+    assert got == want
+    s = {r["doc_id"]: r["score"] for r in got}
+    assert 4 not in s
+    assert s[1] < 20 * s[2]            # tf saturation
+    assert s[2] > s[3]                 # length normalization
+    assert s[1] > s[2]                 # but more tf still helps
