@@ -1162,6 +1162,18 @@ def _doc_bm25(sf_dir: str):
                        SEARCH_TERMS, k=10)
 
 
+def _doc_snippets(sf_dir: str):
+    """Search-result snippet extraction for the shared SEARCH_TERMS:
+    per matching doc, the 8-token span with the most query-term hits
+    (leftmost tie). One shuffle-free pass: vectorized indicator,
+    cumulative-sum window scores, lexsort argmax; only winning spans
+    pay the string join."""
+    from k_gap_ray.functions.search import best_snippets
+
+    return best_snippets(_docs(sf_dir, ["doc_id", "text"]),
+                         SEARCH_TERMS, window=8)
+
+
 def _doc_kwic(sf_dir: str):
     """Keyword-in-context concordance for 'spark' with ±3 tokens of
     clamped context — the notebook analyst's mention-inspection
@@ -3441,6 +3453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_mmr": _knn_mmr,
         "q_knn_rrf": _knn_rrf,
         "q_doc_bm25": _doc_bm25,
+        "q_doc_snippets": _doc_snippets,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4200,6 +4213,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_mmr": _sql_knn_mmr(),
         "q_knn_rrf": _sql_knn_rrf(),
         "q_doc_bm25": _sql_doc_bm25(),
+        "q_doc_snippets": _sql_doc_snippets(),
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
@@ -4419,6 +4433,12 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_doc_snippets() -> str:
+    from k_gap_ray.functions.search import sql_best_snippets
+
+    return sql_best_snippets(SEARCH_TERMS, window=8)
 
 
 def _sql_doc_bm25() -> str:

@@ -737,3 +737,125 @@ def sql_bm25_search(terms: list[str], k: int = 10,
     GROUP BY d
     ORDER BY score DESC, d LIMIT {k}
     """
+
+
+def best_snippets(ds, terms: list[str], window: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Search-result snippet extraction: for every document containing
+    at least one query term, the ``window``-token span with the most
+    query-term hits (leftmost on ties — the pinned argmax).  Documents
+    shorter than the window use their whole text as the single
+    candidate span.  Returns Dataset(id_col, start_pos, n_hits,
+    snippet) with 1-based start positions.
+
+    Scale shape: one stateless map_batches pass — the hit indicator is
+    a vectorized is_in, window sums are one cumulative-sum difference
+    over the flat token array (doc-boundary-masked), and the per-doc
+    leftmost argmax is a lexsort + first-per-group cut; only winning
+    spans pay the snippet string join."""
+    from k_gap_ray.functions.textstats import _tokens_of
+
+    tset = pa.array(sorted(set(terms)), pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "start_pos": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64()),
+                          "snippet": pa.array([], pa.string())})
+        flat, counts, starts = _tokens_of(t.column(text_col))
+        n = len(flat)
+        if n == 0:
+            return empty
+        ids = pc.cast(t.column(id_col), pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ind = pc.is_in(flat, value_set=tset).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ind, out=cum[1:])
+        # candidate windows: full windows [i, i+W-1] inside one doc,
+        # plus the whole-doc window for docs shorter than W
+        cand_doc, cand_pos, cand_s = [], [], []
+        if n >= window:
+            i = np.arange(n - window + 1)
+            full = doc_idx[i] == doc_idx[i + window - 1]
+            fi = i[full]
+            cand_doc.append(doc_idx[fi])
+            cand_pos.append(fi - starts[doc_idx[fi]] + 1)
+            cand_s.append(cum[fi + window] - cum[fi])
+        short = np.flatnonzero(counts < window)
+        if len(short):
+            s0 = starts[short]
+            cand_doc.append(short)
+            cand_pos.append(np.ones(len(short), dtype=np.int64))
+            cand_s.append(cum[s0 + counts[short]] - cum[s0])
+        if not cand_doc:
+            return empty
+        cd = np.concatenate(cand_doc)
+        cp = np.concatenate(cand_pos)
+        cs = np.concatenate(cand_s)
+        keep = cs > 0
+        cd, cp, cs = cd[keep], cp[keep], cs[keep]
+        if len(cd) == 0:
+            return empty
+        order = np.lexsort((cp, -cs, cd))      # doc, hits desc, pos
+        cd, cp, cs = cd[order], cp[order], cs[order]
+        first = np.ones(len(cd), dtype=bool)
+        first[1:] = cd[1:] != cd[:-1]
+        cd, cp, cs = cd[first], cp[first], cs[first]
+        toks = flat.to_pylist()
+        snippets = []
+        for d, p in zip(cd.tolist(), cp.tolist()):
+            s0, c0 = int(starts[d]), int(counts[d])
+            a = s0 + p - 1
+            b = min(s0 + c0, a + window)
+            snippets.append(" ".join(toks[a:b]))
+        return pa.table({
+            id_col: pa.array(ids[cd], pa.int64()),
+            "start_pos": pa.array(cp, pa.int64()),
+            "n_hits": pa.array(cs, pa.int64()),
+            "snippet": pa.array(snippets, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_best_snippets(terms: list[str], window: int = 8,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      rel: str = "documents") -> str:
+    """DuckDB oracle for :func:`best_snippets`: indicator + window
+    sum + leftmost per-doc argmax + the clamped list-slice join."""
+    in_list = ", ".join("'" + t.replace("'", "''") + "'"
+                        for t in sorted(set(terms)))
+    return f"""
+    WITH __toks AS MATERIALIZED (
+      SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {rel}
+    ), __pos AS (
+      SELECT {id_col}, l, len(l) AS n,
+             unnest(generate_series(1, len(l))) AS pos
+      FROM __toks
+    ), __win AS (
+      SELECT {id_col}, pos, n,
+             SUM(CASE WHEN l[pos] IN ({in_list}) THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY {id_col} ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                       AND {window - 1} FOLLOWING) AS s
+      FROM __pos
+    ), __valid AS (
+      SELECT * FROM __win WHERE pos <= greatest(1, n - {window - 1})
+    ), __ranked AS (
+      SELECT {id_col}, pos, s,
+             MAX(s) OVER (PARTITION BY {id_col}) AS ms
+      FROM __valid
+    ), __best AS (
+      SELECT {id_col}, MIN(pos)::BIGINT AS start_pos,
+             MIN(ms)::BIGINT AS n_hits
+      FROM __ranked WHERE s = ms AND ms > 0
+      GROUP BY {id_col}
+    )
+    SELECT b.{id_col}, b.start_pos, b.n_hits,
+           array_to_string(
+               t.l[b.start_pos:b.start_pos + {window - 1}], ' ')
+               AS snippet
+    FROM __best b JOIN __toks t ON t.{id_col} = b.{id_col}
+    """

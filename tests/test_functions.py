@@ -2534,3 +2534,35 @@ def test_bm25_saturates_tf_and_normalizes_length(ray_session):
     assert s[1] < 20 * s[2]            # tf saturation
     assert s[2] > s[3]                 # length normalization
     assert s[1] > s[2]                 # but more tf still helps
+
+
+def test_best_snippets_leftmost_argmax_and_short_docs(ray_session):
+    """Snippet argmax: a doc with two equally-dense spans picks the
+    LEFTMOST; a doc shorter than the window uses its whole text; a
+    term-free doc emits nothing — all matching the window-sum SQL."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.search import best_snippets, sql_best_snippets
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "hit hit a b b b hit hit c d",   # two 2-hit spans of w=4
+            "x hit y",                       # shorter than window
+            "a b c d e",
+        ])})
+    con = duckdb.connect()
+    con.register("hdocs", docs)
+    got = sorted((r["doc_id"], r["start_pos"], r["n_hits"],
+                  r["snippet"]) for r in
+                 best_snippets(rd.from_arrow(docs).repartition(2),
+                               ["hit"], window=4).take_all())
+    want = sorted(con.execute(sql_best_snippets(
+        ["hit"], window=4, rel="hdocs")).fetchall())
+    assert got == want
+    by = {r[0]: r for r in got}
+    assert by[1][1] == 1                 # leftmost of the tied spans
+    assert by[1][2] == 2
+    assert by[2] == (2, 1, 1, "x hit y")  # whole short doc
+    assert 3 not in by
