@@ -1162,6 +1162,46 @@ def _doc_bm25(sf_dir: str):
                        SEARCH_TERMS, k=10)
 
 
+def _doc_facets(sf_dir: str):
+    """Faceted search counts — the facet panel beside the result
+    list: for documents matching ANY of the shared SEARCH_TERMS,
+    match counts by language. One pass: the per-doc any-term test is
+    a vectorized token is_in + per-doc window-any, the facet rollup a
+    tiny (lang) groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from k_gap_ray.functions.textstats import _tokens_of
+
+    tset = pa.array(sorted(set(SEARCH_TERMS)), pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        flat, counts, _ = _tokens_of(t.column("text"))
+        if len(flat) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "np_": pa.array([], pa.int64())})
+        hit = pc.is_in(flat, value_set=tset).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        per_doc = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(per_doc, doc_idx, hit)
+        m = per_doc > 0
+        langs = pc.cast(t.column("lang"), pa.string()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)[m]
+        uniq, c = np.unique(langs, return_counts=True)
+        return pa.table({"lang": pa.array(uniq, pa.string()),
+                         "np_": pa.array(c.astype(np.int64),
+                                         pa.int64())})
+
+    return (_docs(sf_dir, ["doc_id", "lang", "text"])
+            .map_batches(f, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("np_",
+                                           alias_name="n_matches")))
+
+
 def _doc_snippets(sf_dir: str):
     """Search-result snippet extraction for the shared SEARCH_TERMS:
     per matching doc, the 8-token span with the most query-term hits
@@ -3454,6 +3494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_rrf": _knn_rrf,
         "q_doc_bm25": _doc_bm25,
         "q_doc_snippets": _doc_snippets,
+        "q_doc_facets": _doc_facets,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4214,6 +4255,14 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_rrf": _sql_knn_rrf(),
         "q_doc_bm25": _sql_doc_bm25(),
         "q_doc_snippets": _sql_doc_snippets(),
+        "q_doc_facets": """
+            SELECT lang, count(*)::BIGINT AS n_matches
+            FROM documents
+            WHERE len(list_intersect(
+                string_split(text, ' '),
+                ['filter', 'hash', 'join'])) > 0
+            GROUP BY lang
+        """,
         # ANN mirrors: the LSH signature and the IVF assignment are
         # exact integer arithmetic on both engines (fixed-point
         # planes / int8 quantization), so both are full value-hash
