@@ -1842,6 +1842,17 @@ def _degree_hist(sf_dir: str):
     return degree_histogram(edges)
 
 
+def _ktruss(sf_dir: str):
+    """Fixed-round k-truss peeling over the collaboration graph — the
+    EDGE-cohesion complement to q_kcore (edges must sit in >= k-2
+    triangles to survive): the densest-collaboration backbone a KG
+    community analysis keeps. Compact-forward support counting on the
+    engine, orientation-free triple-join recount in the mirror."""
+    from k_gap_ray.functions.graph import ktruss_edges
+
+    return ktruss_edges(_collab_edges(sf_dir), k=4, rounds=3)
+
+
 def _kg_negatives(sf_dir: str):
     """Deterministic corrupted-triple negative sampling over the docs
     KG (the TransE/DistMult training-data op): object vocabulary
@@ -3487,6 +3498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_local_supplier_volume": rel.q_local_supplier_volume,
         "q_kg_negatives": _kg_negatives,
         "q_degree_hist": _degree_hist,
+        "q_ktruss": _ktruss,
         "q_doc_kwic": _doc_kwic,
         "q_doc_weighted_sample": _doc_weighted_sample,
         "q_profile_orders": _profile_orders,
@@ -4248,6 +4260,7 @@ def oracle_sql() -> dict[str, str]:
         "q_walks": _sql_docs_walks(),
         "q_kg_negatives": _sql_docs_negatives(),
         "q_degree_hist": _sql_degree_hist(),
+        "q_ktruss": _sql_docs_ktruss(),
         "q_doc_kwic": _sql_doc_kwic(),
         "q_doc_weighted_sample": _sql_doc_weighted_sample(),
         "q_profile_orders": _sql_profile_orders(),
@@ -4576,6 +4589,12 @@ def _sql_doc_kwic() -> str:
     from k_gap_ray.functions.search import sql_kwic
 
     return sql_kwic("spark", window=3)
+
+
+def _sql_docs_ktruss() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_ktruss
+
+    return sql_docs_ktruss(_TRI_PREDS, k=4, rounds=3)
 
 
 def _sql_degree_hist() -> str:

@@ -1894,3 +1894,239 @@ __deg AS (
 SELECT (length(bin(deg)) - 1)::BIGINT AS bucket,
        COUNT(*)::BIGINT AS n_nodes
 FROM __deg GROUP BY bucket"""
+
+
+def ktruss_edges(edges_ds, k: int = 4, rounds: int = 3,
+                 num_partitions: int | None = None,
+                 driver_cap: int = _TRI_DRIVER_CAP):
+    """Fixed-round k-truss peeling — the EDGE-cohesion complement to
+    k-core: run EXACTLY ``rounds`` rounds of (per-edge triangle
+    support -> drop edges with support < k-2) over the distinct
+    undirected pair set, then return Dataset(a, b, support) — the
+    surviving edges with their support in the FINAL edge set.  As with
+    :func:`kcore_nodes`, the FIXED round count is the pinned contract
+    (truss peeling usually stabilizes in a few rounds; callers size
+    ``rounds``), so both engines compute identical results even
+    mid-convergence.
+
+    Support is counted by the same degree-ordered compact-forward
+    scheme as :func:`triangle_count` (each closed wedge credits its
+    three edges); the mirror :func:`sql_ktruss` recounts with the
+    orientation-free triple self-join per round — different
+    algorithms, identical integers.  Below ``driver_cap`` pairs the
+    peeling runs as adjacency-set rounds on the driver.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    _S = "\x1f"
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "support": pa.array([], pa.int64())})
+    und = _undirected_pairs(edges_ds).materialize()
+    if und.count() == 0:
+        return rd.from_arrow(empty)
+    und = drop_empty_blocks(und)
+    thresh = k - 2
+
+    if und.count() <= driver_cap:
+        parts = []
+        for p in ray.get(und.to_arrow_refs()):
+            if not isinstance(p, pa.Table):
+                p = pa.Table.from_pandas(p, preserve_index=False)
+            if p.num_rows:
+                parts.append(p.select(["a", "b"]))
+        t = pa.concat_tables(parts).combine_chunks()
+        edges = set(zip(t.column("a").to_pylist(),
+                        t.column("b").to_pylist()))
+
+        def supports(es: set) -> dict:
+            nbrs: dict = {}
+            for x, y in es:
+                nbrs.setdefault(x, set()).add(y)
+                nbrs.setdefault(y, set()).add(x)
+            sup = {}
+            for x, y in es:
+                sup[(x, y)] = len(nbrs[x] & nbrs[y])
+            return sup
+
+        for _ in range(rounds):
+            sup = supports(edges)
+            edges = {e for e in edges if sup[e] >= thresh}
+            if not edges:
+                return rd.from_arrow(empty)
+        sup = supports(edges)
+        es = sorted(edges)
+        return rd.from_arrow(pa.table({
+            "a": pa.array([e[0] for e in es], pa.string()),
+            "b": pa.array([e[1] for e in es], pa.string()),
+            "support": pa.array([sup[e] for e in es], pa.int64())}))
+
+    def edge_supports(cur):
+        """(a, b) Dataset -> (a, b, support) via the compact-forward
+        triangle pipeline crediting each triangle's three edges."""
+        deg = drop_empty_blocks(_pair_degrees(cur).materialize())
+        wa = join_datasets(cur, deg, on="a", right_on="node",
+                           num_partitions=num_partitions,
+                           scrub_left=False, scrub_right=False) \
+            .map_batches(lambda t: pa.table(
+                {"a": t.column("a"), "b": t.column("b"),
+                 "da": t.column("deg")}), batch_format="pyarrow")
+        wab = join_datasets(wa, deg, on="b", right_on="node",
+                            num_partitions=num_partitions,
+                            scrub_left=True, scrub_right=False)
+
+        def orient(t: pa.Table) -> pa.Table:
+            a, b = t.column("a"), t.column("b")
+            da, db = t.column("da"), t.column("deg")
+            a_first = pc.or_(pc.less(da, db),
+                             pc.and_(pc.equal(da, db), pc.less(a, b)))
+            return pa.table({
+                "u": pc.if_else(a_first, a, b),
+                "v": pc.if_else(a_first, b, a),
+                "dv": pc.if_else(a_first, db, da)})
+
+        ori = drop_empty_blocks(
+            wab.map_batches(orient, batch_format="pyarrow")
+            .materialize())
+        left = ori.map_batches(lambda t: pa.table(
+            {"u": t.column("u"), "v1": t.column("v"),
+             "dv1": t.column("dv")}), batch_format="pyarrow")
+        right = ori.map_batches(lambda t: pa.table(
+            {"u": t.column("u"), "v2": t.column("v"),
+             "dv2": t.column("dv")}), batch_format="pyarrow")
+        wedges = join_datasets(left, right, on="u",
+                               num_partitions=num_partitions,
+                               scrub_left=False, scrub_right=False)
+
+        def wedge_rows(t: pa.Table) -> pa.Table:
+            lt = pc.or_(pc.less(t.column("dv1"), t.column("dv2")),
+                        pc.and_(pc.equal(t.column("dv1"),
+                                         t.column("dv2")),
+                                pc.less(t.column("v1"),
+                                        t.column("v2"))))
+            t = t.filter(lt)
+            return pa.table({
+                "u": t.column("u"), "v1": t.column("v1"),
+                "v2": t.column("v2"),
+                "__ek": pc.binary_join_element_wise(
+                    t.column("v1"), t.column("v2"), _S)})
+
+        def zero_support():
+            return cur.map_batches(
+                lambda t: pa.table({
+                    "a": t.column("a"), "b": t.column("b"),
+                    "support": pa.array([0] * t.num_rows, pa.int64())}),
+                batch_format="pyarrow")
+
+        cand = wedges.map_batches(wedge_rows,
+                                  batch_format="pyarrow").materialize()
+        if cand.count() == 0:
+            return zero_support()
+        cand = drop_empty_blocks(cand)
+        ekeys = ori.map_batches(lambda t: pa.table(
+            {"__ek": pc.binary_join_element_wise(
+                t.column("u"), t.column("v"), _S)}),
+            batch_format="pyarrow")
+        closed = join_datasets(cand, ekeys, on="__ek",
+                               num_partitions=num_partitions,
+                               scrub_left=False, scrub_right=False) \
+            .materialize()
+        if closed.count() == 0:
+            return zero_support()
+        closed = drop_empty_blocks(closed)
+
+        def edge_partials(t: pa.Table) -> pa.Table:
+            def canon_key(x, y):
+                lo = pc.min_element_wise(x, y)
+                hi = pc.max_element_wise(x, y)
+                joined = pc.binary_join_element_wise(lo, hi, _S)
+                return joined.combine_chunks() \
+                    if isinstance(joined, pa.ChunkedArray) else joined
+
+            u = t.column("u").combine_chunks()
+            v1 = t.column("v1").combine_chunks()
+            v2 = t.column("v2").combine_chunks()
+            keys = pa.concat_arrays([
+                canon_key(u, v1), canon_key(u, v2),
+                canon_key(v1, v2)])
+            vc = keys.value_counts()
+            return pa.table({"__k": vc.field("values"),
+                             "sp": pc.cast(vc.field("counts"),
+                                           pa.int64())})
+
+        sup = (closed.map_batches(edge_partials, batch_format="pyarrow")
+               .groupby("__k").aggregate(Sum("sp", alias_name="sp")))
+        sup = drop_empty_blocks(sup.materialize())
+        keyed = cur.map_batches(
+            lambda t: t.append_column("__k", pc.binary_join_element_wise(
+                t.column("a"), t.column("b"), _S)),
+            batch_format="pyarrow")
+        out = join_datasets(keyed, sup, on="__k",
+                            join_type="left_outer",
+                            num_partitions=num_partitions,
+                            scrub_left=False, scrub_right=False)
+        return out.map_batches(
+            lambda t: pa.table({
+                "a": t.column("a"), "b": t.column("b"),
+                "support": pc.fill_null(pc.cast(t.column("sp"),
+                                                pa.int64()), 0)}),
+            batch_format="pyarrow")
+
+    cur = und
+    for _ in range(rounds):
+        withsup = edge_supports(cur).materialize()
+        cur = withsup.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("support"),
+                pa.scalar(thresh, pa.int64())))
+            .select(["a", "b"]), batch_format="pyarrow").materialize()
+        if cur.count() == 0:
+            return rd.from_arrow(empty)
+        cur = drop_empty_blocks(cur)
+    return edge_supports(cur)
+
+
+def sql_ktruss(edges_sql: str, k: int = 4, rounds: int = 3,
+               lead: str = "WITH") -> str:
+    """DuckDB oracle for :func:`ktruss_edges`: per round, triangle
+    support via the orientation-free triple self-join credited to all
+    three edges, then the support filter — chained MATERIALIZED CTEs
+    (each round references its predecessor many times)."""
+    thresh = k - 2
+
+    def support_ctes(i: int, src: str) -> str:
+        return f"""
+__t{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {src} e1
+  JOIN {src} e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN {src} e3 ON e3.a = e1.b AND e3.b = e2.b),
+__s{i} AS MATERIALIZED (
+  SELECT a, b, COUNT(*)::BIGINT AS support FROM (
+    SELECT x AS a, y AS b FROM __t{i}
+    UNION ALL SELECT x, z FROM __t{i}
+    UNION ALL SELECT y, z FROM __t{i}) __e
+  GROUP BY a, b)"""
+
+    parts = [f"""{lead} __und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({edges_sql}) __e0 WHERE src <> dst
+),
+__e0 AS MATERIALIZED (SELECT a, b FROM __und)"""]
+    for i in range(1, rounds + 1):
+        parts.append("," + support_ctes(i, f"__e{i - 1}"))
+        parts.append(f""",
+__e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM __e{i - 1} e
+  LEFT JOIN __s{i} s ON s.a = e.a AND s.b = e.b
+  WHERE COALESCE(s.support, 0) >= {thresh})""")
+    parts.append("," + support_ctes(rounds + 1, f"__e{rounds}"))
+    parts.append(f"""
+SELECT e.a, e.b, COALESCE(s.support, 0)::BIGINT AS support
+FROM __e{rounds} e
+LEFT JOIN __s{rounds + 1} s ON s.a = e.a AND s.b = e.b""")
+    return "".join(parts)

@@ -551,3 +551,15 @@ def sql_docs_negatives(seed: int = 0, n_buckets: int = 64,
             + sql_negative_samples(
                 "SELECT subj, pred, obj FROM quads",
                 seed=seed, n_buckets=n_buckets, lead=","))
+
+
+def sql_docs_ktruss(preds: tuple[str, ...], k: int = 4,
+                    rounds: int = 3,
+                    docs_table: str = "documents") -> str:
+    """DuckDB oracle for fixed-round k-truss peeling over the
+    docs-derived quads restricted to ``preds``."""
+    from k_gap_ray.functions.graph import sql_ktruss
+
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sql_ktruss(_edges_in(preds), k=k, rounds=rounds,
+                         lead=","))

@@ -2566,3 +2566,36 @@ def test_best_snippets_leftmost_argmax_and_short_docs(ray_session):
     assert by[1][2] == 2
     assert by[2] == (2, 1, 1, "x hit y")  # whole short doc
     assert 3 not in by
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_ktruss_peels_by_edge_support(ray_session, cap):
+    """4-truss on two triangles sharing an edge plus a pendant: round
+    1 peels every edge with support < 2, which destroys the shared
+    structure too (the diamond's outer edges sit in one triangle
+    each) — but a K4 survives intact with support 2 everywhere.
+    Driver and Dataset paths match the round-chained SQL."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import ktruss_edges, sql_ktruss
+
+    # K4 on a,b,c,d + a diamond x-y-z-w sharing edge y-z + tail
+    edges = pa.table({
+        "src": ["a", "a", "a", "b", "b", "c",
+                "x", "x", "y", "y", "z", "c"],
+        "dst": ["b", "c", "d", "c", "d", "d",
+                "y", "z", "z", "w", "w", "t"]})
+    con = duckdb.connect()
+    con.register("e", edges)
+    got = sorted((r["a"], r["b"], r["support"]) for r in
+                 ktruss_edges(rd.from_arrow(edges).repartition(2),
+                              k=4, rounds=3, driver_cap=cap,
+                              num_partitions=2).take_all())
+    want = sorted(con.execute(sql_ktruss(
+        "SELECT src, dst FROM e", k=4, rounds=3)).fetchall())
+    assert got == want, cap
+    nodes = {x for a, b, _ in got for x in (a, b)}
+    assert nodes == {"a", "b", "c", "d"}        # only the K4 survives
+    assert all(s == 2 for _, _, s in got)
+    assert len(got) == 6
