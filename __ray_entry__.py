@@ -1162,6 +1162,18 @@ def _doc_bm25(sf_dir: str):
                        SEARCH_TERMS, k=10)
 
 
+def _doc_mlt(sf_dir: str):
+    """More-like-this retrieval for doc 7: top-10 docs by the
+    min-tf-weighted shared-shingle score — the per-query form of
+    q_doc_sim_pairs with the source's shingle profile broadcast as
+    query state (no pair join: one df shuffle over the matched stream
+    plus one scoring pass)."""
+    from k_gap_ray.functions.search import more_like_this
+
+    return more_like_this(_docs(sf_dir, ["doc_id", "text"]),
+                          source_doc_id=7, topk=10)
+
+
 def _doc_facets(sf_dir: str):
     """Faceted search counts — the facet panel beside the result
     list: for documents matching ANY of the shared SEARCH_TERMS,
@@ -3507,6 +3519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bm25": _doc_bm25,
         "q_doc_snippets": _doc_snippets,
         "q_doc_facets": _doc_facets,
+        "q_doc_mlt": _doc_mlt,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4268,6 +4281,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_rrf": _sql_knn_rrf(),
         "q_doc_bm25": _sql_doc_bm25(),
         "q_doc_snippets": _sql_doc_snippets(),
+        "q_doc_mlt": _sql_doc_mlt(),
         "q_doc_facets": """
             SELECT lang, count(*)::BIGINT AS n_matches
             FROM documents
@@ -4495,6 +4509,12 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_doc_mlt() -> str:
+    from k_gap_ray.functions.search import sql_more_like_this
+
+    return sql_more_like_this(source_doc_id=7, topk=10)
 
 
 def _sql_doc_snippets() -> str:

@@ -859,3 +859,158 @@ def sql_best_snippets(terms: list[str], window: int = 8,
                AS snippet
     FROM __best b JOIN __toks t ON t.{id_col} = b.{id_col}
     """
+
+
+def more_like_this(ds, source_doc_id: int, topk: int = 10,
+                   df_cap: int = 100, n: int = 3,
+                   idf_scale: int = 1000, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """More-like-this retrieval: the per-query form of
+    :func:`tfidf_sim_pairs` — given ONE source document, the top-k
+    most similar documents by the exact-integer weighted shingle
+    overlap sum(min(tf_d, tf_src) * idf_int) over shared ``n``-gram
+    shingles with 2 <= df <= ``df_cap``.  Unlike the all-pairs join,
+    the source's shingle profile is QUERY state: it broadcasts once
+    (ray.put) and every batch scores against it in place — no pair
+    join at all, one df shuffle plus one scoring pass.
+
+    Returns pa.Table(doc_id, n_shared, score) ordered by
+    (score DESC, doc_id), source excluded; mirror
+    :func:`sql_more_like_this`."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from k_gap_ray.dsutil import drop_empty_blocks
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_shared": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+    n_docs = ds.count()
+    if n_docs == 0:
+        return empty
+    src_rows = ds.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.cast(t.column(id_col), pa.int64()),
+            pa.scalar(source_doc_id, pa.int64()))),
+        batch_format="pyarrow").take_all()
+    if not src_rows:
+        return empty
+    src_tbl = pa.table({id_col: pa.array([source_doc_id], pa.int64()),
+                        text_col: pa.array([src_rows[0][text_col]])})
+    src_posts = _gram_postings_partial(src_tbl, id_col, text_col, n)
+    src_tf = {r["term"]: r["tf"] for r in src_posts.to_pylist()}
+    if not src_tf:
+        return empty
+
+    # df over the SOURCE's shingles only: the postings partial filters
+    # to the broadcast source vocabulary, so the shuffled stream is
+    # O(docs sharing a source shingle), never the corpus shingle space
+    src_terms = pa.array(sorted(src_tf), pa.string())
+    terms_ref = ray.put(src_terms)
+
+    def matched(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        posts = _gram_postings_partial(t, id_col, text_col, n)
+        keep = pc.is_in(posts.column("term"),
+                        value_set=_r.get(terms_ref))
+        return posts.filter(keep)
+
+    posts = ds.map_batches(matched, batch_format="pyarrow") \
+        .materialize()
+    if posts.count() == 0:
+        return empty
+    posts = drop_empty_blocks(posts)
+    df_rows = posts.groupby("term").count().take_all()
+    dfm = {r["term"]: r["count()"] for r in df_rows
+           if 2 <= r["count()"] <= df_cap}
+    if not dfm:
+        return empty
+    keep_terms = pa.array(sorted(dfm), pa.string())
+    idf_arr = pa.array([(n_docs * idf_scale) // dfm[t]
+                        for t in sorted(dfm)], pa.int64())
+    stf_arr = pa.array([src_tf[t] for t in sorted(dfm)], pa.int64())
+    score_ref = ray.put((keep_terms, idf_arr, stf_arr))
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ka, ia, sa = _r.get(score_ref)
+        m = pc.is_in(t.column("term"), value_set=ka)
+        t = t.filter(m)
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "np_": pa.array([], pa.int64()),
+                             "sp": pa.array([], pa.int64())})
+        pos = pc.index_in(t.column("term"), value_set=ka)
+        idf = pc.take(ia, pos)
+        stf = pc.take(sa, pos)
+        contrib = pc.multiply(
+            pc.min_element_wise(pc.cast(t.column("tf"), pa.int64()),
+                                pc.cast(stf, pa.int64())),
+            pc.cast(idf, pa.int64()))
+        return pa.table({id_col: t.column(id_col),
+                         "np_": pa.array([1] * t.num_rows, pa.int64()),
+                         "sp": contrib})
+
+    sc = (posts.map_batches(score, batch_format="pyarrow")
+          .groupby(id_col).aggregate(Sum("np_", alias_name="n_shared"),
+                                     Sum("sp", alias_name="score")))
+    sc = drop_empty_blocks(sc.materialize())
+    ranked = (sc.map_batches(
+        lambda t: t.filter(pc.not_equal(
+            pc.cast(t.column(id_col), pa.int64()),
+            pa.scalar(source_doc_id, pa.int64()))),
+        batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False]).limit(topk))
+    rows = ranked.take_all()
+    if not rows:
+        return empty
+    return pa.table({
+        id_col: pa.array([r[id_col] for r in rows], pa.int64()),
+        "n_shared": pa.array([pc.cast(pa.scalar(r["n_shared"]),
+                                      pa.int64()).as_py()
+                              for r in rows], pa.int64()),
+        "score": pa.array([r["score"] for r in rows], pa.int64())})
+
+
+def sql_more_like_this(source_doc_id: int, topk: int = 10,
+                       df_cap: int = 100, n: int = 3,
+                       idf_scale: int = 1000, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       rel: str = "documents") -> str:
+    """DuckDB oracle for :func:`more_like_this`: identical shingle
+    postings restricted to the source's vocabulary, df window over the
+    matched stream, min-tf weighted overlap."""
+    return f"""
+    WITH __toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {rel}
+    ), __grams AS (
+      SELECT {id_col},
+             unnest(list_transform(
+                 generate_series(1, len(l) - {n - 1}),
+                 i -> array_to_string(l[i:i + {n - 1}], ' '))) AS term
+      FROM __toks WHERE len(l) >= {n}
+    ), __posts AS MATERIALIZED (
+      SELECT term, {id_col} AS d, COUNT(*)::BIGINT AS tf
+      FROM __grams GROUP BY term, {id_col}
+    ), __src AS MATERIALIZED (
+      SELECT term, tf AS stf FROM __posts
+      WHERE d = {source_doc_id}
+    ), __matched AS MATERIALIZED (
+      SELECT p.term, p.d, p.tf, s.stf FROM __posts p
+      JOIN __src s ON s.term = p.term
+    ), __idf AS (
+      SELECT term,
+             ((SELECT COUNT(*) FROM {rel}) * {idf_scale}
+              // COUNT(*))::BIGINT AS idf
+      FROM __matched GROUP BY term
+      HAVING COUNT(*) BETWEEN 2 AND {df_cap}
+    )
+    SELECT m.d AS {id_col}, COUNT(*)::BIGINT AS n_shared,
+           SUM(LEAST(m.tf, m.stf) * i.idf)::BIGINT AS score
+    FROM __matched m JOIN __idf i ON i.term = m.term
+    WHERE m.d <> {source_doc_id}
+    GROUP BY m.d
+    ORDER BY score DESC, {id_col} LIMIT {topk}
+    """

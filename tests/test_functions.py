@@ -2599,3 +2599,36 @@ def test_ktruss_peels_by_edge_support(ray_session, cap):
     assert nodes == {"a", "b", "c", "d"}        # only the K4 survives
     assert all(s == 2 for _, _, s in got)
     assert len(got) == 6
+
+
+def test_more_like_this_finds_planted_near_copy(ray_session):
+    """MLT for a source doc ranks its planted near-copy first; a doc
+    sharing only a boilerplate shingle (df > cap when cap is tight)
+    contributes nothing; a missing source id returns empty — all
+    matching the SQL mirror."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.search import (more_like_this,
+                                            sql_more_like_this)
+
+    docs = pa.table({
+        "doc_id": pa.array([7, 8, 9, 10], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta",      # source
+            "alpha beta gamma delta nine ten",          # near copy
+            "alpha beta gamma other words here",        # partial
+            "totally unrelated text goes right here",
+        ])})
+    con = duckdb.connect()
+    con.register("hdocs", docs)
+    got = more_like_this(rd.from_arrow(docs).repartition(2), 7,
+                         topk=5, df_cap=4).to_pylist()
+    want = [dict(zip(("doc_id", "n_shared", "score"), r))
+            for r in con.execute(sql_more_like_this(
+                7, topk=5, df_cap=4, rel="hdocs")).fetchall()]
+    assert got == want
+    assert got[0]["doc_id"] == 8
+    assert got[0]["score"] > got[1]["score"]
+    assert all(r["doc_id"] != 10 for r in got)
+    assert more_like_this(rd.from_arrow(docs), 999).num_rows == 0
