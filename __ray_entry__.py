@@ -1854,6 +1854,27 @@ def _degree_hist(sf_dir: str):
     return degree_histogram(edges)
 
 
+def _communities(sf_dir: str):
+    """Deterministic synchronous label-propagation communities over
+    the employs∪foundedIn affiliation graph: fixed 4 rounds, most-
+    frequent-neighbor-label updates with min-label ties — the
+    reproducible form of the classic LPA community detector (random
+    order/tie-breaks would defeat the two-engine value hash)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.graph import label_propagation
+
+    edges = _docs_quads(sf_dir).map_batches(
+        lambda t: (lambda m: pa.table(
+            {"src": t.column("subj").filter(m),
+             "dst": t.column("obj").filter(m)}))(
+            pc.is_in(t.column("pred"),
+                     value_set=pa.array(_LP_PREDS))),
+        batch_format="pyarrow")
+    return label_propagation(edges, rounds=4)
+
+
 def _ktruss(sf_dir: str):
     """Fixed-round k-truss peeling over the collaboration graph — the
     EDGE-cohesion complement to q_kcore (edges must sit in >= k-2
@@ -3511,6 +3532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kg_negatives": _kg_negatives,
         "q_degree_hist": _degree_hist,
         "q_ktruss": _ktruss,
+        "q_communities": _communities,
         "q_doc_kwic": _doc_kwic,
         "q_doc_weighted_sample": _doc_weighted_sample,
         "q_profile_orders": _profile_orders,
@@ -4274,6 +4296,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kg_negatives": _sql_docs_negatives(),
         "q_degree_hist": _sql_degree_hist(),
         "q_ktruss": _sql_docs_ktruss(),
+        "q_communities": _sql_docs_lpa(),
         "q_doc_kwic": _sql_doc_kwic(),
         "q_doc_weighted_sample": _sql_doc_weighted_sample(),
         "q_profile_orders": _sql_profile_orders(),
@@ -4609,6 +4632,12 @@ def _sql_doc_kwic() -> str:
     from k_gap_ray.functions.search import sql_kwic
 
     return sql_kwic("spark", window=3)
+
+
+def _sql_docs_lpa() -> str:
+    from k_gap_ray.pipelines.docs_kg import sql_docs_lpa
+
+    return sql_docs_lpa(_LP_PREDS, rounds=4)
 
 
 def _sql_docs_ktruss() -> str:

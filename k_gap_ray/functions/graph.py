@@ -2130,3 +2130,158 @@ SELECT e.a, e.b, COALESCE(s.support, 0)::BIGINT AS support
 FROM __e{rounds} e
 LEFT JOIN __s{rounds + 1} s ON s.a = e.a AND s.b = e.b""")
     return "".join(parts)
+
+
+def label_propagation(edges_ds, rounds: int = 4,
+                      num_partitions: int | None = None,
+                      driver_cap: int = _TRI_DRIVER_CAP):
+    """SYNCHRONOUS label-propagation communities (Raghavan et al.
+    2007) made deterministic: labels start as node ids; each round
+    every node adopts the MOST FREQUENT label among its neighbors'
+    previous-round labels, ties to the lexicographically smallest —
+    run for EXACTLY ``rounds`` rounds (the fixed-round pinning of this
+    module: classic LPA's random order/tie-breaks make it
+    irreproducible, which is exactly what a two-engine value-hash
+    cannot tolerate).  Returns Dataset(node, lab) over the undirected
+    distinct pair set's nodes.
+
+    Scale shape per round: one hash join (labels onto the
+    bidirectional incidence), one composite-key (node, label) count
+    with per-batch pre-reduction, one per-node max, one min-label
+    tie-break — all label-cardinality-bounded shuffles.  Below
+    ``driver_cap`` pairs the rounds run as dict/numpy passes on the
+    driver.  Mirror :func:`sql_label_propagation` chains the identical
+    count/argmax CTEs."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+
+    _S = "\x1f"
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "lab": pa.array([], pa.string())})
+    und = _undirected_pairs(edges_ds).materialize()
+    if und.count() == 0:
+        return rd.from_arrow(empty)
+    und = drop_empty_blocks(und)
+
+    if und.count() <= driver_cap:
+        parts = []
+        for p in ray.get(und.to_arrow_refs()):
+            if not isinstance(p, pa.Table):
+                p = pa.Table.from_pandas(p, preserve_index=False)
+            if p.num_rows:
+                parts.append(p.select(["a", "b"]))
+        t = pa.concat_tables(parts).combine_chunks()
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        nbrs: dict = {}
+        for x, y in zip(a, b):
+            nbrs.setdefault(x, []).append(y)
+            nbrs.setdefault(y, []).append(x)
+        lab = {n: n for n in nbrs}
+        for _ in range(rounds):
+            new = {}
+            for n, ns in nbrs.items():
+                cnt: dict = {}
+                for w in ns:
+                    lw = lab[w]
+                    cnt[lw] = cnt.get(lw, 0) + 1
+                best = min(cnt, key=lambda L: (-cnt[L], L))
+                new[n] = best
+            lab = new
+        ns = sorted(lab)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(ns, pa.string()),
+            "lab": pa.array([lab[n] for n in ns], pa.string())}))
+
+    bi = und.map_batches(lambda t: pa.table({
+        "s": pa.concat_arrays([t.column("a").combine_chunks(),
+                               t.column("b").combine_chunks()]),
+        "t": pa.concat_arrays([t.column("b").combine_chunks(),
+                               t.column("a").combine_chunks()])}),
+        batch_format="pyarrow").materialize()
+    bi = drop_empty_blocks(bi)
+    labels = bi.map_batches(
+        lambda t: pa.table({"node": pc.unique(
+            t.column("s").combine_chunks())}),
+        batch_format="pyarrow") \
+        .groupby("node").count() \
+        .map_batches(lambda t: pa.table({"node": t.column("node"),
+                                         "lab": t.column("node")}),
+                     batch_format="pyarrow")
+    labels = drop_empty_blocks(labels.materialize())
+    for _ in range(rounds):
+        nl = join_datasets(bi, labels, on="t", right_on="node",
+                           num_partitions=num_partitions,
+                           scrub_left=False, scrub_right=False)
+
+        def count_partials(t: pa.Table) -> pa.Table:
+            key = pc.binary_join_element_wise(
+                t.column("s"), t.column("lab"), _S)
+            key = key.combine_chunks() \
+                if isinstance(key, pa.ChunkedArray) else key
+            vc = key.value_counts()
+            return pa.table({"__k": vc.field("values"),
+                             "cp": pc.cast(vc.field("counts"),
+                                           pa.int64())})
+
+        cnt = (nl.map_batches(count_partials, batch_format="pyarrow")
+               .groupby("__k").aggregate(Sum("cp", alias_name="c")))
+        cnt = drop_empty_blocks(cnt.materialize())
+        split_cnt = cnt.map_batches(
+            lambda t: (lambda sp: pa.table({
+                "s": pc.list_element(sp, 0),
+                "lab": pc.list_element(sp, 1),
+                "c": pc.cast(t.column("c"), pa.int64())}))(
+                pc.split_pattern(
+                    t.column("__k").combine_chunks()
+                    if isinstance(t.column("__k"), pa.ChunkedArray)
+                    else t.column("__k"), _S)),
+            batch_format="pyarrow")
+        m = (split_cnt.groupby("s").aggregate(Max("c",
+                                                  alias_name="mc")))
+        m = drop_empty_blocks(m.materialize())
+        best = join_datasets(split_cnt, m, on="s",
+                             num_partitions=num_partitions,
+                             scrub_left=False, scrub_right=False)
+        labels = (best.map_batches(
+            lambda t: (lambda keep: pa.table({
+                "s": t.column("s").filter(keep),
+                "lab": t.column("lab").filter(keep)}))(
+                pc.equal(t.column("c"), t.column("mc"))),
+            batch_format="pyarrow")
+            .groupby("s").aggregate(Min("lab", alias_name="lab"))
+            .map_batches(lambda t: pa.table({"node": t.column("s"),
+                                             "lab": t.column("lab")}),
+                         batch_format="pyarrow"))
+        labels = drop_empty_blocks(labels.materialize())
+    return labels
+
+
+def sql_label_propagation(edges_sql: str, rounds: int = 4,
+                          lead: str = "WITH") -> str:
+    """DuckDB oracle for :func:`label_propagation`: identical
+    synchronous rounds as chained MATERIALIZED count/argmax CTEs."""
+    parts = [f"""{lead} __und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({edges_sql}) __e WHERE src <> dst
+),
+__bi AS MATERIALIZED (SELECT a AS s, b AS t FROM __und
+                      UNION ALL SELECT b, a FROM __und),
+__l0 AS MATERIALIZED (
+  SELECT DISTINCT s AS node, s AS lab FROM __bi)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+__c{i} AS MATERIALIZED (
+  SELECT b.s, l.lab, COUNT(*)::BIGINT AS c
+  FROM __bi b JOIN __l{i - 1} l ON l.node = b.t
+  GROUP BY b.s, l.lab),
+__m{i} AS (SELECT s, MAX(c) AS mc FROM __c{i} GROUP BY s),
+__l{i} AS MATERIALIZED (
+  SELECT c.s AS node, MIN(c.lab) AS lab
+  FROM __c{i} c JOIN __m{i} m ON m.s = c.s AND c.c = m.mc
+  GROUP BY c.s)""")
+    parts.append(f"\nSELECT node, lab FROM __l{rounds}")
+    return "".join(parts)

@@ -563,3 +563,14 @@ def sql_docs_ktruss(preds: tuple[str, ...], k: int = 4,
     return (_sql_ctes(docs_table) + _sql_quads_cte()
             + sql_ktruss(_edges_in(preds), k=k, rounds=rounds,
                          lead=","))
+
+
+def sql_docs_lpa(preds: tuple[str, ...], rounds: int = 4,
+                 docs_table: str = "documents") -> str:
+    """DuckDB oracle for deterministic synchronous label propagation
+    over the docs-derived quads restricted to ``preds``."""
+    from k_gap_ray.functions.graph import sql_label_propagation
+
+    return (_sql_ctes(docs_table) + _sql_quads_cte()
+            + sql_label_propagation(_edges_in(preds), rounds=rounds,
+                                    lead=","))

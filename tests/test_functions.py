@@ -2632,3 +2632,34 @@ def test_more_like_this_finds_planted_near_copy(ray_session):
     assert got[0]["score"] > got[1]["score"]
     assert all(r["doc_id"] != 10 for r in got)
     assert more_like_this(rd.from_arrow(docs), 999).num_rows == 0
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0])
+def test_label_propagation_separates_clusters(ray_session, cap):
+    """Deterministic synchronous LPA: two triangles joined by one
+    bridge edge keep DISTINCT labels after 4 rounds (each triangle's
+    majority overwhelms the single bridge vote); driver and Dataset
+    paths match the chained count/argmax SQL."""
+    import duckdb
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import (label_propagation,
+                                           sql_label_propagation)
+
+    edges = pa.table({
+        "src": ["a", "a", "b", "x", "x", "y", "c"],
+        "dst": ["b", "c", "c", "y", "z", "z", "x"]})
+    con = duckdb.connect()
+    con.register("e", edges)
+    got = sorted((r["node"], r["lab"]) for r in
+                 label_propagation(rd.from_arrow(edges).repartition(2),
+                                   rounds=4, driver_cap=cap,
+                                   num_partitions=2).take_all())
+    want = sorted(con.execute(sql_label_propagation(
+        "SELECT src, dst FROM e", rounds=4)).fetchall())
+    assert got == want, cap
+    labs = dict(got)
+    left = {labs["a"], labs["b"], labs["c"]}
+    right = {labs["x"], labs["y"], labs["z"]}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
