@@ -1,0 +1,79 @@
+"""Property checks for the session-5 graph family: on small random
+graphs, the driver and Dataset paths and the DuckDB mirror must agree
+exactly (k-core, clustering coefficient, RA link prediction, walks,
+k-truss, label propagation, degree histogram)."""
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _rand_edges(seed: int, n_nodes: int = 18, n_edges: int = 40):
+    rng = np.random.RandomState(seed)
+    src, dst = [], []
+    for _ in range(n_edges):
+        u, v = rng.randint(0, n_nodes), rng.randint(0, n_nodes)
+        src.append(f"n{u:02d}")
+        dst.append(f"n{v:02d}")
+    return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_graph_family_paths_agree_on_random_graphs(ray_session, seed):
+    import ray.data as rd
+
+    from k_gap_ray.functions.graph import (clustering_coef,
+                                           deterministic_walks,
+                                           kcore_nodes, ktruss_edges,
+                                           label_propagation,
+                                           sql_clustering_coef,
+                                           sql_deterministic_walks,
+                                           sql_kcore, sql_ktruss,
+                                           sql_label_propagation)
+
+    edges = _rand_edges(seed)
+    con = duckdb.connect()
+    con.register("e", edges)
+    E = "SELECT src, dst FROM e"
+    seeds = pa.table({"node": pa.array(["n00", "n05", "n11"])})
+    con.register("s", seeds)
+
+    checks = [
+        ("kcore",
+         lambda cap: sorted(
+             (r["node"], r["deg"]) for r in kcore_nodes(
+                 rd.from_arrow(edges), k=2, rounds=3,
+                 driver_cap=cap).take_all()),
+         sorted(con.execute(sql_kcore(E, k=2, rounds=3)).fetchall())),
+        ("clustering",
+         lambda cap: sorted(
+             (r["node"], r["deg"], r["tri"], r["cc_permille"])
+             for r in clustering_coef(
+                 rd.from_arrow(edges), driver_cap=cap).take_all()),
+         sorted(con.execute(sql_clustering_coef(E)).fetchall())),
+        ("walks",
+         lambda cap: sorted(
+             (r["seed_node"], r["step"], r["node"])
+             for r in deterministic_walks(
+                 rd.from_arrow(edges), rd.from_arrow(seeds),
+                 steps=3, seed=seed, driver_cap=cap).take_all()),
+         sorted(con.execute(sql_deterministic_walks(
+             E, "SELECT node FROM s", steps=3,
+             seed=seed)).fetchall())),
+        ("ktruss",
+         lambda cap: sorted(
+             (r["a"], r["b"], r["support"]) for r in ktruss_edges(
+                 rd.from_arrow(edges), k=3, rounds=2,
+                 driver_cap=cap).take_all()),
+         sorted(con.execute(sql_ktruss(E, k=3, rounds=2)).fetchall())),
+        ("lpa",
+         lambda cap: sorted(
+             (r["node"], r["lab"]) for r in label_propagation(
+                 rd.from_arrow(edges), rounds=3,
+                 driver_cap=cap).take_all()),
+         sorted(con.execute(sql_label_propagation(
+             E, rounds=3)).fetchall())),
+    ]
+    for name, run, want in checks:
+        for cap in (2_000_000, 0):
+            assert run(cap) == want, (name, cap, seed)
