@@ -3493,9 +3493,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_asof_click": rel.q_events_asof_click,
         "q_events_user_running": rel.q_events_user_running,
         "q_orders_rank": rel.q_orders_rank,
-        # --- session-4 late additions: in-suite oracle green
-        #     (tools/check_oracle.py + pytest both paths); first in
-        #     line for the round-5 window rotation ---
+        # --- session-4/5 late additions: in-suite oracle green
+        #     (tools/check_oracle.py at sf0.001/0.01/0.1 + pytest both
+        #     paths); first in line for the round-5 window rotation —
+        #     the session-5 block (q_kcore..q_doc_mlt, 23 queries)
+        #     follows this one ---
         "q_events_funnel": _events_funnel,
         "q_events_retention": _events_retention,
         "q_doc_collocations": _doc_collocations,
