@@ -1105,6 +1105,59 @@ def _doc_incr_neardup(sf_dir: str):
                                 threshold=0.5, append=False)
 
 
+def _customer_deciles(sf_dir: str):
+    """Revenue-concentration (Pareto) report: customers decile'd by
+    total order revenue DESC (global NTILE(10) via the hot-key-safe
+    value-bucket machinery — one key holding every customer is
+    exactly the skew it pre-splits), then per-decile customer count +
+    exact fixed-point revenue. Answers 'what share do the top 10%
+    hold' with no float drift."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
+    from k_gap_ray.functions.windows import ntile_bucketed
+    from k_gap_ray.relational import _read, scaled_int_col
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cents = orders.map_batches(
+        lambda t: scaled_int_col(
+            pa.table({"o_custkey": pc.cast(t.column("o_custkey"),
+                                           pa.int64())}),
+            "rev_p", t.column("o_totalprice"), 100),
+        batch_format="pyarrow")
+    per_cust = (cents.groupby("o_custkey")
+                .aggregate(Sum("rev_p", alias_name="rev_s")))
+    base = per_cust.map_batches(
+        lambda t: pa.table({
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "rev_s": pc.cast(t.column("rev_s"), pa.int64()),
+            "negv": pc.negate(pc.cast(t.column("rev_s"), pa.int64())),
+            "__g": pa.array(["all"] * t.num_rows, pa.string())}),
+        batch_format="pyarrow")
+    base = drop_empty_blocks(base.materialize())
+    tiles = ntile_bucketed(base, key_col="__g", value_col="negv",
+                           id_col="o_custkey", k=10,
+                           out_col="decile", scale=1,
+                           bucket_width=1 << 20)
+    tiles = drop_empty_blocks(tiles.materialize())
+    joined = join_datasets(tiles, base.select_columns(
+        ["o_custkey", "rev_s"]), on="o_custkey",
+        scrub_left=False, scrub_right=False)
+    out = (joined.groupby("decile")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("rev_s", alias_name="rev_s")))
+    return out.map_batches(
+        lambda t: pa.table({
+            "decile": pc.cast(t.column("decile"), pa.int64()),
+            "n_customers": pc.cast(t.column("n_customers"), pa.int64()),
+            "revenue": pc.divide(
+                pc.cast(t.column("rev_s"), pa.float64()),
+                pa.scalar(100.0))}),
+        batch_format="pyarrow")
+
+
 def _profile_orders(sf_dir: str):
     """ANALYZE-style per-column profile of the orders table (A7
     statistics-report family): row/null/exact-distinct counts and
@@ -3544,6 +3597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_snippets": _doc_snippets,
         "q_doc_facets": _doc_facets,
         "q_doc_mlt": _doc_mlt,
+        "q_customer_deciles": _customer_deciles,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4307,6 +4361,23 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_bm25": _sql_doc_bm25(),
         "q_doc_snippets": _sql_doc_snippets(),
         "q_doc_mlt": _sql_doc_mlt(),
+        "q_customer_deciles": """
+            WITH __pc AS (
+              SELECT o_custkey,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS rev_s
+              FROM orders GROUP BY o_custkey
+            ), __t AS (
+              SELECT o_custkey, rev_s,
+                     NTILE(10) OVER (ORDER BY rev_s DESC, o_custkey)
+                         AS decile
+              FROM __pc
+            )
+            SELECT decile::BIGINT AS decile,
+                   count(*)::BIGINT AS n_customers,
+                   SUM(rev_s) / 100.0 AS revenue
+            FROM __t GROUP BY decile
+        """,
         "q_doc_facets": """
             SELECT lang, count(*)::BIGINT AS n_matches
             FROM documents

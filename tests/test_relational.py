@@ -258,3 +258,24 @@ def test_local_supplier_volume_composite(ray_session, sf_dir):
         """).fetchall()
     assert [(g["n_name"], g["revenue"]) for g in got] == want
     assert len(got) > 0
+
+
+def test_customer_deciles_concentration(ray_session, sf_dir):
+    """Pareto deciles: the global NTILE(10) by revenue DESC through
+    the value-bucket machinery matches SQL exactly, decile counts
+    follow SQL's fill rule, and decile 1's revenue dominates decile
+    10's (the concentration the report exists to show)."""
+    import duckdb
+
+    import __ray_entry__ as em
+
+    got = {r["decile"]: (r["n_customers"], r["revenue"]) for r in
+           em.queries()["q_customer_deciles"](sf_dir).take_all()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{sf_dir}/orders.parquet'")
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        em.oracle_sql()["q_customer_deciles"]).fetchall()}
+    assert got == want
+    assert set(got) == set(range(1, 11))
+    assert got[1][1] > got[10][1]
