@@ -1105,6 +1105,38 @@ def _doc_incr_neardup(sf_dir: str):
                                 threshold=0.5, append=False)
 
 
+def _events_kmv(sf_dir: str):
+    """KMV (bottom-k) distinct sketches with the SET OPERATION HLL
+    registers cannot express: distinct clickers, distinct purchasers,
+    and the estimated overlap between them — k=64 so both sketches
+    run the real estimation path at every tier (the exact-undersized
+    branch is pytest-pinned). Deterministic murmur mix, integer
+    estimates, value-identical SQL mirror."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from k_gap_ray.functions.sketch import (kmv_estimate,
+                                            kmv_intersect_estimate,
+                                            kmv_sketch)
+    from k_gap_ray.relational import _read
+
+    def subset(etype: str):
+        return _read(sf_dir, "events", ["user_id", "event_type"]) \
+            .map_batches(
+                lambda t, e=etype: t.filter(pc.equal(
+                    t.column("event_type"), e)).select(["user_id"]),
+                batch_format="pyarrow")
+
+    k = 64
+    sa = kmv_sketch(subset("click"), "user_id", k=k)
+    sb = kmv_sketch(subset("purchase"), "user_id", k=k)
+    return pa.table({
+        "est_a": pa.array([kmv_estimate(sa, k)], pa.int64()),
+        "est_b": pa.array([kmv_estimate(sb, k)], pa.int64()),
+        "est_common": pa.array([kmv_intersect_estimate(sa, sb, k)],
+                               pa.int64())})
+
+
 def _customer_deciles(sf_dir: str):
     """Revenue-concentration (Pareto) report: customers decile'd by
     total order revenue DESC (global NTILE(10) via the hot-key-safe
@@ -3598,6 +3630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_facets": _doc_facets,
         "q_doc_mlt": _doc_mlt,
         "q_customer_deciles": _customer_deciles,
+        "q_events_kmv": _events_kmv,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4361,6 +4394,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_bm25": _sql_doc_bm25(),
         "q_doc_snippets": _sql_doc_snippets(),
         "q_doc_mlt": _sql_doc_mlt(),
+        "q_events_kmv": _sql_events_kmv(),
         "q_customer_deciles": """
             WITH __pc AS (
               SELECT o_custkey,
@@ -4605,6 +4639,13 @@ def _sql_doc_sim_pairs() -> str:
     from k_gap_ray.functions.search import sql_tfidf_sim_pairs
 
     return sql_tfidf_sim_pairs(topk=20, df_cap=100, n=4)
+
+
+def _sql_events_kmv() -> str:
+    from k_gap_ray.functions.sketch import sql_kmv_sets
+
+    return sql_kmv_sets("user_id", "event_type = 'click'",
+                        "event_type = 'purchase'", k=64)
 
 
 def _sql_doc_mlt() -> str:

@@ -30,6 +30,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 HLL_P = 12                      # 4096 registers
 HLL_M = 1 << HLL_P
@@ -308,3 +309,111 @@ def sql_cms_estimates(col: str, probes: list[int],
             + "\nSELECT item, min(c)::BIGINT AS est FROM (\n"
             + "\nUNION ALL\n".join(ests)
             + "\n) GROUP BY item")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct sketch — Bar-Yossef et al. 2002,
+# public algorithm.  HLL's registers cannot estimate INTERSECTIONS;
+# KMV's bottom-k hash sample supports set operations: keep the k
+# smallest distinct murmur-mixed hashes per set, then
+#
+#     est(|A|)      = (k-1) * 2^32 // (h_k + 1)       (full sketch)
+#                   = |sketch|                        (undersized: exact)
+#     est(|A ∩ B|)  = |{h in A_k ∩ B_k : h <= θ}| * 2^32 // (θ + 1)
+#     θ             = min(θ_A, θ_B), θ_X = h_k of X (2^32-1 if exact)
+#
+# Every step is integer and deterministic (the mix has no seed state),
+# so the DuckDB mirror reproduces the sketches and the estimates
+# value-for-value — approximate answers, exactly verifiable.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+_KMV_DOMAIN = 1 << 32
+
+
+def kmv_sketch(ds, col: str, k: int = KMV_K) -> np.ndarray:
+    """Bottom-k sketch of a Dataset column: per-batch distinct mixed
+    hashes truncated to their k smallest (at most k rows leave any
+    batch), merged on the driver with one np.unique — O(k x blocks)
+    driver state, never the column's cardinality."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col_a = t.column(col)
+        col_a = col_a.combine_chunks() if isinstance(
+            col_a, pa.ChunkedArray) else col_a
+        v = pc.unique(pc.cast(col_a, pa.int64())).to_numpy(
+            zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        h = np.unique(_mix32(v).astype(np.int64))[:k]
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    hs = np.unique(np.array([r["h"] for r in rows], dtype=np.int64))
+    return hs[:k]
+
+
+def kmv_estimate(sketch: np.ndarray, k: int = KMV_K) -> int:
+    if len(sketch) < k:
+        return int(len(sketch))
+    return ((k - 1) * _KMV_DOMAIN) // int(sketch[k - 1] + 1)
+
+
+def kmv_theta(sketch: np.ndarray, k: int = KMV_K) -> int:
+    return int(sketch[k - 1]) if len(sketch) == k else _KMV_DOMAIN - 1
+
+
+def kmv_intersect_estimate(sa: np.ndarray, sb: np.ndarray,
+                           k: int = KMV_K) -> int:
+    theta = min(kmv_theta(sa, k), kmv_theta(sb, k))
+    common = np.intersect1d(sa, sb)
+    common = common[common <= theta]
+    return (len(common) * _KMV_DOMAIN) // (theta + 1)
+
+
+def _sql_mix32(x: str) -> str:
+    """The murmur fmix32 chain as one nested DuckDB expression over a
+    NONNEGATIVE 32-bit input expression (// == >> for nonneg)."""
+    h = f"({x}) % 4294967296"
+    h = f"xor({h}, ({h}) // 65536)"
+    h = f"CAST((({h})::HUGEINT * 2246822507) % 4294967296 AS BIGINT)"
+    h = f"xor({h}, ({h}) // 8192)"
+    h = f"CAST((({h})::HUGEINT * 3266489909) % 4294967296 AS BIGINT)"
+    h = f"xor({h}, ({h}) // 65536)"
+    return h
+
+
+def sql_kmv_sets(col: str, where_a: str, where_b: str,
+                 k: int = KMV_K, rel: str = "events") -> str:
+    """DuckDB oracle for two KMV sketches + their intersection
+    estimate: one row (est_a, est_b, est_common)."""
+    dom = _KMV_DOMAIN
+
+    def sk(name: str, where: str) -> str:
+        return f"""
+    __h_{name} AS (SELECT DISTINCT {_sql_mix32(col)} AS h
+                   FROM {rel} WHERE {where}),
+    __k_{name} AS MATERIALIZED (
+      SELECT h FROM __h_{name} ORDER BY h LIMIT {k}),
+    __s_{name} AS (
+      SELECT count(*) AS n, max(h) AS hk FROM __k_{name})"""
+
+    est = (lambda name:
+           f"(SELECT CASE WHEN n < {k} THEN n "
+           f"ELSE ({k - 1} * {dom}::BIGINT) // (hk + 1) END "
+           f"FROM __s_{name})")
+    theta = (lambda name:
+             f"(SELECT CASE WHEN n = {k} THEN hk "
+             f"ELSE {dom - 1} END FROM __s_{name})")
+    return f"""
+    WITH {sk('a', where_a)}, {sk('b', where_b)},
+    __theta AS (SELECT least({theta('a')}, {theta('b')}) AS th),
+    __common AS (
+      SELECT count(*)::BIGINT AS c
+      FROM __k_a a JOIN __k_b b ON a.h = b.h
+      WHERE a.h <= (SELECT th FROM __theta))
+    SELECT {est('a')}::BIGINT AS est_a,
+           {est('b')}::BIGINT AS est_b,
+           ((SELECT c FROM __common) * {dom}::BIGINT
+            // ((SELECT th FROM __theta) + 1))::BIGINT AS est_common
+    """
