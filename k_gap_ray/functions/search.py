@@ -688,6 +688,12 @@ def bm25_search(ds, terms: list[str], k: int = 10,
 
     scored = (posts.map_batches(score, batch_format="pyarrow")
               .groupby(id_col).aggregate(Sum("sp", alias_name="score")))
+    # scored descends from a groupby: scrub the zero-row empty-schema
+    # blocks before the SORT shuffle (BENCH/NOTES.md sharp edge —
+    # map_batches passes them through untouched)
+    scored = drop_empty_blocks(scored.materialize())
+    if scored.count() == 0:
+        return empty
     top = (scored.map_batches(
         lambda t: pa.table({id_col: t.column(id_col),
                             "score": pc.cast(t.column("score"),
