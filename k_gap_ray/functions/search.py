@@ -599,6 +599,7 @@ def bm25_search(ds, terms: list[str], k: int = 10,
     import ray
     from ray.data.aggregate import Sum
 
+    from k_gap_ray.dsutil import drop_empty_blocks
     from k_gap_ray.functions.textstats import _tokens_of
 
     tset = pa.array(sorted(set(terms)), pa.string())
