@@ -3581,8 +3581,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- session-4/5 late additions: in-suite oracle green
         #     (tools/check_oracle.py at sf0.001/0.01/0.1 + pytest both
         #     paths); first in line for the round-5 window rotation —
-        #     the session-5 block (q_kcore..q_doc_mlt, 23 queries)
-        #     follows this one ---
+        #     the session-5 block (q_kcore .. q_events_kmv) follows
+        #     this one. ROUND-5 ROTATION RECIPE: promote everything
+        #     from q_events_funnel through q_events_kmv (the two
+        #     late-addition blocks, ~48 never-driver-verified oracled
+        #     queries) into positions 1-50 and demote the current
+        #     window (all r04-green after this round's gate); then
+        #     re-run tools/check_oracle.py --limit 50 and the dup-key
+        #     check per the verify skill. ---
         "q_events_funnel": _events_funnel,
         "q_events_retention": _events_retention,
         "q_doc_collocations": _doc_collocations,
