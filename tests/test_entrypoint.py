@@ -49,3 +49,30 @@ def test_heavy_content_pr_vs_oracle(ray_session):
     heavy = gen_pages(120, min_sent=24, sent_spread=17)
     res = run_pipeline(rd.from_arrow(heavy).repartition(4))
     assert pipeline_quads(res) == oracle_triple_set(heavy)
+
+
+def test_window_invariants_for_rotation(entrymod):
+    """Guards for queries() window rotations (the recipe in the
+    ordering comment): no duplicate keys via a source re-parse
+    (duplicate dict literals keep the FIRST position but the LAST
+    value, silently), every first-50 entry carries a value-hash
+    oracle (a no_oracle row burns a verified slot — the round-3
+    verdict's finding), and only the five legacy pages-corpus kg_*
+    entries are rows-only."""
+    import re
+
+    src = open("/root/repo/__ray_entry__.py").read()
+    body = src[src.index("def queries()"):]
+    body = body[:body.index("\ndef ")]
+    keys = re.findall(r'^\s+"([^"]+)":', body, re.M)
+    assert len(keys) == len(set(keys)), "duplicate queries() keys"
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    assert keys == list(qs)               # source order == dict order
+    first50 = list(qs)[:50]
+    missing = [k for k in first50 if k not in sqls]
+    assert not missing, f"no_oracle entries in the window: {missing}"
+    rows_only = [k for k in qs if k not in sqls]
+    assert rows_only == ["kg_triples", "kg_mentions", "kg_entities",
+                         "kg_mention_counts", "kg_report"]
