@@ -3039,6 +3039,19 @@ def _media_png(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _media_gif(sf_dir: str):
+    """REAL GIF decode path with FULL-BITMAP verification: documents
+    -> deterministic GIF87a payloads (variable-width LZW streams,
+    functions/gif.py) -> actor-pool decode -> (width, height, px_sum).
+    The oracle predicts the exact pixel SUM from doc_id by the
+    generate_series closed form, so any LZW bug — width bumps, KwKwK,
+    dictionary resets — surfaces as a value mismatch, a stricter
+    contract than the PNG/JPEG dimension checks."""
+    from k_gap_ray.functions.multimodal import docs_as_gif, gif_px_stats
+
+    return gif_px_stats(docs_as_gif(_docs(sf_dir, ["doc_id"])))
+
+
 def _media_jpeg(sf_dir: str):
     """REAL JPEG decode path: documents -> deterministic synthesized
     baseline JPEGs (functions/multimodal.docs_as_jpeg) -> actor-pool
@@ -3637,6 +3650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_mlt": _doc_mlt,
         "q_customer_deciles": _customer_deciles,
         "q_events_kmv": _events_kmv,
+        "q_media_gif": _media_gif,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4401,6 +4415,20 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_snippets": _sql_doc_snippets(),
         "q_doc_mlt": _sql_doc_mlt(),
         "q_events_kmv": _sql_events_kmv(),
+        "q_media_gif": """
+            SELECT doc_id AS media_id,
+                   (6 + doc_id % 23)::BIGINT AS width,
+                   (5 + (doc_id // 3) % 13)::BIGINT AS height,
+                   list_aggregate(
+                       list_transform(
+                           generate_series(
+                               0,
+                               (6 + doc_id % 23)
+                               * (5 + (doc_id // 3) % 13) - 1),
+                           i -> (doc_id * 7 + i * 13) % 256),
+                       'sum')::BIGINT AS px_sum
+            FROM documents
+        """,
         "q_customer_deciles": """
             WITH __pc AS (
               SELECT o_custkey,

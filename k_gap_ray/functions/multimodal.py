@@ -115,6 +115,64 @@ def docs_as_png(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
+def docs_as_gif(docs_ds):
+    """documents -> MEDIA table of real GIF87a payloads with
+    deterministic geometry AND pixel content per doc_id (width
+    6+id%23, height 5+(id//3)%13, pixel i = (id*7 + i*13) % 256 in
+    row-major order over a grayscale palette), so a SQL oracle can
+    predict not just the decoded dimensions but the exact PIXEL SUM
+    via a generate_series closed form, while the engine round-trips a
+    real variable-width LZW stream (functions/gif.py)."""
+    from k_gap_ray.functions.gif import encode_gif
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid in t.column("doc_id").to_pylist():
+            w = 6 + mid % 23
+            h = 5 + (mid // 3) % 13
+            i = np.arange(h * w, dtype=np.int64)
+            px = ((mid * 7 + i * 13) % 256).reshape(h, w)
+            rows.append({
+                "media_id": mid,
+                "payload": encode_gif(px.astype(np.uint8),
+                                      clear_interval=None),
+                "mime": "image/gif",
+                "source_url": f"urn:gif:{mid}",
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA)
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
+def gif_px_stats(media_ds, concurrency=(1, 4), batch_size: int = 64):
+    """Actor-pool GIF decode emitting verifiable pixel evidence:
+    (media_id, width, height, px_sum) — px_sum is the int64 sum of
+    the decoded palette indices, so a value-hash oracle checks the
+    ENTIRE decoded bitmap, not just the header geometry (a stricter
+    contract than the PNG/JPEG dimension checks)."""
+    from k_gap_ray.functions.gif import decode_gif
+
+    class GifStats:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, ws, hs, sums = [], [], [], []
+            for mid, payload in zip(t.column("media_id").to_pylist(),
+                                    t.column("payload").to_pylist()):
+                w, h, idx, _gray = decode_gif(payload)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(idx.astype(np.int64).sum()))
+            return pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "px_sum": pa.array(sums, pa.int64())})
+
+    return media_ds.map_batches(GifStats, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=concurrency)
+
+
 def docs_as_jpeg(docs_ds):
     """documents -> MEDIA table of real baseline JPEG payloads with
     deterministic geometry per doc_id (width 8+id%25, height
@@ -337,6 +395,15 @@ class MediaDecoder:
             w, h, _c, px = decode_png(payload)
             gray = px.astype(np.float32).mean(axis=2)
             hist, _ = np.histogram(gray, bins=self.FEATURE_DIM,
+                                   range=(0.0, 256.0))
+            feat = hist.astype(np.float32) / max(1, gray.size)
+            return w, h, feat
+        if mime == "image/gif":
+            from k_gap_ray.functions.gif import decode_gif
+
+            w, h, _idx, gray = decode_gif(payload)
+            hist, _ = np.histogram(gray.astype(np.float32),
+                                   bins=self.FEATURE_DIM,
                                    range=(0.0, 256.0))
             feat = hist.astype(np.float32) / max(1, gray.size)
             return w, h, feat
