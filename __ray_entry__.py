@@ -3052,6 +3052,19 @@ def _media_gif(sf_dir: str):
     return gif_px_stats(docs_as_gif(_docs(sf_dir, ["doc_id"])))
 
 
+def _media_gif_frames(sf_dir: str):
+    """ANIMATED GIF decode with every frame's bitmap verified:
+    documents -> multi-image GIF89a payloads -> actor-pool
+    decode_gif_frames -> (media_id, frame_idx, width, height,
+    px_sum); the oracle unrolls the per-frame closed form — the
+    animation analogue of the AVI/MP4 frame tables, with pixel-exact
+    (not just count/geometry) verification."""
+    from k_gap_ray.functions.multimodal import (docs_as_gif_anim,
+                                                gif_frame_stats)
+
+    return gif_frame_stats(docs_as_gif_anim(_docs(sf_dir, ["doc_id"])))
+
+
 def _media_jpeg(sf_dir: str):
     """REAL JPEG decode path: documents -> deterministic synthesized
     baseline JPEGs (functions/multimodal.docs_as_jpeg) -> actor-pool
@@ -3651,6 +3664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customer_deciles": _customer_deciles,
         "q_events_kmv": _events_kmv,
         "q_media_gif": _media_gif,
+        "q_media_gif_frames": _media_gif_frames,
         # --- past the 50-entry window: driver-green in r02/r03
         #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
         #     q_media_mjpeg_frames demoted r03-green to make room; all
@@ -4428,6 +4442,22 @@ def oracle_sql() -> dict[str, str]:
                            i -> (doc_id * 7 + i * 13) % 256),
                        'sum')::BIGINT AS px_sum
             FROM documents
+        """,
+        "q_media_gif_frames": """
+            SELECT media_id, frame_idx::BIGINT AS frame_idx,
+                   width::BIGINT AS width, height::BIGINT AS height,
+                   list_aggregate(
+                       list_transform(
+                           generate_series(0, width * height - 1),
+                           i -> (media_id * 7 + frame_idx * 29
+                                 + i * 13) % 256),
+                       'sum')::BIGINT AS px_sum
+            FROM (SELECT doc_id AS media_id,
+                         unnest(generate_series(0, 1 + doc_id % 4))
+                             AS frame_idx,
+                         (6 + doc_id % 17) AS width,
+                         (4 + doc_id % 9) AS height
+                  FROM documents) __f
         """,
         "q_customer_deciles": """
             WITH __pc AS (

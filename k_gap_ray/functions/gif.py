@@ -242,3 +242,86 @@ def decode_gif(payload: bytes):
         else:
             raise ValueError(f"gif: unexpected block 0x{b:02x}")
     raise ValueError("gif: no image block found")
+
+
+def encode_gif_animated(frames: list[np.ndarray],
+                        clear_interval: int | None = None) -> bytes:
+    """List of (h, w) uint8 index images (uniform geometry) -> an
+    animated GIF89a: one graphics-control extension + image block per
+    frame over the shared grayscale global color table."""
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0b11110111)
+    out += b"\x00\x00"
+    for i in range(256):
+        out += bytes([i, i, i])
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("gif: frames must share geometry")
+        # graphics control extension: 4-byte block, 10cs delay
+        out += bytes([_EXTENSION, 0xF9, 4, 0, 10, 0, 0, 0])
+        out.append(_IMAGE_SEP)
+        out += struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0)
+        out.append(8)
+        data = _lzw_encode(fr.reshape(-1), 8, clear_interval)
+        for off in range(0, len(data), 255):
+            block = data[off:off + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(_TRAILER)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """GIF bytes -> (width, height, [frame index arrays (h, w)
+    uint8]) — EVERY image block, extensions skipped (the animation
+    form of :func:`decode_gif`, which returns the first frame)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct_n = 0
+    if packed & 0x80:
+        gct_n = 2 << (packed & 0x07)
+        pos += gct_n * 3
+    frames = []
+    fw = fh = None
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == _EXTENSION:
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == _IMAGE_SEP:
+            _l, _t, w, h = struct.unpack_from("<HHHH", payload, pos)
+            pos += 8
+            ipacked = payload[pos]
+            pos += 1
+            if ipacked & 0x80:
+                pos += (2 << (ipacked & 0x07)) * 3
+            if ipacked & 0x40:
+                raise ValueError("gif: interlaced images unsupported")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            frames.append(_lzw_decode(b"".join(chunks), min_code,
+                                      w * h).reshape(h, w))
+            fw, fh = w, h
+        elif b == _TRAILER:
+            break
+        else:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+    if not frames:
+        raise ValueError("gif: no image block found")
+    return fw, fh, frames

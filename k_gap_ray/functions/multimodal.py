@@ -173,6 +173,64 @@ def gif_px_stats(media_ds, concurrency=(1, 4), batch_size: int = 64):
                                 concurrency=concurrency)
 
 
+def docs_as_gif_anim(docs_ds):
+    """documents -> MEDIA table of ANIMATED GIF89a payloads:
+    2 + id%4 frames of width 6+id%17 x height 4+id%9, frame f pixel
+    i = (id*7 + f*29 + i*13) % 256 — per-frame closed forms a SQL
+    oracle can verify after a real multi-image LZW decode."""
+    from k_gap_ray.functions.gif import encode_gif_animated
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for mid in t.column("doc_id").to_pylist():
+            w = 6 + mid % 17
+            h = 4 + mid % 9
+            i = np.arange(h * w, dtype=np.int64)
+            frames = [((mid * 7 + fr * 29 + i * 13) % 256)
+                      .reshape(h, w).astype(np.uint8)
+                      for fr in range(2 + mid % 4)]
+            rows.append({
+                "media_id": mid,
+                "payload": encode_gif_animated(frames),
+                "mime": "image/gif",
+                "source_url": f"urn:gif-anim:{mid}",
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA)
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
+def gif_frame_stats(media_ds, concurrency=(1, 4), batch_size: int = 64):
+    """Actor-pool animated-GIF decode: one row per frame with
+    (media_id, frame_idx, width, height, px_sum) — every frame's
+    bitmap verified, the animation analogue of the AVI/MP4 frame
+    tables."""
+    from k_gap_ray.functions.gif import decode_gif_frames
+
+    class GifFrames:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, fids, ws, hs, sums = [], [], [], [], []
+            for mid, payload in zip(t.column("media_id").to_pylist(),
+                                    t.column("payload").to_pylist()):
+                w, h, frames = decode_gif_frames(payload)
+                for fi, fr in enumerate(frames):
+                    ids.append(mid)
+                    fids.append(fi)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(int(fr.astype(np.int64).sum()))
+            return pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "px_sum": pa.array(sums, pa.int64())})
+
+    return media_ds.map_batches(GifFrames, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=concurrency)
+
+
 def docs_as_jpeg(docs_ds):
     """documents -> MEDIA table of real baseline JPEG payloads with
     deterministic geometry per doc_id (width 8+id%25, height

@@ -91,3 +91,39 @@ def test_gif_media_stage_pixel_sums(ray_session):
         assert got[mid]["width"] == w
         assert got[mid]["height"] == h
         assert got[mid]["px_sum"] == want
+
+
+def test_gif_animated_roundtrip_and_frame_stage(ray_session):
+    """Animated GIF89a: every frame round-trips through its own LZW
+    stream with graphics-control extensions between image blocks;
+    decode_gif (single-frame API) still returns frame 0; the frame
+    stage emits one verified row per frame."""
+    import ray.data as rd
+
+    from k_gap_ray.functions.gif import (decode_gif, decode_gif_frames,
+                                         encode_gif_animated)
+    from k_gap_ray.functions.multimodal import (docs_as_gif_anim,
+                                                gif_frame_stats)
+
+    rng = np.random.RandomState(4)
+    frames = [rng.randint(0, 256, (9, 11)).astype(np.uint8)
+              for _ in range(4)]
+    data = encode_gif_animated(frames)
+    w, h, got = decode_gif_frames(data)
+    assert (w, h) == (11, 9) and len(got) == 4
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+    _, _, first, _ = decode_gif(data)
+    assert np.array_equal(first, frames[0])
+
+    docs = pa.table({"doc_id": pa.array([3, 10], pa.int64())})
+    rows = gif_frame_stats(docs_as_gif_anim(
+        rd.from_arrow(docs))).take_all()
+    by = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    assert len([k for k in by if k[0] == 3]) == 2 + 3 % 4
+    mid, fr = 10, 1
+    w = 6 + mid % 17
+    h = 4 + mid % 9
+    i = np.arange(h * w, dtype=np.int64)
+    assert by[(mid, fr)]["px_sum"] == int(((mid * 7 + fr * 29 + i * 13)
+                                           % 256).sum())
