@@ -94,16 +94,18 @@ def _carry_ds(both, key_col: str, mode: str):
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("__b", kind="mergesort")
-        acc = 0 if mode == "prefix_sum" else -1
         key = str(df[key_col].iloc[0])
-        ks, cs = [], []
-        for b, v in zip(df["__b"], df["__local"]):
-            ks.append(f"{key}{_SEP}{int(b)}")
-            cs.append(acc)
-            if mode == "prefix_sum":
-                acc += int(v)
-            elif v != -1:
-                acc = int(v)
+        b = df["__b"].to_numpy(dtype="int64")
+        v = df["__local"].to_numpy(dtype="int64")
+        if mode == "prefix_sum":
+            # carry-in = exclusive prefix sum of the earlier buckets
+            cs = np.concatenate(([0], np.cumsum(v)[:-1]))
+        else:
+            # carry-in = last non-sentinel value of an earlier bucket
+            # (shift past self, then forward-fill over sentinels)
+            cs = (pd.Series(v).where(v != -1).shift(1).ffill()
+                  .fillna(-1).to_numpy(dtype="int64"))
+        ks = np.char.add(f"{key}{_SEP}", b.astype("U"))
         return pd.DataFrame({"__k": ks,
                              "__carry": pd.array(cs, dtype="int64")})
 

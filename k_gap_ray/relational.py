@@ -1269,17 +1269,34 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
            .map_batches(line_scan, batch_format="pyarrow")
            .groupby("l_orderkey")
            .aggregate(Sum("revenue_s", alias_name="revenue_s")))
-    joined = join_datasets(rev, orders, on="l_orderkey",
-                           right_on="o_orderkey",
-                           scrub_left=True, scrub_right=False)
-    # the join output feeds a SORT shuffle: scrub the empty-schema
-    # blocks empty hash partitions can emit (BENCH/NOTES.md)
     from k_gap_ray.dsutil import drop_empty_blocks
 
-    joined = drop_empty_blocks(joined.materialize())
-    top = (joined.sort(["revenue_s", "o_orderdate", "l_orderkey"],
-                       descending=[True, False, False]).limit(k))
-    rows = top.take_all()
+    # Ray 2.49 hash join crashes outright on a fully-empty side
+    # (BENCH/NOTES.md): decide emptiness on materialized inputs first —
+    # degenerate params (cutoff past the date range, unmatched segment)
+    # must yield an empty result, not a crash.
+    rev = drop_empty_blocks(rev.materialize())
+    orders = orders.materialize()
+    if rev.count() == 0 or orders.count() == 0:
+        rows = []
+    else:
+        joined = join_datasets(rev, orders, on="l_orderkey",
+                               right_on="o_orderkey",
+                               num_partitions=max(
+                                   2, min(32, rev.count() // 20_000 + 2)),
+                               scrub_left=False, scrub_right=False)
+        # the join output feeds a SORT shuffle: scrub the empty-schema
+        # blocks empty hash partitions can emit (BENCH/NOTES.md)
+        joined = drop_empty_blocks(joined.materialize())
+        top = (joined.sort(["revenue_s", "o_orderdate", "l_orderkey"],
+                           descending=[True, False, False]).limit(k))
+        rows = top.take_all()
+    if not rows:
+        return pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_orderpriority": pa.array([], pa.string())})
     return pa.table({
         "l_orderkey": pa.array([r["l_orderkey"] for r in rows],
                                pa.int64()),
@@ -1373,6 +1390,14 @@ def q_local_supplier_volume(sf_dir: str, region: str = "EUROPE",
                 ["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"]) \
         .map_batches(line_scan, batch_format="pyarrow")
+    # Empty-side guard (BENCH/NOTES.md): Ray 2.49's hash join crashes
+    # when one side is fully empty — degenerate params (region with no
+    # suppliers, window past the date range) must return zero rows.
+    rev = rev.materialize()
+    orders = orders.materialize()
+    if rev.count() == 0 or orders.count() == 0:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
     joined = join_datasets(rev, orders, on="l_orderkey",
                            right_on="o_orderkey",
                            scrub_left=False, scrub_right=False)

@@ -289,7 +289,8 @@ def init_band_index(ds, index_dir: str, shingle_k: int = 3,
 
 def incremental_near_dup(new_ds, index_dir: str, docs_ds,
                          threshold: float = 0.5, shingle_k: int = 3,
-                         id_col: str = "doc_id", append: bool = True):
+                         id_col: str = "doc_id", append: bool = True,
+                         n_buckets: int = BAND_BUCKETS):
     """Near-dup an incoming batch against the PERSISTED band index:
     band the batch, hash-join its bands against the stored bands (the
     LSH probe — only shared band keys produce candidates), dedupe the
@@ -325,14 +326,14 @@ def incremental_near_dup(new_ds, index_dir: str, docs_ds,
     if new_bands.count() == 0 or not _store_files(index_dir):
         if append and new_bands.count():
             init_band_index(new_ds, index_dir, shingle_k=shingle_k,
-                            id_col=id_col)
+                            id_col=id_col, n_buckets=n_buckets)
         return rd.from_arrow(empty)
     new_bands = drop_empty_blocks(new_bands)
     nb_buckets = new_bands.map_batches(
         lambda t: (lambda bk: pa.table({"bucket": pc.subtract(
-            bk, pc.multiply(pc.divide(bk, pa.scalar(BAND_BUCKETS,
+            bk, pc.multiply(pc.divide(bk, pa.scalar(n_buckets,
                                                     pa.int64())),
-                            pa.scalar(BAND_BUCKETS, pa.int64())))}))(
+                            pa.scalar(n_buckets, pa.int64())))}))(
             pc.cast(t.column("band_key"), pa.int64())),
         batch_format="pyarrow")
     index = rd.read_parquet(
@@ -356,7 +357,7 @@ def incremental_near_dup(new_ds, index_dir: str, docs_ds,
     if keys.count() == 0:
         if append:
             init_band_index(new_ds, index_dir, shingle_k=shingle_k,
-                            id_col=id_col)
+                            id_col=id_col, n_buckets=n_buckets)
         return rd.from_arrow(empty)
     keys = drop_empty_blocks(keys)
     pairs = (keys.groupby("__k").count()
@@ -375,7 +376,7 @@ def incremental_near_dup(new_ds, index_dir: str, docs_ds,
     out = out.materialize()
     if append:
         init_band_index(new_ds, index_dir, shingle_k=shingle_k,
-                        id_col=id_col)
+                        id_col=id_col, n_buckets=n_buckets)
     return out
 
 
@@ -404,8 +405,7 @@ def sql_incremental_near_dup(old_where: str, new_where: str,
                len(list_intersect(a.s, b.s)) AS n_common,
                len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
                    AS n_union
-        FROM __sh a JOIN __sh b
-          ON (a.{id_col} % 3 = 0) AND (b.{id_col} % 3 <> 0)
+        FROM __sh a, __sh b
         WHERE a.{id_col} IN (SELECT {id_col} FROM {table}
                              WHERE {new_where})
           AND b.{id_col} IN (SELECT {id_col} FROM {table}
