@@ -70,22 +70,6 @@ def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _kg(product: str) -> Callable[[str], Any]:
-    def run(sf_dir: str):
-        return _pipeline(sf_dir)[product]
-
-    return run
-
-
-def _kg_mention_counts(sf_dir: str):
-    import ray
-
-    res = _pipeline(sf_dir)
-    from k_gap_ray.ops.canonicalize import mention_counts
-
-    return mention_counts(res["mentions"], ray.put(res["mapping"]))
-
-
 def _doc_langid(sf_dir: str):
     from k_gap_ray.functions.textstats import lang_id
 
@@ -2890,36 +2874,6 @@ def _shacl_docs(sf_dir: str):
                            ("n", _pa.int64())]))
 
 
-def _kg_report(sf_dir: str):
-    """A7 dataset-statistics bundle over the constructed graph
-    (sembench report-step analogue, docs/components/sembench.md:229-253)."""
-    import pyarrow as pa
-
-    res = _pipeline(sf_dir)
-    triples = res["triples"]
-
-    def n_distinct(col: str) -> int:
-        # NOT Dataset.unique(): Ray 2.49's Unique aggregate crashes in
-        # merge (TypeError: unhashable numpy.ndarray) on multi-block
-        # data; groupby(col).count().count() is the safe equivalent
-        # (same pattern as q_count_distinct, relational.py).
-        return triples.select_columns([col]).groupby(col).count().count()
-
-    n_triples = triples.count()
-    n_subjects = n_distinct("subj")
-    n_graphs = n_distinct("graph")
-    n_predicates = n_distinct("pred")
-    n_entities = res["entities"].num_rows \
-        if hasattr(res["entities"], "num_rows") else res["entities"].count()
-    return pa.table({
-        "n_triples": pa.array([n_triples], pa.int64()),
-        "n_distinct_subjects": pa.array([n_subjects], pa.int64()),
-        "n_named_graphs": pa.array([n_graphs], pa.int64()),
-        "n_predicates": pa.array([n_predicates], pa.int64()),
-        "n_entities": pa.array([n_entities], pa.int64()),
-    })
-
-
 def _doc_bpe_train(sf_dir: str):
     """Distributed BPE merge learning (functions/bpe.py): the first 8
     subword merges learned from the corpus vocabulary — ONE
@@ -2959,9 +2913,9 @@ def _doc_epoch_shuffle(sf_dir: str):
 
 
 def _kg_docs_report(sf_dir: str):
-    """A7 dataset-statistics bundle over the docs-derived KG — the
-    oracled twin of _kg_report (which runs on the pages corpus the
-    gate cannot SQL-mirror). Same REAL pipeline as kg_docs_triples
+    """A7 dataset-statistics bundle over the docs-derived KG (the
+    pages-corpus twin was retired with the rows-only kg_* family in
+    round 5). Same REAL pipeline as kg_docs_triples
     (extract->annotate->canonicalize->materialize, cached per
     sf_dir), reduced to the report scalars; the oracle nests the
     pure-SQL quad and entity reconstructions (pipelines/docs_kg.py)
@@ -2975,7 +2929,7 @@ def _kg_docs_report(sf_dir: str):
     def n_distinct(col: str) -> int:
         # NOT Dataset.unique(): Ray 2.49's Unique aggregate crashes in
         # merge on multi-block data; groupby(col).count().count() is
-        # the safe equivalent (same pattern as _kg_report).
+        # the safe equivalent (same pattern as q_count_distinct).
         return triples.select_columns([col]).groupby(col).count().count()
 
     ents = res["entities"]
@@ -3504,21 +3458,211 @@ _SQL_JSONLD_NESTED = """
 """
 
 
+DOCS_SPARQL_STORE = """
+PREFIX kp: <urn:kgap:pred:>
+SELECT DISTINCT ?a ?b ?loc WHERE {
+  ?a kp:collaboratesWith ?b .
+  ?b kp:locatedIn ?loc .
+}
+"""
+
+
+def _sparql_docs_store(sf_dir: str):
+    """S3 over the PRED-HASH-PARTITIONED persisted quad store
+    (state/quadstore.py): the docs-KG quads are written once as
+    pbucket=K/ parquet and every bound-predicate pattern scan reads
+    ONLY the buckets its predicate hashes into — the storage-side fix
+    for the round-4 verdict's last scale tax (an n-pattern BGP paying
+    n full-corpus scans). The oracle compiles the SAME query to SQL
+    over the quads reconstruction, so a wrong bucket mapping (silently
+    missed rows) cannot pass the gate."""
+    import shutil
+
+    import pyarrow as _pa
+
+    from k_gap_ray.sparql import sparql_select
+    from k_gap_ray.state.quadstore import QuadStore, init_quad_store
+
+    store_dir = f"/tmp/kgap_quadstore/sf{_sf_of(sf_dir)}"
+    if not os.path.isdir(store_dir):
+        tmp = store_dir + ".build"
+        shutil.rmtree(tmp, ignore_errors=True)
+        init_quad_store(_docs_quads(sf_dir), tmp)
+        os.makedirs(os.path.dirname(store_dir), exist_ok=True)
+        os.rename(tmp, store_dir)
+    res = sparql_select(QuadStore(store_dir), DOCS_SPARQL_STORE)
+    return _pa.Table.from_pylist(
+        res.take_all(),
+        schema=_pa.schema([("a", _pa.string()), ("b", _pa.string()),
+                           ("loc", _pa.string())]))
+
+
+def _rdf_trig_roundtrip(sf_dir: str):
+    """S8 graph dump + restore at the driver gate: deterministic quads
+    derived from the documents table (language-tagged, typed-integer
+    and IRI objects, per-source named graphs) are dumped as TriG
+    shards (sources/rdfio.py:write_trig) and parsed straight back by
+    read_turtle; the gate value-hashes the round-tripped quad set
+    against a pure-SQL reconstruction, so any loss of graph scoping,
+    datatypes or language tags breaks the hash. Reference parity:
+    graphdb.md:410-428 (application/x-trig backup/restore cycle)."""
+    import shutil
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from k_gap_ray.sources.rdfio import read_turtle, write_trig
+
+    out = f"/tmp/kgap_trig_rt/sf{_sf_of(sf_dir)}"
+    # always rewrite: content-addressed shard names depend on batch
+    # partitioning, and stale shards from a differently-partitioned
+    # earlier run would re-parse as duplicate triples
+    shutil.rmtree(out, ignore_errors=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang", "source", "n_chars"])
+    subj = _pc.binary_join_element_wise(
+        _pa.array(["urn:kgap:doc:"] * t.num_rows, _pa.string()),
+        _pc.cast(t.column("doc_id"), _pa.string()), "")
+    graph = _pc.binary_join_element_wise(
+        _pa.array(["urn:kgap:graph:"] * t.num_rows, _pa.string()),
+        _pc.cast(t.column("source"), _pa.string()), "")
+
+    def shape(pred, obj, is_lit, dt, lang):
+        n = t.num_rows
+        return _pa.table({
+            "subj": subj, "pred": _pa.array([pred] * n, _pa.string()),
+            "obj": obj,
+            "obj_is_literal": _pa.array([is_lit] * n, _pa.bool_()),
+            "obj_datatype": _pa.array([dt] * n, _pa.string()),
+            "obj_lang": lang if not isinstance(lang, str)
+            else _pa.array([lang] * n, _pa.string()),
+            "graph": graph})
+
+    quads = _pa.concat_tables([
+        shape("urn:kgap:pred:lang", t.column("lang"), True, "",
+              t.column("lang")),
+        shape("urn:kgap:pred:nchars",
+              _pc.cast(t.column("n_chars"), _pa.string()), True,
+              "http://www.w3.org/2001/XMLSchema#integer", ""),
+        shape("urn:kgap:pred:from", _pc.binary_join_element_wise(
+            _pa.array(["urn:kgap:src:"] * t.num_rows, _pa.string()),
+            _pc.cast(t.column("source"), _pa.string()), ""),
+            False, "", "")])
+    write_trig(rd.from_arrow(quads), out).materialize()
+    cols = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype",
+            "obj_lang", "graph"]
+    # read_turtle appends the source shard path (url) — not a quad col
+    return read_turtle(out).select_columns(cols)
+
+
+def _workflow_csv_roundtrip(sf_dir: str):
+    """S4+S7 at the driver gate: one workflow spec WRITES a per-lang
+    aggregate as CSV (the dataframe-exporter step), a second spec
+    READS it back through the new read_csv step and the gate
+    value-hashes the round-tripped numbers against SQL over the
+    source table — pinning the CSV writer, the reader's type
+    inference, and the spec plumbing in one query."""
+    import shutil
+
+    from k_gap_ray.workflow import run_workflow
+
+    out = f"/tmp/kgap_csv_rt/sf{_sf_of(sf_dir)}"
+    shutil.rmtree(out, ignore_errors=True)
+    run_workflow([
+        {"op": "read_parquet", "path": f"{sf_dir}/documents.parquet",
+         "columns": ["lang", "n_chars"]},
+        {"op": "groupby_agg", "keys": ["lang"],
+         "aggs": [{"fn": "Count", "alias": "n_docs"},
+                  {"fn": "Sum", "on": "n_chars", "alias": "sum_chars"}]},
+        {"op": "write_csv", "path": out},
+    ])
+    return run_workflow([
+        {"op": "read_csv", "path": out},
+        {"op": "select", "columns": ["lang", "n_docs", "sum_chars"]},
+    ])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the grading driver verifies the FIRST 50 entries
-    # against oracle_sql(). Round-4 rotation (round-3 verdict item 1):
-    # the 17 oracled-but-never-driver-verified queries lead, then the
-    # round-4 additions (UPDATE, FTS, nested JSON-LD, the now-oracled
-    # ANN pair), then the three window ops whose implementation
-    # changed this round (hot-key bucketing) and a SPARQL slice that
-    # exercises the new broadcast-join path, then once-green round-3
-    # entries fill to 50. Twice-green relational/doc families trail.
-    # kg_report stays OUT of the window deliberately: it has no SQL
-    # oracle (computed over the synthesized pages corpus) and would
-    # burn a verified slot with err:no_oracle — its round-1 repair is
-    # evidenced by entry() + pytest instead.
+    # against oracle_sql(). Round-5 rotation (round-4 verdict item 1):
+    # the three NEW round-5 surfaces lead (pred-hash-partitioned quad
+    # store, TriG dump/restore, CSV roundtrip through the workflow
+    # engine), then the 47 oracled-but-never-driver-verified
+    # session-4/5 queries (graph family, incremental dedup store,
+    # retrieval, events, media-gif, late SPARQL, TPC-H composites).
+    # The r04 window went 50/50 green and trails below, r03/r02 green
+    # families after it.
     return {
-        # --- never driver-verified, all with value-hash oracles ---
+        # --- new in round 5: quad-store pruning, S8 TriG roundtrip,
+        #     S4/S7 CSV export+read roundtrip ---
+        "q_sparql_docs_store": _sparql_docs_store,
+        "q_rdf_trig_roundtrip": _rdf_trig_roundtrip,
+        "q_workflow_csv_roundtrip": _workflow_csv_roundtrip,
+        # --- session-4/5 additions, in-suite oracle green at
+        #     sf0.001/0.01/0.1, never driver-verified until now ---
+        "q_events_funnel": _events_funnel,
+        "q_events_retention": _events_retention,
+        "q_doc_collocations": _doc_collocations,
+        "q_events_hll_by_type": _events_hll_by_type,
+        "q_doc_nfc": _doc_nfc,
+        "q_doc_bigram_lm": _doc_bigram_lm,
+        "q_doc_snapshot_diff": _doc_snapshot_diff,
+        "q_emb_kmeans": _emb_kmeans,
+        "q_events_transitions": _events_transitions,
+        "q_events_wau": _events_wau,
+        "q_doc_phrase": _doc_phrase,
+        "q_events_bursts": _events_bursts,
+        "q_events_gap_hist": _events_gap_hist,
+        "q_doc_lang_confusion": _doc_lang_confusion,
+        "q_emb_cluster_sample": _emb_cluster_sample,
+        "q_emb_medoids": _emb_medoids,
+        "q_sparql_docs_clear": _sparql_docs_clear,
+        "q_sssp_dist": _sssp_dist,
+        "q_events_funnel_windowed": _events_funnel_windowed,
+        "q_ppr": _ppr,
+        "q_hits": _hits,
+        "q_part_affinity": _part_affinity,
+        "q_kcore": _kcore,
+        "q_clustering": _clustering,
+        "q_link_pred": _link_pred,
+        "q_doc_winnow": _doc_winnow,
+        "q_doc_sim_pairs": _doc_sim_pairs,
+        "q_walks": _walks,
+        "q_doc_incr_dedup": _doc_incr_dedup,
+        "q_doc_top_terms": _doc_top_terms,
+        "q_doc_incr_neardup": _doc_incr_neardup,
+        "q_shipping_priority": rel.q_shipping_priority,
+        "q_local_supplier_volume": rel.q_local_supplier_volume,
+        "q_kg_negatives": _kg_negatives,
+        "q_degree_hist": _degree_hist,
+        "q_ktruss": _ktruss,
+        "q_communities": _communities,
+        "q_doc_weighted_sample": _doc_weighted_sample,
+        "q_profile_orders": _profile_orders,
+        "q_knn_mmr": _knn_mmr,
+        "q_knn_rrf": _knn_rrf,
+        "q_doc_bm25": _doc_bm25,
+        "q_doc_snippets": _doc_snippets,
+        "q_doc_facets": _doc_facets,
+        "q_doc_mlt": _doc_mlt,
+        "q_events_kmv": _events_kmv,
+        "q_media_gif": _media_gif,
+        # ---------------- window edge: entry #50 above ----------------
+        # --- never driver-verified but suite-oracled; left outside
+        #     because an in-window sibling pins the same machinery
+        #     (kwic -> snippets/bm25 search, deciles -> ntile r04,
+        #     gif_frames -> gif LZW, SPARQL scalar fns -> the
+        #     engine family); first in line if slots ever open ---
+        "q_doc_kwic": _doc_kwic,
+        "q_customer_deciles": _customer_deciles,
+        "q_media_gif_frames": _media_gif_frames,
+        "q_sparql_docs_strfn": _sparql_docs_strfn,
+        "q_sparql_docs_coalesce": _sparql_docs_coalesce,
+        "q_sparql_docs_terms": _sparql_docs_terms,
+        "q_sparql_docs_sample": _sparql_docs_sample,
+        # --- the r04 window, 50/50 driver-green, demoted ---
         "q_deref_reachable": _deref_reachable,
         "q_pagerank": _pagerank,
         "q_triangles": _triangles,
@@ -3604,78 +3748,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_asof_click": rel.q_events_asof_click,
         "q_events_user_running": rel.q_events_user_running,
         "q_orders_rank": rel.q_orders_rank,
-        # --- session-4/5 late additions: in-suite oracle green
-        #     (tools/check_oracle.py at sf0.001/0.01/0.1 + pytest both
-        #     paths); first in line for the round-5 window rotation —
-        #     the session-5 block (q_kcore .. q_events_kmv) follows
-        #     this one. ROUND-5 ROTATION RECIPE: promote everything
-        #     from q_events_funnel through q_events_kmv (the two
-        #     late-addition blocks, ~48 never-driver-verified oracled
-        #     queries) into positions 1-50 and demote the current
-        #     window (all r04-green after this round's gate); then
-        #     re-run tools/check_oracle.py --limit 50 and the dup-key
-        #     check per the verify skill. ---
-        "q_events_funnel": _events_funnel,
-        "q_events_retention": _events_retention,
-        "q_doc_collocations": _doc_collocations,
-        "q_events_hll_by_type": _events_hll_by_type,
-        "q_doc_nfc": _doc_nfc,
-        "q_doc_bigram_lm": _doc_bigram_lm,
-        "q_doc_snapshot_diff": _doc_snapshot_diff,
-        "q_emb_kmeans": _emb_kmeans,
-        "q_events_transitions": _events_transitions,
-        "q_events_wau": _events_wau,
-        "q_doc_phrase": _doc_phrase,
-        "q_events_bursts": _events_bursts,
-        "q_events_gap_hist": _events_gap_hist,
-        "q_doc_lang_confusion": _doc_lang_confusion,
-        "q_emb_cluster_sample": _emb_cluster_sample,
-        "q_emb_medoids": _emb_medoids,
-        "q_sparql_docs_clear": _sparql_docs_clear,
-        "q_sssp_dist": _sssp_dist,
-        "q_events_funnel_windowed": _events_funnel_windowed,
-        "q_ppr": _ppr,
-        "q_hits": _hits,
-        "q_part_affinity": _part_affinity,
-        "q_kcore": _kcore,
-        "q_clustering": _clustering,
-        "q_link_pred": _link_pred,
-        "q_doc_winnow": _doc_winnow,
-        "q_doc_sim_pairs": _doc_sim_pairs,
-        "q_walks": _walks,
-        "q_doc_incr_dedup": _doc_incr_dedup,
-        "q_doc_top_terms": _doc_top_terms,
-        "q_doc_incr_neardup": _doc_incr_neardup,
-        "q_shipping_priority": rel.q_shipping_priority,
-        "q_local_supplier_volume": rel.q_local_supplier_volume,
-        "q_kg_negatives": _kg_negatives,
-        "q_degree_hist": _degree_hist,
-        "q_ktruss": _ktruss,
-        "q_communities": _communities,
-        "q_doc_kwic": _doc_kwic,
-        "q_doc_weighted_sample": _doc_weighted_sample,
-        "q_profile_orders": _profile_orders,
-        "q_knn_mmr": _knn_mmr,
-        "q_knn_rrf": _knn_rrf,
-        "q_doc_bm25": _doc_bm25,
-        "q_doc_snippets": _doc_snippets,
-        "q_doc_facets": _doc_facets,
-        "q_doc_mlt": _doc_mlt,
-        "q_customer_deciles": _customer_deciles,
-        "q_events_kmv": _events_kmv,
-        "q_media_gif": _media_gif,
-        "q_media_gif_frames": _media_gif_frames,
-        # --- past the 50-entry window: driver-green in r02/r03
-        #     (kg_docs_triples, kg_docs_entities, q_media_jpeg and
-        #     q_media_mjpeg_frames demoted r03-green to make room; all
-        #     stay covered transitively — kg_docs_report runs the SAME
-        #     cached pipeline and hashes its aggregate scalars, the
-        #     avi/mp4 frame queries Huffman-decode the same JPEG path,
-        #     and mjpeg_split keeps its pytest coverage) ---
-        "q_sparql_docs_strfn": _sparql_docs_strfn,
-        "q_sparql_docs_coalesce": _sparql_docs_coalesce,
-        "q_sparql_docs_terms": _sparql_docs_terms,
-        "q_sparql_docs_sample": _sparql_docs_sample,
+        # --- driver-green in r02/r03 (kg_docs_triples/entities,
+        #     q_media_jpeg and q_media_mjpeg_frames stay covered
+        #     transitively — kg_docs_report runs the SAME cached
+        #     pipeline and hashes its aggregate scalars, the avi/mp4
+        #     frame queries Huffman-decode the same JPEG path) ---
         "kg_docs_triples": _kg_docs_triples,
         "kg_docs_entities": _kg_docs_entities,
         "q_media_jpeg": _media_jpeg,
@@ -3769,12 +3846,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_minhash_pairs": _doc_minhash_pairs,
         "q_doc_simhash_pairs": _doc_simhash_pairs,
         "q_doc_ngram_jaccard": _doc_ngram_jaccard,
-        # --- KG-construction pipeline products (non-SQL; rows-only) ---
-        "kg_triples": _kg("triples"),
-        "kg_mentions": _kg("mentions"),
-        "kg_entities": _kg("entities"),
-        "kg_mention_counts": _kg_mention_counts,
-        "kg_report": _kg_report,
+        # The legacy rows-only kg_* family (kg_triples/mentions/
+        # entities/mention_counts/kg_report over the synthesized pages
+        # corpus) is retired from the catalog per the round-4 verdict:
+        # the value-hash-oracled kg_docs_* twins above carry the same
+        # pipeline, and the pages-corpus run stays exercised by
+        # entry(), bench.py and the pipeline test suite.
     }
 
 
@@ -5149,9 +5226,34 @@ def _text_analysis_oracles() -> dict[str, str]:
                count(*) AS n_nations
         FROM nation GROUP BY 1
     """
+    trig_rt = """
+        WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents)
+        SELECT 'urn:kgap:doc:' || doc_id AS subj,
+               'urn:kgap:pred:lang' AS pred, lang AS obj,
+               TRUE AS obj_is_literal, '' AS obj_datatype,
+               lang AS obj_lang,
+               'urn:kgap:graph:' || source AS graph FROM d
+        UNION ALL
+        SELECT 'urn:kgap:doc:' || doc_id, 'urn:kgap:pred:nchars',
+               CAST(n_chars AS VARCHAR), TRUE,
+               'http://www.w3.org/2001/XMLSchema#integer', '',
+               'urn:kgap:graph:' || source FROM d
+        UNION ALL
+        SELECT 'urn:kgap:doc:' || doc_id, 'urn:kgap:pred:from',
+               'urn:kgap:src:' || source, FALSE, '', '',
+               'urn:kgap:graph:' || source FROM d
+    """
+    csv_rt = """
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+    """
     return {
         "q_doc_clean_corpus": clean_corpus,
         "q_rdf_turtle": turtle,
+        "q_rdf_trig_roundtrip": trig_rt,
+        "q_workflow_csv_roundtrip": csv_rt,
+        "q_sparql_docs_store": _sql_sparql_docs_q(DOCS_SPARQL_STORE),
         "q_rdf_jsonld_nested": _SQL_JSONLD_NESTED,
         "q_media_features": media,
         # geometry functions mirror functions/multimodal.docs_as_png;

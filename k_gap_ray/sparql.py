@@ -1374,6 +1374,27 @@ def _parse_where_and_modifiers(p: _P, q: SparqlQuery,
 # ---------------------------------------------------------------------------
 
 
+def _is_store(quads) -> bool:
+    """Pred-partitioned QuadStore handle vs plain quads Dataset
+    (state/quadstore.py — duck-typed to avoid an import cycle)."""
+    return hasattr(quads, "scan_for_preds")
+
+
+def _pattern_source(quads, pat: Pattern):
+    """The source a pattern scan runs over: a QuadStore prunes to the
+    buckets a BOUND predicate (constant IRI or alternation list)
+    hashes into — the storage-side fix for the n-patterns-pay-n-full-
+    corpus-scans tax; var / negated-alternation predicates and plain
+    Datasets scan everything, as before."""
+    if not _is_store(quads):
+        return quads
+    if pat.p.kind == "iri":
+        return quads.scan_for_preds([pat.p.value])
+    if pat.p.kind == "alt":
+        return quads.scan_for_preds(pat.p.value.split(_SEP))
+    return quads.full()
+
+
 def _make_scan(pat: Pattern, meta_vars: frozenset = frozenset()):
     # object var referenced by LANG()/isLiteral()/DATATYPE() → also
     # project the metadata source column under its internal
@@ -1480,8 +1501,9 @@ def _edge_pairs(quads, pred: str, graph: str | None):
         return pa.table({"__a": sel.column("subj"),
                          "__b": sel.column("obj")})
 
+    src = quads.scan_for_preds(preds) if _is_store(quads) else quads
     return _pair_distinct(
-        quads.map_batches(scan, batch_format="pyarrow")
+        src.map_batches(scan, batch_format="pyarrow")
         .map_batches(_pair_keyed, batch_format="pyarrow"))
 
 
@@ -1500,8 +1522,9 @@ def _identity_pairs(quads, graph: str | None):
         nodes = both.column("__n")
         return pa.table({"__a": nodes, "__b": nodes})
 
+    src = quads.full() if _is_store(quads) else quads
     return _pair_distinct(
-        quads.map_batches(node_scan, batch_format="pyarrow")
+        src.map_batches(node_scan, batch_format="pyarrow")
         .map_batches(_pair_keyed, batch_format="pyarrow"))
 
 
@@ -1915,9 +1938,10 @@ def _build_group(quads, patterns: list[Pattern], filters: list[tuple],
                                  batch_format="pyarrow")
                  .materialize())
         else:
-            ds = quads.map_batches(_make_scan(pat, meta_vars),
-                                   batch_format="pyarrow",
-                                   zero_copy_batch=True).materialize()
+            ds = _pattern_source(quads, pat) \
+                .map_batches(_make_scan(pat, meta_vars),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
         if ds is None or ds.count() == 0:
             all_vars = {v for pt in patterns for v in pt.vars()}
             return _empty_plan(list(all_vars)), sorted(all_vars), True
@@ -2022,6 +2046,10 @@ def _solution_plan(quads, q: SparqlQuery):
            for p in q.patterns):
         from k_gap_ray.sparql_fts import rewrite_fts
 
+        if _is_store(quads):
+            # the FTS rewrite appends virtual match quads to the
+            # Dataset itself — fall back to the full-store Dataset
+            quads = drop_empty_blocks(quads.full().materialize())
         quads, q = rewrite_fts(quads, q)
 
     if q.unions:
@@ -2308,8 +2336,11 @@ def sparql_select(quads, query: str | SparqlQuery):
     if q.describe:
         raise ValueError("use sparql_describe for DESCRIBE queries")
     # one materialize, N pattern scans — also scrubs groupby-produced
-    # empty-schema blocks (dedup_quads output is a common input here)
-    quads = drop_empty_blocks(quads.materialize())
+    # empty-schema blocks (dedup_quads output is a common input here).
+    # A QuadStore skips the drain: its scans are bucket-pruned disk
+    # reads, never shuffle products, so there is nothing to scrub.
+    if not _is_store(quads):
+        quads = drop_empty_blocks(quads.materialize())
     _require_graph_column(quads, q)
     _require_lang_column(quads, q)
     plan, bound = _solution_plan(quads, q)
@@ -2478,7 +2509,8 @@ def sparql_ask(quads, query: str | SparqlQuery) -> bool:
     q = parse_sparql(query) if isinstance(query, str) else query
     if not q.ask:
         raise ValueError("sparql_ask needs an ASK query")
-    quads = drop_empty_blocks(quads.materialize())
+    if not _is_store(quads):
+        quads = drop_empty_blocks(quads.materialize())
     _require_graph_column(quads, q)
     _require_lang_column(quads, q)
     plan, _ = _solution_plan(quads, q)
@@ -2512,7 +2544,8 @@ def sparql_construct(quads, query: str | SparqlQuery):
     q = parse_sparql(query) if isinstance(query, str) else query
     if not q.construct:
         raise ValueError("sparql_construct needs a CONSTRUCT query")
-    quads = drop_empty_blocks(quads.materialize())
+    if not _is_store(quads):
+        quads = drop_empty_blocks(quads.materialize())
     _require_graph_column(quads, q)
     _require_lang_column(quads, q)
     plan, _ = _solution_plan(quads, q)
@@ -2580,7 +2613,9 @@ def sparql_describe(quads, query: str | SparqlQuery,
     if "obj_is_literal" not in quads.schema().names:
         raise ValueError("DESCRIBE needs the obj_is_literal column to "
                          "tell IRI objects from literals")
-    quads = drop_empty_blocks(quads.materialize())
+    store = quads if _is_store(quads) else None
+    if store is None:
+        quads = drop_empty_blocks(quads.materialize())
     res: set = {t.value for t in q.describe if t.kind == "iri"}
     dvars = [t.value for t in q.describe if t.kind == "var"]
     if dvars:
@@ -2609,7 +2644,8 @@ def sparql_describe(quads, query: str | SparqlQuery,
                               pc.is_in(t.column("obj"), value_set=rs)))
         return t.select(["subj", "pred", "obj"]).filter(m)
 
-    tri = quads.map_batches(pick, batch_format="pyarrow")
+    tri = (store.full() if store is not None else quads) \
+        .map_batches(pick, batch_format="pyarrow")
     keyed = tri.map_batches(
         lambda t: t.append_column("__k", pc.binary_join_element_wise(
             t.column("subj"), t.column("pred"), t.column("obj"), _SEP)),

@@ -120,6 +120,12 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
                     "code; 'runtime' overrides are not applicable")
         if op == "read_parquet":
             ds = rd.read_parquet(step.pop("path"), **step)
+        elif op == "read_csv":
+            # S4 read half of the CSV I/O step (write_csv below);
+            # Arrow's CSV reader infers int64/float64/string per column
+            ds = rd.read_csv(step.pop("path"), **step)
+        elif op == "read_json":
+            ds = rd.read_json(step.pop("path"), **step)
         elif op == "read_ntriples":
             from k_gap_ray.sources.rdfio import read_ntriples
 
