@@ -18,6 +18,7 @@ from collections.abc import Callable
 from typing import Any
 
 from k_gap_ray import relational as rel
+from k_gap_ray.dsutil import read_parquet_clean as _read_pq
 
 
 # ---------------------------------------------------------------------------
@@ -67,7 +68,7 @@ def entry() -> Any:
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _read_pq(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _doc_langid(sf_dir: str):
@@ -809,7 +810,7 @@ def _doc_redact(sf_dir: str):
 
     from k_gap_ray.functions.redact import redact
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return redact(ds, REDACT_RULES)
 
@@ -821,7 +822,7 @@ def _doc_search(sf_dir: str):
 
     from k_gap_ray.functions.search import tfidf_search
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return tfidf_search(ds, SEARCH_TERMS, k=10)
 
@@ -935,7 +936,7 @@ def _emb_near_dup(sf_dir: str):
 
     import pyarrow as pa
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     pairs = embedding_near_dup_pairs(ds, threshold=0.9)
     # near-dup pair sets are tiny by construction; collect into a TYPED
@@ -954,7 +955,7 @@ def _emb_sim_join(sf_dir: str):
 
     from k_gap_ray.functions.dedup import cosine_pairs_exact
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return cosine_pairs_exact(ds, threshold=0.4, n_buckets=8)
 
@@ -969,7 +970,7 @@ def _emb_dedup_survivors(sf_dir: str):
 
     from k_gap_ray.functions.dedup import near_dup_survivors_emb
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding", "label"])
     return near_dup_survivors_emb(ds, threshold=0.4, n_buckets=8)
 
@@ -983,7 +984,7 @@ def _emb_centroids(sf_dir: str):
 
     from k_gap_ray.functions.similarity import label_centroids_fx
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["label", "embedding"])
     return label_centroids_fx(ds)
 
@@ -1187,7 +1188,7 @@ def _profile_orders(sf_dir: str):
 
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"]
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=cols)
     return profile_table(ds, cols)
 
 
@@ -1428,7 +1429,7 @@ def _part_fuzzy_pairs(sf_dir: str):
 
     from k_gap_ray.functions.dedup import fuzzy_name_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    ds = _read_pq(f"{sf_dir}/part.parquet", columns=["p_name"])
     return fuzzy_name_pairs(ds, "p_name", max_dist=2)
 
 
@@ -1450,7 +1451,7 @@ def _knn_filtered(sf_dir: str):
 
     from k_gap_ray.functions.similarity import knn_filtered
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding", "label"])
     qrow = ds.map_batches(
         lambda t: t.filter(_pa.compute.equal(t.column("vec_id"),
@@ -1471,7 +1472,7 @@ def _knn_mmr(sf_dir: str):
 
     from k_gap_ray.functions.similarity import mmr_select
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     qrow = ds.map_batches(
         lambda t: t.filter(_pa.compute.equal(t.column("vec_id"),
@@ -1494,7 +1495,7 @@ def _knn_rrf(sf_dir: str):
 
     from k_gap_ray.functions.similarity import knn_quantized, rrf_fuse
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     qs = {}
     for qid in (0, 1):
@@ -1520,7 +1521,7 @@ def _knn_quantized(sf_dir: str):
 
     from k_gap_ray.functions.similarity import knn_quantized
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     qrow = ds.map_batches(
         lambda t: t.filter(_pa.compute.equal(t.column("vec_id"),
@@ -1542,7 +1543,7 @@ def _knn_lsh(sf_dir: str):
 
     from k_gap_ray.functions.similarity import knn_lsh
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     qrow = ds.map_batches(
         lambda t: t.filter(_pa.compute.equal(t.column("vec_id"),
@@ -1569,7 +1570,7 @@ def _knn_ivf(sf_dir: str):
                                                 knn_ivf_int8)
 
     idx_dir = f"/tmp/kgap_ivf8/sf{_sf_of(sf_dir)}"
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     if not os.path.exists(f"{idx_dir}/centroids_int8.npz"):
         # build into a fresh temp dir, publish with one atomic rename:
@@ -1641,7 +1642,7 @@ def _docs_kg_run(sf_dir: str) -> dict[str, Any]:
     from k_gap_ray.pipelines.docs_kg import run_docs_pipeline
 
     if sf_dir not in _DOCS_KG_CACHE:
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+        docs = _read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang", "source"])
         res = run_docs_pipeline(docs)
         res["triples"] = res["triples"].materialize()
@@ -2580,7 +2581,7 @@ def _docs_direct_quads(sf_dir: str):
                 _pc.cast(t.column("n_chars"), _pa.string()), blank),
         ])
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "n_chars"]).map_batches(
             to_quads, batch_format="pyarrow", zero_copy_batch=True)

@@ -155,3 +155,41 @@ def unpack_floats(col) -> np.ndarray:
     data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
     seg = data[offs[0]:offs[-1]]
     return np.frombuffer(seg.tobytes(), dtype=np.float32).reshape(n, dim)
+
+
+_CLEAN_SCHEMAS: dict = {}
+
+
+def read_parquet_clean(path, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the file's pandas metadata
+    stripped via an explicit ``schema=``.
+
+    The testdata parquet carries dict-valued pandas metadata that makes
+    ``pa.Schema.__hash__`` raise, so every read task logs Ray's
+    "Failed to hash the schemas (for deduplication)" warning and
+    schema dedup is defeated — and the metadata rides the blocks into
+    every downstream shuffle, which logs the same warning again.
+    Single-file string paths only; directory stores the repo writes
+    itself come from Arrow blocks and carry no pandas metadata.
+    """
+    import os
+
+    import ray.data as rd
+
+    if isinstance(path, str) and path not in _CLEAN_SCHEMAS \
+            and os.path.isfile(path):
+        try:
+            import pyarrow.parquet as pq
+
+            s = pq.read_schema(path)
+            _CLEAN_SCHEMAS[path] = \
+                s.remove_metadata() if s.metadata else None
+        except (OSError, pa.ArrowInvalid):
+            _CLEAN_SCHEMAS[path] = None
+    schema = _CLEAN_SCHEMAS.get(path) if isinstance(path, str) else None
+    if schema is not None and columns:
+        # the read applies schema= AFTER column pruning: project it
+        schema = pa.schema([schema.field(c) for c in columns])
+    if schema is not None:
+        kwargs.setdefault("schema", schema)
+    return rd.read_parquet(path, columns=columns, **kwargs)

@@ -72,8 +72,10 @@ def knn_by_id(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     """Top-k most-similar vectors to the vector with `query_vec_id`."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    from k_gap_ray.dsutil import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
     qrow = [r for r in ds.map_batches(
         lambda t, qid=query_vec_id: t.filter(
             pa.compute.equal(t.column("vec_id"), pa.scalar(qid))),

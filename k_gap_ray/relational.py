@@ -28,7 +28,10 @@ def _rd():
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from k_gap_ray.dsutil import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet",
+                              columns=columns)
 
 
 def scaled_int_col(t: pa.Table, name: str, values, scale: int) -> pa.Table:
