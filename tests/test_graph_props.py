@@ -18,7 +18,13 @@ def _rand_edges(seed: int, n_nodes: int = 18, n_edges: int = 40):
     return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("seed", [
+    1,
+    # ~38 s per seed: one seed stays in the default gate, the other
+    # two run in the slow tier (pytest tests/ -m slow)
+    pytest.param(2, marks=pytest.mark.slow),
+    pytest.param(3, marks=pytest.mark.slow),
+])
 def test_graph_family_paths_agree_on_random_graphs(ray_session, seed):
     import ray.data as rd
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pyarrow.parquet as pq
+import pytest
 
 
 def test_orphan_cleanup(ray_session, tmp_path_factory, pages_table):
@@ -58,6 +59,7 @@ def test_distributed_extraction_byte_identical(ray_session, pages_table):
         assert r["text"] == truth[r["url"]]
 
 
+@pytest.mark.slow  # ~27 s; the short-chain cc tests cover the default gate
 def test_distributed_cc_chain_convergence(ray_session):
     """Label propagation must reach the fixpoint on a long chain
     (worst-case diameter), not stop after one round."""
