@@ -3490,7 +3490,12 @@ def _sparql_docs_store(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
         init_quad_store(_docs_quads(sf_dir), tmp)
         os.makedirs(os.path.dirname(store_dir), exist_ok=True)
-        os.rename(tmp, store_dir)
+        try:
+            os.rename(tmp, store_dir)
+        except OSError:
+            # a parallel builder won the rename; its store is
+            # byte-equivalent (deterministic quads, same bucket fn)
+            shutil.rmtree(tmp, ignore_errors=True)
     res = sparql_select(QuadStore(store_dir), DOCS_SPARQL_STORE)
     return _pa.Table.from_pylist(
         res.take_all(),

@@ -48,16 +48,10 @@ def pred_bucket(pred: str, n_buckets: int) -> int:
     return int(h[:8], 16) % n_buckets
 
 
-def init_quad_store(quads, store_dir: str,
-                    n_buckets: int = PRED_BUCKETS) -> str:
-    """Write a quads Dataset as a pred-hash-partitioned store.
-
-    One stateless map_batches appends the bucket column (hashing only
-    the batch's DISTINCT predicates — real graphs have few preds per
-    batch — then index_in/take to fan back out), then one partitioned
-    write. No shuffle: parquet partition_cols splits rows by value at
-    write time.
-    """
+def _with_pbucket(quads, n_buckets: int):
+    """Append the pbucket column in one stateless map_batches pass —
+    hashing only each batch's DISTINCT predicates (real graphs have
+    few preds per batch), then index_in/take to fan back out."""
     from k_gap_ray.dsutil import drop_empty_blocks
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -71,15 +65,45 @@ def init_quad_store(quads, store_dir: str,
         idx = pc.index_in(pred, value_set=uniq)
         return t.append_column("pbucket", pc.take(buckets, idx))
 
-    bucketed = drop_empty_blocks(
+    return drop_empty_blocks(
         quads.map_batches(add_bucket, batch_format="pyarrow")
         .materialize())
+
+
+def init_quad_store(quads, store_dir: str,
+                    n_buckets: int = PRED_BUCKETS) -> str:
+    """Write a quads Dataset as a pred-hash-partitioned store.
+
+    No shuffle: parquet partition_cols splits rows by value at write
+    time, after the one stateless bucketing pass.
+    """
+    bucketed = _with_pbucket(quads, n_buckets)
     os.makedirs(store_dir, exist_ok=True)
     if bucketed.count():
         bucketed.write_parquet(store_dir, partition_cols=["pbucket"])
     with open(os.path.join(store_dir, _META), "w") as f:
         json.dump({"n_buckets": n_buckets}, f)
     return store_dir
+
+
+def append_quads(quads, store_dir: str) -> int:
+    """Incremental feed append: bucket the batch with the STORE'S
+    persisted n_buckets (never the module default — the exact wrong-
+    mapping failure the band index had) and write additional files
+    into the same ``pbucket=K/`` directories. Readers prune exactly as
+    before; the store grows by O(batch), never rewrites. Small-file
+    buildup from many appends is reclaimed by
+    :func:`k_gap_ray.state.fingerprints.compact_store` with
+    ``partition_prefix="pbucket="`` (quads are a bag — compact without
+    dedup_cols unless the feed guarantees set semantics). Returns the
+    number of appended rows."""
+    with open(os.path.join(store_dir, _META)) as f:
+        n_buckets = int(json.load(f)["n_buckets"])
+    bucketed = _with_pbucket(quads, n_buckets)
+    n = bucketed.count()
+    if n:
+        bucketed.write_parquet(store_dir, partition_cols=["pbucket"])
+    return n
 
 
 class QuadStore:

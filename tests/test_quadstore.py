@@ -118,3 +118,58 @@ def test_ask_over_store(store):
         store, f'PREFIX kp: <{KP}> ASK {{ ?x kp:locatedIn "loc 1" . }}')
     assert not sparql_ask(
         store, f'PREFIX kp: <{KP}> ASK {{ ?x kp:locatedIn "loc 9" . }}')
+
+
+def test_append_quads_uses_persisted_bucket_count(ray_session,
+                                                  tmp_path_factory):
+    import glob as _glob
+
+    import ray.data as rd
+
+    from k_gap_ray.state.quadstore import append_quads
+
+    d = str(tmp_path_factory.mktemp("qstore_app") / "quads")
+    base = _quads_table()
+    init_quad_store(rd.from_arrow(base), d, n_buckets=16)
+    extra = pa.table({
+        "subj": pa.array([f"urn:x:{i}" for i in range(10)], pa.string()),
+        "pred": pa.array([f"{KP}funds"] * 10, pa.string()),
+        "obj": pa.array([f"urn:e:{i}" for i in range(10)], pa.string())})
+    n = append_quads(rd.from_arrow(extra), d)
+    assert n == 10
+    # the append respected the store's n_buckets=16, not the module
+    # default of 32: no bucket directory at or above 16
+    dirs = {int(p.split("=")[1]) for p in _glob.glob(f"{d}/pbucket=*")}
+    assert dirs and max(dirs) < 16
+    # a FRESH handle (handles snapshot the file list) sees old + new
+    s = QuadStore(d)
+    got = s.scan_for_preds([f"{KP}funds"]).map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("pred"),
+                                            f"{KP}funds")),
+        batch_format="pyarrow").count()
+    assert got == 50
+    # engine parity: append-grown store == store rebuilt from the union
+    d2 = str(tmp_path_factory.mktemp("qstore_app") / "rebuilt")
+    init_quad_store(rd.from_arrow(pa.concat_tables([base, extra])), d2,
+                    n_buckets=16)
+    assert _run(s, SEL) == _run(QuadStore(d2), SEL)
+
+
+def test_compact_reclaims_append_files(ray_session, tmp_path_factory):
+    import glob as _glob
+
+    import ray.data as rd
+
+    from k_gap_ray.state.fingerprints import compact_store
+    from k_gap_ray.state.quadstore import append_quads
+
+    d = str(tmp_path_factory.mktemp("qstore_cmp") / "quads")
+    init_quad_store(rd.from_arrow(_quads_table()), d, n_buckets=8)
+    for _ in range(3):
+        append_quads(rd.from_arrow(_quads_table().slice(0, 5)), d)
+    before = len(_glob.glob(f"{d}/pbucket=*/*.parquet"))
+    stats = compact_store(d, partition_prefix="pbucket=")
+    after = len(_glob.glob(f"{d}/pbucket=*/*.parquet"))
+    assert stats["files_after"] == after < before
+    # bag semantics preserved: 90 base + 15 appended
+    assert QuadStore(d).full().count() == 105
