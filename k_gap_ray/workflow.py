@@ -284,6 +284,27 @@ def run_workflow(steps: list[dict], params: dict[str, Any] | None = None,
                 # run_workflow's Dataset return contract) keep working
                 ds = (_rd.from_arrow(out) if isinstance(out, _pa.Table)
                       else out)
+        elif op == "init_quad_store":
+            # persist the in-flight quads as the pred-hash-partitioned
+            # store (state/quadstore.py); pass-through: downstream
+            # steps keep seeing the quads Dataset
+            from k_gap_ray.state.quadstore import init_quad_store
+
+            init_quad_store(ds, step.pop("path"), **step)
+        elif op == "sparql_store":
+            # run a SPARQL query against a PERSISTED quad store with
+            # bucket-pruned bound-predicate scans (no in-flight ds
+            # needed — this step can open a workflow)
+            import pyarrow as _pa
+            import ray.data as _rd
+
+            from k_gap_ray.sparql import sparql_select
+            from k_gap_ray.state.quadstore import QuadStore
+
+            out = sparql_select(QuadStore(step.pop("path")),
+                                step.pop("query"))
+            ds = (_rd.from_arrow(out) if isinstance(out, _pa.Table)
+                  else out)
         elif op == "sparql_update":
             # the reference's mutation surface as a pipeline step:
             # apply an UPDATE script to the quads Dataset in flight

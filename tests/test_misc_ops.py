@@ -395,3 +395,30 @@ def test_workflow_write_xlsx_step(ray_session, tmp_path):
     ])
     df = read_xlsx(out)
     assert sorted(df["k"].tolist()) == [1, 2, 3]
+
+
+def test_workflow_quad_store_steps(ray_session, tmp_path):
+    """init_quad_store persists the in-flight quads; sparql_store
+    opens a follow-up workflow against the store with bucket-pruned
+    scans (X1 + the round-5 S3 storage path in spec form)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from k_gap_ray.workflow import run_workflow
+
+    src = str(tmp_path / "quads.parquet")
+    pq.write_table(pa.table({
+        "subj": [f"urn:s:{i}" for i in range(6)],
+        "pred": ["urn:p:a"] * 3 + ["urn:p:b"] * 3,
+        "obj": [f"urn:o:{i % 2}" for i in range(6)],
+    }), src)
+    store = str(tmp_path / "store")
+    run_workflow([
+        {"op": "read_parquet", "path": src},
+        {"op": "init_quad_store", "path": store, "n_buckets": 4},
+    ])
+    out = run_workflow([
+        {"op": "sparql_store", "path": store,
+         "query": "SELECT ?s WHERE { ?s <urn:p:a> <urn:o:0> . }"},
+    ])
+    assert sorted(r["s"] for r in out.take_all()) == ["urn:s:0", "urn:s:2"]
