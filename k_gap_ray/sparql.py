@@ -1380,19 +1380,32 @@ def _is_store(quads) -> bool:
     return hasattr(quads, "scan_for_preds")
 
 
-def _pattern_source(quads, pat: Pattern):
+def _pattern_source(quads, pat: Pattern,
+                    meta_vars: frozenset = frozenset()):
     """The source a pattern scan runs over: a QuadStore prunes to the
     buckets a BOUND predicate (constant IRI or alternation list)
     hashes into — the storage-side fix for the n-patterns-pay-n-full-
-    corpus-scans tax; var / negated-alternation predicates and plain
-    Datasets scan everything, as before."""
+    corpus-scans tax — and reads ONLY the columns the pattern binds
+    (positions + any metadata source columns LANG()/isLiteral()/
+    DATATYPE() project); var / negated-alternation predicates and
+    plain Datasets scan everything, as before."""
     if not _is_store(quads):
         return quads
+    need: list[str] = []
+    for _term, col in pat.positions():
+        if col not in need:
+            need.append(col)
+    for kind, mv in sorted(meta_vars):
+        if pat.o.kind == "var" and pat.o.value == mv:
+            src = _META_KINDS[kind][1]
+            if src not in need:
+                need.append(src)
     if pat.p.kind == "iri":
-        return quads.scan_for_preds([pat.p.value])
+        return quads.scan_for_preds([pat.p.value], columns=need)
     if pat.p.kind == "alt":
-        return quads.scan_for_preds(pat.p.value.split(_SEP))
-    return quads.full()
+        return quads.scan_for_preds(pat.p.value.split(_SEP),
+                                    columns=need)
+    return quads.full(columns=need)
 
 
 def _make_scan(pat: Pattern, meta_vars: frozenset = frozenset()):
@@ -1501,7 +1514,10 @@ def _edge_pairs(quads, pred: str, graph: str | None):
         return pa.table({"__a": sel.column("subj"),
                          "__b": sel.column("obj")})
 
-    src = quads.scan_for_preds(preds) if _is_store(quads) else quads
+    src = quads.scan_for_preds(
+        preds, columns=["subj", "pred", "obj"]
+        + (["graph"] if graph is not None else [])) \
+        if _is_store(quads) else quads
     return _pair_distinct(
         src.map_batches(scan, batch_format="pyarrow")
         .map_batches(_pair_keyed, batch_format="pyarrow"))
@@ -1522,7 +1538,9 @@ def _identity_pairs(quads, graph: str | None):
         nodes = both.column("__n")
         return pa.table({"__a": nodes, "__b": nodes})
 
-    src = quads.full() if _is_store(quads) else quads
+    src = quads.full(columns=["subj", "obj"]
+                     + (["graph"] if graph is not None else [])) \
+        if _is_store(quads) else quads
     return _pair_distinct(
         src.map_batches(node_scan, batch_format="pyarrow")
         .map_batches(_pair_keyed, batch_format="pyarrow"))
@@ -1938,7 +1956,7 @@ def _build_group(quads, patterns: list[Pattern], filters: list[tuple],
                                  batch_format="pyarrow")
                  .materialize())
         else:
-            ds = _pattern_source(quads, pat) \
+            ds = _pattern_source(quads, pat, meta_vars) \
                 .map_batches(_make_scan(pat, meta_vars),
                              batch_format="pyarrow",
                              zero_copy_batch=True).materialize()

@@ -146,25 +146,39 @@ class QuadStore:
                 self.store_dir, f"pbucket={b}", "*.parquet"))))
         return out
 
-    def scan_for_preds(self, preds: list[str]):
-        """Dataset over ONLY the buckets these predicates land in.
-        False positives (other preds sharing a bucket) are fine — the
-        pattern scan's equality filter runs regardless; false negatives
-        are impossible because the bucket fn is the write-side fn and
-        n_buckets is persisted."""
+    def _projected(self, columns: list[str] | None) -> pa.Schema:
+        if columns is None:
+            return self._schema
+        missing = [c for c in columns if c not in self._schema.names]
+        if missing:
+            raise KeyError(f"columns not in quad store: {missing}")
+        return pa.schema([self._schema.field(c) for c in columns])
+
+    def scan_for_preds(self, preds: list[str],
+                       columns: list[str] | None = None):
+        """Dataset over ONLY the buckets these predicates land in,
+        reading ONLY ``columns`` (quads tables are wide — url /
+        metadata columns a pattern never binds should not leave
+        storage). False positives (other preds sharing a bucket) are
+        fine — the pattern scan's equality filter runs regardless;
+        false negatives are impossible because the bucket fn is the
+        write-side fn and n_buckets is persisted."""
         import ray.data as rd
 
+        schema = self._projected(columns)
         files = self.bucket_files(preds)
         if not files:
             # no store bucket holds these preds: typed empty dataset
-            return rd.from_arrow(self._schema.empty_table())
-        return rd.read_parquet(files, columns=self._schema.names,
-                               schema=self._schema)
+            return rd.from_arrow(schema.empty_table())
+        return rd.read_parquet(files, columns=schema.names,
+                               schema=schema)
 
-    def full(self):
+    def full(self, columns: list[str] | None = None):
         """Full-store Dataset (var-pred scans, FTS rewrites, node
-        identity scans)."""
+        identity scans), column-pruned when the caller names what it
+        binds."""
         import ray.data as rd
 
-        return rd.read_parquet(self._files, columns=self._schema.names,
-                               schema=self._schema)
+        schema = self._projected(columns)
+        return rd.read_parquet(self._files, columns=schema.names,
+                               schema=schema)

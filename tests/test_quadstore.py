@@ -173,3 +173,23 @@ def test_compact_reclaims_append_files(ray_session, tmp_path_factory):
     assert stats["files_after"] == after < before
     # bag semantics preserved: 90 base + 15 appended
     assert QuadStore(d).full().count() == 105
+
+
+def test_column_pruned_scans(ray_session, tmp_path_factory):
+    """Pattern scans over a WIDE quads table (extra url column) read
+    only the columns they bind; results match the in-memory engine."""
+    import ray.data as rd
+
+    wide = _quads_table().append_column(
+        "url", pa.array([f"u{i}" for i in range(90)], pa.string()))
+    d = str(tmp_path_factory.mktemp("qstore_w") / "quads")
+    init_quad_store(rd.from_arrow(wide), d, n_buckets=8)
+    s = QuadStore(d)
+    pruned = s.scan_for_preds([f"{KP}funds"],
+                              columns=["subj", "pred", "obj"])
+    assert pruned.schema().names == ["subj", "pred", "obj"]
+    with pytest.raises(KeyError):
+        s.scan_for_preds([f"{KP}funds"], columns=["nope"])
+    # engine parity on the wide store (scans prune away url)
+    assert _run(s, SEL) == _run(rd.from_arrow(wide), SEL)
+    assert _run(s, SEL_PATH) == _run(rd.from_arrow(wide), SEL_PATH)
