@@ -193,3 +193,35 @@ def test_column_pruned_scans(ray_session, tmp_path_factory):
     # engine parity on the wide store (scans prune away url)
     assert _run(s, SEL) == _run(rd.from_arrow(wide), SEL)
     assert _run(s, SEL_PATH) == _run(rd.from_arrow(wide), SEL_PATH)
+
+
+def test_construct_and_describe_over_store(ray_session,
+                                           tmp_path_factory):
+    import ray.data as rd
+
+    from k_gap_ray.sparql import sparql_construct, sparql_describe
+
+    # describe needs the obj_is_literal metadata column
+    base = _quads_table()
+    wide = base.append_column(
+        "obj_is_literal",
+        pa.array([o.startswith("loc") for o in
+                  base.column("obj").to_pylist()], pa.bool_()))
+    d = str(tmp_path_factory.mktemp("qstore_cd") / "quads")
+    init_quad_store(rd.from_arrow(wide), d, n_buckets=8)
+    s = QuadStore(d)
+
+    q = (f"PREFIX kp: <{KP}> CONSTRUCT {{ ?a kp:near ?s }} "
+         f"WHERE {{ ?a kp:monitors ?s . }}")
+    mem = sorted(tuple(sorted(r.items())) for r in
+                 sparql_construct(rd.from_arrow(wide), q).take_all())
+    sto = sorted(tuple(sorted(r.items())) for r in
+                 sparql_construct(s, q).take_all())
+    assert sto == mem and mem
+
+    dq = "DESCRIBE <urn:e:1>"
+    mem_d = sorted(tuple(sorted(r.items())) for r in
+                   sparql_describe(rd.from_arrow(wide), dq).take_all())
+    sto_d = sorted(tuple(sorted(r.items())) for r in
+                   sparql_describe(s, dq).take_all())
+    assert sto_d == mem_d and mem_d

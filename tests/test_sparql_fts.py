@@ -86,3 +86,21 @@ def test_fts_joins_with_ordinary_patterns(ray_session):
     res = sparql_select(rd.from_arrow(_quads()), q)
     assert [(r["e"], r["who"]) for r in res.take_all()] == [
         ("urn:e:a", "urn:e:merge")]
+
+
+def test_fts_over_quad_store_falls_back_to_full(ray_session, tmp_path):
+    """An FTS query against a pred-partitioned QuadStore must produce
+    the same scores as the in-memory path (the rewrite appends virtual
+    match quads, so the engine materializes the full store first)."""
+    import ray.data as rd
+
+    from k_gap_ray.state.quadstore import QuadStore, init_quad_store
+
+    tbl = _quads()
+    d = str(tmp_path / "store")
+    init_quad_store(rd.from_arrow(tbl), d, n_buckets=4)
+    mem = sorted((r["e"], r["score"]) for r in
+                 sparql_select(rd.from_arrow(tbl), FTS_Q).take_all())
+    store = sorted((r["e"], r["score"]) for r in
+                   sparql_select(QuadStore(d), FTS_Q).take_all())
+    assert store == mem and mem
