@@ -182,3 +182,172 @@ class QuadStore:
         schema = self._projected(columns)
         return rd.read_parquet(self._files, columns=schema.names,
                                schema=schema)
+
+
+def apply_update_quadstore(store_dir: str, text: str) -> int:
+    """Apply a SPARQL UPDATE script to the pred-partitioned store,
+    rewriting ONLY the buckets the change set touches.
+
+    Statement semantics mirror ``sparql_update._apply_one`` exactly:
+    deletes are a multiplicity-preserving (subj, pred, obj) key filter,
+    inserts are set-semantics vs the post-delete store (pre-deduped by
+    per-column MIN), CLEAR GRAPH filters (or drops) every bucket, and
+    each statement's WHERE sees the store state the previous one left.
+    The WHERE bindings are computed through the bucket-pruned engine
+    (sparql_select over the QuadStore), and — because a quad's only
+    possible duplicate lives in its own pred bucket — the bucket-local
+    containment check for inserts is globally correct.
+
+    Scale shape: one Ray task per AFFECTED bucket (read bucket files,
+    vectorized filter, atomic tmp+rename rewrite), O(touched buckets)
+    total I/O; untouched buckets keep their files byte-identical.
+    Returns rows deleted + rows inserted.
+    """
+    import ray
+
+    from k_gap_ray.sparql import sparql_select
+    from k_gap_ray.sparql_update import (_collect, _dedupe_min,
+                                         _ground_table,
+                                         _instantiate_keys,
+                                         _instantiate_rows,
+                                         parse_sparql_update)
+
+    total = 0
+    for op in parse_sparql_update(text):
+        store = QuadStore(store_dir)
+        columns = store.schema().names
+        if op.clear_graph is not None:
+            total += _clear_graph_buckets(store, op.clear_graph)
+            continue
+        if op.where is None:
+            dels = (_ground_table(op.delete_templates,
+                                  ["subj", "pred", "obj"])
+                    if op.delete_templates else None)
+            ins = (_ground_table(op.insert_templates, columns)
+                   if op.insert_templates else None)
+        else:
+            bindings = sparql_select(store, op.where)
+            dels = ins = None
+            if op.delete_templates:
+                dels = _collect(_instantiate_keys(
+                    bindings, op.delete_templates),
+                    ["subj", "pred", "obj"])
+            if op.insert_templates:
+                ins = _collect(_instantiate_rows(
+                    bindings, op.insert_templates, op.where,
+                    store.full(), columns), columns)
+        if ins is not None and ins.num_rows:
+            ins = _dedupe_min(ins, columns).select(columns)
+        affected: dict[int, dict] = {}
+        for tbl, slot in ((dels, "dels"), (ins, "ins")):
+            if tbl is None or tbl.num_rows == 0:
+                continue
+            preds = pc.unique(tbl.column("pred")).to_pylist()
+            bmap = {p: pred_bucket(p, store.n_buckets) for p in preds}
+            for b in set(bmap.values()):
+                keep = pa.array([bmap[p] == b
+                                 for p in tbl.column("pred").to_pylist()])
+                affected.setdefault(b, {})[slot] = tbl.filter(keep)
+        refs = [_update_bucket.remote(
+            os.path.join(store_dir, f"pbucket={b}"),
+            parts.get("dels"), parts.get("ins"))
+            for b, parts in sorted(affected.items())]
+        total += sum(ray.get(refs))
+    return total
+
+
+def _clear_graph_buckets(store: "QuadStore", g: str) -> int:
+    """CLEAR GRAPH over every bucket: '*' unlinks all bucket files;
+    a named graph rewrites each bucket minus its rows."""
+    import ray
+
+    bdirs = sorted({os.path.dirname(f) for f in store._files})
+    if g == "*":
+        n = 0
+        for f in store._files:
+            import pyarrow.parquet as pq
+
+            n += pq.read_metadata(f).num_rows
+            os.unlink(f)
+        return n
+    refs = [_clear_bucket_graph.remote(d, g) for d in bdirs]
+    return sum(ray.get(refs))
+
+
+def _bucket_tables(bdir: str):
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+    tables = [pq.read_table(f) for f in files]
+    return files, (pa.concat_tables(tables) if tables else None)
+
+
+def _atomic_bucket_rewrite(bdir: str, files: list[str], merged) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(bdir, exist_ok=True)
+    if merged is not None and merged.num_rows:
+        tmp = os.path.join(bdir, ".update.tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, os.path.join(bdir, "updated-0.parquet"))
+    for f in files:
+        if os.path.basename(f) != "updated-0.parquet":
+            try:
+                os.unlink(f)
+            except FileNotFoundError:
+                pass
+
+
+def _spo_key(t: pa.Table) -> pa.Array:
+    return pc.binary_join_element_wise(
+        pc.cast(t.column("subj"), pa.string()),
+        pc.cast(t.column("pred"), pa.string()),
+        pc.cast(t.column("obj"), pa.string()), "\x1f")
+
+
+def _update_bucket_impl(bdir: str, dels, ins) -> int:
+    files, old = _bucket_tables(bdir)
+    touched = 0
+    kept = old
+    if old is not None and dels is not None and dels.num_rows:
+        mask = pc.invert(pc.is_in(_spo_key(old),
+                                  value_set=pc.unique(_spo_key(dels))))
+        kept = old.filter(mask)
+        touched += old.num_rows - kept.num_rows
+    if ins is not None and ins.num_rows:
+        if kept is not None and kept.num_rows:
+            ins = ins.select(kept.column_names)
+            new_mask = pc.invert(pc.is_in(
+                _spo_key(ins), value_set=pc.unique(_spo_key(kept))))
+            ins_new = ins.filter(new_mask)
+            merged = pa.concat_tables(
+                [kept, ins_new.cast(kept.schema)]) \
+                if ins_new.num_rows else kept
+            touched += ins_new.num_rows
+        else:
+            merged = ins
+            touched += ins.num_rows
+    else:
+        merged = kept
+    _atomic_bucket_rewrite(bdir, files, merged)
+    return touched
+
+
+try:  # pragma: no cover - decorated lazily so import works rayless
+    import ray as _ray
+
+    @_ray.remote
+    def _update_bucket(bdir: str, dels, ins) -> int:
+        return _update_bucket_impl(bdir, dels, ins)
+
+    @_ray.remote
+    def _clear_bucket_graph(bdir: str, g: str) -> int:
+        files, old = _bucket_tables(bdir)
+        if old is None:
+            return 0
+        kept = old.filter(pc.not_equal(
+            pc.fill_null(old.column("graph"), ""), pa.scalar(g)))
+        _atomic_bucket_rewrite(bdir, files, kept)
+        return old.num_rows - kept.num_rows
+except ImportError:  # pragma: no cover
+    pass

@@ -237,3 +237,62 @@ def test_clear_graph_sql_mirror_matches(ray_session):
         f"WITH {frag} SELECT subj, pred, obj, graph FROM {final} "
         f"ORDER BY 1, 2, 3").fetchall()))
     assert got == want
+
+
+def test_apply_update_quadstore_buckets(ray_session, tmp_path):
+    """Pred-partitioned-store UPDATE (round 5): same script, same
+    result set as the Dataset and subject-store paths, with only the
+    touched PRED buckets rewritten on disk."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from k_gap_ray.state.quadstore import (QuadStore,
+                                           apply_update_quadstore,
+                                           init_quad_store, pred_bucket)
+
+    store = str(tmp_path / "qstore")
+    # add a predicate the script never mentions: its bucket must
+    # survive the whole script byte-untouched
+    base = _quads_table()
+    extra = pa.table({c: pa.array(
+        [{"subj": "urn:e:z", "pred": "urn:p:keeps", "obj": "zzz",
+          "obj_is_literal": True, "obj_datatype": "", "obj_lang": "",
+          "graph": "g1", "url": "u9"}[c]],
+        pa.bool_() if c == "obj_is_literal" else pa.string())
+        for c in QUAD_COLS})
+    init_quad_store(rd.from_arrow(pa.concat_tables([base, extra])),
+                    store, n_buckets=16)
+    touched = {pred_bucket(p, 16) for p in
+               ("urn:p:locatedIn", "urn:p:employs", "urn:p:basedAt",
+                "urn:p:name")}
+    keeps_b = pred_bucket("urn:p:keeps", 16)
+    assert keeps_b not in touched  # fixture precondition
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(f"{store}/pbucket={keeps_b}/*.parquet")}
+    assert before
+
+    n = apply_update_quadstore(store, SCRIPT)
+    assert n > 0
+    back = sorted((r["subj"], r["pred"], r["obj"])
+                  for r in QuadStore(store).full().take_all())
+    assert back == sorted(EXPECTED + [("urn:e:z", "urn:p:keeps", "zzz")])
+    # the untouched bucket keeps its files byte-identical (same mtime)
+    for f, mt in before.items():
+        assert os.path.getmtime(f) == mt, f
+
+
+def test_apply_update_quadstore_clear_graph(ray_session, tmp_path):
+    import ray.data as rd
+
+    from k_gap_ray.state.quadstore import (QuadStore,
+                                           apply_update_quadstore,
+                                           init_quad_store)
+
+    store = str(tmp_path / "qstore_clear")
+    init_quad_store(rd.from_arrow(_quads_table()), store, n_buckets=8)
+    n = apply_update_quadstore(store, "CLEAR GRAPH <g2>")
+    assert n == 1  # carol's name triple lives in g2
+    left = {r["graph"] for r in QuadStore(store).full().take_all()}
+    assert left == {"g1"}
