@@ -14,6 +14,7 @@ The reference's two ingestion modes
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
 
@@ -23,6 +24,21 @@ import pyarrow.parquet as pq
 
 N_BUCKETS = 16
 KEY_COLS = ["subj", "pred", "graph"]  # upsert identity: one obj per (s,p,g)
+_META = "_upsert_meta.json"
+
+
+def _store_buckets(store_dir: str, fallback: int) -> int:
+    """The store's PERSISTED bucket count wins over any caller value:
+    probing or rewriting with a different count than the build writes
+    changes into the wrong bucket dirs and silently corrupts the
+    latest-wins merge (the same failure mode the round-4 advisor found
+    on the band index). Stores written before the meta file existed
+    fall back to the caller's value."""
+    try:
+        with open(os.path.join(store_dir, _META)) as f:
+            return int(json.load(f)["n_buckets"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return fallback
 
 
 def _bucket_of(series: pd.Series, n_buckets: int = N_BUCKETS) -> pd.Series:
@@ -39,6 +55,8 @@ def init_store(triples_ds, store_dir: str, n_buckets: int = N_BUCKETS):
 
     (triples_ds.map_batches(add_bucket, batch_format="pandas")
      .write_parquet(store_dir, partition_cols=["subj_bucket"]))
+    with open(os.path.join(store_dir, _META), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
     return store_dir
 
 
@@ -52,6 +70,7 @@ def upsert(store_dir: str, changes_ds, deletes_ds=None,
     changes = changes_ds.to_pandas()
     deletes = deletes_ds.to_pandas() if deletes_ds is not None else None
 
+    n_buckets = _store_buckets(store_dir, n_buckets)
     changes["subj_bucket"] = _bucket_of(changes["subj"], n_buckets)
     affected = set(changes["subj_bucket"].unique())
     if deletes is not None and len(deletes):
@@ -112,6 +131,7 @@ def apply_set_changes(store_dir: str, inserts=None, deletes=None,
 
     ins_df = inserts.to_pandas() if inserts is not None else None
     del_df = deletes.to_pandas() if deletes is not None else None
+    n_buckets = _store_buckets(store_dir, n_buckets)
     affected: set[int] = set()
     if ins_df is not None and len(ins_df):
         ins_df["subj_bucket"] = _bucket_of(ins_df["subj"], n_buckets)

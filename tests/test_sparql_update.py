@@ -296,3 +296,36 @@ def test_apply_update_quadstore_clear_graph(ray_session, tmp_path):
     assert n == 1  # carol's name triple lives in g2
     left = {r["graph"] for r in QuadStore(store).full().take_all()}
     assert left == {"g1"}
+
+
+def test_upsert_store_persists_bucket_count(ray_session, tmp_path):
+    """A store built with a non-default bucket count must be updated
+    with the SAME mapping even when the caller forgets to repeat it
+    (the band-index wrong-mapping failure mode, closed for every
+    bucketed store in round 5)."""
+    import ray.data as rd
+
+    from k_gap_ray.state.upsert import (apply_set_changes, init_store,
+                                        read_store)
+
+    store = str(tmp_path / "nb5")
+    init_store(rd.from_arrow(_quads_table()), store, n_buckets=5)
+    ins = pa.table({c: pa.array(
+        [{"subj": "urn:e:q", "pred": "urn:p:name", "obj": "quinn",
+          "obj_is_literal": True, "obj_datatype": "", "obj_lang": "",
+          "graph": "g1", "url": ""}[c]],
+        pa.bool_() if c == "obj_is_literal" else pa.string())
+        for c in QUAD_COLS})
+    dels = pa.table({"subj": ["urn:e:c"], "pred": ["urn:p:name"],
+                     "obj": ["carol"]})
+    # note: NO n_buckets passed — the persisted count must win
+    apply_set_changes(store, ins, dels)
+    back = sorted((r["subj"], r["obj"])
+                  for r in read_store(store).take_all()
+                  if r["pred"] == "urn:p:name")
+    assert back == [("urn:e:q", "quinn")]
+    import glob as _g
+
+    dirs = {int(p.rsplit("=", 1)[1])
+            for p in _g.glob(f"{store}/subj_bucket=*")}
+    assert dirs and max(dirs) < 5
