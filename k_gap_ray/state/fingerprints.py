@@ -26,6 +26,7 @@ by bucket so future readers prune.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 
 import numpy as np
@@ -33,6 +34,25 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 HASH_BUCKETS = 16
+_META = "_store_meta.json"
+
+
+def _write_meta(store_dir: str, n_buckets: int) -> None:
+    os.makedirs(store_dir, exist_ok=True)
+    with open(os.path.join(store_dir, _META), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def _read_meta(store_dir: str, fallback: int) -> int:
+    """The store's PERSISTED bucket count wins over caller values —
+    probing with a different count than the build selects the wrong
+    bucket=K/ directories and silently misses matches (the round-4
+    advisor's band-index finding, closed for every bucketed store)."""
+    try:
+        with open(os.path.join(store_dir, _META)) as f:
+            return int(json.load(f)["n_buckets"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return fallback
 
 
 def _hash_batch(t: pa.Table, key_col: str, id_col: str,
@@ -114,8 +134,7 @@ def init_fingerprint_store(ds, store_dir: str, key_col: str = "text",
     distinct = drop_empty_blocks(distinct.materialize())
     if distinct.count():
         distinct.write_parquet(store_dir, partition_cols=["bucket"])
-    else:
-        os.makedirs(store_dir, exist_ok=True)
+    _write_meta(store_dir, n_buckets)
     return store_dir
 
 
@@ -142,6 +161,7 @@ def incremental_dedup(new_ds, store_dir: str, key_col: str = "text",
 
     from k_gap_ray.dsutil import drop_empty_blocks, join_datasets
 
+    n_buckets = _read_meta(store_dir, n_buckets)
     hashed = new_ds.map_batches(
         lambda t: _hash_batch(t, key_col, id_col, prefix_tokens,
                               n_buckets),
@@ -282,8 +302,7 @@ def init_band_index(ds, index_dir: str, shingle_k: int = 3,
         .materialize())
     if bands.count():
         bands.write_parquet(index_dir, partition_cols=["bucket"])
-    else:
-        os.makedirs(index_dir, exist_ok=True)
+    _write_meta(index_dir, n_buckets)
     return index_dir
 
 
@@ -317,6 +336,7 @@ def incremental_near_dup(new_ds, index_dir: str, docs_ds,
                                            verify_jaccard_pairs)
 
     _S = "\x1f"
+    n_buckets = _read_meta(index_dir, n_buckets)
     empty = pa.table({f"{id_col}_a": pa.array([], pa.int64()),
                       f"{id_col}_b": pa.array([], pa.int64()),
                       "n_common": pa.array([], pa.int64()),

@@ -209,3 +209,48 @@ def test_probe_paths_prune_to_touched_buckets(ray_session, tmp_path):
            incremental_dedup(rd.from_arrow(probe), store,
                              append=False).take_all()}
     assert got == {0: "dup_store"}
+
+
+def test_stores_persist_bucket_counts(ray_session, tmp_path):
+    """Both persisted stores record their bucket count and probe with
+    it even when the caller passes nothing (wrong-mapping hazard
+    closed for every bucketed store in round 5)."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from k_gap_ray.state.fingerprints import (incremental_dedup,
+                                              incremental_near_dup,
+                                              init_band_index,
+                                              init_fingerprint_store)
+
+    docs = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array([f"alpha beta gamma delta {i % 4}"
+                          for i in range(8)], pa.string())})
+    fp = str(tmp_path / "fp5")
+    init_fingerprint_store(rd.from_arrow(docs), fp, n_buckets=5)
+    dirs = {int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{fp}/bucket=*")}
+    assert dirs and max(dirs) < 5
+    # probe WITHOUT repeating n_buckets: persisted count must win
+    out = incremental_dedup(rd.from_arrow(docs), fp, append=False)
+    statuses = {r["status"] for r in out.take_all()}
+    assert statuses == {"dup_store"}  # every fingerprint already stored
+
+    band = str(tmp_path / "band5")
+    init_band_index(rd.from_arrow(docs.slice(0, 4)), band, n_buckets=7)
+    bdirs = {int(p.rsplit("=", 1)[1])
+             for p in glob.glob(f"{band}/bucket=*")}
+    assert bdirs and max(bdirs) < 7
+    pairs = incremental_near_dup(rd.from_arrow(docs.slice(4, 4)), band,
+                                 rd.from_arrow(docs), append=False)
+    # docs 4..7 repeat the texts of 0..3 exactly (and all fixture
+    # texts share 2/4 shingles, exactly the 0.5 threshold): the probe
+    # through the persisted 7-bucket mapping must find every exact
+    # twin (doc i vs i-4, n_common == n_union) among the 4x4 matches
+    rows = pairs.take_all()
+    assert len(rows) == 16
+    twins = {(r["doc_id_a"], r["doc_id_b"]) for r in rows
+             if r["n_common"] == r["n_union"]}
+    assert twins == {(i + 4, i) for i in range(4)}
