@@ -71,6 +71,8 @@ class UpdateOp:
     delete_templates: list[Pattern] = field(default_factory=list)
     where: SparqlQuery | None = None  # None => ground DATA form
     clear_graph: str | None = None    # iri, or "*" for CLEAR ALL
+    # LOAD <file://...> [INTO GRAPH <g>]: (source iri, target graph)
+    load: tuple[str, str | None] | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +184,24 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                 ops.append(UpdateOp(
                     insert_templates=ins, delete_templates=dels,
                     where=_mk_where(pats, flts, dels + ins)))
+        elif p.kw("LOAD"):
+            # the reference ingests documents over HTTP; this build is
+            # network-free by the driver contract, so only file:// (or
+            # bare-path) sources are accepted — the operator itself,
+            # format dispatch and graph targeting are the real thing
+            p.kw("SILENT")
+            k, v = p.next()
+            if k != "iri":
+                raise ValueError("LOAD needs an <iri> source")
+            tgt = None
+            if p.kw("INTO"):
+                if not p.kw("GRAPH"):
+                    raise ValueError("LOAD ... INTO needs GRAPH <g>")
+                tk, tv = p.next()
+                if tk != "iri":
+                    raise ValueError("LOAD target graph must be an IRI")
+                tgt = tv[1:-1]
+            ops.append(UpdateOp(load=(v[1:-1], tgt)))
         elif p.kw("CLEAR") or p.kw("DROP"):
             # DROP == CLEAR here: the store tracks no empty graphs, so
             # removing a graph's quads IS removing the graph
@@ -413,6 +433,74 @@ def apply_update(quads, ops, broadcast_cap: int = 100_000):
     return quads
 
 
+def _load_quads_table(load: tuple[str, str | None],
+                      columns: list[str]) -> "pa.Table":
+    """Parse a LOAD source document into an insert-row table matching
+    the store's columns. file:// (or bare path) only — the network
+    transport is out of this sandbox's scope; format dispatch is by
+    extension over the repo's own parsers (sources/rdfio.py)."""
+    import os
+
+    src, tgt = load
+    if src.startswith("file://"):
+        path = src[len("file://"):]
+    elif "://" not in src:
+        path = src
+    else:
+        raise ValueError(
+            f"LOAD source {src!r}: only file:// IRIs are supported in "
+            "this build (network ingestion is out of scope)")
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".nt", ".nq"):
+        from k_gap_ray.sources.rdfio import parse_ntriples_batch
+
+        with open(path, encoding="utf-8") as f:
+            lines = [ln for ln in f.read().split("\n") if ln.strip()]
+        rows = parse_ntriples_batch(pa.table({"text": lines})).to_pylist()
+    elif ext in (".ttl", ".trig"):
+        from k_gap_ray.sources.rdfio import parse_turtle_text
+
+        with open(path, encoding="utf-8") as f:
+            rows, skipped = parse_turtle_text(f.read())
+        if skipped:
+            raise ValueError(f"LOAD {path}: {skipped} unparseable lines")
+    elif ext in (".rdf", ".xml"):
+        from k_gap_ray.sources.rdfio import parse_rdfxml_text
+
+        with open(path, encoding="utf-8") as f:
+            rows, skipped = parse_rdfxml_text(f.read())
+        if skipped:
+            raise ValueError(f"LOAD {path}: {skipped} skipped nodes")
+    elif ext in (".jsonld", ".json"):
+        import json as _json
+
+        from k_gap_ray.sources.rdfio import parse_jsonld_obj
+
+        with open(path, encoding="utf-8") as f:
+            doc = _json.load(f)
+        docs = doc if isinstance(doc, list) else [doc]
+        rows = []
+        for d in docs:
+            rows.extend(parse_jsonld_obj(d))
+    else:
+        raise ValueError(f"LOAD: unsupported extension {ext!r} "
+                         "(.nt/.nq/.ttl/.trig/.rdf/.xml/.jsonld)")
+    defaults = {"obj_is_literal": False, "obj_datatype": "",
+                "obj_lang": "", "graph": "", "url": src}
+    out = {}
+    for c in columns:
+        if c == "obj_is_literal":
+            out[c] = pa.array(
+                [bool(r.get(c, False)) for r in rows], pa.bool_())
+        elif c == "graph" and tgt is not None:
+            out[c] = pa.array([tgt] * len(rows), pa.string())
+        else:
+            out[c] = pa.array(
+                [str(r.get(c, defaults.get(c, "")) or "")
+                 for r in rows], pa.string())
+    return pa.table(out)
+
+
 def _apply_one(quads, op: UpdateOp, broadcast_cap: int):
     import ray.data as rd
 
@@ -433,12 +521,17 @@ def _apply_one(quads, op: UpdateOp, broadcast_cap: int):
             batch_format="pyarrow", zero_copy_batch=True)
 
     if op.where is None:
-        del_tbl = (_ground_table(op.delete_templates, ["subj", "pred", "obj"])
-                   if op.delete_templates else None)
-        ins_tbl = (_ground_table(op.insert_templates, columns)
-                   if op.insert_templates else None)
-        del_ds = rd.from_arrow(del_tbl) if del_tbl is not None else None
-        ins_ds = rd.from_arrow(ins_tbl) if ins_tbl is not None else None
+        if op.load is not None:
+            del_ds = None
+            ins_ds = rd.from_arrow(_load_quads_table(op.load, columns))
+        else:
+            del_tbl = (_ground_table(op.delete_templates,
+                                     ["subj", "pred", "obj"])
+                       if op.delete_templates else None)
+            ins_tbl = (_ground_table(op.insert_templates, columns)
+                       if op.insert_templates else None)
+            del_ds = rd.from_arrow(del_tbl) if del_tbl is not None else None
+            ins_ds = rd.from_arrow(ins_tbl) if ins_tbl is not None else None
     else:
         bindings = sparql_select(quads, op.where)
         del_ds = (_instantiate_keys(bindings, op.delete_templates)
@@ -569,6 +662,10 @@ def sparql_update_cte_sql(ops, quads_rel: str = "quads",
     with ``sparql_to_sql(select, quads_rel=final_relation_name)``."""
     if isinstance(ops, str):
         ops = parse_sparql_update(ops)
+    if any(o.load is not None for o in ops):
+        raise NotImplementedError(
+            "LOAD has no SQL mirror (file parsing is engine-side); "
+            "suite-test it via apply_update result comparison instead")
     cols = columns or QUAD_COLS
     col_list = ", ".join(cols)
     parts: list[str] = []
@@ -708,11 +805,15 @@ def apply_update_store(store_dir: str, text: str) -> int:
             batch_format="pyarrow")
         columns = [c for c in QUAD_COLS if c in cols]
         if op.where is None:
-            dels = (_ground_table(op.delete_templates,
-                                  ["subj", "pred", "obj"])
-                    if op.delete_templates else None)
-            ins = (_ground_table(op.insert_templates, columns)
-                   if op.insert_templates else None)
+            if op.load is not None:
+                dels = None
+                ins = _load_quads_table(op.load, columns)
+            else:
+                dels = (_ground_table(op.delete_templates,
+                                      ["subj", "pred", "obj"])
+                        if op.delete_templates else None)
+                ins = (_ground_table(op.insert_templates, columns)
+                       if op.insert_templates else None)
         else:
             bindings = sparql_select(base, op.where)
             dels = ins = None

@@ -220,11 +220,17 @@ def apply_update_quadstore(store_dir: str, text: str) -> int:
             total += _clear_graph_buckets(store, op.clear_graph)
             continue
         if op.where is None:
-            dels = (_ground_table(op.delete_templates,
-                                  ["subj", "pred", "obj"])
-                    if op.delete_templates else None)
-            ins = (_ground_table(op.insert_templates, columns)
-                   if op.insert_templates else None)
+            if op.load is not None:
+                from k_gap_ray.sparql_update import _load_quads_table
+
+                dels = None
+                ins = _load_quads_table(op.load, columns)
+            else:
+                dels = (_ground_table(op.delete_templates,
+                                      ["subj", "pred", "obj"])
+                        if op.delete_templates else None)
+                ins = (_ground_table(op.insert_templates, columns)
+                       if op.insert_templates else None)
         else:
             bindings = sparql_select(store, op.where)
             dels = ins = None

@@ -329,3 +329,54 @@ def test_upsert_store_persists_bucket_count(ray_session, tmp_path):
     dirs = {int(p.rsplit("=", 1)[1])
             for p in _g.glob(f"{store}/subj_bucket=*")}
     assert dirs and max(dirs) < 5
+
+
+def test_load_file_into_graph(ray_session, tmp_path):
+    """LOAD <file://...> [INTO GRAPH <g>] — the reference's ingestion
+    operator with the network transport swapped for file IRIs (the
+    only transport this sandbox allows). Set semantics vs the store,
+    format dispatch by extension, INTO GRAPH retargets the rows."""
+    import ray.data as rd
+
+    ttl = tmp_path / "new.ttl"
+    ttl.write_text(
+        '@prefix p: <urn:p:> .\n'
+        '<urn:e:x> p:name "xavier" .\n'
+        '<urn:e:a> p:locatedIn "marine station x" .\n')  # dup: no-op
+    out = apply_update(
+        rd.from_arrow(_quads_table()),
+        f'LOAD <file://{ttl}> INTO GRAPH <urn:g:loaded>')
+    rows = out.take_all()
+    assert len(rows) == 5  # 4 base + 1 new (dup suppressed)
+    new = [r for r in rows if r["subj"] == "urn:e:x"][0]
+    assert (new["obj"], new["graph"]) == ("xavier", "urn:g:loaded")
+
+    nt = tmp_path / "more.nt"
+    nt.write_text('<urn:e:y> <urn:p:name> "yana" .\n')
+    out2 = apply_update(out, f'LOAD <file://{nt}>')
+    assert out2.count() == 6
+
+    with pytest.raises(ValueError, match="file://"):
+        apply_update(rd.from_arrow(_quads_table()),
+                     'LOAD <http://example.org/doc.ttl>')
+    with pytest.raises(NotImplementedError, match="no SQL mirror"):
+        sparql_update_cte_sql(f'LOAD <file://{ttl}>')
+
+
+def test_load_into_quadstore_buckets(ray_session, tmp_path):
+    import ray.data as rd
+
+    from k_gap_ray.state.quadstore import (QuadStore,
+                                           apply_update_quadstore,
+                                           init_quad_store)
+
+    store = str(tmp_path / "qload")
+    init_quad_store(rd.from_arrow(_quads_table()), store, n_buckets=8)
+    ttl = tmp_path / "new.ttl"
+    ttl.write_text('@prefix p: <urn:p:> .\n'
+                   '<urn:e:x> p:name "xavier" .\n')
+    n = apply_update_quadstore(store, f'LOAD <file://{ttl}>')
+    assert n == 1
+    names = sorted(r["obj"] for r in QuadStore(store).full().take_all()
+                   if r["pred"] == "urn:p:name")
+    assert names == ["carol", "xavier"]
