@@ -81,8 +81,14 @@ def init_quad_store(quads, store_dir: str,
     os.makedirs(store_dir, exist_ok=True)
     if bucketed.count():
         bucketed.write_parquet(store_dir, partition_cols=["pbucket"])
+    schema = pa.schema([f for f in bucketed.schema().base_schema
+                        if f.name != "pbucket"])
     with open(os.path.join(store_dir, _META), "w") as f:
-        json.dump({"n_buckets": n_buckets}, f)
+        # the schema travels with the store so a store emptied by
+        # CLEAR ALL can still be opened (and refilled) afterwards
+        json.dump({"n_buckets": n_buckets,
+                   "schema_ipc":
+                       schema.serialize().to_pybytes().hex()}, f)
     return store_dir
 
 
@@ -117,20 +123,27 @@ class QuadStore:
 
     def __init__(self, store_dir: str):
         self.store_dir = store_dir
-        meta = os.path.join(store_dir, _META)
-        with open(meta) as f:
-            self.n_buckets = int(json.load(f)["n_buckets"])
+        with open(os.path.join(store_dir, _META)) as f:
+            meta = json.load(f)
+        self.n_buckets = int(meta["n_buckets"])
         files = sorted(glob.glob(
             os.path.join(store_dir, "pbucket=*", "*.parquet")))
-        if not files:
-            raise FileNotFoundError(
-                f"empty quad store (no pbucket=*/ parquet): {store_dir}")
         self._files = files
-        import pyarrow.parquet as pq
+        if files:
+            import pyarrow.parquet as pq
 
-        s = pq.read_schema(files[0])
-        self._schema = pa.schema([s.field(n) for n in s.names
-                                  if n != "pbucket"])
+            s = pq.read_schema(files[0])
+            self._schema = pa.schema([s.field(n) for n in s.names
+                                      if n != "pbucket"])
+        elif "schema_ipc" in meta:
+            # emptied store (CLEAR ALL): the persisted schema keeps it
+            # openable and refillable
+            self._schema = pa.ipc.read_schema(
+                pa.py_buffer(bytes.fromhex(meta["schema_ipc"])))
+        else:
+            raise FileNotFoundError(
+                f"empty quad store (no pbucket=*/ parquet and no "
+                f"persisted schema): {store_dir}")
 
     # -- Dataset-compatible surface the engine touches ----------------
     def schema(self) -> pa.Schema:
@@ -180,6 +193,8 @@ class QuadStore:
         import ray.data as rd
 
         schema = self._projected(columns)
+        if not self._files:
+            return rd.from_arrow(schema.empty_table())
         return rd.read_parquet(self._files, columns=schema.names,
                                schema=schema)
 

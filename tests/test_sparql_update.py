@@ -380,3 +380,25 @@ def test_load_into_quadstore_buckets(ray_session, tmp_path):
     names = sorted(r["obj"] for r in QuadStore(store).full().take_all()
                    if r["pred"] == "urn:p:name")
     assert names == ["carol", "xavier"]
+
+
+def test_quadstore_clear_all_then_insert(ray_session, tmp_path):
+    """CLEAR ALL empties every bucket but the store stays openable and
+    refillable in the same script (schema persisted in the meta)."""
+    import ray.data as rd
+
+    from k_gap_ray.state.quadstore import (QuadStore,
+                                           apply_update_quadstore,
+                                           init_quad_store)
+
+    store = str(tmp_path / "qclr")
+    init_quad_store(rd.from_arrow(_quads_table()), store, n_buckets=8)
+    apply_update_quadstore(store, """
+        PREFIX p: <urn:p:>
+        PREFIX e: <urn:e:>
+        CLEAR ALL ;
+        INSERT DATA { e:only p:name "solo" . }
+    """)
+    rows = QuadStore(store).full().take_all()
+    assert [(r["subj"], r["obj"]) for r in rows] == [("urn:e:only",
+                                                      "solo")]
